@@ -12,7 +12,12 @@ object SparkEntry {
 
   /** All registered query specs, in module order. */
   def specs: Seq[QuerySpec] =
-    operators.Relational.specs
+    operators.Relational.specs ++
+      operators.TextAnalysis.specs ++
+      operators.Dedup.specs ++
+      operators.Similarity.specs ++
+      operators.EventsWindows.specs ++
+      operators.WeatherOps.specs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

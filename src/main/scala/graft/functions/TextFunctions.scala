@@ -1,0 +1,54 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text primitives shared by the text-analysis and dedup operators
+  * (SURVEY.md §7.2 step 5 north-star ops). Everything here is built from
+  * codegen'd Spark built-ins — no UDFs — and every primitive has an exact
+  * DuckDB-SQL counterpart so the whole dedup surface stays oracle-checkable:
+  *
+  *  - normalization / tokenization: `lower∘trim∘collapse-whitespace`;
+  *  - word n-gram shingles via `transform(sequence(...))`;
+  *  - a deterministic 60-bit hash `hex60` = first 15 hex chars of md5,
+  *    identical to DuckDB's `CAST('0x'||substr(md5(x),1,15) AS BIGINT)` —
+  *    chosen over xxhash64/murmur because both engines must agree bit-exactly.
+  *
+  * Scale: all of these are narrow per-row projections (or explode→groupBy
+  * pipelines whose shuffles are keyed by doc/shingle), so they parallelize
+  * at source granularity on any cluster.
+  */
+object TextFunctions {
+
+  /** lower + trim + collapse runs of whitespace to single spaces. */
+  def normText(c: Column): Column =
+    lower(trim(regexp_replace(c, "\\s+", " ")))
+
+  /** Whitespace tokenization of normalized text. */
+  def tokens(c: Column): Column = split(normText(c), " ")
+
+  /** Word n-gram shingles over a token array (empty when too short).
+    * Guarded: Spark's `sequence(1, 0)` counts DOWN, so the short-doc branch
+    * must short-circuit to an empty array.
+    */
+  def shingles(tok: Column, n: Int = 3): Column =
+    when(size(tok) >= n,
+      transform(sequence(lit(1), size(tok) - lit(n - 1)),
+        i => concat_ws(" ", (0 until n).map(k => element_at(tok, i + lit(k))): _*)))
+      .otherwise(array().cast(ArrayType(StringType)))
+
+  /** Deterministic 60-bit non-negative hash: first 15 hex chars of md5.
+    * DuckDB equivalent: `CAST('0x' || substr(md5(x), 1, 15) AS BIGINT)`.
+    */
+  def hex60(c: Column): Column =
+    conv(substring(md5(c.cast(BinaryType)), 1, 15), 16, 10).cast(LongType)
+
+  /** Seeded variant for minhash permutation families: hash of "<seed>|x". */
+  def hex60Seeded(seed: Int, c: Column): Column =
+    hex60(concat(lit(s"$seed|"), c))
+
+  /** Count of tokens that belong to a fixed marker set. */
+  def markerCount(tok: Column, markers: Seq[String]): Column =
+    size(filter(tok, t => t.isin(markers.map(m => m: Any): _*)))
+}

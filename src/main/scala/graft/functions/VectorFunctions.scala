@@ -1,0 +1,69 @@
+package graft.functions
+
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Vector primitives for the similarity-search north-star ops over
+  * `embeddings` (64-dim unit-normalized float vectors — cosine ≡ dot).
+  *
+  * Dot products are folded into DECIMAL(20,12): each elementwise product is
+  * one exact IEEE double multiply (identical in any engine), rounded once to
+  * 12 decimal places, then summed exactly (decimal addition is associative,
+  * order-independent). That makes similarity scores bit-identical between
+  * Spark and DuckDB — float summation order would otherwise differ — so
+  * top-k results are oracle-checkable with no tolerance band.
+  *
+  * Built on `zip_with`/`aggregate` higher-order functions (codegen-adjacent,
+  * no UDF boxing — SURVEY.md §7.4 risk 6); for a pure-Spark hot path the
+  * same shape with a double accumulator is the fast variant.
+  */
+object VectorFunctions {
+
+  val SimDec: DecimalType = DecimalType(20, 12)
+
+  /** Exact decimal dot product of two array<numeric> columns. */
+  def dotDec(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => (x.cast(DoubleType) * y.cast(DoubleType)).cast(SimDec)),
+      lit(0).cast(SimDec),
+      (acc, x) => (acc + x).cast(SimDec))
+
+  /** Plain double dot product (fast path; not oracle-exact across engines). */
+  def dotDouble(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
+      lit(0.0),
+      (acc, x) => acc + x)
+
+  /** Driver-side mirror of [[TextFunctions.hex60]]: first 15 hex chars of
+    * md5 as a 60-bit Long — used to derive deterministic LSH hyperplanes
+    * that DuckDB reproduces from the same seed strings.
+    */
+  def md5Hex60(s: String): Long = {
+    val d = MessageDigest.getInstance("MD5").digest(s.getBytes(StandardCharsets.UTF_8))
+    val hex = d.map("%02x".format(_)).mkString.substring(0, 15)
+    java.lang.Long.parseLong(hex, 16)
+  }
+
+  /** Random-hyperplane components as integers in [0, 2000]; the plane value
+    * is (k - 1000) / 1000.0. Seeded "hp|&lt;table*planes+plane&gt;|&lt;i&gt;" so both
+    * engines regenerate identical planes.
+    */
+  def hyperplaneInts(tables: Int, planesPerTable: Int, dim: Int): Array[Array[Array[Int]]] =
+    Array.tabulate(tables, planesPerTable, dim) { (t, p, i) =>
+      (md5Hex60(s"hp|${t * planesPerTable + p}|$i") % 2001L).toInt
+    }
+
+  /** Signed-random-projection bucket id for one LSH table: bit p set iff
+    * dot(plane_p, v) ≥ 0, folded to an int in [0, 2^planes).
+    */
+  def srpBucket(emb: Column, planes: Array[Array[Int]]): Column =
+    planes.zipWithIndex.map { case (plane, p) =>
+      val planeCol = typedLit(plane.map(k => (k - 1000) / 1000.0).toSeq)
+      when(dotDec(planeCol, emb) >= 0, lit(1 << p)).otherwise(lit(0))
+    }.reduce(_ + _)
+}

@@ -1,0 +1,231 @@
+package graft.operators
+
+import graft.{QuerySpec, Tables}
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Deduplication north-star operators over `documents` (builder prompt:
+  * exact, MinHash+LSH, SimHash, n-gram Jaccard). The reference has no dedup
+  * surface (it even disables ClickHouse insert dedup — clickhouse_db.py:23);
+  * these are the training-data-pipeline extensions, designed shuffle-lean:
+  *
+  *  - exact dedup: one hash-groupBy on a content fingerprint;
+  *  - n-gram Jaccard: inverted-index self-join on shingles (shuffle keyed by
+  *    shingle, never a cross join) — the scalable exact formulation;
+  *  - MinHash+LSH: shingle→16-perm minhash→4×4 banding→bucket join→exact
+  *    verify. At 100 TB the band join touches only colliding buckets; the
+  *    exact-verify re-join is restricted to surviving candidates;
+  *  - SimHash: TF-weighted 60-bit fingerprint; 4×15-bit band join for
+  *    candidates, hamming ≤ 3 verify.
+  *
+  * All four are fully oracle-checked: hashes are md5-derived (`hex60`) so
+  * DuckDB computes the *identical* signatures, bands, and candidates —
+  * approximate algorithms, exact differential testing.
+  *
+  * Skew note (100 TB): a shingle appearing in f docs contributes O(f²) join
+  * pairs. Production runs cap document frequency (drop shingles with
+  * df > cap — standard in MinHash dedup); the cap is a parameter here and
+  * off in oracle queries so both engines compute the same closed form.
+  */
+object Dedup {
+
+  private val NumPerms = 16
+  private val Bands = 4
+  private val RowsPerBand = NumPerms / Bands
+  private val JaccardThreshold = 0.8
+  private val SimHashBits = 60
+  private val SimHashBands = 4
+  private val SimHashBandBits = SimHashBits / SimHashBands
+  private val HammingMax = 3
+
+  // ---------------------------------------------------------------- SQL --
+  /** Shared DuckDB CTEs: normalized text → tokens → distinct 3-gram shingles. */
+  private val shingleCtes =
+    """d AS (SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS t FROM documents),
+      |tok AS (SELECT doc_id, regexp_split_to_array(t, '\s+') AS w FROM d),
+      |sh AS (SELECT DISTINCT doc_id,
+      |         unnest(list_transform(generate_series(1, greatest(len(w) - 2, 0)),
+      |                               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+      |       FROM tok),
+      |nsh AS (SELECT doc_id, count(*) AS ns FROM sh GROUP BY doc_id),
+      |inter AS (SELECT a.doc_id AS a_doc, b.doc_id AS b_doc, count(*) AS n_inter
+      |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |          GROUP BY 1, 2)""".stripMargin
+
+  private val jaccardExpr =
+    "CAST(i.n_inter AS DOUBLE) / CAST(na.ns + nb.ns - i.n_inter AS DOUBLE)"
+
+  private def hex60Sql(e: String) = s"CAST('0x' || substr(md5($e), 1, 15) AS BIGINT)"
+
+  // ------------------------------------------------------------- specs --
+  val specs: Seq[QuerySpec] = Seq(
+
+    // ----- exact dedup: hash-groupBy on bag-of-words fingerprint ----------
+    QuerySpec("q35_dedup_exact")(
+      """SELECT fp_bag, count(*) AS n_docs, min(doc_id) AS keep_doc_id
+        |FROM (SELECT doc_id,
+        |        md5(array_to_string(list_sort(list_distinct(
+        |          regexp_split_to_array(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), '\s+'))), ' ')) AS fp_bag
+        |      FROM documents)
+        |GROUP BY fp_bag
+        |ORDER BY keep_doc_id""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          md5(concat_ws(" ", array_sort(array_distinct(tokens(col("text")))))
+            .cast(BinaryType)).as("fp_bag"))
+        .groupBy(col("fp_bag"))
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keep_doc_id"))
+        .orderBy(col("keep_doc_id"))
+    },
+
+    // ----- exact n-gram Jaccard via inverted-index self-join --------------
+    QuerySpec("q36_ngram_jaccard")(
+      s"""WITH $shingleCtes
+        |SELECT i.a_doc, i.b_doc, i.n_inter, na.ns AS n_a, nb.ns AS n_b,
+        |  round($jaccardExpr, 6) AS jaccard
+        |FROM inter i
+        |JOIN nsh na ON i.a_doc = na.doc_id
+        |JOIN nsh nb ON i.b_doc = nb.doc_id
+        |WHERE $jaccardExpr >= $JaccardThreshold
+        |ORDER BY i.a_doc, i.b_doc""".stripMargin) { (s, dir) =>
+      val sh = TextAnalysis.docShingles(Tables.load(s, dir, "documents"))
+      pairJaccard(sh)
+        .filter(col("jac_raw") >= JaccardThreshold)
+        .select(col("a_doc"), col("b_doc"), col("n_inter"), col("n_a"), col("n_b"),
+          round(col("jac_raw"), 6).as("jaccard"))
+        .orderBy(col("a_doc"), col("b_doc"))
+    },
+
+    // ----- MinHash + LSH banding, exact-verified --------------------------
+    QuerySpec("q37_minhash_lsh") {
+      val minCols = (1 to NumPerms)
+        .map(j => s"min(${hex60Sql(s"'$j|' || s")}) AS m$j").mkString(",\n        |    ")
+      val bandRows = (0 until Bands).map { b =>
+        val cs = (1 to RowsPerBand).map(r => s"CAST(m${b * RowsPerBand + r} AS VARCHAR)")
+          .mkString(" || ',' || ")
+        s"SELECT doc_id, $b AS band, md5($cs) AS bh FROM sig"
+      }.mkString("\n        |    UNION ALL ")
+      s"""WITH $shingleCtes,
+        |sig AS (SELECT doc_id,
+        |    $minCols
+        |  FROM sh GROUP BY doc_id),
+        |bands AS (
+        |    $bandRows),
+        |cand AS (SELECT DISTINCT x.doc_id AS a_doc, y.doc_id AS b_doc
+        |         FROM bands x JOIN bands y
+        |           ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id)
+        |SELECT c.a_doc, c.b_doc, round($jaccardExpr, 6) AS jaccard
+        |FROM cand c
+        |JOIN inter i ON c.a_doc = i.a_doc AND c.b_doc = i.b_doc
+        |JOIN nsh na ON c.a_doc = na.doc_id
+        |JOIN nsh nb ON c.b_doc = nb.doc_id
+        |WHERE $jaccardExpr >= $JaccardThreshold
+        |ORDER BY c.a_doc, c.b_doc""".stripMargin
+    } { (s, dir) =>
+      val sh = TextAnalysis.docShingles(Tables.load(s, dir, "documents")).cache()
+      val sig = sh.groupBy(col("doc_id"))
+        .agg((1 to NumPerms).map(j => min(hex60Seeded(j, col("s"))).as(s"m$j")).head,
+             (1 to NumPerms).map(j => min(hex60Seeded(j, col("s"))).as(s"m$j")).tail: _*)
+      val bandStructs = (0 until Bands).map { b =>
+        val cs = (1 to RowsPerBand).map(r => col(s"m${b * RowsPerBand + r}"))
+        struct(lit(b).as("band"),
+               md5(concat_ws(",", cs: _*).cast(BinaryType)).as("bh"))
+      }
+      val bands = sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("tb"))
+        .select(col("doc_id"), col("tb.band").as("band"), col("tb.bh").as("bh"))
+      val cand = bands.as("x").join(bands.as("y"),
+          col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("a_doc"), col("y.doc_id").as("b_doc"))
+        .distinct()
+      cand.join(pairJaccard(sh), Seq("a_doc", "b_doc"))
+        .filter(col("jac_raw") >= JaccardThreshold)
+        .select(col("a_doc"), col("b_doc"), round(col("jac_raw"), 6).as("jaccard"))
+        .orderBy(col("a_doc"), col("b_doc"))
+    },
+
+    // ----- SimHash (TF-weighted, 60-bit) + banded hamming join ------------
+    QuerySpec("q38_simhash") {
+      val h = hex60Sql("tok")
+      val bitSums = (0 until SimHashBits)
+        .map(i => s"sum(CASE WHEN (h >> $i) & 1 = 1 THEN cnt ELSE -cnt END) AS s$i")
+        .mkString(",\n        |    ")
+      val fpExpr = (0 until SimHashBits)
+        .map(i => s"CASE WHEN s$i > 0 THEN (1::BIGINT << $i) ELSE 0::BIGINT END")
+        .mkString(" + ")
+      val bandRows = (0 until SimHashBands)
+        .map(b => s"SELECT doc_id, fp, $b AS band, (fp >> ${b * SimHashBandBits}) & ${(1 << SimHashBandBits) - 1} AS bv FROM fp")
+        .mkString("\n        |    UNION ALL ")
+      s"""WITH d AS (SELECT doc_id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS t FROM documents),
+        |tf AS (SELECT doc_id, tok, count(*) AS cnt
+        |       FROM (SELECT doc_id, unnest(regexp_split_to_array(t, '\\s+')) AS tok FROM d)
+        |       GROUP BY doc_id, tok),
+        |th AS (SELECT doc_id, cnt, $h AS h FROM tf),
+        |bits AS (SELECT doc_id,
+        |    $bitSums
+        |  FROM th GROUP BY doc_id),
+        |fp AS (SELECT doc_id, $fpExpr AS fp FROM bits),
+        |bands AS (
+        |    $bandRows),
+        |cand AS (SELECT DISTINCT x.doc_id AS a_doc, x.fp AS a_fp, y.doc_id AS b_doc, y.fp AS b_fp
+        |         FROM bands x JOIN bands y
+        |           ON x.band = y.band AND x.bv = y.bv AND x.doc_id < y.doc_id)
+        |SELECT a_doc, b_doc, bit_count(xor(a_fp, b_fp)) AS hamming
+        |FROM cand
+        |WHERE bit_count(xor(a_fp, b_fp)) <= $HammingMax
+        |ORDER BY a_doc, b_doc""".stripMargin
+    } { (s, dir) =>
+      val tf = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+        .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("cnt"))
+        .withColumn("h", hex60(col("tok")))
+      val bits = tf.groupBy(col("doc_id"))
+        .agg(bitSum(0), (1 until SimHashBits).map(bitSum): _*)
+      val fp = bits.select(col("doc_id"),
+        (0 until SimHashBits).map(i =>
+          when(col(s"s$i") > 0, lit(1L << i)).otherwise(lit(0L)).cast(LongType))
+          .reduce(_ + _).as("fp"))
+      val bandStructs = (0 until SimHashBands).map { b =>
+        struct(lit(b).as("band"),
+          shiftright(col("fp"), b * SimHashBandBits)
+            .bitwiseAND(lit((1L << SimHashBandBits) - 1)).as("bv"))
+      }
+      val bands = fp.select(col("doc_id"), col("fp"),
+          explode(array(bandStructs: _*)).as("tb"))
+        .select(col("doc_id"), col("fp"), col("tb.band").as("band"), col("tb.bv").as("bv"))
+      bands.as("x").join(bands.as("y"),
+          col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("a_doc"), col("x.fp").as("a_fp"),
+                col("y.doc_id").as("b_doc"), col("y.fp").as("b_fp"))
+        .distinct()
+        .withColumn("hamming", bit_count(col("a_fp").bitwiseXOR(col("b_fp"))))
+        .filter(col("hamming") <= HammingMax)
+        .select(col("a_doc"), col("b_doc"), col("hamming"))
+        .orderBy(col("a_doc"), col("b_doc"))
+    }
+  )
+
+  private def bitSum(i: Int): Column =
+    sum(when(shiftright(col("h"), i).bitwiseAND(lit(1L)) === 1, col("cnt"))
+      .otherwise(-col("cnt"))).as(s"s$i")
+
+  /** (a_doc, b_doc, n_inter, n_a, n_b, jac_raw) for all doc pairs sharing
+    * ≥1 shingle — the inverted-index exact-Jaccard join shared by q36/q37.
+    */
+  private def pairJaccard(sh: DataFrame): DataFrame = {
+    val nsh = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("ns"))
+    val inter = sh.as("a").join(sh.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("a_doc"), col("b.doc_id").as("b_doc"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(nsh.select(col("doc_id").as("a_doc"), col("ns").as("n_a")), "a_doc")
+      .join(nsh.select(col("doc_id").as("b_doc"), col("ns").as("n_b")), "b_doc")
+      .withColumn("jac_raw",
+        col("n_inter").cast(DoubleType) /
+          (col("n_a") + col("n_b") - col("n_inter")).cast(DoubleType))
+  }
+}

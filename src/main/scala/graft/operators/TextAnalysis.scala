@@ -1,0 +1,168 @@
+package graft.operators
+
+import graft.{QuerySpec, Tables}
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text-analysis north-star operators over the `documents` fixture
+  * (builder prompt: language-ID, quality scoring, token counting, document
+  * fingerprinting). The reference has no text surface — these extend the
+  * engine toward training-data-pipeline workloads and are all pure
+  * projections/aggregations (no shuffle except final ORDER BY), so they run
+  * at scan parallelism on any cluster.
+  *
+  * Every query is oracle-checked: the heuristics are deliberately built
+  * from primitives with exact DuckDB equivalents (regexp, md5, list
+  * lambdas, IEEE double arithmetic with identical expression trees).
+  */
+object TextAnalysis {
+
+  /** Marker stopword profiles for the n-gram/stopword language heuristic.
+    * Tiny by design: a real system would ship per-language frequency
+    * tables; the heuristic's *shape* (profile match + argmax with a fixed
+    * tiebreak order) is what the engine must execute at scale.
+    */
+  private val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of"),
+    "de" -> Seq("der", "die", "und"),
+    "fr" -> Seq("le", "la", "et"),
+    "es" -> Seq("el", "los", "y"))
+
+  private val stopwords = Seq("the", "a", "of", "and", "to", "in")
+
+  private def sqlStrList(xs: Seq[String]): String =
+    xs.map(x => s"'$x'").mkString("(", ", ", ")")
+
+  val specs: Seq[QuerySpec] = Seq(
+
+    // ----- token counting (whitespace tokenizer + distinct/statistics) ----
+    QuerySpec("q31_token_stats")(
+      """SELECT doc_id,
+        |  len(w) AS n_tokens,
+        |  len(list_distinct(w)) AS n_distinct,
+        |  length(t) AS n_norm_chars,
+        |  CAST(length(t) - (len(w) - 1) AS DOUBLE) / CAST(len(w) AS DOUBLE) AS avg_token_len
+        |FROM (SELECT doc_id, t, regexp_split_to_array(t, '\s+') AS w
+        |      FROM (SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS t
+        |            FROM documents))
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val d = Tables.load(s, dir, "documents")
+        .withColumn("t", normText(col("text")))
+        .withColumn("w", split(col("t"), " "))
+      d.select(col("doc_id"),
+          size(col("w")).as("n_tokens"),
+          size(array_distinct(col("w"))).as("n_distinct"),
+          length(col("t")).as("n_norm_chars"),
+          ((length(col("t")) - (size(col("w")) - 1)).cast(DoubleType) /
+            size(col("w")).cast(DoubleType)).as("avg_token_len"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ----- language-ID (stopword-profile heuristic, deterministic argmax) -
+    QuerySpec("q32_lang_id") {
+      val scoreSql = langMarkers.map { case (l, ms) =>
+        s"len(list_filter(w, x -> x IN ${sqlStrList(ms)})) AS s_$l"
+      }.mkString(",\n        |  ")
+      s"""SELECT doc_id, s_en, s_de, s_fr, s_es,
+        |  CASE WHEN s_en = 0 AND s_de = 0 AND s_fr = 0 AND s_es = 0 THEN 'und'
+        |       WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+        |       WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+        |       WHEN s_fr >= s_es THEN 'fr'
+        |       ELSE 'es' END AS predicted,
+        |  lang AS labeled
+        |FROM (SELECT doc_id, lang,
+        |  $scoreSql
+        |  FROM (SELECT doc_id, lang,
+        |          regexp_split_to_array(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), '\\s+') AS w
+        |        FROM documents))
+        |ORDER BY doc_id""".stripMargin
+    } { (s, dir) =>
+      val base = Tables.load(s, dir, "documents")
+        .withColumn("w", tokens(col("text")))
+      val scored = langMarkers.foldLeft(base) { case (df, (l, ms)) =>
+        df.withColumn(s"s_$l", markerCount(col("w"), ms))
+      }
+      val Seq(en, de, fr, es) = langMarkers.map { case (l, _) => col(s"s_$l") }
+      scored.select(col("doc_id"), en.as("s_en"), de.as("s_de"), fr.as("s_fr"), es.as("s_es"),
+          when(en === 0 && de === 0 && fr === 0 && es === 0, "und")
+            .when(en >= de && en >= fr && en >= es, "en")
+            .when(de >= fr && de >= es, "de")
+            .when(fr >= es, "fr")
+            .otherwise("es").as("predicted"),
+          col("lang").as("labeled"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ----- quality scoring (length/stopword/punctuation ratios) -----------
+    QuerySpec("q33_quality_score")(
+      s"""SELECT doc_id, n_tokens, stop_ratio, punct_ratio, avg_token_len,
+        |  CAST(floor((0.4 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
+        |      + 0.3 * (1.0 - stop_ratio)
+        |      + 0.3 * least(avg_token_len / 8.0, 1.0)
+        |      - 0.2 * punct_ratio) * 1000000) AS BIGINT) AS quality_micro
+        |FROM (SELECT doc_id,
+        |    len(w) AS n_tokens,
+        |    CAST(len(list_filter(w, x -> x IN ${sqlStrList(stopwords)})) AS DOUBLE)
+        |      / CAST(len(w) AS DOUBLE) AS stop_ratio,
+        |    CAST(length(t) - length(regexp_replace(t, '[^a-z0-9 ]', '', 'g')) AS DOUBLE)
+        |      / CAST(length(t) AS DOUBLE) AS punct_ratio,
+        |    CAST(length(t) - (len(w) - 1) AS DOUBLE) / CAST(len(w) AS DOUBLE) AS avg_token_len
+        |  FROM (SELECT doc_id, t, regexp_split_to_array(t, '\\s+') AS w
+        |        FROM (SELECT doc_id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS t
+        |              FROM documents)))
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val d = Tables.load(s, dir, "documents")
+        .withColumn("t", normText(col("text")))
+        .withColumn("w", split(col("t"), " "))
+        .select(col("doc_id"),
+          size(col("w")).as("n_tokens"),
+          (markerCount(col("w"), stopwords).cast(DoubleType) /
+            size(col("w")).cast(DoubleType)).as("stop_ratio"),
+          ((length(col("t")) - length(regexp_replace(col("t"), "[^a-z0-9 ]", ""))).cast(DoubleType) /
+            length(col("t")).cast(DoubleType)).as("punct_ratio"),
+          ((length(col("t")) - (size(col("w")) - 1)).cast(DoubleType) /
+            size(col("w")).cast(DoubleType)).as("avg_token_len"))
+      // floor of micro-units, not round(x, 6): both engines compute the
+      // identical IEEE double, but their round() implementations disagree
+      // exactly at digit boundaries (Java BigDecimal HALF_UP vs binary
+      // rounding) — floor on the same double is always identical.
+      d.withColumn("quality_micro",
+          floor((lit(0.4) * least(col("n_tokens").cast(DoubleType) / 100.0, lit(1.0))
+            + lit(0.3) * (lit(1.0) - col("stop_ratio"))
+            + lit(0.3) * least(col("avg_token_len") / 8.0, lit(1.0))
+            - lit(0.2) * col("punct_ratio")) * 1000000).cast(LongType))
+        .orderBy(col("doc_id"))
+    },
+
+    // ----- document fingerprinting (content hash + 60-bit compact form) ---
+    QuerySpec("q34_fingerprint")(
+      """SELECT doc_id,
+        |  md5(t) AS fp_md5,
+        |  CAST('0x' || substr(md5(t), 1, 15) AS BIGINT) AS fp60,
+        |  md5(array_to_string(list_sort(list_distinct(regexp_split_to_array(t, '\s+'))), ' ')) AS fp_bag
+        |FROM (SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS t
+        |      FROM documents)
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "documents")
+        .withColumn("t", normText(col("text")))
+        .select(col("doc_id"),
+          md5(col("t").cast(BinaryType)).as("fp_md5"),
+          hex60(col("t")).as("fp60"),
+          md5(concat_ws(" ",
+            array_sort(array_distinct(split(col("t"), " ")))).cast(BinaryType)).as("fp_bag"))
+        .orderBy(col("doc_id"))
+    }
+  )
+
+  /** Shared with [[Dedup]]: normalized text + token array + shingle set. */
+  private[operators] def docShingles(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    docs
+      .withColumn("t", normText(col("text")))
+      .withColumn("sh", shingles(split(col("t"), " ")))
+      .select(col("doc_id"), explode(col("sh")).as("s"))
+      .distinct()
+
+  private[operators] val markerList: Seq[(String, Seq[String])] = langMarkers
+}

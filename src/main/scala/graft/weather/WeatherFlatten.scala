@@ -27,14 +27,22 @@ object WeatherFlatten {
   val MoscowTz = "Europe/Moscow"
 
   /** Parse a raw JSON string column into the typed payload struct.
-    * PERMISSIVE: malformed rows yield a null struct.
+    *
+    * PERMISSIVE mode does NOT null the struct on malformed input — it
+    * yields a struct of all-null fields, indistinguishable from a valid
+    * empty object. The corrupt-record column disambiguates: malformed rows
+    * carry the raw text there, valid rows leave it null.
     */
-  def parse(raw: DataFrame, valueCol: String = "value"): DataFrame =
-    raw.withColumn("w", from_json(col(valueCol).cast(StringType), WeatherSchema.payload))
+  def parse(raw: DataFrame, valueCol: String = "value"): DataFrame = {
+    val schemaWithCorrupt = WeatherSchema.payload.add("_corrupt_record", StringType)
+    raw.withColumn("w", from_json(col(valueCol).cast(StringType), schemaWithCorrupt))
+  }
 
-  /** Drop rows whose JSON failed to parse entirely (reference skips them). */
+  /** Drop rows whose JSON failed to parse (reference logs and skips them —
+    * Consumer_clickhouse.py:174–177).
+    */
   def dropMalformed(parsed: DataFrame): DataFrame =
-    parsed.filter(col("w").isNotNull)
+    parsed.filter(col("w").isNotNull && col("w")("_corrupt_record").isNull)
 
   private def str(c: Column): Column = coalesce(c, lit(""))
   private def int0(c: Column): Column = coalesce(c.cast(IntegerType), lit(0))
@@ -50,7 +58,13 @@ object WeatherFlatten {
     */
   def flatten(parsed: DataFrame, ingestTime: Column = current_timestamp()): DataFrame = {
     val w = col("w")
-    val wx = element_at(w("weather"), 1) // head of weather array, null-safe
+    // Head of the weather array. Guarded with size() because Spark 4 runs
+    // ANSI mode by default, where element_at on an empty array throws —
+    // the reference's `weather.get(..., [{}])[0]` semantics require a null
+    // (→ defaulted) result instead. CaseWhen only evaluates the taken
+    // branch, so this is safe and stays in codegen.
+    val wx = when(size(w("weather")) >= 1, element_at(w("weather"), 1))
+      .otherwise(lit(null))
     val moscowNow = from_utc_timestamp(ingestTime, MoscowTz)
     dropMalformed(parsed).select(
       to_date(moscowNow).as("event_date"),
