@@ -17,7 +17,8 @@ object SparkEntry {
       operators.Dedup.specs ++
       operators.Similarity.specs ++
       operators.EventsWindows.specs ++
-      operators.WeatherOps.specs
+      operators.WeatherOps.specs ++
+      operators.MultimodalOps.specs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

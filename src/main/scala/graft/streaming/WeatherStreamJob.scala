@@ -1,0 +1,76 @@
+package graft.streaming
+
+import graft.weather.{Warehouse, WeatherFlatten}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** The consumer path as a Structured Streaming job (SURVEY.md §3.2):
+  * Kafka (or file stand-in) → from_json flatten → foreachBatch warehouse
+  * append, checkpointed.
+  *
+  * Delivery semantics (SURVEY.md §2.9 ST1–ST4, ST8):
+  *  - The reference commits Kafka offsets only after a successful ClickHouse
+  *    insert (Consumer_clickhouse.py:163–165) → at-least-once. Here the
+  *    checkpoint WAL records offsets only after foreachBatch returns, which
+  *    is the same at-least-once guarantee; replays rewrite the same batch.
+  *  - The count-or-time flush (≥90 rows OR ≥300 s) has no native Spark
+  *    trigger; `Trigger.ProcessingTime` + `maxOffsetsPerTrigger` bounds
+  *    both dimensions (row contents are identical — the hybrid trigger is
+  *    operational, not semantic; SURVEY.md §7.4 risk 3).
+  *  - Graceful shutdown: `query.stop()` finishes the in-flight batch; the
+  *    checkpoint resumes from the last committed offsets.
+  *
+  * Connector seams: the offline test environment has no brokers, so sources
+  * are injected as DataFrames — `fileRawStream` replays the same
+  * (value, topic) shape the Kafka source would produce, and the Kafka
+  * builders carry the production options (SURVEY.md §7.4 risk 5).
+  */
+object WeatherStreamJob {
+
+  val DefaultTopics = "weather_topic_1,weather_topic_2,weather_topic_3"
+
+  /** Kafka source with the reference consumer's subscription
+    * (Consumer_clickhouse.py:113–125; offsets move to the checkpoint WAL).
+    */
+  def kafkaRawStream(spark: SparkSession, bootstrapServers: String,
+                     topics: String = DefaultTopics,
+                     maxOffsetsPerTrigger: Long = 90L): DataFrame =
+    spark.readStream
+      .format("kafka")
+      .option("kafka.bootstrap.servers", bootstrapServers)
+      .option("subscribe", topics)
+      .option("startingOffsets", "earliest")
+      .option("maxOffsetsPerTrigger", maxOffsetsPerTrigger)
+      .load()
+
+  /** File-source stand-in: a directory of JSON-lines files, one payload per
+    * line, producing the Kafka `value` column shape.
+    */
+  def fileRawStream(spark: SparkSession, path: String): DataFrame =
+    spark.readStream.text(path).withColumnRenamed("value", "value")
+
+  /** Kafka sink for the producer path (acks=all — Producer_clickhouse.py:45). */
+  def startKafkaSink(kafkaFrame: DataFrame, bootstrapServers: String,
+                     checkpointDir: String): StreamingQuery =
+    kafkaFrame.writeStream
+      .format("kafka")
+      .option("kafka.bootstrap.servers", bootstrapServers)
+      .option("kafka.acks", "all")
+      .option("checkpointLocation", checkpointDir)
+      .start()
+
+  /** Ingest query: raw value stream → flatten → month-partitioned warehouse
+    * append per micro-batch, offsets checkpointed after each batch commits.
+    */
+  def start(raw: DataFrame, warehousePath: String, checkpointDir: String,
+            trigger: Trigger = Trigger.ProcessingTime("300 seconds")): StreamingQuery =
+    WeatherFlatten(raw)
+      .writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        Warehouse.writeFact(batch, warehousePath)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .start()
+}

@@ -1,0 +1,41 @@
+package graft
+
+/** Quality checks the DuckDB oracle can't express: LSH recall against the
+  * exact formulations, on the sf0.001 fixtures.
+  */
+class DedupSimilaritySpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def run(name: String) = SparkEntry.queries(name)(spark, dir)
+
+  test("minhash-LSH finds every exact-Jaccard pair at threshold (recall = 1.0 here)") {
+    val exact = run("q36_ngram_jaccard").select("a_doc", "b_doc")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = run("q37_minhash_lsh").select("a_doc", "b_doc")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "fixture should contain planted near-dup pairs")
+    assert(lsh.subsetOf(exact), "LSH output is exact-verified, so ⊆ exact")
+    assert(lsh == exact, s"recall < 1: missed ${exact -- lsh}")
+  }
+
+  test("ANN returns true top-1 for most queries (recall floor)") {
+    val exact = run("q39_cosine_topk").filter("rk = 1").select("q_id", "neighbor_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ann = run("q40_ann_lsh").filter("rk = 1").select("q_id", "neighbor_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val hits = exact.count { case (q, n) => ann.get(q).contains(n) }
+    assert(hits >= exact.size / 2,
+      s"ANN top-1 recall too low: $hits/${exact.size}")
+  }
+
+  test("cosine similarities are valid and self-matches excluded") {
+    val rows = run("q39_cosine_topk").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val sim = r.getAs[Double]("sim")
+      assert(sim <= 1.000001 && sim >= -1.000001)
+      assert(r.getAs[Long]("q_id") != r.getAs[Long]("neighbor_id"))
+    }
+  }
+}

@@ -1,0 +1,33 @@
+package graft
+
+import graft.multimodal.Multimodal
+import org.apache.spark.sql.functions._
+
+class MultimodalSpec extends SparkSpec {
+
+  test("decodeFeatures is deterministic and matches a hand-computed digest") {
+    import spark.implicits._
+    val docs = Seq((1L, "abc", 3L), (2L, "hello world", 11L))
+      .toDF("doc_id", "text", "n_chars")
+    val out = Multimodal.decodeFeatures(
+        Multimodal.synthesizeFromDocuments(docs).as[Multimodal.MediaRow])
+      .collect().map(f => f.media_id -> f).toMap
+
+    // md5("abc") = 900150983cd24fb0... → first byte 0x90 = 144
+    assert(out(1L).features(0) == 144 / 255.0)
+    assert(out(1L).n_bytes == 3)
+    assert(out(1L).media_type == "audio") // odd id
+    assert(out(2L).media_type == "image")
+    assert(out(1L).features.length == Multimodal.FeatureDim)
+  }
+
+  test("sampleFrames slices payload into n frames") {
+    import spark.implicits._
+    val docs = Seq((4L, "0123456789abcdef", 16L)).toDF("doc_id", "text", "n_chars")
+    val frames = Multimodal.sampleFrames(
+        Multimodal.synthesizeFromDocuments(docs).as[Multimodal.MediaRow], 4)
+      .orderBy(col("frame_no")).collect()
+    assert(frames.length == 4)
+    assert(new String(frames.head.getAs[Array[Byte]]("frame_bytes"), "UTF-8") == "0123")
+  }
+}

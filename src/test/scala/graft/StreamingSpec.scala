@@ -1,0 +1,101 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import graft.streaming.{EventStreams, WeatherStreamJob}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Structured Streaming semantics (SURVEY.md §2.9): ingest → flatten →
+  * checkpointed warehouse append, event-time windows under watermark,
+  * streaming dedup, typed running state.
+  */
+class StreamingSpec extends SparkSpec {
+
+  private def tmp(prefix: String) =
+    Files.createTempDirectory(prefix).toFile.getAbsolutePath
+
+  test("weather stream: raw JSON micro-batches land in the partitioned warehouse") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[String]
+    val warehouse = tmp("graft_wh")
+    val q = WeatherStreamJob.start(
+      input.toDF().withColumnRenamed("value", "value"),
+      warehouse, tmp("graft_ckpt"),
+      trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
+
+    input.addData(
+      """{"name":"Moscow","main":{"temp":20.5},"sys":{"country":"RU"}}""",
+      """{"name":"Kazan","main":{"temp":15.25}}""",
+      """{broken""")
+    q.processAllAvailable()
+    q.stop()
+
+    val back = spark.read.parquet(warehouse)
+    assert(back.count() == 2) // malformed dropped
+    assert(back.columns.contains("event_month"))
+    val t = back.filter(col("city_name") === "Moscow")
+      .select(col("temperature").cast("string")).head().getString(0)
+    assert(t == "20.50")
+  }
+
+  test("windowed totals emit per event-time window under watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val events = input.toDF().toDF("ts", "event_type", "value")
+    val q = EventStreams.windowedTotals(events, win = "5 minutes")
+      .writeStream.format("memory").queryName("win_tot").outputMode("update").start()
+
+    input.addData(
+      (Timestamp.valueOf("2024-01-01 00:01:00"), "click", 1.0),
+      (Timestamp.valueOf("2024-01-01 00:02:00"), "click", 2.0),
+      (Timestamp.valueOf("2024-01-01 00:07:00"), "view", 5.0))
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("win_tot")
+      .select(col("window_start").cast("string"), col("event_type"), col("n"), col("total"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(rows.contains(("2024-01-01 00:00:00", "click", 2L, 3.0)))
+    assert(rows.contains(("2024-01-01 00:05:00", "view", 1L, 5.0)))
+  }
+
+  test("dropDuplicatesWithinWatermark dedupes replayed event_ids") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp)]
+    val events = input.toDF().toDF("event_id", "ts")
+    val q = EventStreams.dedupedEvents(events)
+      .writeStream.format("memory").queryName("dedup_stream").outputMode("append").start()
+
+    input.addData((1L, Timestamp.valueOf("2024-01-01 00:00:00")))
+    q.processAllAvailable()
+    input.addData((1L, Timestamp.valueOf("2024-01-01 00:00:30")), // dup id, replayed
+                  (2L, Timestamp.valueOf("2024-01-01 00:01:00")))
+    q.processAllAvailable()
+    q.stop()
+
+    assert(spark.table("dedup_stream").select("event_id").collect()
+      .map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
+  }
+
+  test("mapGroupsWithState keeps running per-city counts across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventStreams.CityReading]
+    val q = EventStreams.runningCityStats(input.toDS())
+      .writeStream.format("memory").queryName("city_stats").outputMode("update").start()
+
+    input.addData(EventStreams.CityReading("Moscow", 10.0), EventStreams.CityReading("Moscow", 12.0))
+    q.processAllAvailable()
+    input.addData(EventStreams.CityReading("Moscow", 14.0))
+    q.processAllAvailable()
+    q.stop()
+
+    val last = spark.table("city_stats").filter(col("n") === 3).collect()
+    assert(last.length == 1 && last.head.getAs[Double]("last_temp") == 14.0)
+  }
+}
