@@ -58,12 +58,25 @@ object VectorFunctions {
       (md5Hex60(s"hp|${t * planesPerTable + p}|$i") % 2001L).toInt
     }
 
-  /** Signed-random-projection bucket id for one LSH table: bit p set iff
-    * dot(plane_p, v) ≥ 0, folded to an int in [0, 2^planes).
+  /** Embedding scaled to exact 64-bit integers: floor(x·1e9). The float→
+    * double product and floor are single IEEE ops, identical in any engine
+    * — the basis for order-independent, overflow-free integer plane dots
+    * (|term| ≤ 1e12, 64 terms ≤ 6.4e13 ≪ 2^63).
     */
-  def srpBucket(emb: Column, planes: Array[Array[Int]]): Column =
+  def intScaled(emb: Column): Column =
+    transform(emb, x => floor(x.cast(DoubleType) * 1e9).cast(LongType))
+
+  /** Signed-random-projection bucket id for one LSH table: bit p set iff
+    * the integer dot with plane_p (coefficients k−1000 ∈ [−1000,1000]) is
+    * ≥ 0. Pure long arithmetic — codegen-friendly and bit-exact across
+    * engines without decimal folds.
+    */
+  def srpBucket(embInt: Column, planes: Array[Array[Int]]): Column =
     planes.zipWithIndex.map { case (plane, p) =>
-      val planeCol = typedLit(plane.map(k => (k - 1000) / 1000.0).toSeq)
-      when(dotDec(planeCol, emb) >= 0, lit(1 << p)).otherwise(lit(0))
+      val coef = typedLit(plane.map(k => (k - 1000).toLong).toSeq)
+      val dot = aggregate(
+        zip_with(embInt, coef, (x, c) => x * c),
+        lit(0L), (acc, x) => acc + x)
+      when(dot >= 0, lit(1 << p)).otherwise(lit(0))
     }.reduce(_ + _)
 }

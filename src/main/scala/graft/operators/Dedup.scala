@@ -35,6 +35,19 @@ object Dedup {
   private val Bands = 4
   private val RowsPerBand = NumPerms / Bands
   private val JaccardThreshold = 0.8
+
+  /** Minhash permutation family: ONE md5 per distinct shingle, then 16
+    * affine transforms `(a_j·h + b_j) mod p` over the Mersenne prime
+    * p = 2^31−1 (products < 2^62, no BIGINT overflow in either engine).
+    * This replaces 16 md5 invocations per shingle row — the difference
+    * between ~24M and ~0.05M digest computations at sf0.1 — while staying
+    * bit-identical in DuckDB.
+    */
+  private val MersenneP = 2147483647L
+  private val permA: IndexedSeq[Long] =
+    (1 to NumPerms).map(j => graft.functions.VectorFunctions.md5Hex60(s"mh_a|$j") % (MersenneP - 1) + 1)
+  private val permB: IndexedSeq[Long] =
+    (1 to NumPerms).map(j => graft.functions.VectorFunctions.md5Hex60(s"mh_b|$j") % MersenneP)
   private val SimHashBits = 60
   private val SimHashBands = 4
   private val SimHashBandBits = SimHashBits / SimHashBands
@@ -98,19 +111,21 @@ object Dedup {
         .orderBy(col("a_doc"), col("b_doc"))
     },
 
-    // ----- MinHash + LSH banding, exact-verified --------------------------
+    // ----- MinHash + LSH banding, candidate-restricted exact verify -------
     QuerySpec("q37_minhash_lsh") {
       val minCols = (1 to NumPerms)
-        .map(j => s"min(${hex60Sql(s"'$j|' || s")}) AS m$j").mkString(",\n        |    ")
+        .map(j => s"min((${permA(j - 1)} * hb + ${permB(j - 1)}) % $MersenneP) AS m$j")
+        .mkString(",\n        |    ")
       val bandRows = (0 until Bands).map { b =>
         val cs = (1 to RowsPerBand).map(r => s"CAST(m${b * RowsPerBand + r} AS VARCHAR)")
           .mkString(" || ',' || ")
         s"SELECT doc_id, $b AS band, md5($cs) AS bh FROM sig"
       }.mkString("\n        |    UNION ALL ")
       s"""WITH $shingleCtes,
+        |shh AS (SELECT doc_id, ${hex60Sql("s")} % $MersenneP AS hb FROM sh),
         |sig AS (SELECT doc_id,
         |    $minCols
-        |  FROM sh GROUP BY doc_id),
+        |  FROM shh GROUP BY doc_id),
         |bands AS (
         |    $bandRows),
         |cand AS (SELECT DISTINCT x.doc_id AS a_doc, y.doc_id AS b_doc
@@ -124,10 +139,17 @@ object Dedup {
         |WHERE $jaccardExpr >= $JaccardThreshold
         |ORDER BY c.a_doc, c.b_doc""".stripMargin
     } { (s, dir) =>
-      val sh = TextAnalysis.docShingles(Tables.load(s, dir, "documents")).cache()
-      val sig = sh.groupBy(col("doc_id"))
-        .agg((1 to NumPerms).map(j => min(hex60Seeded(j, col("s"))).as(s"m$j")).head,
-             (1 to NumPerms).map(j => min(hex60Seeded(j, col("s"))).as(s"m$j")).tail: _*)
+      val sh = TextAnalysis.docShingles(Tables.load(s, dir, "documents"))
+      // Hash each DISTINCT shingle once, derive the 16 permutations with
+      // integer arithmetic, broadcast the tiny hash dim back to the rows.
+      val shingleDim = sh.select(col("s")).distinct()
+        .withColumn("hb", hex60(col("s")) % MersenneP)
+      val hashed = sh.join(broadcast(shingleDim), "s")
+      val sig = hashed.groupBy(col("doc_id"))
+        .agg(
+          min((col("hb") * permA(0) + permB(0)) % MersenneP).as("m1"),
+          (2 to NumPerms).map(j =>
+            min((col("hb") * permA(j - 1) + permB(j - 1)) % MersenneP).as(s"m$j")): _*)
       val bandStructs = (0 until Bands).map { b =>
         val cs = (1 to RowsPerBand).map(r => col(s"m${b * RowsPerBand + r}"))
         struct(lit(b).as("band"),
@@ -140,7 +162,16 @@ object Dedup {
             col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("a_doc"), col("y.doc_id").as("b_doc"))
         .distinct()
-      cand.join(pairJaccard(sh), Seq("a_doc", "b_doc"))
+      // Exact verify ONLY candidate pairs (the whole point of LSH): gather
+      // each candidate doc's shingle set and intersect in-memory — never
+      // the all-pairs inverted-index join at this stage.
+      val shSets = sh.groupBy(col("doc_id")).agg(collect_set(col("s")).as("ss"))
+      cand
+        .join(shSets.select(col("doc_id").as("a_doc"), col("ss").as("a_ss")), "a_doc")
+        .join(shSets.select(col("doc_id").as("b_doc"), col("ss").as("b_ss")), "b_doc")
+        .withColumn("n_inter", size(array_intersect(col("a_ss"), col("b_ss"))))
+        .withColumn("jac_raw", col("n_inter").cast(DoubleType) /
+          (size(col("a_ss")) + size(col("b_ss")) - col("n_inter")).cast(DoubleType))
         .filter(col("jac_raw") >= JaccardThreshold)
         .select(col("a_doc"), col("b_doc"), round(col("jac_raw"), 6).as("jaccard"))
         .orderBy(col("a_doc"), col("b_doc"))
@@ -177,10 +208,14 @@ object Dedup {
         |WHERE bit_count(xor(a_fp, b_fp)) <= $HammingMax
         |ORDER BY a_doc, b_doc""".stripMargin
     } { (s, dir) =>
-      val tf = Tables.load(s, dir, "documents")
+      val tf0 = Tables.load(s, dir, "documents")
+        .repartition(col("doc_id")) // rebalance narrow scan pre-explode
         .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
         .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("cnt"))
-        .withColumn("h", hex60(col("tok")))
+      // Vocabulary is tiny relative to (doc, token) rows: digest each
+      // distinct token once and broadcast the hash dim back.
+      val tokDim = tf0.select(col("tok")).distinct().withColumn("h", hex60(col("tok")))
+      val tf = tf0.join(broadcast(tokDim), "tok")
       val bits = tf.groupBy(col("doc_id"))
         .agg(bitSum(0), (1 until SimHashBits).map(bitSum): _*)
       val fp = bits.select(col("doc_id"),

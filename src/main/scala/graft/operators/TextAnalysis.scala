@@ -156,9 +156,18 @@ object TextAnalysis {
     }
   )
 
-  /** Shared with [[Dedup]]: normalized text + token array + shingle set. */
+  /** Shared with [[Dedup]]: normalized text + token array + shingle set.
+    *
+    * The repartition rebalances a narrow scan before the CPU-heavy
+    * shingle expansion: small fixture files arrive as ONE split, which
+    * would serialize the whole explode pipeline onto a single core. (At
+    * production scale a wide scan makes this a near-no-op shuffle of the
+    * doc table; the explode multiplies rows ~300× AFTER it, so
+    * rebalancing pre-explode is the cheap point.)
+    */
   private[operators] def docShingles(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     docs
+      .repartition(col("doc_id"))
       .withColumn("t", normText(col("text")))
       .withColumn("sh", shingles(split(col("t"), " ")))
       .select(col("doc_id"), explode(col("sh")).as("s"))
