@@ -51,6 +51,15 @@ object EventStreams {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream–static enrichment (SURVEY.md §2.5 J5): join each micro-batch
+    * against a broadcast dimension — the producer's city→coord/topic lookup
+    * shape (reference Producer_clickhouse.py:109–123). The dimension is
+    * re-resolved per batch, so a refreshed static table is picked up
+    * without restarting the stream; the fact side never shuffles.
+    */
+  def enrichWithDim(stream: DataFrame, dim: DataFrame, key: String): DataFrame =
+    stream.join(org.apache.spark.sql.functions.broadcast(dim), Seq(key), "left")
+
   /** Running per-city stats via typed state (ST6/§2.9: the
     * `mapGroupsWithState` custom-state surface). State is one
     * (count, last temperature) pair per city.

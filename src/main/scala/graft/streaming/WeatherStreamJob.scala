@@ -59,6 +59,23 @@ object WeatherStreamJob {
       .option("checkpointLocation", checkpointDir)
       .start()
 
+  /** Raw-document archive (SURVEY.md §2.1 S5 — the reference writes every
+    * raw payload to a JSON file per (topic, city) cycle,
+    * Producer_clickhouse.py:78–84). Here: topic-partitioned JSON files per
+    * micro-batch; the (value, topic) frame is exactly what the Kafka sink
+    * consumes, so the archive tees off the same plan.
+    */
+  def archiveRaw(batch: DataFrame, path: String): Unit = {
+    val out = batch.write.mode("append")
+    (if (batch.columns.contains("topic")) out.partitionBy("topic") else out).json(path)
+  }
+
+  def startRawArchive(raw: DataFrame, path: String, checkpointDir: String): StreamingQuery =
+    raw.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) => archiveRaw(batch, path) }
+      .option("checkpointLocation", checkpointDir)
+      .start()
+
   /** Ingest query: raw value stream → flatten → month-partitioned warehouse
     * append per micro-batch, offsets checkpointed after each batch commits.
     */

@@ -82,6 +82,38 @@ class StreamingSpec extends SparkSpec {
       .map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
   }
 
+  test("stream-static enrichment joins each batch against a broadcast dim") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Double)]
+    val dim = Seq(("Moscow", 55.75), ("Kazan", 55.79)).toDF("city", "lat")
+    val q = EventStreams.enrichWithDim(input.toDF().toDF("city", "temp"), dim, "city")
+      .writeStream.format("memory").queryName("enriched").outputMode("append").start()
+    input.addData(("Moscow", 21.0), ("Atlantis", 9.0))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("enriched").collect()
+      .map(r => r.getString(0) -> Option(r.get(2))).toMap
+    assert(out("Moscow").contains(55.75))
+    assert(out("Atlantis").isEmpty) // left join keeps unknown keys
+  }
+
+  test("raw archive tees (value, topic) batches into topic-partitioned JSON") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, String)]
+    val dir = tmp("graft_archive")
+    val q = WeatherStreamJob.startRawArchive(
+      input.toDF().toDF("value", "topic"), dir, tmp("graft_archive_ckpt"))
+    input.addData(("""{"name":"Moscow"}""", "weather_topic_1"),
+                  ("""{"name":"Kazan"}""", "weather_topic_2"))
+    q.processAllAvailable()
+    q.stop()
+    val back = spark.read.json(dir)
+    assert(back.count() == 2)
+    assert(back.columns.contains("topic")) // partition column round-trips
+  }
+
   test("mapGroupsWithState keeps running per-city counts across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
