@@ -18,7 +18,8 @@ object SparkEntry {
       operators.Similarity.specs ++
       operators.EventsWindows.specs ++
       operators.WeatherOps.specs ++
-      operators.MultimodalOps.specs
+      operators.MultimodalOps.specs ++
+      operators.SqlSurface.specs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

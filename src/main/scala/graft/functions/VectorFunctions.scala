@@ -68,15 +68,13 @@ object VectorFunctions {
 
   /** Signed-random-projection bucket id for one LSH table: bit p set iff
     * the integer dot with plane_p (coefficients k−1000 ∈ [−1000,1000]) is
-    * ≥ 0. Pure long arithmetic — codegen-friendly and bit-exact across
-    * engines without decimal folds.
+    * ≥ 0. Pure long arithmetic — bit-exact across engines without decimal
+    * folds — through the native [[graft.functions.expressions.LongVecDot]]
+    * expression (register via graft.plans.GraftExtensions first).
     */
   def srpBucket(embInt: Column, planes: Array[Array[Int]]): Column =
     planes.zipWithIndex.map { case (plane, p) =>
       val coef = typedLit(plane.map(k => (k - 1000).toLong).toSeq)
-      val dot = aggregate(
-        zip_with(embInt, coef, (x, c) => x * c),
-        lit(0L), (acc, x) => acc + x)
-      when(dot >= 0, lit(1 << p)).otherwise(lit(0))
+      when(call_function("vec_dot_long", embInt, coef) >= 0, lit(1 << p)).otherwise(lit(0))
     }.reduce(_ + _)
 }

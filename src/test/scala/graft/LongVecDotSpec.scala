@@ -1,0 +1,38 @@
+package graft
+
+import graft.plans.GraftExtensions
+import org.apache.spark.sql.functions._
+
+/** The custom Catalyst expression: equivalence with the higher-order
+  * formulation, null array handling, prefix-length semantics.
+  */
+class LongVecDotSpec extends SparkSpec {
+
+  test("vec_dot_long matches aggregate(zip_with(...)) and handles nulls") {
+    GraftExtensions.register(spark)
+    import spark.implicits._
+    val df = Seq(
+      (Seq(1L, 2L, 3L), Seq(4L, 5L, 6L)),      // 4+10+18 = 32
+      (Seq(-2L, 7L), Seq(3L, 3L)),             // -6+21 = 15
+      (Seq(1L, 1L, 1L), Seq(10L))              // prefix: 10
+    ).toDF("a", "b")
+    val out = df.select(
+        call_function("vec_dot_long", col("a"), col("b")).as("native"),
+        aggregate(zip_with(col("a"), col("b"), (x, y) => coalesce(x * y, lit(0L))),
+          lit(0L), (acc, x) => acc + x).as("hof"))
+      .collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(32L, 15L, 10L))
+    // higher-order zip_with pads with nulls (coalesced to 0) — same result
+    assert(out.forall(r => r.getLong(0) == r.getLong(1)))
+
+    val withNull = Seq((Option.empty[Seq[Long]], Option(Seq(1L)))).toDF("a", "b")
+      .select(call_function("vec_dot_long", col("a"), col("b")))
+    assert(withNull.collect().head.isNullAt(0))
+  }
+
+  test("works via SQL after extension registration") {
+    GraftExtensions.register(spark)
+    val r = spark.sql("SELECT vec_dot_long(array(2L, 3L), array(10L, 100L)) AS d")
+    assert(r.collect().head.getLong(0) == 320L)
+  }
+}

@@ -1,0 +1,35 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.weather.{Warehouse, WeatherFlatten}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.TimestampType
+
+/** The MergeTree-analog storage layout (SURVEY.md §2.1 S7 / §4): month
+  * directory partitioning must prune scans, sorted writes must cluster.
+  */
+class WarehouseSpec extends SparkSpec {
+
+  test("writes month partitions and prunes reads on event_month") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_wh_spec").toFile.getAbsolutePath
+    val raw = Seq(
+      ("""{"name":"Jan","main":{"temp":1.0}}""", "2024-01-15 00:00:00"),
+      ("""{"name":"AlsoJan","main":{"temp":2.0}}""", "2024-01-20 00:00:00"),
+      ("""{"name":"Feb","main":{"temp":3.0}}""", "2024-02-10 00:00:00"))
+      .toDF("value", "ing")
+    val fact = WeatherFlatten(raw, ingestTime = col("ing").cast(TimestampType))
+    Warehouse.writeFact(fact, dir)
+
+    val dirs = new java.io.File(dir).list().filter(_.startsWith("event_month=")).sorted
+    assert(dirs.toSeq == Seq("event_month=202401", "event_month=202402"))
+
+    val pruned = Warehouse.readFact(spark, dir).filter(col("event_month") === "202401")
+    assert(pruned.count() == 2)
+    // Partition pruning: only the 202401 directory's files are touched.
+    val files = pruned.select(input_file_name()).distinct()
+      .collect().map(_.getString(0))
+    assert(files.nonEmpty && files.forall(_.contains("event_month=202401")))
+  }
+}
