@@ -19,7 +19,8 @@ object SparkEntry {
       operators.EventsWindows.specs ++
       operators.WeatherOps.specs ++
       operators.MultimodalOps.specs ++
-      operators.SqlSurface.specs
+      operators.SqlSurface.specs ++
+      operators.Extras.specs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,89 @@
+package graft.operators
+
+import graft.{QuerySpec, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Remaining S-surface families: UNION ALL (multiset), explicit GROUPING
+  * SETS, array higher-order functions as a query surface, and a time-range
+  * window frame (SURVEY.md §2.6 W4's `rangeBetween` variant, §2.7, §2.8
+  * array family).
+  */
+object Extras {
+
+  val specs: Seq[QuerySpec] = Seq(
+
+    // ----- UNION ALL (multiset semantics, duplicates preserved) -----------
+    QuerySpec("q49_union_all")(
+      """SELECT src, custkey FROM (
+        |  SELECT 'big_order' AS src, o_custkey AS custkey FROM orders WHERE o_totalprice > 450000
+        |  UNION ALL
+        |  SELECT 'rich' AS src, c_custkey FROM customer WHERE c_acctbal > 9900)
+        |ORDER BY src, custkey""".stripMargin) { (s, dir) =>
+      val big = Tables.load(s, dir, "orders").filter(col("o_totalprice") > 450000)
+        .select(lit("big_order").as("src"), col("o_custkey").as("custkey"))
+      val rich = Tables.load(s, dir, "customer").filter(col("c_acctbal") > 9900)
+        .select(lit("rich").as("src"), col("c_custkey").as("custkey"))
+      big.unionAll(rich).orderBy(col("src"), col("custkey"))
+    },
+
+    // ----- explicit GROUPING SETS (beyond rollup/cube, via the SQL door) --
+    QuerySpec("q50_grouping_sets")(
+      """SELECT n_name, c_mktsegment, count(*) AS n,
+        |  CAST(coalesce(sum(CAST(c_acctbal AS DECIMAL(18,2))), 0) AS DOUBLE) AS bal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY GROUPING SETS ((n_name), (c_mktsegment), ())
+        |ORDER BY n_name NULLS FIRST, c_mktsegment NULLS FIRST""".stripMargin) { (s, dir) =>
+      Tables.registerAll(s, dir)
+      s.sql(
+        """SELECT n_name, c_mktsegment, count(*) AS n,
+          |  CAST(coalesce(sum(CAST(c_acctbal AS DECIMAL(18,2))), 0) AS DOUBLE) AS bal
+          |FROM customer JOIN nation ON c_nationkey = n_nationkey
+          |GROUP BY GROUPING SETS ((n_name), (c_mktsegment), ())
+          |ORDER BY n_name NULLS FIRST, c_mktsegment NULLS FIRST""".stripMargin)
+    },
+
+    // ----- array higher-order functions as query surface ------------------
+    // Scalar outputs only (exact integer projections of the float vector),
+    // so the oracle compare stays hashable and engine-exact.
+    QuerySpec("q51_array_hof")(
+      """SELECT vec_id,
+        |  len(embedding) AS dim,
+        |  len(list_filter(embedding, x -> x > 0)) AS n_pos,
+        |  list_sum(list_transform(embedding, x -> abs(CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)))) AS l1_micro,
+        |  list_max(list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT))) AS max_micro
+        |FROM embeddings
+        |ORDER BY vec_id""".stripMargin) { (s, dir) =>
+      val micro = transform(col("embedding"),
+        x => floor(x.cast(DoubleType) * 1000000).cast(LongType))
+      Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"),
+          size(col("embedding")).as("dim"),
+          size(filter(col("embedding"), x => x > 0)).as("n_pos"),
+          aggregate(transform(micro, x => abs(x)), lit(0L), (a, x) => a + x).as("l1_micro"),
+          array_max(micro).as("max_micro"))
+        .orderBy(col("vec_id"))
+    },
+
+    // ----- time-range window frame (trailing 1 h sum per user) ------------
+    QuerySpec("q52_range_frame")(
+      """SELECT event_id, user_id,
+        |  CAST(sum(CAST(value AS DECIMAL(28,10))) OVER w AS DOUBLE) AS trailing_1h,
+        |  count(*) OVER w AS n_1h
+        |FROM (SELECT event_id, user_id, value, date_part('epoch', ts) AS sec FROM events)
+        |WINDOW w AS (PARTITION BY user_id ORDER BY sec
+        |             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("sec"))
+        .rangeBetween(-3600, Window.currentRow)
+      Tables.load(s, dir, "events")
+        .withColumn("sec", col("ts").cast(LongType))
+        .withColumn("trailing_1h", sum(col("value").cast(DecimalType(28, 10))).over(w)
+          .cast(DoubleType))
+        .withColumn("n_1h", count(lit(1)).over(w))
+        .select(col("event_id"), col("user_id"), col("trailing_1h"), col("n_1h"))
+        .orderBy(col("event_id"))
+    }
+  )
+}
