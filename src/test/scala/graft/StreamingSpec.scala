@@ -82,6 +82,36 @@ class StreamingSpec extends SparkSpec {
       .map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
   }
 
+  test("checkpoint restart resumes from committed offsets without reprocessing") {
+    import java.nio.file.{Files => JFiles, Paths}
+    val srcDir = tmp("graft_src")
+    val warehouse = tmp("graft_wh_restart")
+    val ckpt = tmp("graft_ckpt_restart")
+    def writeFile(name: String, lines: String*): Unit =
+      JFiles.write(Paths.get(srcDir, name),
+        lines.mkString("\n").getBytes("UTF-8"))
+
+    writeFile("batch1.json", """{"name":"Moscow","main":{"temp":1.0}}""",
+                              """{"name":"Kazan","main":{"temp":2.0}}""")
+    val q1 = WeatherStreamJob.start(
+      WeatherStreamJob.fileRawStream(spark, srcDir), warehouse, ckpt,
+      trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    q1.awaitTermination()
+    assert(spark.read.parquet(warehouse).count() == 2)
+
+    // New query object, same checkpoint: only the new file is processed —
+    // the WAL's committed offsets survive the restart (ST2/ST8).
+    writeFile("batch2.json", """{"name":"Omsk","main":{"temp":3.0}}""")
+    val q2 = WeatherStreamJob.start(
+      WeatherStreamJob.fileRawStream(spark, srcDir), warehouse, ckpt,
+      trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    q2.awaitTermination()
+
+    val cities = spark.read.parquet(warehouse).select("city_name")
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(cities == Seq("Kazan", "Moscow", "Omsk")) // no duplicates
+  }
+
   test("stream-static enrichment joins each batch against a broadcast dim") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
