@@ -103,8 +103,8 @@ object Dedup {
         |JOIN nsh nb ON i.b_doc = nb.doc_id
         |WHERE $jaccardExpr >= $JaccardThreshold
         |ORDER BY i.a_doc, i.b_doc""".stripMargin) { (s, dir) =>
-      val sh = TextAnalysis.docShingles(Tables.load(s, dir, "documents"))
-      pairJaccard(sh)
+      val dss = TextAnalysis.docShingleSets(Tables.load(s, dir, "documents"))
+      pairJaccard(dss)
         .filter(col("jac_raw") >= JaccardThreshold)
         .select(col("a_doc"), col("b_doc"), col("n_inter"), col("n_a"), col("n_b"),
           round(col("jac_raw"), 6).as("jaccard"))
@@ -139,17 +139,17 @@ object Dedup {
         |WHERE $jaccardExpr >= $JaccardThreshold
         |ORDER BY c.a_doc, c.b_doc""".stripMargin
     } { (s, dir) =>
-      val sh = TextAnalysis.docShingles(Tables.load(s, dir, "documents"))
-      // Hash each DISTINCT shingle once, derive the 16 permutations with
-      // integer arithmetic, broadcast the tiny hash dim back to the rows.
-      val shingleDim = sh.select(col("s")).distinct()
-        .withColumn("hb", hex60(col("s")) % MersenneP)
-      val hashed = sh.join(broadcast(shingleDim), "s")
-      val sig = hashed.groupBy(col("doc_id"))
-        .agg(
-          min((col("hb") * permA(0) + permB(0)) % MersenneP).as("m1"),
-          (2 to NumPerms).map(j =>
-            min((col("hb") * permA(j - 1) + permB(j - 1)) % MersenneP).as(s"m$j")): _*)
+      // NARROW signature construction: the minhash of a doc is a pure
+      // projection over its shingle-set array — md5 each distinct shingle
+      // within the row, affine-permute, array_min. No explode, no groupBy,
+      // no shuffle until the (4 rows/doc) band join.
+      val dss = TextAnalysis.docShingleSets(Tables.load(s, dir, "documents"))
+      val sig = dss
+        .withColumn("hb", transform(col("ss"), sh => hex60(sh) % MersenneP))
+        .select(Seq(col("doc_id")) ++ (1 to NumPerms).map(j =>
+          array_min(transform(col("hb"),
+            h => (h * permA(j - 1) + permB(j - 1)) % MersenneP)).as(s"m$j")): _*)
+        .filter(col("m1").isNotNull) // docs with <3 tokens have no shingles
       val bandStructs = (0 until Bands).map { b =>
         val cs = (1 to RowsPerBand).map(r => col(s"m${b * RowsPerBand + r}"))
         struct(lit(b).as("band"),
@@ -162,13 +162,12 @@ object Dedup {
             col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("a_doc"), col("y.doc_id").as("b_doc"))
         .distinct()
-      // Exact verify ONLY candidate pairs (the whole point of LSH): gather
-      // each candidate doc's shingle set and intersect in-memory — never
-      // the all-pairs inverted-index join at this stage.
-      val shSets = sh.groupBy(col("doc_id")).agg(collect_set(col("s")).as("ss"))
+      // Exact verify ONLY candidate pairs (the whole point of LSH): join
+      // each side's shingle-set array and intersect in-row — never the
+      // all-pairs inverted-index join at this stage.
       cand
-        .join(shSets.select(col("doc_id").as("a_doc"), col("ss").as("a_ss")), "a_doc")
-        .join(shSets.select(col("doc_id").as("b_doc"), col("ss").as("b_ss")), "b_doc")
+        .join(dss.select(col("doc_id").as("a_doc"), col("ss").as("a_ss")), "a_doc")
+        .join(dss.select(col("doc_id").as("b_doc"), col("ss").as("b_ss")), "b_doc")
         .withColumn("n_inter", size(array_intersect(col("a_ss"), col("b_ss"))))
         .withColumn("jac_raw", col("n_inter").cast(DoubleType) /
           (size(col("a_ss")) + size(col("b_ss")) - col("n_inter")).cast(DoubleType))
@@ -247,14 +246,32 @@ object Dedup {
     sum(when(shiftright(col("h"), i).bitwiseAND(lit(1L)) === 1, col("cnt"))
       .otherwise(-col("cnt"))).as(s"s$i")
 
-  /** (a_doc, b_doc, n_inter, n_a, n_b, jac_raw) for all doc pairs sharing
-    * ≥1 shingle — the inverted-index exact-Jaccard join shared by q36/q37.
+  /** All (i, j) combinations of a sorted id array as an array of structs —
+    * turns each shingle's posting list into its contribution of doc pairs
+    * without a self-join.
     */
-  private def pairJaccard(sh: DataFrame): DataFrame = {
-    val nsh = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("ns"))
-    val inter = sh.as("a").join(sh.as("b"),
-        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("a_doc"), col("b.doc_id").as("b_doc"))
+  private def pairCombos(ds: Column): Column =
+    flatten(transform(ds, (x, i) =>
+      transform(slice(ds, i + lit(2), size(ds)),
+        y => struct(x.as("a"), y.as("b")))))
+
+  /** (a_doc, b_doc, n_inter, n_a, n_b, jac_raw) for all doc pairs sharing
+    * ≥1 shingle, from the narrow shingle-set frame (doc_id, ss).
+    *
+    * Set sizes are row-local (`size(ss)`); intersections come from ONE
+    * inverted-index pass: explode → posting list per shingle → in-row pair
+    * expansion (`pairCombos`) → count per pair. One explode instead of a
+    * self-join means the shingle pipeline runs once, and the shuffle
+    * volume is exactly Σ df² pair rows (bounded by the df cap at scale —
+    * SCALE.md dedup notes).
+    */
+  private def pairJaccard(dss: DataFrame): DataFrame = {
+    val nsh = dss.select(col("doc_id"), size(col("ss")).as("ns"))
+    val inter = dss.select(col("doc_id"), explode(col("ss")).as("s"))
+      .groupBy(col("s")).agg(sort_array(collect_set(col("doc_id"))).as("ds"))
+      .filter(size(col("ds")) > 1)
+      .select(explode(pairCombos(col("ds"))).as("p"))
+      .groupBy(col("p.a").as("a_doc"), col("p.b").as("b_doc"))
       .agg(count(lit(1)).as("n_inter"))
     inter
       .join(nsh.select(col("doc_id").as("a_doc"), col("ns").as("n_a")), "a_doc")

@@ -156,22 +156,26 @@ object TextAnalysis {
     }
   )
 
-  /** Shared with [[Dedup]]: normalized text + token array + shingle set.
+  /** Shared with [[Dedup]]: one row per document with its DISTINCT shingle
+    * set as an array column — the narrow (shuffle-free) representation the
+    * dedup family builds on: set sizes and minhash signatures become pure
+    * projections over the array instead of explode→groupBy re-aggregation.
     *
     * The repartition rebalances a narrow scan before the CPU-heavy
     * shingle expansion: small fixture files arrive as ONE split, which
-    * would serialize the whole explode pipeline onto a single core. (At
+    * would serialize the whole pipeline onto a single core. (At
     * production scale a wide scan makes this a near-no-op shuffle of the
-    * doc table; the explode multiplies rows ~300× AFTER it, so
-    * rebalancing pre-explode is the cheap point.)
+    * doc table.)
     */
-  private[operators] def docShingles(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+  private[operators] def docShingleSets(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     docs
       .repartition(col("doc_id"))
       .withColumn("t", normText(col("text")))
-      .withColumn("sh", shingles(split(col("t"), " ")))
-      .select(col("doc_id"), explode(col("sh")).as("s"))
-      .distinct()
+      .select(col("doc_id"), array_distinct(shingles(split(col("t"), " "))).as("ss"))
+
+  /** Exploded (doc_id, shingle) inverted-index rows over [[docShingleSets]]. */
+  private[operators] def docShingles(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    docShingleSets(docs).select(col("doc_id"), explode(col("ss")).as("s"))
 
   private[operators] val markerList: Seq[(String, Seq[String])] = langMarkers
 }
