@@ -42,6 +42,7 @@ object TextAnalysis {
       """SELECT doc_id,
         |  len(w) AS n_tokens,
         |  len(list_distinct(w)) AS n_distinct,
+        |  len(regexp_extract_all(t, '[a-z0-9]+|[^a-z0-9\s]')) AS n_subword_tokens,
         |  length(t) AS n_norm_chars,
         |  CAST(length(t) - (len(w) - 1) AS DOUBLE) / CAST(len(w) AS DOUBLE) AS avg_token_len
         |FROM (SELECT doc_id, t, regexp_split_to_array(t, '\s+') AS w
@@ -54,6 +55,9 @@ object TextAnalysis {
       d.select(col("doc_id"),
           size(col("w")).as("n_tokens"),
           size(array_distinct(col("w"))).as("n_distinct"),
+          // BPE-ish pre-tokenizer: word pieces + individual punctuation
+          size(regexp_extract_all(col("t"), lit("[a-z0-9]+|[^a-z0-9\\s]"), lit(0)))
+            .as("n_subword_tokens"),
           length(col("t")).as("n_norm_chars"),
           ((length(col("t")) - (size(col("w")) - 1)).cast(DoubleType) /
             size(col("w")).cast(DoubleType)).as("avg_token_len"))
@@ -141,17 +145,28 @@ object TextAnalysis {
       """SELECT doc_id,
         |  md5(t) AS fp_md5,
         |  CAST('0x' || substr(md5(t), 1, 15) AS BIGINT) AS fp60,
-        |  md5(array_to_string(list_sort(list_distinct(regexp_split_to_array(t, '\s+'))), ' ')) AS fp_bag
+        |  md5(array_to_string(list_sort(list_distinct(regexp_split_to_array(t, '\s+'))), ' ')) AS fp_bag,
+        |  list_reduce(list_transform(regexp_split_to_array(t, '\s+'),
+        |                             tok -> CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) % 2147483647),
+        |              (a, b) -> (a * 31 + b) % 2147483647) AS fp_roll
         |FROM (SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS t
         |      FROM documents)
         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      // fp_roll: order-sensitive polynomial rolling hash over the token
+      // sequence, acc·31 + h(tok) mod 2³¹−1 (acc·31 < 2³⁶, no overflow).
+      // Spark's fold from 0 equals DuckDB's list_reduce seeded with the
+      // first element because (0·31 + h₁) mod p = h₁.
+      val p = 2147483647L
+      val toks = split(col("t"), " ")
       Tables.load(s, dir, "documents")
         .withColumn("t", normText(col("text")))
         .select(col("doc_id"),
           md5(col("t").cast(BinaryType)).as("fp_md5"),
           hex60(col("t")).as("fp60"),
           md5(concat_ws(" ",
-            array_sort(array_distinct(split(col("t"), " ")))).cast(BinaryType)).as("fp_bag"))
+            array_sort(array_distinct(split(col("t"), " ")))).cast(BinaryType)).as("fp_bag"),
+          aggregate(transform(toks, tk => hex60(tk) % p),
+            lit(0L), (acc, h) => (acc * 31 + h) % p).as("fp_roll"))
         .orderBy(col("doc_id"))
     }
   )
