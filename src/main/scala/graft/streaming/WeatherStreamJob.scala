@@ -78,16 +78,47 @@ object WeatherStreamJob {
 
   /** Ingest query: raw value stream → flatten → month-partitioned warehouse
     * append per micro-batch, offsets checkpointed after each batch commits.
+    * With `deadLetterPath` set, malformed payloads are quarantined as raw
+    * text in the same batch transaction instead of silently dropped (ST7).
     */
   def start(raw: DataFrame, warehousePath: String, checkpointDir: String,
-            trigger: Trigger = Trigger.ProcessingTime("300 seconds")): StreamingQuery =
-    WeatherFlatten(raw)
+            trigger: Trigger = Trigger.ProcessingTime("300 seconds"),
+            deadLetterPath: Option[String] = None): StreamingQuery =
+    WeatherFlatten.parse(raw)
       .writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        Warehouse.writeFact(batch, warehousePath)
+        // Multiple sinks over one micro-batch: persist so the source is
+        // scanned once, not re-read per action.
+        val b = if (deadLetterPath.isDefined) batch.persist() else batch
+        try {
+          Warehouse.writeFact(WeatherFlatten.flatten(b), warehousePath)
+          deadLetterPath.foreach { p =>
+            WeatherFlatten.malformedRaw(b).write.mode("append").text(p)
+          }
+        } finally if (deadLetterPath.isDefined) { b.unpersist(); () }
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .start()
+
+  /** ST9: the reference's 60 s stats loop (Consumer_clickhouse.py:167–172)
+    * as a StreamingQueryListener — rows/s and batch counts per progress
+    * event, queryable from [[IngestStatsListener.snapshot]].
+    */
+  final class IngestStatsListener extends org.apache.spark.sql.streaming.StreamingQueryListener {
+    import org.apache.spark.sql.streaming.StreamingQueryListener._
+    private val stats =
+      new java.util.concurrent.ConcurrentHashMap[java.util.UUID, (Long, Long)]()
+    override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+    override def onQueryProgress(e: QueryProgressEvent): Unit =
+      stats.merge(e.progress.id, (1L, e.progress.numInputRows),
+        (a, b) => (a._1 + b._1, a._2 + b._2))
+    override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+    /** (batches, rows) for one query — keyed so a shared session's other
+      * streams don't pollute the numbers.
+      */
+    def snapshot(queryId: java.util.UUID): (Long, Long) =
+      stats.getOrDefault(queryId, (0L, 0L))
+  }
 }

@@ -44,6 +44,14 @@ object WeatherFlatten {
   def dropMalformed(parsed: DataFrame): DataFrame =
     parsed.filter(col("w").isNotNull && col("w")("_corrupt_record").isNull)
 
+  /** The malformed complement: raw text of rows that failed to parse —
+    * route to a dead-letter sink instead of silently dropping (SURVEY.md
+    * §2.9 ST7's quarantine option).
+    */
+  def malformedRaw(parsed: DataFrame, valueCol: String = "value"): DataFrame =
+    parsed.filter(col("w").isNull || col("w")("_corrupt_record").isNotNull)
+      .select(col(valueCol).cast(StringType).as("raw"))
+
   private def str(c: Column): Column = coalesce(c, lit(""))
   private def int0(c: Column): Column = coalesce(c.cast(IntegerType), lit(0))
   private def d52(c: Column): Column = coalesce(c, lit(0)).cast(DecimalType(5, 2))

@@ -21,15 +21,15 @@ class StreamingSpec extends SparkSpec {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[String]
     val warehouse = tmp("graft_wh")
-    val q = WeatherStreamJob.start(
-      input.toDF().withColumnRenamed("value", "value"),
-      warehouse, tmp("graft_ckpt"),
-      trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
-
+    // Data before start: AvailableNow snapshots available offsets at query
+    // start, so post-start addData is a race.
     input.addData(
       """{"name":"Moscow","main":{"temp":20.5},"sys":{"country":"RU"}}""",
       """{"name":"Kazan","main":{"temp":15.25}}""",
       """{broken""")
+    val q = WeatherStreamJob.start(
+      input.toDF(), warehouse, tmp("graft_ckpt"),
+      trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
     q.processAllAvailable()
     q.stop()
 
@@ -39,6 +39,33 @@ class StreamingSpec extends SparkSpec {
     val t = back.filter(col("city_name") === "Moscow")
       .select(col("temperature").cast("string")).head().getString(0)
     assert(t == "20.50")
+  }
+
+  test("dead-letter path quarantines malformed payloads; listener counts progress") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val listener = new WeatherStreamJob.IngestStatsListener
+    spark.streams.addListener(listener)
+    try {
+      val input = MemoryStream[String]
+      val dlq = tmp("graft_dlq")
+      input.addData("""{"name":"Moscow","main":{"temp":5.0}}""", """{oops""", """also bad""")
+      val q = WeatherStreamJob.start(
+        input.toDF(), tmp("graft_wh_dlq"), tmp("graft_ckpt_dlq"),
+        trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow(),
+        deadLetterPath = Some(dlq))
+      val qid = q.id
+      q.processAllAvailable()
+      q.stop()
+      // Listener events are delivered asynchronously — poll until drained.
+      val deadline = System.currentTimeMillis() + 10000
+      while (listener.snapshot(qid)._2 < 3 && System.currentTimeMillis() < deadline)
+        Thread.sleep(50)
+      val quarantined = spark.read.text(dlq).collect().map(_.getString(0)).sorted
+      assert(quarantined.toSeq == Seq("""also bad""", """{oops"""))
+      val (batches, rows) = listener.snapshot(qid)
+      assert(batches >= 1 && rows == 3)
+    } finally spark.streams.removeListener(listener)
   }
 
   test("windowed totals emit per event-time window under watermark") {
