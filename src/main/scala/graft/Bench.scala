@@ -10,12 +10,17 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // noop sink, not count(): count() lets Catalyst prune the computed
+    // columns, so projection-heavy queries would benchmark as bare scans.
+    // noop forces every output column through the full plan.
+    def run(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
+      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
     // Warm up codegen/classloading once so per-query numbers measure the
     // plans, not first-query JVM startup; run in declared spec order.
-    try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
+    try run((s, _) => SparkEntry.entry(s)) catch { case _: Throwable => () }
     val results = SparkEntry.specs.map { sp =>
       val t0 = System.nanoTime()
-      try { sp.fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try run(sp.fn) catch { case _: Throwable => () }
       sp.name -> (System.nanoTime() - t0) / 1e9
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

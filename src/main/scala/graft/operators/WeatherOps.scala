@@ -83,6 +83,7 @@ object WeatherOps {
         tempv, tempv - 2.5, tempv - 5.25, tempv + 4.5,
         lit(950) + k % 100, k % 101, windJson, (k * 3) % 101, sysJson)
       val raw = Tables.load(s, dir, "customer")
+        .repartition(col("c_custkey")) // single-split fixture scan → spread the JSON round-trip
         .withColumn("value", when(k % 53 === 0, lit("{not json")).otherwise(payload))
       WeatherFlatten(raw, ingestTime = lit("2024-06-01 12:00:00").cast(TimestampType))
         .orderBy(col("city_name"))
