@@ -66,6 +66,31 @@ object Extras {
         .orderBy(col("vec_id"))
     },
 
+    // ----- dataset profiling (per-column stats, the data-quality op a
+    //       training pipeline runs before ingesting a new source) ----------
+    QuerySpec("q54_profile") {
+      def oneCol(c: String) =
+        s"""SELECT '$c' AS col, count(*) AS n, count($c) AS n_nonnull,
+           |  CAST(min($c) AS DOUBLE) AS min_v, CAST(max($c) AS DOUBLE) AS max_v,
+           |  CAST(sum(CAST($c AS DECIMAL(18,2))) AS DOUBLE) AS sum_v,
+           |  count(DISTINCT $c) AS n_distinct
+           |FROM lineitem""".stripMargin
+      Seq("l_quantity", "l_extendedprice", "l_discount").map(oneCol)
+        .mkString("", "\nUNION ALL ", "\nORDER BY col")
+    } { (s, dir) =>
+      val li = Tables.load(s, dir, "lineitem")
+      def profile(c: String) = li.agg(
+        count(lit(1)).as("n"),
+        count(col(c)).as("n_nonnull"),
+        min(col(c)).cast(DoubleType).as("min_v"),
+        max(col(c)).cast(DoubleType).as("max_v"),
+        sum(col(c).cast(DecimalType(18, 2))).cast(DoubleType).as("sum_v"),
+        countDistinct(col(c)).as("n_distinct"))
+        .select(lit(c).as("col"), col("*"))
+      Seq("l_quantity", "l_extendedprice", "l_discount").map(profile)
+        .reduce(_.unionAll(_)).orderBy(col("col"))
+    },
+
     // ----- time-range window frame (trailing 1 h sum per user) ------------
     QuerySpec("q52_range_frame")(
       """SELECT event_id, user_id,

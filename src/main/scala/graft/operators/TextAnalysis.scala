@@ -35,6 +35,35 @@ object TextAnalysis {
   private def sqlStrList(xs: Seq[String]): String =
     xs.map(x => s"'$x'").mkString("(", ", ", ")")
 
+  /** The composite quality score in exact micro-units. floor, not
+    * round(x, 6): both engines compute the identical IEEE double, but
+    * their round() implementations disagree exactly at digit boundaries
+    * (Java BigDecimal HALF_UP vs binary rounding) — floor on the same
+    * double is always identical.
+    */
+  private def qualityMicro: Column =
+    floor((lit(0.4) * least(col("n_tokens").cast(DoubleType) / 100.0, lit(1.0))
+      + lit(0.3) * (lit(1.0) - col("stop_ratio"))
+      + lit(0.3) * least(col("avg_token_len") / 8.0, lit(1.0))
+      - lit(0.2) * col("punct_ratio")) * 1000000).cast(LongType)
+
+  /** (doc_id, n_tokens, stop_ratio, punct_ratio, avg_token_len,
+    * quality_micro) — shared by q33 and the percentile filter q35a.
+    */
+  private def qualityScored(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    docs
+      .withColumn("t", normText(col("text")))
+      .withColumn("w", split(col("t"), " "))
+      .select(col("doc_id"),
+        size(col("w")).as("n_tokens"),
+        (markerCount(col("w"), stopwords).cast(DoubleType) /
+          size(col("w")).cast(DoubleType)).as("stop_ratio"),
+        ((length(col("t")) - length(regexp_replace(col("t"), "[^a-z0-9 ]", ""))).cast(DoubleType) /
+          length(col("t")).cast(DoubleType)).as("punct_ratio"),
+        ((length(col("t")) - (size(col("w")) - 1)).cast(DoubleType) /
+          size(col("w")).cast(DoubleType)).as("avg_token_len"))
+      .withColumn("quality_micro", qualityMicro)
+
   val specs: Seq[QuerySpec] = Seq(
 
     // ----- token counting (whitespace tokenizer + distinct/statistics) ----
@@ -128,15 +157,37 @@ object TextAnalysis {
             length(col("t")).cast(DoubleType)).as("punct_ratio"),
           ((length(col("t")) - (size(col("w")) - 1)).cast(DoubleType) /
             size(col("w")).cast(DoubleType)).as("avg_token_len"))
-      // floor of micro-units, not round(x, 6): both engines compute the
-      // identical IEEE double, but their round() implementations disagree
-      // exactly at digit boundaries (Java BigDecimal HALF_UP vs binary
-      // rounding) — floor on the same double is always identical.
-      d.withColumn("quality_micro",
-          floor((lit(0.4) * least(col("n_tokens").cast(DoubleType) / 100.0, lit(1.0))
-            + lit(0.3) * (lit(1.0) - col("stop_ratio"))
-            + lit(0.3) * least(col("avg_token_len") / 8.0, lit(1.0))
-            - lit(0.2) * col("punct_ratio")) * 1000000).cast(LongType))
+      d.withColumn("quality_micro", qualityMicro)
+        .orderBy(col("doc_id"))
+    },
+
+    // ----- percentile-cutoff quality filtering ----------------------------
+    // Keep documents at/above the 25th percentile of the quality score:
+    // the cutoff is computed as an exact interpolated percentile and
+    // broadcast (two cheap passes), NOT a global percent_rank window —
+    // the global-window formulation funnels the corpus through one
+    // partition; the scalar-cutoff one scales.
+    QuerySpec("q35a_quality_filter")(
+      s"""WITH q AS (SELECT doc_id,
+        |    CAST(floor((0.4 * least(CAST(len(w) AS DOUBLE) / 100.0, 1.0)
+        |        + 0.3 * (1.0 - CAST(len(list_filter(w, x -> x IN ${sqlStrList(stopwords)}))
+        |                         AS DOUBLE) / CAST(len(w) AS DOUBLE))
+        |        + 0.3 * least(CAST(length(t) - (len(w) - 1) AS DOUBLE) / CAST(len(w) AS DOUBLE) / 8.0, 1.0)
+        |        - 0.2 * CAST(length(t) - length(regexp_replace(t, '[^a-z0-9 ]', '', 'g'))
+        |                 AS DOUBLE) / CAST(length(t) AS DOUBLE)) * 1000000) AS BIGINT) AS quality_micro
+        |  FROM (SELECT doc_id, t, regexp_split_to_array(t, '\\s+') AS w
+        |        FROM (SELECT doc_id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS t
+        |              FROM documents)))
+        |SELECT doc_id, quality_micro FROM q
+        |WHERE quality_micro >= (SELECT quantile_cont(quality_micro, 0.25) FROM q)
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val scored = qualityScored(Tables.load(s, dir, "documents"))
+        .select(col("doc_id"), col("quality_micro"))
+      val cutoff = scored.agg(
+        percentile(col("quality_micro"), lit(0.25)).as("cut"))
+      scored.crossJoin(broadcast(cutoff))
+        .filter(col("quality_micro") >= col("cut"))
+        .select(col("doc_id"), col("quality_micro"))
         .orderBy(col("doc_id"))
     },
 
