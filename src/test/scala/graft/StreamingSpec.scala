@@ -171,6 +171,29 @@ class StreamingSpec extends SparkSpec {
     assert(back.columns.contains("topic")) // partition column round-trips
   }
 
+  test("flatMapGroupsWithState emits a session once the gap closes it") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventStreams.UserEvent]
+    val q = EventStreams.closedSessions(input.toDS(), gapMs = 60 * 1000)
+      .writeStream.format("memory").queryName("closed_sessions").outputMode("append").start()
+
+    // Two bursts 10 minutes apart: the first session closes when the
+    // second burst arrives in a later batch.
+    input.addData(
+      EventStreams.UserEvent(7L, Timestamp.valueOf("2024-01-01 00:00:00"), 1.0),
+      EventStreams.UserEvent(7L, Timestamp.valueOf("2024-01-01 00:00:30"), 2.0))
+    q.processAllAvailable()
+    input.addData(EventStreams.UserEvent(7L, Timestamp.valueOf("2024-01-01 00:10:00"), 3.0))
+    q.processAllAvailable()
+    q.stop()
+
+    val sessions = spark.table("closed_sessions").collect()
+      .map(r => (r.getAs[java.sql.Timestamp]("session_start").toString,
+                 r.getAs[Long]("n_events")))
+    assert(sessions.toSeq == Seq(("2024-01-01 00:00:00.0", 2L)))
+  }
+
   test("mapGroupsWithState keeps running per-city counts across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
