@@ -246,38 +246,37 @@ object Dedup {
     sum(when(shiftright(col("h"), i).bitwiseAND(lit(1L)) === 1, col("cnt"))
       .otherwise(-col("cnt"))).as(s"s$i")
 
-  /** All (i, j) combinations of a sorted id array as an array of structs —
-    * turns each shingle's posting list into its contribution of doc pairs
-    * without a self-join.
+  /** All (i, j) combinations of a sorted (doc_id, ns) struct array — each
+    * shingle's posting list expands to its doc-pair contributions in-row,
+    * carrying both docs' set sizes so no post-aggregation join is needed.
     */
   private def pairCombos(ds: Column): Column =
     flatten(transform(ds, (x, i) =>
       transform(slice(ds, i + lit(2), size(ds)),
-        y => struct(x.as("a"), y.as("b")))))
+        y => struct(x.getField("doc_id").as("a"), x.getField("ns").as("na"),
+          y.getField("doc_id").as("b"), y.getField("ns").as("nb")))))
 
   /** (a_doc, b_doc, n_inter, n_a, n_b, jac_raw) for all doc pairs sharing
     * ≥1 shingle, from the narrow shingle-set frame (doc_id, ss).
     *
-    * Set sizes are row-local (`size(ss)`); intersections come from ONE
-    * inverted-index pass: explode → posting list per shingle → in-row pair
-    * expansion (`pairCombos`) → count per pair. One explode instead of a
-    * self-join means the shingle pipeline runs once, and the shuffle
+    * ONE inverted-index pass: explode (doc_id, ns=|ss|, shingle) → posting
+    * list of (doc_id, ns) structs per shingle → in-row pair expansion
+    * (`pairCombos`, sizes riding along) → count per pair. No self-join, no
+    * doc-size join afterwards — at 100 TB the size table is itself large,
+    * so carrying ns through the pair rows beats joining it back. Shuffle
     * volume is exactly Σ df² pair rows (bounded by the df cap at scale —
     * SCALE.md dedup notes).
     */
-  private def pairJaccard(dss: DataFrame): DataFrame = {
-    val nsh = dss.select(col("doc_id"), size(col("ss")).as("ns"))
-    val inter = dss.select(col("doc_id"), explode(col("ss")).as("s"))
-      .groupBy(col("s")).agg(sort_array(collect_set(col("doc_id"))).as("ds"))
+  private def pairJaccard(dss: DataFrame): DataFrame =
+    dss.select(col("doc_id"), size(col("ss")).as("ns"), explode(col("ss")).as("s"))
+      .groupBy(col("s"))
+      .agg(sort_array(collect_set(struct(col("doc_id"), col("ns")))).as("ds"))
       .filter(size(col("ds")) > 1)
       .select(explode(pairCombos(col("ds"))).as("p"))
-      .groupBy(col("p.a").as("a_doc"), col("p.b").as("b_doc"))
+      .groupBy(col("p.a").as("a_doc"), col("p.b").as("b_doc"),
+        col("p.na").as("n_a"), col("p.nb").as("n_b"))
       .agg(count(lit(1)).as("n_inter"))
-    inter
-      .join(nsh.select(col("doc_id").as("a_doc"), col("ns").as("n_a")), "a_doc")
-      .join(nsh.select(col("doc_id").as("b_doc"), col("ns").as("n_b")), "b_doc")
       .withColumn("jac_raw",
         col("n_inter").cast(DoubleType) /
           (col("n_a") + col("n_b") - col("n_inter")).cast(DoubleType))
-  }
 }
