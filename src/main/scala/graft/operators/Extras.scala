@@ -51,16 +51,18 @@ object Extras {
       """SELECT vec_id,
         |  len(embedding) AS dim,
         |  len(list_filter(embedding, x -> x > 0)) AS n_pos,
-        |  list_sum(list_transform(embedding, x -> abs(CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)))) AS l1_micro,
+        |  CAST(list_sum(list_transform(embedding, x -> abs(CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)))) AS BIGINT) AS l1_micro,
         |  list_max(list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT))) AS max_micro
         |FROM embeddings
         |ORDER BY vec_id""".stripMargin) { (s, dir) =>
+      // size() emits INT vs DuckDB len()'s BIGINT, and DuckDB list_sum over
+      // BIGINT widens to HUGEINT — pin both sides to BIGINT for the hash.
       val micro = transform(col("embedding"),
         x => floor(x.cast(DoubleType) * 1000000).cast(LongType))
       Tables.load(s, dir, "embeddings")
         .select(col("vec_id"),
-          size(col("embedding")).as("dim"),
-          size(filter(col("embedding"), x => x > 0)).as("n_pos"),
+          size(col("embedding")).cast(LongType).as("dim"),
+          size(filter(col("embedding"), x => x > 0)).cast(LongType).as("n_pos"),
           aggregate(transform(micro, x => abs(x)), lit(0L), (a, x) => a + x).as("l1_micro"),
           array_max(micro).as("max_micro"))
         .orderBy(col("vec_id"))

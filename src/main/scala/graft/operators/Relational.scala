@@ -402,18 +402,22 @@ object Relational {
         |  CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
         |  o_orderdate + INTERVAL 30 DAY AS due_date,
         |  date_diff('day', o_orderdate, TIMESTAMP '2000-01-01 00:00:00') AS days_to_y2k,
-        |  epoch(o_orderdate) AS epoch_s
+        |  CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s
         |FROM orders WHERE o_orderkey % 100 = 0 ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      // Spark's year/month/dayofmonth/datediff emit INT; DuckDB's emit
+      // BIGINT (and epoch() emits DOUBLE) — widen both sides to BIGINT so
+      // the Arrow schemas hash identically.
       Tables.load(s, dir, "orders")
         .filter(col("o_orderkey") % 100 === 0)
         .select(col("o_orderkey"),
-          year(col("o_orderdate")).as("y"),
-          month(col("o_orderdate")).as("m"),
-          dayofmonth(col("o_orderdate")).as("d"),
+          year(col("o_orderdate")).cast(LongType).as("y"),
+          month(col("o_orderdate")).cast(LongType).as("m"),
+          dayofmonth(col("o_orderdate")).cast(LongType).as("d"),
           date_format(col("o_orderdate"), "yyyyMM").as("yyyymm"),
           date_trunc("month", col("o_orderdate")).as("month_start"),
           (col("o_orderdate") + expr("INTERVAL 30 DAY")).as("due_date"),
-          datediff(lit("2000-01-01").cast(DateType), col("o_orderdate")).as("days_to_y2k"),
+          datediff(lit("2000-01-01").cast(DateType), col("o_orderdate")).cast(LongType)
+            .as("days_to_y2k"),
           unix_timestamp(col("o_orderdate")).as("epoch_s"))
         .orderBy(col("o_orderkey"))
     },
@@ -520,15 +524,34 @@ object Relational {
         .orderBy(col("c_nationkey"))
     },
 
-    // ----- A4: approximate count-distinct (HLL — rows-only check:
-    //       Spark HLL++ and DuckDB HLL give different estimates) ----------
-    QuerySpec("q30_approx_distinct",
-      (s: SparkSession, dir: String) => {
-        Tables.load(s, dir, "lineitem")
-          .groupBy(col("l_returnflag"))
-          .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
-               approx_count_distinct(col("l_orderkey")).as("approx_orders"))
-          .orderBy(col("l_returnflag"))
-      }, None)
+    // ----- A4: approximate count-distinct (HLL). Spark HLL++ and DuckDB
+    //       HLL produce different estimates, so the cross-engine-stable
+    //       output is the exact count plus a per-engine "estimate within
+    //       5% of exact" boolean — each engine validates its own sketch. --
+    QuerySpec("q30_approx_distinct")(
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_partkey) AS exact_parts,
+        |  count(DISTINCT l_orderkey) AS exact_orders,
+        |  abs(CAST(approx_count_distinct(l_partkey) AS DOUBLE) - count(DISTINCT l_partkey))
+        |    / count(DISTINCT l_partkey) < 0.05 AS parts_within_5pct,
+        |  abs(CAST(approx_count_distinct(l_orderkey) AS DOUBLE) - count(DISTINCT l_orderkey))
+        |    / count(DISTINCT l_orderkey) < 0.05 AS orders_within_5pct
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          countDistinct(col("l_partkey")).as("exact_parts"),
+          countDistinct(col("l_orderkey")).as("exact_orders"),
+          // rsd=0.01 (vs the 0.05 default) keeps Spark's HLL++ estimate
+          // comfortably inside the 5% acceptance band the oracle also
+          // applies to DuckDB's own sketch.
+          (abs(approx_count_distinct(col("l_partkey"), 0.01).cast(DoubleType)
+            - countDistinct(col("l_partkey")))
+            / countDistinct(col("l_partkey")) < 0.05).as("parts_within_5pct"),
+          (abs(approx_count_distinct(col("l_orderkey"), 0.01).cast(DoubleType)
+            - countDistinct(col("l_orderkey")))
+            / countDistinct(col("l_orderkey")) < 0.05).as("orders_within_5pct"))
+        .orderBy(col("l_returnflag"))
+    }
   )
 }

@@ -26,7 +26,7 @@ object WeatherOps {
         |  SELECT c_custkey AS k, c_name, c_mktsegment AS seg, c_custkey % 4 AS m
         |  FROM customer WHERE c_custkey % 53 <> 0)
         |SELECT
-        |  DATE '2024-06-01' AS event_date,
+        |  CAST(DATE '2024-06-01' AS TIMESTAMP) AS event_date,
         |  TIMESTAMP '2024-06-01 15:00:00' AS event_time,
         |  c_name AS city_name,
         |  CAST(k % 50000 AS INT) AS timezone,
@@ -35,17 +35,17 @@ object WeatherOps {
         |  CAST((k % 180) - 90 + 0.5 AS FLOAT) AS latitude,
         |  CASE WHEN m = 1 THEN '' ELSE seg END AS weather_main,
         |  CASE WHEN m = 1 THEN '' ELSE lower(seg) END AS weather_description,
-        |  CAST((k % 120) - 60 + 0.25 AS DECIMAL(5,2)) AS temperature,
-        |  CAST((k % 120) - 60 + 0.25 - 2.5 AS DECIMAL(5,2)) AS feels_like,
-        |  CAST((k % 120) - 60 + 0.25 - 5.25 AS DECIMAL(5,2)) AS temp_min,
-        |  CAST((k % 120) - 60 + 0.25 + 4.5 AS DECIMAL(5,2)) AS temp_max,
+        |  CAST((k % 120) - 60 + 0.25 AS DOUBLE) AS temperature,
+        |  CAST((k % 120) - 60 + 0.25 - 2.5 AS DOUBLE) AS feels_like,
+        |  CAST((k % 120) - 60 + 0.25 - 5.25 AS DOUBLE) AS temp_min,
+        |  CAST((k % 120) - 60 + 0.25 + 4.5 AS DOUBLE) AS temp_max,
         |  CAST(950 + k % 100 AS INT) AS pressure,
         |  CAST(k % 101 AS INT) AS humidity,
         |  CAST(k % 20000 AS INT) AS visibility,
-        |  CAST((k % 30) + 0.75 AS DECIMAL(4,2)) AS wind_speed,
+        |  CAST((k % 30) + 0.75 AS DOUBLE) AS wind_speed,
         |  CAST(k % 360 AS INT) AS wind_degree,
-        |  CASE WHEN m = 0 THEN CAST(0 AS DECIMAL(4,2))
-        |       ELSE CAST((k % 30) + 4.00 AS DECIMAL(4,2)) END AS wind_gust,
+        |  CASE WHEN m = 0 THEN CAST(0 AS DOUBLE)
+        |       ELSE CAST((k % 30) + 4.00 AS DOUBLE) END AS wind_gust,
         |  CAST((k * 3) % 101 AS INT) AS cloudiness,
         |  CASE WHEN m = 2 THEN NULL
         |       ELSE make_timestamp((1717200000 + k * 7) * 1000000) END AS sunrise,
@@ -85,8 +85,19 @@ object WeatherOps {
       val raw = Tables.load(s, dir, "customer")
         .repartition(col("c_custkey")) // single-split fixture scan → spread the JSON round-trip
         .withColumn("value", when(k % 53 === 0, lit("{not json")).otherwise(payload))
-      WeatherFlatten(raw, ingestTime = lit("2024-06-01 12:00:00").cast(TimestampType))
-        .orderBy(col("city_name"))
+      // The typed 22-column fact schema (DECIMAL temps, DATE partition key)
+      // is pinned by WeatherFlattenSpec; the *compared* projection casts
+      // decimals→DOUBLE and the date→TIMESTAMP so both Arrow schemas hash
+      // identically (all values are exact quarters, so the cast is lossless).
+      val fact = WeatherFlatten(raw, ingestTime = lit("2024-06-01 12:00:00").cast(TimestampType))
+      val hashStable = fact.schema.fields.map { f =>
+        f.dataType match {
+          case _: DecimalType => col(f.name).cast(DoubleType).as(f.name)
+          case DateType       => col(f.name).cast(TimestampType).as(f.name)
+          case _              => col(f.name)
+        }
+      }
+      fact.select(hashStable.toSeq: _*).orderBy(col("city_name"))
     }
   )
 }

@@ -42,6 +42,13 @@ def main(sfdir, outdir):
         ocols, gcols = sorted(oracle.column_names), sorted(got.column_names)
         if ocols != gcols:
             print(f"[FAIL] {name}: columns oracle={ocols} spark={gcols}"); nfail += 1; continue
+        # The driver's hash is strict about Arrow types (int32 vs int64 fails
+        # even when values match) — surface width mismatches as warnings.
+        for c in ocols:
+            ot = str(oracle.schema.field(c).type)
+            gt = str(got.schema.field(c).type)
+            if ot != gt and {ot, gt} != {"timestamp[us]", "timestamp[ns]"}:
+                print(f"[TYPE] {name}.{c}: oracle={ot} spark={gt}")
         orows = sorted([tuple(norm(r[c]) for c in ocols) for r in oracle.to_pylist()],
                        key=lambda t: tuple((x is None, str(x)) for x in t))
         grows = sorted([tuple(norm(r[c]) for c in gcols) for r in got.to_pylist()],
