@@ -45,6 +45,11 @@ class PlanAssertionsSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q47: near-dup pairs come from the SRP bucket equi-join, not all-pairs") {
+    val p = plan("q47_embedding_neardup")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+  }
+
   test("aggregations run partial+final (map-side combine)") {
     val p = plan("q05_count_distinct")
     assert(p.contains("partial_count") || p.contains("HashAggregate"))
