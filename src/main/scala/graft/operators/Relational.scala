@@ -476,8 +476,12 @@ object Relational {
         |        row_number() OVER (ORDER BY c_name) AS rn
         |      FROM customer) t
         |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
-      Tables.load(s, dir, "customer")
-        .withColumn("rn", row_number().over(Window.orderBy(col("c_name"))))
+      // Two-phase numbering (Ordinals.globalRowNumber) instead of a global
+      // Window.orderBy: no single-partition exchange, same deterministic
+      // sorted-by-name i%3+1 routing (c_name is unique in customer).
+      Ordinals.globalRowNumber(
+          Tables.load(s, dir, "customer").select(col("c_custkey"), col("c_name")),
+          "rn", "c_name")
         .select(col("c_custkey"), col("c_name"),
           concat(lit("weather_topic_"), ((col("rn") - 1) % 3 + 1).cast(StringType)).as("topic"))
         .orderBy(col("c_custkey"))

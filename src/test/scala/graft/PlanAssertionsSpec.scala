@@ -50,6 +50,23 @@ class PlanAssertionsSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
   }
 
+  test("q26: global row numbering plans no single-partition window") {
+    val p = plan("q26_route_roundrobin")
+    assert(!p.contains("Window"))
+  }
+
+  test("Ordinals.globalRowNumber matches the window formulation exactly") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val cust = Tables.load(spark, dir, "customer").select("c_custkey", "c_name")
+    val expected = cust
+      .withColumn("rn", row_number().over(Window.orderBy(col("c_name"))).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    val got = operators.Ordinals.globalRowNumber(cust, "rn", "c_name")
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(got == expected)
+  }
+
   test("aggregations run partial+final (map-side combine)") {
     val p = plan("q05_count_distinct")
     assert(p.contains("partial_count") || p.contains("HashAggregate"))
