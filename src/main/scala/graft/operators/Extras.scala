@@ -80,17 +80,23 @@ object Extras {
       Seq("l_quantity", "l_extendedprice", "l_discount").map(oneCol)
         .mkString("", "\nUNION ALL ", "\nORDER BY col")
     } { (s, dir) =>
-      val li = Tables.load(s, dir, "lineitem")
-      def profile(c: String) = li.agg(
-        count(lit(1)).as("n"),
-        count(col(c)).as("n_nonnull"),
-        min(col(c)).cast(DoubleType).as("min_v"),
-        max(col(c)).cast(DoubleType).as("max_v"),
-        sum(col(c).cast(DecimalType(18, 2))).cast(DoubleType).as("sum_v"),
-        countDistinct(col(c)).as("n_distinct"))
-        .select(lit(c).as("col"), col("*"))
-      Seq("l_quantity", "l_extendedprice", "l_discount").map(profile)
-        .reduce(_.unionAll(_)).orderBy(col("col"))
+      // Single pass: all 6 stats × 3 columns in ONE aggregation over ONE
+      // lineitem scan (the multi-distinct is an Expand, not extra scans),
+      // then stack-unpivot to the per-column output shape.
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount")
+      val aggs = cols.flatMap(c => Seq(
+        count(col(c)).as(s"${c}_n_nonnull"),
+        min(col(c)).cast(DoubleType).as(s"${c}_min_v"),
+        max(col(c)).cast(DoubleType).as(s"${c}_max_v"),
+        sum(col(c).cast(DecimalType(18, 2))).cast(DoubleType).as(s"${c}_sum_v"),
+        countDistinct(col(c)).as(s"${c}_n_distinct")))
+      val stackRows = cols.map(c =>
+        s"'$c', n, ${c}_n_nonnull, ${c}_min_v, ${c}_max_v, ${c}_sum_v, ${c}_n_distinct")
+      Tables.load(s, dir, "lineitem")
+        .agg(count(lit(1)).as("n"), aggs: _*)
+        .selectExpr(s"stack(${cols.size}, ${stackRows.mkString(", ")}) " +
+          "AS (col, n, n_nonnull, min_v, max_v, sum_v, n_distinct)")
+        .orderBy(col("col"))
     },
 
     // ----- time-range window frame (trailing 1 h sum per user) ------------

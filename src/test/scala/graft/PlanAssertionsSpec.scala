@@ -67,6 +67,11 @@ class PlanAssertionsSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("q54: dataset profile scans lineitem exactly once") {
+    val p = plan("q54_profile")
+    assert("lineitem\\.parquet".r.findAllIn(p).size == 1, p.take(2000))
+  }
+
   test("aggregations run partial+final (map-side combine)") {
     val p = plan("q05_count_distinct")
     assert(p.contains("partial_count") || p.contains("HashAggregate"))
