@@ -4,6 +4,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val only = args.toSet // optional query-name filter for local iteration
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -18,15 +19,21 @@ object Bench {
     // Warm up codegen/classloading once so per-query numbers measure the
     // plans, not first-query JVM startup; run in declared spec order.
     try run((s, _) => SparkEntry.entry(s)) catch { case _: Throwable => () }
-    val results = SparkEntry.specs.map { sp =>
-      val t0 = System.nanoTime()
-      try run(sp.fn) catch { case _: Throwable => () }
-      sp.name -> (System.nanoTime() - t0) / 1e9
-    }.toMap
+    var errors = List.empty[String]
+    val results = SparkEntry.specs
+      .filter(sp => only.isEmpty || only(sp.name))
+      .map { sp =>
+        val t0 = System.nanoTime()
+        // A failed query records -1.0 (and lands in "errors") so breakage
+        // never reads as a time-to-failure performance win.
+        val ok = try { run(sp.fn); true } catch { case _: Throwable => errors ::= sp.name; false }
+        sp.name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.values.filter(_ >= 0).sum
+    val errJson = errors.reverse.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -54,13 +54,17 @@ object Dedup {
   private val HammingMax = 3
 
   // ---------------------------------------------------------------- SQL --
-  /** Shared DuckDB CTEs: normalized text → tokens → distinct 3-gram shingles. */
+  /** Shared DuckDB CTEs: normalized text → tokens → distinct 3-gram
+    * shingles, carried as 60-bit md5 hashes exactly like the Spark side
+    * ([[TextAnalysis.docShingleSets]]) — 8-byte join keys, identical in
+    * both engines.
+    */
   private val shingleCtes =
     """d AS (SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS t FROM documents),
       |tok AS (SELECT doc_id, regexp_split_to_array(t, '\s+') AS w FROM d),
       |sh AS (SELECT DISTINCT doc_id,
       |         unnest(list_transform(generate_series(1, greatest(len(w) - 2, 0)),
-      |                               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+      |                               i -> CAST('0x' || substr(md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2]), 1, 15) AS BIGINT))) AS s
       |       FROM tok),
       |nsh AS (SELECT doc_id, count(*) AS ns FROM sh GROUP BY doc_id),
       |inter AS (SELECT a.doc_id AS a_doc, b.doc_id AS b_doc, count(*) AS n_inter
@@ -69,6 +73,12 @@ object Dedup {
 
   private val jaccardExpr =
     "CAST(i.n_inter AS DOUBLE) / CAST(na.ns + nb.ns - i.n_inter AS DOUBLE)"
+
+  /** Jaccard in exact micro-units: floor on the identical IEEE double, not
+    * round(x, 6) — the engines' round() disagree at digit boundaries.
+    */
+  private val jacMicroSql =
+    s"CAST(floor(($jaccardExpr) * 1000000) AS BIGINT) AS jac_micro"
 
   private def hex60Sql(e: String) = s"CAST('0x' || substr(md5($e), 1, 15) AS BIGINT)"
 
@@ -97,7 +107,7 @@ object Dedup {
     QuerySpec("q36_ngram_jaccard")(
       s"""WITH $shingleCtes
         |SELECT i.a_doc, i.b_doc, i.n_inter, na.ns AS n_a, nb.ns AS n_b,
-        |  round($jaccardExpr, 6) AS jaccard
+        |  $jacMicroSql
         |FROM inter i
         |JOIN nsh na ON i.a_doc = na.doc_id
         |JOIN nsh nb ON i.b_doc = nb.doc_id
@@ -106,8 +116,9 @@ object Dedup {
       val dss = TextAnalysis.docShingleSets(Tables.load(s, dir, "documents"))
       pairJaccard(dss)
         .filter(col("jac_raw") >= JaccardThreshold)
-        .select(col("a_doc"), col("b_doc"), col("n_inter"), col("n_a"), col("n_b"),
-          round(col("jac_raw"), 6).as("jaccard"))
+        .select(col("a_doc"), col("b_doc"), col("n_inter"),
+          col("n_a").cast(LongType).as("n_a"), col("n_b").cast(LongType).as("n_b"),
+          floor(col("jac_raw") * 1000000).cast(LongType).as("jac_micro"))
         .orderBy(col("a_doc"), col("b_doc"))
     },
 
@@ -122,7 +133,7 @@ object Dedup {
         s"SELECT doc_id, $b AS band, md5($cs) AS bh FROM sig"
       }.mkString("\n        |    UNION ALL ")
       s"""WITH $shingleCtes,
-        |shh AS (SELECT doc_id, ${hex60Sql("s")} % $MersenneP AS hb FROM sh),
+        |shh AS (SELECT doc_id, s % $MersenneP AS hb FROM sh),
         |sig AS (SELECT doc_id,
         |    $minCols
         |  FROM shh GROUP BY doc_id),
@@ -131,7 +142,7 @@ object Dedup {
         |cand AS (SELECT DISTINCT x.doc_id AS a_doc, y.doc_id AS b_doc
         |         FROM bands x JOIN bands y
         |           ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id)
-        |SELECT c.a_doc, c.b_doc, round($jaccardExpr, 6) AS jaccard
+        |SELECT c.a_doc, c.b_doc, $jacMicroSql
         |FROM cand c
         |JOIN inter i ON c.a_doc = i.a_doc AND c.b_doc = i.b_doc
         |JOIN nsh na ON c.a_doc = na.doc_id
@@ -140,12 +151,12 @@ object Dedup {
         |ORDER BY c.a_doc, c.b_doc""".stripMargin
     } { (s, dir) =>
       // NARROW signature construction: the minhash of a doc is a pure
-      // projection over its shingle-set array — md5 each distinct shingle
-      // within the row, affine-permute, array_min. No explode, no groupBy,
-      // no shuffle until the (4 rows/doc) band join.
+      // projection over its (pre-hashed) shingle-set array — affine-permute
+      // each 60-bit shingle hash, array_min. No explode, no groupBy, no
+      // shuffle until the (4 rows/doc) band join.
       val dss = TextAnalysis.docShingleSets(Tables.load(s, dir, "documents"))
       val sig = dss
-        .withColumn("hb", transform(col("ss"), sh => hex60(sh) % MersenneP))
+        .withColumn("hb", transform(col("ss"), sh => sh % MersenneP))
         .select(Seq(col("doc_id")) ++ (1 to NumPerms).map(j =>
           array_min(transform(col("hb"),
             h => (h * permA(j - 1) + permB(j - 1)) % MersenneP)).as(s"m$j")): _*)
@@ -172,7 +183,8 @@ object Dedup {
         .withColumn("jac_raw", col("n_inter").cast(DoubleType) /
           (size(col("a_ss")) + size(col("b_ss")) - col("n_inter")).cast(DoubleType))
         .filter(col("jac_raw") >= JaccardThreshold)
-        .select(col("a_doc"), col("b_doc"), round(col("jac_raw"), 6).as("jaccard"))
+        .select(col("a_doc"), col("b_doc"),
+          floor(col("jac_raw") * 1000000).cast(LongType).as("jac_micro"))
         .orderBy(col("a_doc"), col("b_doc"))
     },
 
@@ -264,18 +276,48 @@ object Dedup {
     * (`pairCombos`, sizes riding along) → count per pair. No self-join, no
     * doc-size join afterwards — at 100 TB the size table is itself large,
     * so carrying ns through the pair rows beats joining it back. Shuffle
-    * volume is exactly Σ df² pair rows (bounded by the df cap at scale —
-    * SCALE.md dedup notes).
+    * volume is exactly Σ df² pair rows.
+    *
+    * `dfCap`: drop shingles whose document frequency exceeds the cap
+    * before pair expansion (standard in MinHash-era dedup). A df-f shingle
+    * contributes f²/2 pair rows to ONE task — the cap bounds per-task skew
+    * to cap²/2 and total shuffle to Σ min(df, cap)². With the cap on,
+    * n_inter undercounts pairs whose shared shingles are hot, so capped
+    * runs should exact-verify survivors ([[pairJaccardCapped]]); oracle
+    * query q36 runs uncapped so both engines compute the same closed form.
     */
-  private def pairJaccard(dss: DataFrame): DataFrame =
+  private[graft] def pairJaccard(dss: DataFrame, dfCap: Option[Int] = None): DataFrame =
     dss.select(col("doc_id"), size(col("ss")).as("ns"), explode(col("ss")).as("s"))
       .groupBy(col("s"))
-      .agg(sort_array(collect_set(struct(col("doc_id"), col("ns")))).as("ds"))
-      .filter(size(col("ds")) > 1)
+      // collect_list, not collect_set: (s, doc_id) rows are already unique
+      // (ss is distinct per doc), so set-dedup work buys nothing.
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("ns")))).as("ds"))
+      .filter(size(col("ds")) > 1 &&
+        dfCap.map(c => size(col("ds")) <= c).getOrElse(lit(true)))
       .select(explode(pairCombos(col("ds"))).as("p"))
       .groupBy(col("p.a").as("a_doc"), col("p.b").as("b_doc"),
         col("p.na").as("n_a"), col("p.nb").as("n_b"))
       .agg(count(lit(1)).as("n_inter"))
+      .withColumn("jac_raw",
+        col("n_inter").cast(DoubleType) /
+          (col("n_a") + col("n_b") - col("n_inter")).cast(DoubleType))
+
+  /** The capped-at-scale exact-Jaccard path: candidate pairs from df-capped
+    * posting lists (skew-bounded shuffle), then EXACT n_inter/sizes by
+    * intersecting the two docs' shingle-set arrays — so results equal the
+    * uncapped [[pairJaccard]] whenever every qualifying pair still shares
+    * ≥1 sub-cap shingle (near-dup pairs share their *unique* content
+    * shingles, which are low-df by nature; DedupSimilaritySpec pins recall
+    * on fixtures). Same output columns as pairJaccard.
+    */
+  private[graft] def pairJaccardCapped(dss: DataFrame, dfCap: Int): DataFrame =
+    pairJaccard(dss, Some(dfCap))
+      .select(col("a_doc"), col("b_doc"))
+      .join(dss.select(col("doc_id").as("a_doc"), col("ss").as("a_ss")), "a_doc")
+      .join(dss.select(col("doc_id").as("b_doc"), col("ss").as("b_ss")), "b_doc")
+      .withColumn("n_inter", size(array_intersect(col("a_ss"), col("b_ss"))).cast(LongType))
+      .select(col("a_doc"), col("b_doc"), col("n_inter"),
+        size(col("a_ss")).as("n_a"), size(col("b_ss")).as("n_b"))
       .withColumn("jac_raw",
         col("n_inter").cast(DoubleType) /
           (col("n_a") + col("n_b") - col("n_inter")).cast(DoubleType))

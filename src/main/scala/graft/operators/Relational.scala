@@ -541,20 +541,27 @@ object Relational {
         |  abs(CAST(approx_count_distinct(l_orderkey) AS DOUBLE) - count(DISTINCT l_orderkey))
         |    / count(DISTINCT l_orderkey) < 0.05 AS orders_within_5pct
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
-      Tables.load(s, dir, "lineitem")
-        .groupBy(col("l_returnflag"))
-        .agg(
-          countDistinct(col("l_partkey")).as("exact_parts"),
-          countDistinct(col("l_orderkey")).as("exact_orders"),
-          // rsd=0.01 (vs the 0.05 default) keeps Spark's HLL++ estimate
-          // comfortably inside the 5% acceptance band the oracle also
-          // applies to DuckDB's own sketch.
-          (abs(approx_count_distinct(col("l_partkey"), 0.01).cast(DoubleType)
-            - countDistinct(col("l_partkey")))
-            / countDistinct(col("l_partkey")) < 0.05).as("parts_within_5pct"),
-          (abs(approx_count_distinct(col("l_orderkey"), 0.01).cast(DoubleType)
-            - countDistinct(col("l_orderkey")))
-            / countDistinct(col("l_orderkey")) < 0.05).as("orders_within_5pct"))
+      // Exact distincts run as two-level aggregates (partial dedup map-side,
+      // then count) joined back on the 3-row group key — NOT as multi-
+      // distinct aggregates in one groupBy, whose Expand triples the scan's
+      // rows through the aggregation. rsd=0.01 (vs the 0.05 default) keeps
+      // Spark's HLL++ estimate comfortably inside the 5% acceptance band
+      // the oracle also applies to DuckDB's own sketch.
+      val li = Tables.load(s, dir, "lineitem")
+      def exact(c: String, out: String) =
+        li.select(col("l_returnflag"), col(c)).distinct()
+          .groupBy(col("l_returnflag")).agg(count(lit(1)).as(out))
+      val approx = li.groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_partkey"), 0.01).as("ap"),
+             approx_count_distinct(col("l_orderkey"), 0.01).as("ao"))
+      exact("l_partkey", "exact_parts")
+        .join(exact("l_orderkey", "exact_orders"), "l_returnflag")
+        .join(approx, "l_returnflag")
+        .select(col("l_returnflag"), col("exact_parts"), col("exact_orders"),
+          (abs(col("ap").cast(DoubleType) - col("exact_parts"))
+            / col("exact_parts") < 0.05).as("parts_within_5pct"),
+          (abs(col("ao").cast(DoubleType) - col("exact_orders"))
+            / col("exact_orders") < 0.05).as("orders_within_5pct"))
         .orderBy(col("l_returnflag"))
     }
   )

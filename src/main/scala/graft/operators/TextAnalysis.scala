@@ -227,17 +227,24 @@ object TextAnalysis {
     * dedup family builds on: set sizes and minhash signatures become pure
     * projections over the array instead of explode→groupBy re-aggregation.
     *
+    * Shingles are carried as 60-bit md5 hashes (Broder-style shingle
+    * hashing, [[TextFunctions.hex60]]), not strings: join/shuffle keys and
+    * intersection elements are 8-byte longs instead of ~25-byte phrases,
+    * and DuckDB regenerates the identical hashes so every downstream
+    * set size / intersection / signature stays oracle-exact.
+    *
     * The repartition rebalances a narrow scan before the CPU-heavy
     * shingle expansion: small fixture files arrive as ONE split, which
     * would serialize the whole pipeline onto a single core. (At
     * production scale a wide scan makes this a near-no-op shuffle of the
     * doc table.)
     */
-  private[operators] def docShingleSets(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+  private[graft] def docShingleSets(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     docs
       .repartition(col("doc_id"))
       .withColumn("t", normText(col("text")))
-      .select(col("doc_id"), array_distinct(shingles(split(col("t"), " "))).as("ss"))
+      .select(col("doc_id"),
+        array_distinct(transform(shingles(split(col("t"), " ")), sh => hex60(sh))).as("ss"))
 
   /** Exploded (doc_id, shingle) inverted-index rows over [[docShingleSets]]. */
   private[operators] def docShingles(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =

@@ -19,6 +19,20 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(lsh == exact, s"recall < 1: missed ${exact -- lsh}")
   }
 
+  test("df-capped Jaccard (cap=16) reproduces the uncapped pairs exactly") {
+    import org.apache.spark.sql.functions._
+    val dss = operators.TextAnalysis.docShingleSets(Tables.load(spark, dir, "documents"))
+    def pairs(df: org.apache.spark.sql.DataFrame) = df
+      .filter(col("jac_raw") >= 0.8)
+      .select("a_doc", "b_doc", "n_inter", "n_a", "n_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3), r.getInt(4))).toSet
+    val uncapped = pairs(operators.Dedup.pairJaccard(dss))
+    val capped = pairs(operators.Dedup.pairJaccardCapped(dss, 16))
+    assert(uncapped.nonEmpty, "fixture should contain planted near-dup pairs")
+    assert(capped == uncapped,
+      s"capped path diverged: missing=${uncapped -- capped} extra=${capped -- uncapped}")
+  }
+
   test("ANN returns true top-1 for most queries (recall floor)") {
     val exact = run("q39_cosine_topk").filter("rk = 1").select("q_id", "neighbor_id")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
