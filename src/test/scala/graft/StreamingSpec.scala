@@ -68,6 +68,39 @@ class StreamingSpec extends SparkSpec {
     } finally spark.streams.removeListener(listener)
   }
 
+  test("JDBC sink seam writes micro-batches through a real JDBC driver") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val cfg = graft.streaming.JdbcSink.Config(
+      url = "jdbc:derby:memory:graftjdbc;create=true", table = "weather_fact")
+    // The option seam mirrors the reference's connection settings
+    // (clickhouse_db.py: max_execution_time=60, batched insert, no dedup).
+    val o = graft.streaming.JdbcSink.options(cfg)
+    assert(o("batchsize") == "90" && o("queryTimeout") == "60" &&
+      o("isolationLevel") == "NONE" && o("dbtable") == "weather_fact")
+
+    val input = MemoryStream[String]
+    input.addData(
+      """{"name":"Moscow","main":{"temp":20.5},"sys":{"country":"RU"}}""",
+      """{"name":"Kazan","main":{"temp":15.25}}""",
+      """{broken""")
+    val q = graft.streaming.JdbcSink.start(
+      input.toDF(), cfg, tmp("graft_jdbc_ckpt"),
+      trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    q.processAllAvailable()
+    q.stop()
+
+    // pushDownPredicate off: Derby can't compare CLOB-mapped strings in
+    // SQL, so keep the verification filter on the Spark side.
+    val back = spark.read.format("jdbc")
+      .options(Map("url" -> cfg.url, "dbtable" -> cfg.table,
+        "pushDownPredicate" -> "false")).load()
+    assert(back.count() == 2) // malformed dropped, both rows through JDBC
+    val t = back.filter(col("city_name") === "Moscow")
+      .select(col("temperature").cast("string")).head().getString(0)
+    assert(t == "20.50")
+  }
+
   test("windowed totals emit per event-time window under watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
