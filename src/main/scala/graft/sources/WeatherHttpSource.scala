@@ -36,12 +36,17 @@ object WeatherHttpSource {
                  baseUrl: String = DefaultBaseUrl): String =
     s"$baseUrl?lat=$lat&lon=$lon&APPID=$apiKey&units=metric"
 
+  /** One client per JVM (= per executor), reused across the per-city fetch
+    * loop for connection pooling — never one client per request.
+    */
+  private lazy val sharedClient: HttpClient =
+    HttpClient.newBuilder().connectTimeout(Duration.ofSeconds(10)).build()
+
   /** Production transport: blocking GET, 2xx required, empty body rejected
     * (reference raise_for_status + empty-data ValueError).
     */
   def defaultFetch: Fetch = { url =>
-    val client = HttpClient.newBuilder().connectTimeout(Duration.ofSeconds(10)).build()
-    val resp = client.send(
+    val resp = sharedClient.send(
       HttpRequest.newBuilder(URI.create(url)).timeout(Duration.ofSeconds(30)).GET().build(),
       HttpResponse.BodyHandlers.ofString())
     if (resp.statusCode() / 100 != 2)
