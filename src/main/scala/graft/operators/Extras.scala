@@ -99,6 +99,40 @@ object Extras {
         .orderBy(col("col"))
     },
 
+    // ----- §2.8 map scalar family -----------------------------------------
+    // map_from_entries / element_at-on-map / map_keys / cardinality as a
+    // query surface: per-nation segment→count maps with defaulted lookups
+    // (the map formulation of the P3 topic-lookup-with-default pattern the
+    // weather path implements as a broadcast join). try_element_at, not
+    // element_at: ANSI mode throws on missing map keys.
+    QuerySpec("q55_map_funcs")(
+      """WITH seg AS (SELECT c_nationkey, c_mktsegment AS k, count(*) AS n
+        |             FROM customer GROUP BY 1, 2),
+        |m AS (SELECT c_nationkey,
+        |        map_from_entries(list_sort(list({'key': k, 'value': n}))) AS seg_counts
+        |      FROM seg GROUP BY c_nationkey)
+        |SELECT c_nationkey,
+        |  coalesce(map_extract(seg_counts, 'BUILDING')[1], -1) AS building_custs,
+        |  coalesce(map_extract(seg_counts, 'NO SUCH SEGMENT')[1], -1) AS missing_defaulted,
+        |  CAST(cardinality(seg_counts) AS BIGINT) AS n_segments,
+        |  array_to_string(map_keys(seg_counts), ',') AS segs
+        |FROM m ORDER BY c_nationkey""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "customer")
+        .groupBy(col("c_nationkey"), col("c_mktsegment").as("k"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy(col("c_nationkey"))
+        .agg(map_from_entries(sort_array(collect_list(struct(col("k"), col("n")))))
+          .as("seg_counts"))
+        .select(col("c_nationkey"),
+          coalesce(try_element_at(col("seg_counts"), lit("BUILDING")), lit(-1L))
+            .as("building_custs"),
+          coalesce(try_element_at(col("seg_counts"), lit("NO SUCH SEGMENT")), lit(-1L))
+            .as("missing_defaulted"),
+          size(col("seg_counts")).cast(LongType).as("n_segments"),
+          array_join(map_keys(col("seg_counts")), ",").as("segs"))
+        .orderBy(col("c_nationkey"))
+    },
+
     // ----- time-range window frame (trailing 1 h sum per user) ------------
     QuerySpec("q52_range_frame")(
       """SELECT event_id, user_id,
