@@ -22,9 +22,20 @@ object Tables {
     */
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     if (name == "events") {
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$dir/$name.parquet")
+      // Scope the legacy flag to this schema inference: save and restore
+      // the previous value so the session-wide parquet behavior of later,
+      // unrelated reads is untouched. (The inferred schema is captured in
+      // the returned plan; execution keys off the requested LONG type, not
+      // the live conf value.)
+      val key = "spark.sql.legacy.parquet.nanosAsLong"
+      val prev = spark.conf.getOption(key)
+      spark.conf.set(key, "true")
+      try spark.read.parquet(s"$dir/$name.parquet")
         .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      finally prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
     } else {
       spark.read.parquet(s"$dir/$name.parquet")
     }

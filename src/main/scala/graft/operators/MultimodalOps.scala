@@ -21,7 +21,7 @@ object MultimodalOps {
         .mkString(",\n        |  ")
       s"""SELECT doc_id AS media_id,
         |  CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS media_type,
-        |  length(text) AS n_bytes,
+        |  strlen(text) AS n_bytes,
         |  $fCols
         |FROM documents
         |ORDER BY media_id""".stripMargin

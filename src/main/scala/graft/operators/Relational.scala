@@ -223,13 +223,14 @@ object Relational {
     QuerySpec("q12_agg_variance")(
       """SELECT o_orderpriority, count(*) AS n,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
-        |  CAST(round((CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |  CAST(floor((CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
         |   - CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) * CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / CAST(count(*) AS DOUBLE))
-        |   / (CAST(count(*) AS DOUBLE) - 1), 0) AS BIGINT) AS variance
+        |   / (CAST(count(*) AS DOUBLE) - 1)) AS BIGINT) AS variance
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, dir) =>
-      // The decimal→double conversion of sum(x²) is inexact above 2^53, and
-      // the mean-shift subtraction amplifies the engines' last-ulp
-      // differences — so the compared output is rounded to whole units.
+      // Both engines build the identical IEEE double from exact decimal
+      // sums, so the only cross-engine divergence is rounding AT the .5
+      // boundary — floor (identical on identical doubles) instead of
+      // round, per the repo-wide parity convention.
       val o = Tables.load(s, dir, "orders")
       val sumD = sum(dec(col("o_totalprice"))).cast(DoubleType)
       val sumSq = sum(dec(col("o_totalprice")) * dec(col("o_totalprice"))).cast(DoubleType)
@@ -237,7 +238,7 @@ object Relational {
       o.groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("n"),
              sumD.as("total"),
-             round((sumSq - sumD * sumD / n) / (n - lit(1.0)), 0).cast(LongType).as("variance"))
+             floor((sumSq - sumD * sumD / n) / (n - lit(1.0))).cast(LongType).as("variance"))
         .orderBy(col("o_orderpriority"))
     },
 
