@@ -151,16 +151,19 @@ object Dedup {
         |ORDER BY c.a_doc, c.b_doc""".stripMargin
     } { (s, dir) =>
       // NARROW signature construction: the minhash of a doc is a pure
-      // projection over its (pre-hashed) shingle-set array — affine-permute
-      // each 60-bit shingle hash, array_min. No explode, no groupBy, no
-      // shuffle until the (4 rows/doc) band join.
+      // projection over its (pre-hashed) shingle-set array — all 16
+      // permutation minima in one native codegen pass (minhash_sigs;
+      // the k × transform/array_min formulation pays ~2k interpreted
+      // lambdas per shingle). No explode, no groupBy, no shuffle until
+      // the (4 rows/doc) band join.
+      graft.plans.GraftExtensions.register(s)
       val dss = TextAnalysis.docShingleSets(Tables.load(s, dir, "documents"))
       val sig = dss
-        .withColumn("hb", transform(col("ss"), sh => sh % MersenneP))
+        .withColumn("sigs", call_function("minhash_sigs", col("ss"),
+          typedLit(permA), typedLit(permB), lit(MersenneP)))
+        .filter(col("sigs").isNotNull) // docs with <3 tokens have no shingles
         .select(Seq(col("doc_id")) ++ (1 to NumPerms).map(j =>
-          array_min(transform(col("hb"),
-            h => (h * permA(j - 1) + permB(j - 1)) % MersenneP)).as(s"m$j")): _*)
-        .filter(col("m1").isNotNull) // docs with <3 tokens have no shingles
+          col("sigs").getItem(j - 1).as(s"m$j")): _*)
       val bandStructs = (0 until Bands).map { b =>
         val cs = (1 to RowsPerBand).map(r => col(s"m${b * RowsPerBand + r}"))
         struct(lit(b).as("band"),

@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.expressions.LongVecDot
+import graft.functions.expressions.{LongVecDot, MinHashSigs}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -26,7 +26,11 @@ object GraftExtensions {
   private val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("vec_dot_long"),
       new ExpressionInfo(classOf[LongVecDot].getName, "vec_dot_long"),
-      (children: Seq[Expression]) => LongVecDot(children(0), children(1))))
+      (children: Seq[Expression]) => LongVecDot(children(0), children(1))),
+    (FunctionIdentifier("minhash_sigs"),
+      new ExpressionInfo(classOf[MinHashSigs].getName, "minhash_sigs"),
+      (children: Seq[Expression]) =>
+        MinHashSigs(children(0), children(1), children(2), children(3))))
 
   /** Idempotent per-session registration. */
   def register(spark: SparkSession): Unit =

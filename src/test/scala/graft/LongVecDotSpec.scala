@@ -35,4 +35,28 @@ class LongVecDotSpec extends SparkSpec {
     val r = spark.sql("SELECT vec_dot_long(array(2L, 3L), array(10L, 100L)) AS d")
     assert(r.collect().head.getLong(0) == 320L)
   }
+
+  test("minhash_sigs matches the k-fold transform/array_min formulation") {
+    GraftExtensions.register(spark)
+    import spark.implicits._
+    val p = 2147483647L
+    val a = Seq(7L, 999999937L, 123456789L)
+    val b = Seq(3L, 42L, 2000000000L)
+    val df = Seq(
+      Seq(123456789012345L, 98765432109876L, 555L),
+      Seq(17L),
+      Seq.empty[Long]
+    ).toDF("ss")
+    val native = df.select(call_function("minhash_sigs", col("ss"),
+      typedLit(a), typedLit(b), lit(p)).as("sigs")).collect()
+    val hof = df.select(array(a.indices.map(j =>
+      array_min(transform(col("ss"), h => (h % p * a(j) + b(j)) % p))): _*).as("sigs"))
+      .collect()
+    // Non-empty rows agree exactly with the higher-order formulation...
+    (0 to 1).foreach { i =>
+      assert(native(i).getSeq[Long](0) == hof(i).getSeq[Long](0))
+    }
+    // ...and an empty shingle array yields a null signature (no shingles).
+    assert(native(2).isNullAt(0))
+  }
 }

@@ -67,6 +67,21 @@ class PlanAssertionsSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("q30: exact distincts plan two-level aggregates, not a multi-distinct Expand") {
+    val p = plan("q30_approx_distinct")
+    assert(!p.contains("Expand"))
+  }
+
+  test("q36: inverted-index Jaccard never plans a cartesian or nested-loop join") {
+    val p = plan("q36_ngram_jaccard")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q37: minhash signatures run through the native codegen expression") {
+    val p = plan("q37_minhash_lsh")
+    assert(p.contains("minhash_sigs"))
+  }
+
   test("q54: dataset profile scans lineitem exactly once") {
     val p = plan("q54_profile")
     assert("lineitem\\.parquet".r.findAllIn(p).size == 1, p.take(2000))
