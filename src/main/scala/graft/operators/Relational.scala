@@ -294,11 +294,14 @@ object Relational {
         |    rank() OVER (PARTITION BY event_type ORDER BY value DESC, event_id ASC) AS rk
         |  FROM events) t
         |WHERE rk <= 5 ORDER BY event_type, rk""".stripMargin) { (s, dir) =>
-      val w = Window.partitionBy(col("event_type"))
-        .orderBy(col("value").desc, col("event_id").asc)
-      Tables.load(s, dir, "events")
-        .withColumn("rk", rank().over(w))
-        .filter(col("rk") <= 5)
+      // event_type is low-cardinality, so the naive per-key window funnels
+      // the corpus through a handful of tasks at scale — salted two-phase
+      // top-k (TopK.perKeyTopK) keeps it exact (total order via the
+      // event_id tiebreak) with bounded per-task row counts.
+      TopK.perKeyTopK(Tables.load(s, dir, "events"),
+          keys = Seq(col("event_type")),
+          order = Seq(col("value").desc, col("event_id").asc),
+          k = 5, saltFrom = col("event_id"))
         .select(col("event_type"), col("rk"), col("event_id"), col("value"))
         .orderBy(col("event_type"), col("rk"))
     },

@@ -50,6 +50,24 @@ class PlanAssertionsSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
   }
 
+  test("q16: salted two-phase top-k matches the naive per-key window exactly") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val events = Tables.load(spark, dir, "events")
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("value").desc, col("event_id").asc)
+    val naive = events.withColumn("rk", rank().over(w)).filter(col("rk") <= 5)
+      .select("event_type", "rk", "event_id")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
+    val salted = operators.TopK.perKeyTopK(events,
+        keys = Seq(col("event_type")),
+        order = Seq(col("value").desc, col("event_id").asc),
+        k = 5, saltFrom = col("event_id"))
+      .select("event_type", "rk", "event_id")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
+    assert(naive.nonEmpty && salted == naive)
+  }
+
   test("q26: global row numbering plans no single-partition window") {
     val p = plan("q26_route_roundrobin")
     assert(!p.contains("Window"))
