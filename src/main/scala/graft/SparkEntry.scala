@@ -20,7 +20,8 @@ object SparkEntry {
       operators.WeatherOps.specs ++
       operators.MultimodalOps.specs ++
       operators.SqlSurface.specs ++
-      operators.Extras.specs
+      operators.Extras.specs ++
+      operators.TrainPipe.specs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,119 @@
+package graft.operators
+
+import graft.{QuerySpec, Tables}
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Training-data-pipeline operators beyond the dedup/similarity families:
+  * deterministic dataset splitting, corpus vocabulary, intra-document
+  * repetition (a Gopher-style quality signal), and PII scrubbing. All are
+  * per-row projections or hash-aggregations — scan-parallel at any corpus
+  * size — and every one is oracle-paired (md5-derived hashing and regex
+  * primitives with exact DuckDB equivalents).
+  */
+object TrainPipe {
+
+  private val hex60SqlExpr = "CAST('0x' || substr(md5(%s), 1, 15) AS BIGINT)"
+
+  /** Email-ish and long-digit-run patterns, RE2- and Java-compatible. */
+  private val EmailPat = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  private val DigitRunPat = "[0-9]{7,}"
+
+  val specs: Seq[QuerySpec] = Seq(
+
+    // ----- deterministic train/val/test split -----------------------------
+    // Membership is a pure function of the stable doc key (salted 60-bit
+    // md5 bucket mod 100 → 80/10/10), so the split is reproducible across
+    // runs, engines, and repartitioning — the property a training pipeline
+    // needs for resumable preprocessing. One hash-aggregation, no shuffle
+    // of document bodies.
+    QuerySpec("q56_dataset_split")(
+      s"""SELECT split, count(*) AS n_docs, CAST(sum(strlen(text)) AS BIGINT) AS n_bytes
+        |FROM (SELECT CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+        |                  ELSE 'test' END AS split, text
+        |      FROM (SELECT text,
+        |              ${hex60SqlExpr.format("CAST(doc_id AS VARCHAR) || '|split'")} % 100 AS b
+        |            FROM documents))
+        |GROUP BY split ORDER BY split""".stripMargin) { (s, dir) =>
+      val b = hex60(concat(col("doc_id").cast(StringType), lit("|split"))) % 100
+      Tables.load(s, dir, "documents")
+        .withColumn("split",
+          when(b < 80, "train").when(b < 90, "val").otherwise("test"))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+             sum(octet_length(col("text"))).as("n_bytes"))
+        .orderBy(col("split"))
+    },
+
+    // ----- corpus vocabulary: top-k tokens by document frequency ----------
+    // explode(distinct tokens) → hash-agg df → TakeOrderedAndProject:
+    // map-side combine bounds the shuffle by vocabulary size, and top-k
+    // never global-sorts. The (df DESC, token ASC) order is total.
+    QuerySpec("q57_vocab_topk")(
+      """SELECT t AS token, count(*) AS df FROM (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(regexp_split_to_array(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), '\s+')) AS t
+        |  FROM documents)
+        |GROUP BY t ORDER BY df DESC, token ASC LIMIT 20""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("token"))
+        .groupBy(col("token"))
+        .agg(count(lit(1)).as("df"))
+        .orderBy(col("df").desc, col("token").asc)
+        .limit(20)
+    },
+
+    // ----- intra-document repetition (Gopher-style quality signal) --------
+    // duplicate-3-gram fraction per doc, entirely in-row (no shuffle):
+    // 1 − distinct/total shingles, in exact micro-units.
+    QuerySpec("q58_repetition")(
+      """SELECT doc_id, n_sh, n_distinct_sh,
+        |  CAST(floor((1.0 - CAST(n_distinct_sh AS DOUBLE) / CAST(n_sh AS DOUBLE)) * 1000000) AS BIGINT) AS rep_micro
+        |FROM (
+        |  SELECT doc_id,
+        |    greatest(len(w) - 2, 0) AS n_sh,
+        |    len(list_distinct(list_transform(generate_series(1, greatest(len(w) - 2, 0)),
+        |                                     i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS n_distinct_sh
+        |  FROM (SELECT doc_id, regexp_split_to_array(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), '\s+') AS w
+        |        FROM documents))
+        |WHERE n_sh > 0
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val w = tokens(col("text"))
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          greatest(size(w) - 2, lit(0)).cast(LongType).as("n_sh"),
+          size(array_distinct(shingles(w))).cast(LongType).as("n_distinct_sh"))
+        .filter(col("n_sh") > 0)
+        .withColumn("rep_micro",
+          floor((lit(1.0) - col("n_distinct_sh").cast(DoubleType) /
+            col("n_sh").cast(DoubleType)) * 1000000).cast(LongType))
+        .orderBy(col("doc_id"))
+    },
+
+    // ----- PII scrub: detect + mask emails and long digit runs ------------
+    // Pure projection; counts verify the detector, the masked length
+    // verifies the rewrite (both engines replace ALL occurrences — DuckDB
+    // needs the 'g' flag).
+    QuerySpec("q59_pii_scrub")(
+      s"""SELECT doc_id,
+        |  len(regexp_extract_all(lower(text), '$EmailPat')) AS n_emails,
+        |  len(regexp_extract_all(text, '$DigitRunPat')) AS n_digit_runs,
+        |  strlen(regexp_replace(regexp_replace(lower(text), '$EmailPat', '<EMAIL>', 'g'),
+        |                        '$DigitRunPat', '<NUM>', 'g')) AS scrubbed_bytes
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val lowered = lower(col("text"))
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          size(regexp_extract_all(lowered, lit(EmailPat), lit(0))).cast(LongType)
+            .as("n_emails"),
+          size(regexp_extract_all(col("text"), lit(DigitRunPat), lit(0))).cast(LongType)
+            .as("n_digit_runs"),
+          octet_length(
+            regexp_replace(regexp_replace(lowered, EmailPat, "<EMAIL>"),
+              DigitRunPat, "<NUM>")).cast(LongType).as("scrubbed_bytes"))
+        .orderBy(col("doc_id"))
+    }
+  )
+}
