@@ -102,6 +102,32 @@ object WeatherStreamJob {
       .trigger(trigger)
       .start()
 
+  /** Ingest with the EXACT count-or-time flush contract (ST1): micro-
+    * batches stage into `stagingDir`; the warehouse sees one batched
+    * append per ≥`batchSize`-rows-or-≥`maxAgeMs` window
+    * ([[CountOrTimeBatcher]]). Call `batcher.flushNow` after `query.stop()`
+    * for the graceful-shutdown flush (ST8). The returned pair is
+    * (query, batcher).
+    */
+  def startCountOrTime(raw: DataFrame, warehousePath: String, checkpointDir: String,
+                       stagingDir: String, batchSize: Long = 90L, maxAgeMs: Long = 300000L,
+                       trigger: Trigger = Trigger.ProcessingTime("1 second"),
+                       clock: () => Long = () => System.currentTimeMillis())
+      : (StreamingQuery, CountOrTimeBatcher) = {
+    val batcher = new CountOrTimeBatcher(stagingDir, batchSize, maxAgeMs, clock)(
+      Warehouse.writeFact(_, warehousePath))
+    val q = WeatherFlatten.parse(raw)
+      .writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batcher.add(WeatherFlatten.flatten(batch))
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .start()
+    (q, batcher)
+  }
+
   /** ST9: the reference's 60 s stats loop (Consumer_clickhouse.py:167–172)
     * as a StreamingQueryListener — rows/s and batch counts per progress
     * event, queryable from [[IngestStatsListener.snapshot]].

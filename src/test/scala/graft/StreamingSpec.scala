@@ -101,6 +101,53 @@ class StreamingSpec extends SparkSpec {
     assert(t == "20.50")
   }
 
+  test("count-or-time batcher flushes at the row threshold, on age, and on shutdown") {
+    import spark.implicits._
+    var now = 0L
+    var flushes = Seq.empty[Long]
+    val batcher = new graft.streaming.CountOrTimeBatcher(
+      tmp("graft_staging"), batchSize = 90L, maxAgeMs = 300000L, clock = () => now)(
+      df => flushes :+= df.count())
+
+    def feed(n: Int): Unit = batcher.add((1 to n).toDF("v"))
+
+    feed(40) // below both thresholds
+    assert(flushes.isEmpty && batcher.pendingRows == 40)
+    feed(60) // 100 >= 90 → one flush of everything staged
+    assert(flushes == Seq(100L) && batcher.pendingRows == 0)
+
+    feed(10)
+    now += 300001L // age threshold trips on the next arrival
+    feed(1)
+    assert(flushes == Seq(100L, 11L))
+
+    feed(5) // graceful shutdown flushes the remainder (ST8)
+    batcher.flushNow(spark)
+    assert(flushes == Seq(100L, 11L, 5L) && batcher.pendingRows == 0)
+  }
+
+  test("count-or-time ingest: warehouse sees nothing until flush, everything after") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[String]
+    val warehouse = tmp("graft_wh_cot")
+    input.addData(
+      """{"name":"Moscow","main":{"temp":1.0}}""",
+      """{"name":"Kazan","main":{"temp":2.0}}""")
+    val (q, batcher) = WeatherStreamJob.startCountOrTime(
+      input.toDF(), warehouse, tmp("graft_ckpt_cot"), tmp("graft_staging_cot"),
+      trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    q.processAllAvailable()
+    q.stop()
+    // 2 rows < 90: still staged, the warehouse is untouched...
+    assert(batcher.pendingRows == 2)
+    val wf = new java.io.File(warehouse).listFiles()
+    assert(wf == null || wf.isEmpty)
+    // ...until the graceful-shutdown flush lands them as ONE batch (ST8).
+    batcher.flushNow(spark)
+    assert(spark.read.parquet(warehouse).count() == 2)
+  }
+
   test("windowed totals emit per event-time window under watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
