@@ -44,4 +44,27 @@ object AsOf {
       .filter(col("__asof_side") === 1)
       .drop("__asof_p", "__asof_side")
   }
+
+  /** The forward variant: attach the EARLIEST right row with
+    * `right.tsCol >= left.tsCol` (same mechanics mirrored — left rows sort
+    * before right at equal timestamps so equality matches, and the first
+    * non-null payload is carried backward over a running-following frame).
+    */
+  def firstOnOrAfter(left: DataFrame, right: DataFrame,
+                     keys: Seq[String], tsCol: String): DataFrame = {
+    val payloadCols = right.columns.filterNot(c => keys.contains(c) || c == tsCol)
+    val payload = struct(col(tsCol).as("__asof_ts") +: payloadCols.map(col): _*)
+    val r2 = right.select(keys.map(col) :+ col(tsCol) :+ payload.as("__asof_p") :+
+      lit(1).as("__asof_side"): _*)
+    val payloadType = r2.schema("__asof_p").dataType
+    val l2 = left.select(left.columns.map(col) :+
+      lit(null).cast(payloadType).as("__asof_p") :+ lit(0).as("__asof_side"): _*)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(tsCol).asc, col("__asof_side").asc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    l2.unionByName(r2, allowMissingColumns = true)
+      .withColumn("matched", first(col("__asof_p"), ignoreNulls = true).over(w))
+      .filter(col("__asof_side") === 0)
+      .drop("__asof_p", "__asof_side")
+  }
 }

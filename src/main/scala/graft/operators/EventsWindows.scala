@@ -94,6 +94,33 @@ object EventsWindows {
         .orderBy(col("event_id"))
     },
 
+    // ----- forward as-of with tolerance: next click within 30 min ---------
+    // The mirrored AsOf direction (first right row at/after each left row)
+    // plus a match-window tolerance, vs DuckDB's native forward ASOF with
+    // the same post-filter. Same single-shuffle union-merge scale story.
+    QuerySpec("q60_asof_forward")(
+      """WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+        |r AS (SELECT user_id, ts, max(value) AS click_val
+        |      FROM events WHERE event_type = 'click' GROUP BY user_id, ts)
+        |SELECT l.event_id, l.user_id, l.ts,
+        |  CASE WHEN r.ts <= l.ts + INTERVAL '30 minutes' THEN r.ts END AS next_click_ts,
+        |  CASE WHEN r.ts <= l.ts + INTERVAL '30 minutes' THEN r.click_val END AS next_click_val
+        |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND r.ts >= l.ts
+        |ORDER BY l.event_id""".stripMargin) { (s, dir) =>
+      val e = Tables.load(s, dir, "events")
+      val l = e.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val r = e.filter(col("event_type") === "click")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("value")).as("click_val"))
+      val inWindow = col("matched.__asof_ts") <= col("ts") + expr("INTERVAL 30 MINUTES")
+      AsOf.firstOnOrAfter(l, r, Seq("user_id"), "ts")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          when(inWindow, col("matched.__asof_ts")).as("next_click_ts"),
+          when(inWindow, col("matched.click_val")).as("next_click_val"))
+        .orderBy(col("event_id"))
+    },
+
     // ----- sliding window (2 h window, 1 h slide) -------------------------
     QuerySpec("q44_sliding_window")(
       """SELECT time_bucket(INTERVAL '1 hour', ts) - o.off * INTERVAL '1 hour' AS window_start,

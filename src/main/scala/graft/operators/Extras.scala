@@ -99,6 +99,50 @@ object Extras {
         .orderBy(col("col"))
     },
 
+    // ----- salted join, oracle-checked ------------------------------------
+    // The skew technique as a query surface: Skew.saltedJoin splits each
+    // (potentially hot) fact key across 8 salt sub-keys and replicates the
+    // dim once per salt — results are IDENTICAL to the plain join, which
+    // is exactly what the oracle (a plain join) verifies.
+    QuerySpec("q61_salted_join")(
+      """SELECT p_brand, count(*) AS n,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin) { (s, dir) =>
+      val li = Tables.load(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_extendedprice"), col("l_discount"))
+      val p = Tables.load(s, dir, "part")
+        .select(col("p_partkey").as("l_partkey"), col("p_brand"))
+      Skew.saltedJoin(li, p, "l_partkey", salts = 8)
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_extendedprice").cast(DecimalType(18, 2))
+            * (lit(1) - col("l_discount").cast(DecimalType(18, 2))))
+            .cast(DoubleType).as("revenue"))
+        .orderBy(col("p_brand"))
+    },
+
+    // ----- approximate quantiles with a per-engine acceptance oracle ------
+    // Same pattern as q30: the sketches differ by engine (Spark
+    // percentile_approx vs DuckDB t-digest), so the cross-engine-stable
+    // output is the exact quantile plus each engine checking its own
+    // estimate against a 2% band.
+    QuerySpec("q62_approx_quantile")(
+      """SELECT o_orderpriority,
+        |  CAST(quantile_cont(o_totalprice, 0.5) AS DOUBLE) AS exact_median,
+        |  abs(approx_quantile(o_totalprice, 0.5) - quantile_cont(o_totalprice, 0.5))
+        |    / quantile_cont(o_totalprice, 0.5) < 0.02 AS approx_within_2pct
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          percentile(col("o_totalprice"), lit(0.5)).as("exact_median"),
+          (abs(percentile_approx(col("o_totalprice"), lit(0.5), lit(10000))
+            - percentile(col("o_totalprice"), lit(0.5)))
+            / percentile(col("o_totalprice"), lit(0.5)) < 0.02).as("approx_within_2pct"))
+        .orderBy(col("o_orderpriority"))
+    },
+
     // ----- §2.8 map scalar family -----------------------------------------
     // map_from_entries / element_at-on-map / map_keys / cardinality as a
     // query surface: per-nation segment→count maps with defaulted lookups

@@ -42,4 +42,26 @@ class AsOfSpec extends SparkSpec {
       .selectExpr("matched.v").collect()
     assert(out.head.getDouble(0) == 99.0)
   }
+
+  test("forward variant picks earliest on-or-after right row; equality included") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "l1"),  // equal-ts right row matches
+      (1L, ts("2024-01-01 11:00:00"), "l2"),  // next right row is 11:30
+      (2L, ts("2024-01-01 09:00:00"), "l3")   // after every right row for key 2
+    ).toDF("user_id", "ts", "tag")
+    val right = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1.0),
+      (1L, ts("2024-01-01 11:30:00"), 2.0),
+      (2L, ts("2024-01-01 08:00:00"), 3.0)
+    ).toDF("user_id", "ts", "v")
+
+    val out = AsOf.firstOnOrAfter(left, right, Seq("user_id"), "ts")
+      .selectExpr("tag", "matched.__asof_ts AS mts", "matched.v AS mv")
+      .collect().map(r => r.getString(0) -> ((Option(r.getTimestamp(1)), Option(r.get(2))))).toMap
+
+    assert(out("l1") == ((Some(ts("2024-01-01 10:00:00")), Some(1.0))))
+    assert(out("l2") == ((Some(ts("2024-01-01 11:30:00")), Some(2.0))))
+    assert(out("l3") == ((None, None)))
+  }
 }
