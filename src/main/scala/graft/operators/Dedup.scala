@@ -154,40 +154,37 @@ object Dedup {
       // projection over its (pre-hashed) shingle-set array — all 16
       // permutation minima in one native codegen pass (minhash_sigs;
       // the k × transform/array_min formulation pays ~2k interpreted
-      // lambdas per shingle). No explode, no groupBy, no shuffle until
-      // the (4 rows/doc) band join.
+      // lambdas per shingle). The shingle-set array RIDES the (4 rows/doc)
+      // band rows, so the exact verify (array_intersect) runs pipelined on
+      // the band-join output — the shingling pipeline is computed ONCE and
+      // nothing re-joins it; multi-band duplicate candidates are deduped
+      // AFTER verify, where rows are 3 scalars, not arrays.
       graft.plans.GraftExtensions.register(s)
       val dss = TextAnalysis.docShingleSets(Tables.load(s, dir, "documents"))
       val sig = dss
         .withColumn("sigs", call_function("minhash_sigs", col("ss"),
           typedLit(permA), typedLit(permB), lit(MersenneP)))
         .filter(col("sigs").isNotNull) // docs with <3 tokens have no shingles
-        .select(Seq(col("doc_id")) ++ (1 to NumPerms).map(j =>
-          col("sigs").getItem(j - 1).as(s"m$j")): _*)
       val bandStructs = (0 until Bands).map { b =>
-        val cs = (1 to RowsPerBand).map(r => col(s"m${b * RowsPerBand + r}"))
+        val cs = (1 to RowsPerBand).map(r => col("sigs").getItem(b * RowsPerBand + r - 1))
         struct(lit(b).as("band"),
                md5(concat_ws(",", cs: _*).cast(BinaryType)).as("bh"))
       }
-      val bands = sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("tb"))
-        .select(col("doc_id"), col("tb.band").as("band"), col("tb.bh").as("bh"))
-      val cand = bands.as("x").join(bands.as("y"),
+      val bands = sig.select(col("doc_id"), col("ss"),
+          explode(array(bandStructs: _*)).as("tb"))
+        .select(col("doc_id"), col("ss"), col("tb.band").as("band"), col("tb.bh").as("bh"))
+      bands.as("x").join(bands.as("y"),
           col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
             col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("a_doc"), col("y.doc_id").as("b_doc"))
-        .distinct()
-      // Exact verify ONLY candidate pairs (the whole point of LSH): join
-      // each side's shingle-set array and intersect in-row — never the
-      // all-pairs inverted-index join at this stage.
-      cand
-        .join(dss.select(col("doc_id").as("a_doc"), col("ss").as("a_ss")), "a_doc")
-        .join(dss.select(col("doc_id").as("b_doc"), col("ss").as("b_ss")), "b_doc")
+        .select(col("x.doc_id").as("a_doc"), col("y.doc_id").as("b_doc"),
+          col("x.ss").as("a_ss"), col("y.ss").as("b_ss"))
         .withColumn("n_inter", size(array_intersect(col("a_ss"), col("b_ss"))))
         .withColumn("jac_raw", col("n_inter").cast(DoubleType) /
           (size(col("a_ss")) + size(col("b_ss")) - col("n_inter")).cast(DoubleType))
         .filter(col("jac_raw") >= JaccardThreshold)
         .select(col("a_doc"), col("b_doc"),
           floor(col("jac_raw") * 1000000).cast(LongType).as("jac_micro"))
+        .distinct()
         .orderBy(col("a_doc"), col("b_doc"))
     },
 
