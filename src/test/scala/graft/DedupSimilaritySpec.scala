@@ -43,6 +43,33 @@ class DedupSimilaritySpec extends SparkSpec {
       s"ANN top-1 recall too low: $hits/${exact.size}")
   }
 
+  test("IVF ANN returns true top-1 for most queries (recall floor)") {
+    val exact = run("q39_cosine_topk").filter("rk = 1").select("q_id", "neighbor_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ivf = run("q53_ann_ivf").filter("rk = 1").select("q_id", "neighbor_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val hits = exact.count { case (q, n) => ivf.get(q).contains(n) }
+    assert(hits >= exact.size / 2, s"IVF top-1 recall too low: $hits/${exact.size}")
+  }
+
+  test("SRP-bucketed near-dup finds every brute-force pair at τ (sf0.01 fixture)") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.VectorFunctions.dotDec
+    val dir001 = "/root/testdata/sf0.01"
+    val e = Tables.load(spark, dir001, "embeddings").select(col("vec_id"), col("embedding"))
+    val brute = e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .withColumn("sim", dotDec(col("a.embedding"), col("b.embedding")))
+      .filter(col("sim") >= 0.5)
+      .select(col("a.vec_id"), col("b.vec_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bucketed = SparkEntry.queries("q47_embedding_neardup")(spark, dir001)
+      .select("a_vec", "b_vec")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(brute.nonEmpty, "fixture should contain a true near-dup pair")
+    assert(bucketed == brute,
+      s"bucketed recall diverged: missing=${brute -- bucketed} extra=${bucketed -- brute}")
+  }
+
   test("cosine similarities are valid and self-matches excluded") {
     val rows = run("q39_cosine_topk").collect()
     assert(rows.nonEmpty)
