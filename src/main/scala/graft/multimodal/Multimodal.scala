@@ -71,6 +71,26 @@ object Multimodal {
     }
   }
 
+  /** STUB resize: a real implementation decodes, scales, and re-encodes
+    * (codec opened once per partition, exactly like [[decodeFeatures]]);
+    * the fake shrinks the payload proportionally to the area ratio and
+    * rewrites the typed metadata — preserving the
+    * payload-plus-metadata contract a downstream training pipeline reads.
+    */
+  def resize(media: Dataset[MediaRow], targetW: Int, targetH: Int): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      // per-partition codec init would go here
+      rows.map { r =>
+        val ratio = (targetW.toLong * targetH).toDouble /
+          math.max(r.width.toLong * r.height, 1L).toDouble
+        val nBytes = math.max(1,
+          math.min(r.payload.length, math.ceil(r.payload.length * ratio).toInt))
+        r.copy(payload = r.payload.take(nBytes), width = targetW, height = targetH)
+      }
+    }
+  }
+
   /** STUB frame sampler for video payloads: a real implementation seeks
     * keyframes; the fake slices the payload into `n` evenly spaced chunks
     * (preserving the (media_id, frame_no, frame_bytes) contract).

@@ -21,6 +21,18 @@ class MultimodalSpec extends SparkSpec {
     assert(out(1L).features.length == Multimodal.FeatureDim)
   }
 
+  test("resize rewrites metadata and shrinks payload by area ratio") {
+    import spark.implicits._
+    val media = Seq(Multimodal.MediaRow(7L, "image", "0123456789abcdef".getBytes("UTF-8"),
+      width = 8, height = 8, sample_rate = 0)).toDS()
+    val out = Multimodal.resize(media, targetW = 4, targetH = 4).collect().head
+    assert(out.width == 4 && out.height == 4)
+    assert(out.payload.length == 4) // 16 bytes × (16/64 area ratio)
+    // upscaling never fabricates bytes
+    val up = Multimodal.resize(media, targetW = 16, targetH = 16).collect().head
+    assert(up.payload.length == 16 && up.width == 16)
+  }
+
   test("sampleFrames slices payload into n frames") {
     import spark.implicits._
     val docs = Seq((4L, "0123456789abcdef", 16L)).toDF("doc_id", "text", "n_chars")
