@@ -165,13 +165,8 @@ object Dedup {
         .withColumn("sigs", call_function("minhash_sigs", col("ss"),
           typedLit(permA), typedLit(permB), lit(MersenneP)))
         .filter(col("sigs").isNotNull) // docs with <3 tokens have no shingles
-      val bandStructs = (0 until Bands).map { b =>
-        val cs = (1 to RowsPerBand).map(r => col("sigs").getItem(b * RowsPerBand + r - 1))
-        struct(lit(b).as("band"),
-               md5(concat_ws(",", cs: _*).cast(BinaryType)).as("bh"))
-      }
       val bands = sig.select(col("doc_id"), col("ss"),
-          explode(array(bandStructs: _*)).as("tb"))
+          explode(array(bandStructsOf(col("sigs")): _*)).as("tb"))
         .select(col("doc_id"), col("ss"), col("tb.band").as("band"), col("tb.bh").as("bh"))
       bands.as("x").join(bands.as("y"),
           col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
@@ -253,6 +248,30 @@ object Dedup {
         .orderBy(col("a_doc"), col("b_doc"))
     }
   )
+
+  /** The q37 band structs over a signatures array column. */
+  private def bandStructsOf(sigs: Column): Seq[Column] =
+    (0 until Bands).map { b =>
+      val cs = (1 to RowsPerBand).map(r => sigs.getItem(b * RowsPerBand + r - 1))
+      struct(lit(b).as("band"), md5(concat_ws(",", cs: _*).cast(BinaryType)).as("bh"))
+    }
+
+  /** Minhash band rows (carry…, band, bh) for ANY frame with a `text`
+    * column — batch or streaming (all column expressions, no
+    * batch-only ops). Shares q37's exact signature/banding math, so the
+    * streaming near-dup path and the batch oracle-checked path agree on
+    * what collides.
+    */
+  private[graft] def bandRows(docs: DataFrame, carry: Seq[String]): DataFrame = {
+    graft.plans.GraftExtensions.register(docs.sparkSession)
+    val ss = array_distinct(transform(shingles(split(normText(col("text")), " ")), sh => hex60(sh)))
+    val sig = docs
+      .withColumn("sigs", call_function("minhash_sigs", ss,
+        typedLit(permA), typedLit(permB), lit(MersenneP)))
+      .filter(col("sigs").isNotNull)
+    sig.select(carry.map(col) :+ explode(array(bandStructsOf(col("sigs")): _*)).as("tb"): _*)
+      .select(carry.map(col) :+ col("tb.band").as("band") :+ col("tb.bh").as("bh"): _*)
+  }
 
   private def bitSum(i: Int): Column =
     sum(when(shiftright(col("h"), i).bitwiseAND(lit(1L)) === 1, col("cnt"))

@@ -51,6 +51,23 @@ object EventStreams {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Streaming NEAR-dup banding: minhash band rows (shared math with the
+    * oracle-checked q37 — operators.Dedup.bandRows) deduped within the
+    * watermark horizon, so the FIRST document to claim each (band, bh)
+    * survives. A later document whose bands ALL vanish collided with
+    * earlier content on every band — a near-dup suspect to route to the
+    * exact verify (q37's candidate-restricted intersection) instead of
+    * ingesting. State = one entry per distinct band hash inside the
+    * horizon; the watermark bounds it.
+    *
+    * Input: (doc_id, ts, text). Output: surviving (doc_id, ts, band, bh)
+    * rows in append mode.
+    */
+  def novelBands(docs: DataFrame, horizon: String = "1 hour"): DataFrame =
+    graft.operators.Dedup.bandRows(docs, Seq("doc_id", "ts"))
+      .withWatermark("ts", horizon)
+      .dropDuplicatesWithinWatermark("band", "bh")
+
   /** Stream–static enrichment (SURVEY.md §2.5 J5): join each micro-batch
     * against a broadcast dimension — the producer's city→coord/topic lookup
     * shape (reference Producer_clickhouse.py:109–123). The dimension is

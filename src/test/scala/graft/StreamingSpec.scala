@@ -170,6 +170,30 @@ class StreamingSpec extends SparkSpec {
     assert(rows.contains(("2024-01-01 00:05:00", "view", 1L, 5.0)))
   }
 
+  test("streaming near-dup banding: duplicate content loses all its bands") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val textA = "the quick brown fox jumps over the lazy dog while counting prime numbers all afternoon"
+    val textB = "completely different content about spark structured streaming watermarks and stateful operators here"
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val q = EventStreams.novelBands(input.toDF().toDF("doc_id", "ts", "text"))
+      .writeStream.format("memory").queryName("novel_bands").outputMode("append").start()
+
+    input.addData((1L, Timestamp.valueOf("2024-01-01 00:00:00"), textA))
+    q.processAllAvailable()
+    input.addData(
+      (2L, Timestamp.valueOf("2024-01-01 00:01:00"), textA), // exact near-dup: every band collides
+      (3L, Timestamp.valueOf("2024-01-01 00:01:00"), textB)) // novel content
+    q.processAllAvailable()
+    q.stop()
+
+    val perDoc = spark.table("novel_bands").groupBy("doc_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(perDoc.getOrElse(1L, 0L) == 4L, s"first doc keeps all bands: $perDoc")
+    assert(!perDoc.contains(2L), s"duplicate doc loses every band: $perDoc")
+    assert(perDoc.getOrElse(3L, 0L) == 4L, s"novel doc keeps all bands: $perDoc")
+  }
+
   test("dropDuplicatesWithinWatermark dedupes replayed event_ids") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
