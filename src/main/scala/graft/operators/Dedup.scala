@@ -183,6 +183,33 @@ object Dedup {
         .orderBy(col("a_doc"), col("b_doc"))
     },
 
+    // ----- benchmark decontamination --------------------------------------
+    // The eval-set contamination check a training pipeline runs before
+    // shipping data: flag corpus documents sharing ≥ 5 3-gram shingles
+    // with any benchmark document. The benchmark side is tiny by nature,
+    // so its shingle set BROADCASTS and the corpus is scanned once — no
+    // corpus-side self-join. (Fixture benchmark: doc_id % 7 = 0.)
+    QuerySpec("q63_decontaminate")(
+      s"""WITH $shingleCtes,
+        |bench AS (SELECT doc_id, s FROM sh WHERE doc_id % 7 = 0),
+        |corp AS (SELECT doc_id, s FROM sh WHERE doc_id % 7 <> 0)
+        |SELECT c.doc_id, b.doc_id AS bench_doc, count(*) AS n_shared
+        |FROM corp c JOIN bench b ON c.s = b.s
+        |GROUP BY 1, 2
+        |HAVING count(*) >= 5
+        |ORDER BY c.doc_id, bench_doc""".stripMargin) { (s, dir) =>
+      val sh = TextAnalysis.docShingleSets(Tables.load(s, dir, "documents"))
+        .select(col("doc_id"), explode(col("ss")).as("s"))
+      val bench = sh.filter(col("doc_id") % 7 === 0)
+        .select(col("doc_id").as("bench_doc"), col("s"))
+      sh.filter(col("doc_id") % 7 =!= 0)
+        .join(broadcast(bench), "s")
+        .groupBy(col("doc_id"), col("bench_doc"))
+        .agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= 5)
+        .orderBy(col("doc_id"), col("bench_doc"))
+    },
+
     // ----- SimHash (TF-weighted, 60-bit) + banded hamming join ------------
     QuerySpec("q38_simhash") {
       val h = hex60Sql("tok")
