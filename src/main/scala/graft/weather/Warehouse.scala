@@ -38,4 +38,32 @@ object Warehouse {
   /** Read the fact table back; filters on `event_month` prune directories. */
   def readFact(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  /** Compact a month-partitioned warehouse in place: every streamed
+    * micro-batch append leaves one file per touched month, so a
+    * long-running ingest accumulates small files (the object-store
+    * metadata killer at scale). Rewrites each month as one sorted file
+    * via dynamic partition overwrite — months absent from the read are
+    * untouched, so compaction can run per-month behind an `event_month`
+    * filter while ingest appends elsewhere.
+    *
+    * The eager checkpoint materializes the read BEFORE the overwrite
+    * (Spark refuses to overwrite a path its plan still reads). On a real
+    * cluster, point `spark.sparkContext.setCheckpointDir` at reliable
+    * storage first; `localCheckpoint` is the single-JVM fallback.
+    */
+  def compact(spark: SparkSession, path: String): Unit = {
+    val snapshot =
+      if (spark.sparkContext.getCheckpointDir.isDefined)
+        readFact(spark, path).checkpoint(eager = true)
+      else readFact(spark, path).localCheckpoint(eager = true)
+    snapshot
+      .repartition(col(PartitionCol))
+      .sortWithinPartitions(SortCols.map(col): _*)
+      .write
+      .mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(PartitionCol)
+      .parquet(path)
+  }
 }

@@ -32,4 +32,26 @@ class WarehouseSpec extends SparkSpec {
       .collect().map(_.getString(0))
     assert(files.nonEmpty && files.forall(_.contains("event_month=202401")))
   }
+
+  test("compact rewrites accumulated small files to one per month, data intact") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_wh_compact").toFile.getAbsolutePath
+    def appendBatch(city: String, temp: Double): Unit = {
+      val raw = Seq((s"""{"name":"$city","main":{"temp":$temp}}""", "2024-03-05 00:00:00"))
+        .toDF("value", "ing")
+      Warehouse.writeFact(WeatherFlatten(raw, ingestTime = col("ing").cast(TimestampType)), dir)
+    }
+    (1 to 3).foreach(i => appendBatch(s"City$i", i.toDouble)) // 3 appends → 3 files
+
+    def monthFiles() = new java.io.File(s"$dir/event_month=202403")
+      .list().count(_.endsWith(".parquet"))
+    assert(monthFiles() == 3)
+
+    Warehouse.compact(spark, dir)
+    assert(monthFiles() == 1, "one sorted file per month after compaction")
+    val back = Warehouse.readFact(spark, dir)
+    assert(back.count() == 3)
+    assert(back.select("city_name").collect().map(_.getString(0)).sorted.toSeq ==
+      Seq("City1", "City2", "City3"))
+  }
 }
