@@ -182,7 +182,8 @@ object Extras {
       """SELECT event_id, user_id,
         |  CAST(sum(CAST(value AS DECIMAL(28,10))) OVER w AS DOUBLE) AS trailing_1h,
         |  count(*) OVER w AS n_1h
-        |FROM (SELECT event_id, user_id, value, date_part('epoch', ts) AS sec FROM events)
+        |FROM (SELECT event_id, user_id, value,
+        |        CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS sec FROM events)
         |WINDOW w AS (PARTITION BY user_id ORDER BY sec
         |             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
         |ORDER BY event_id""".stripMargin) { (s, dir) =>
