@@ -21,7 +21,8 @@ object SparkEntry {
       operators.MultimodalOps.specs ++
       operators.SqlSurface.specs ++
       operators.Extras.specs ++
-      operators.TrainPipe.specs
+      operators.TrainPipe.specs ++
+      operators.CorpusClean.specs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,117 @@
+package graft.operators
+
+import graft.{QuerySpec, Tables}
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The full training-corpus preprocessing recipe as ONE composed,
+  * oracle-verified operator — the pipeline a user actually runs before
+  * training:
+  *
+  *   1. quality filter — drop documents below the 25th percentile of the
+  *      composite quality score (scalar cutoff broadcast, q35a);
+  *   2. exact dedup — keep the min-doc_id representative per bag-of-words
+  *      fingerprint (q35);
+  *   3. near-dup removal — drop the larger document of every
+  *      MinHash-verified pair at Jaccard ≥ 0.8 whose BOTH ends survived
+  *      the prior stages (q37's verified pairs);
+  *   4. benchmark decontamination — drop the benchmark slice itself and
+  *      every corpus document sharing ≥ 5 shingles with it (q63);
+  *   5. deterministic train/val/test split (q56's salted hash buckets).
+  *
+  * Every stage is the already-oracle-checked operator; the composition is
+  * itself oracle-checked end-to-end (q64), so stage ORDER and the
+  * survivor-set algebra are pinned cross-engine too. Scale: each stage is
+  * the scan-parallel/bucketed plan its own query uses; nothing here adds
+  * a join or shuffle beyond them.
+  */
+object CorpusClean {
+
+  /** Cleaned corpus: (doc_id, quality_micro, split), ordered by doc_id. */
+  private[graft] def clean(docs: DataFrame): DataFrame = {
+    // 1. quality percentile filter (scalar cutoff broadcast)
+    val scored = TextAnalysis.qualityScored(docs)
+      .select(col("doc_id"), col("quality_micro"))
+    val cutoff = scored.agg(percentile(col("quality_micro"), lit(0.25)).as("cut"))
+    val keep1 = scored.crossJoin(broadcast(cutoff))
+      .filter(col("quality_micro") >= col("cut"))
+      .select(col("doc_id"), col("quality_micro"))
+    // 2. exact dedup among survivors: min doc_id per fingerprint
+    val fp = docs.select(col("doc_id"),
+      md5(concat_ws(" ", array_sort(array_distinct(tokens(col("text")))))
+        .cast(BinaryType)).as("fp_bag"))
+    val keep2 = keep1.join(fp, "doc_id")
+      .withColumn("keep_doc", min(col("doc_id")).over(Window.partitionBy(col("fp_bag"))))
+      .filter(col("doc_id") === col("keep_doc"))
+      .select(col("doc_id"), col("quality_micro"))
+    // 3. near-dup removal: drop the larger end of verified pairs whose
+    //    both ends are still alive
+    val pairs = Dedup.minhashNearDupPairs(docs)
+    val dropNear = pairs
+      .join(keep2.select(col("doc_id").as("a_doc")), "a_doc")
+      .join(keep2.select(col("doc_id").as("b_doc")), "b_doc")
+      .select(col("b_doc").as("doc_id")).distinct()
+    val keep3 = keep2.join(dropNear, Seq("doc_id"), "left_anti")
+    // 4. decontamination: benchmark slice out, contaminated docs out
+    val sh = TextAnalysis.docShingleSets(docs)
+      .select(col("doc_id"), explode(col("ss")).as("s"))
+    val bench = sh.filter(col("doc_id") % 7 === 0)
+      .select(col("doc_id").as("bench_doc"), col("s"))
+    val contaminated = sh.filter(col("doc_id") % 7 =!= 0)
+      .join(broadcast(bench), "s")
+      .groupBy(col("doc_id"), col("bench_doc"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= 5)
+      .select(col("doc_id")).distinct()
+    val keep4 = keep3.filter(col("doc_id") % 7 =!= 0)
+      .join(contaminated, Seq("doc_id"), "left_anti")
+    // 5. deterministic split
+    val b = hex60(concat(col("doc_id").cast(StringType), lit("|split"))) % 100
+    keep4
+      .withColumn("split",
+        when(b < 80, "train").when(b < 90, "val").otherwise("test"))
+      .orderBy(col("doc_id"))
+  }
+
+  val specs: Seq[QuerySpec] = Seq(
+    QuerySpec("q64_corpus_clean")(
+      s"""WITH ${Dedup.shingleCtes},
+        |${Dedup.minhashPairCtes},
+        |${TextAnalysis.qualityCteSql},
+        |keep1 AS (SELECT doc_id, quality_micro FROM qscore
+        |          WHERE quality_micro >= (SELECT quantile_cont(quality_micro, 0.25) FROM qscore)),
+        |fp AS (SELECT doc_id,
+        |         md5(array_to_string(list_sort(list_distinct(
+        |           regexp_split_to_array(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), '\\s+'))), ' ')) AS fp_bag
+        |       FROM documents),
+        |keep2 AS (SELECT doc_id, quality_micro FROM (
+        |            SELECT k.doc_id, k.quality_micro,
+        |              min(k.doc_id) OVER (PARTITION BY f.fp_bag) AS keep_doc
+        |            FROM keep1 k JOIN fp f USING (doc_id))
+        |          WHERE doc_id = keep_doc),
+        |dropnear AS (SELECT DISTINCT p.b_doc AS doc_id FROM ndpairs p
+        |             JOIN keep2 ka ON p.a_doc = ka.doc_id
+        |             JOIN keep2 kb ON p.b_doc = kb.doc_id),
+        |bench AS (SELECT doc_id, s FROM sh WHERE doc_id % 7 = 0),
+        |cont AS (SELECT doc_id FROM (
+        |           SELECT c.doc_id, b.doc_id AS bd, count(*) AS n
+        |           FROM sh c JOIN bench b ON c.s = b.s
+        |           WHERE c.doc_id % 7 <> 0 GROUP BY 1, 2)
+        |         WHERE n >= 5 GROUP BY doc_id),
+        |keep4 AS (SELECT k.doc_id, k.quality_micro FROM keep2 k
+        |          WHERE k.doc_id % 7 <> 0
+        |            AND k.doc_id NOT IN (SELECT doc_id FROM dropnear)
+        |            AND k.doc_id NOT IN (SELECT doc_id FROM cont))
+        |SELECT doc_id, quality_micro,
+        |  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+        |FROM (SELECT doc_id, quality_micro,
+        |        CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|split'), 1, 15) AS BIGINT) % 100 AS b
+        |      FROM keep4)
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      clean(Tables.load(s, dir, "documents"))
+    }
+  )
+}

@@ -59,7 +59,7 @@ object Dedup {
     * ([[TextAnalysis.docShingleSets]]) — 8-byte join keys, identical in
     * both engines.
     */
-  private val shingleCtes =
+  private[operators] val shingleCtes =
     """d AS (SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS t FROM documents),
       |tok AS (SELECT doc_id, regexp_split_to_array(t, '\s+') AS w FROM d),
       |sh AS (SELECT DISTINCT doc_id,
@@ -81,6 +81,67 @@ object Dedup {
     s"CAST(floor(($jaccardExpr) * 1000000) AS BIGINT) AS jac_micro"
 
   private def hex60Sql(e: String) = s"CAST('0x' || substr(md5($e), 1, 15) AS BIGINT)"
+
+  /** shh/sig/bands/cand/ndpairs CTEs (append after [[shingleCtes]]):
+    * exact-verified near-dup pairs at the Jaccard threshold — shared by
+    * q37 and the corpus-clean composition.
+    */
+  private[operators] val minhashPairCtes: String = {
+    val minCols = (1 to NumPerms)
+      .map(j => s"min((${permA(j - 1)} * hb + ${permB(j - 1)}) % $MersenneP) AS m$j")
+      .mkString(",\n      |    ")
+    val bandRows = (0 until Bands).map { b =>
+      val cs = (1 to RowsPerBand).map(r => s"CAST(m${b * RowsPerBand + r} AS VARCHAR)")
+        .mkString(" || ',' || ")
+      s"SELECT doc_id, $b AS band, md5($cs) AS bh FROM sig"
+    }.mkString("\n      |    UNION ALL ")
+    s"""shh AS (SELECT doc_id, s % $MersenneP AS hb FROM sh),
+      |sig AS (SELECT doc_id,
+      |    $minCols
+      |  FROM shh GROUP BY doc_id),
+      |bands AS (
+      |    $bandRows),
+      |cand AS (SELECT DISTINCT x.doc_id AS a_doc, y.doc_id AS b_doc
+      |         FROM bands x JOIN bands y
+      |           ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id),
+      |ndpairs AS (SELECT c.a_doc, c.b_doc, $jacMicroSql
+      |            FROM cand c
+      |            JOIN inter i ON c.a_doc = i.a_doc AND c.b_doc = i.b_doc
+      |            JOIN nsh na ON c.a_doc = na.doc_id
+      |            JOIN nsh nb ON c.b_doc = nb.doc_id
+      |            WHERE $jaccardExpr >= $JaccardThreshold)""".stripMargin
+  }
+
+  /** Verified near-dup rows (a_doc, b_doc, jac_raw) — band-join + exact
+    * intersect, possibly duplicated across colliding bands (dedupe on the
+    * scalar outputs downstream).
+    */
+  private def minhashVerified(docs: DataFrame): DataFrame = {
+    graft.plans.GraftExtensions.register(docs.sparkSession)
+    val dss = TextAnalysis.docShingleSets(docs)
+    val sig = dss
+      .withColumn("sigs", call_function("minhash_sigs", col("ss"),
+        typedLit(permA), typedLit(permB), lit(MersenneP)))
+      .filter(col("sigs").isNotNull) // docs with <3 tokens have no shingles
+    val bands = sig.select(col("doc_id"), col("ss"),
+        explode(array(bandStructsOf(col("sigs")): _*)).as("tb"))
+      .select(col("doc_id"), col("ss"), col("tb.band").as("band"), col("tb.bh").as("bh"))
+    bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a_doc"), col("y.doc_id").as("b_doc"),
+        col("x.ss").as("a_ss"), col("y.ss").as("b_ss"))
+      .withColumn("n_inter", size(array_intersect(col("a_ss"), col("b_ss"))))
+      .withColumn("jac_raw", col("n_inter").cast(DoubleType) /
+        (size(col("a_ss")) + size(col("b_ss")) - col("n_inter")).cast(DoubleType))
+      .filter(col("jac_raw") >= JaccardThreshold)
+  }
+
+  /** Distinct verified near-dup pairs — the removal set the corpus-clean
+    * composition consumes.
+    */
+  private[graft] def minhashNearDupPairs(docs: DataFrame): DataFrame =
+    minhashVerified(docs).select(col("a_doc"), col("b_doc")).distinct()
 
   // ------------------------------------------------------------- specs --
   val specs: Seq[QuerySpec] = Seq(
@@ -123,60 +184,18 @@ object Dedup {
     },
 
     // ----- MinHash + LSH banding, candidate-restricted exact verify -------
-    QuerySpec("q37_minhash_lsh") {
-      val minCols = (1 to NumPerms)
-        .map(j => s"min((${permA(j - 1)} * hb + ${permB(j - 1)}) % $MersenneP) AS m$j")
-        .mkString(",\n        |    ")
-      val bandRows = (0 until Bands).map { b =>
-        val cs = (1 to RowsPerBand).map(r => s"CAST(m${b * RowsPerBand + r} AS VARCHAR)")
-          .mkString(" || ',' || ")
-        s"SELECT doc_id, $b AS band, md5($cs) AS bh FROM sig"
-      }.mkString("\n        |    UNION ALL ")
+    QuerySpec("q37_minhash_lsh")(
       s"""WITH $shingleCtes,
-        |shh AS (SELECT doc_id, s % $MersenneP AS hb FROM sh),
-        |sig AS (SELECT doc_id,
-        |    $minCols
-        |  FROM shh GROUP BY doc_id),
-        |bands AS (
-        |    $bandRows),
-        |cand AS (SELECT DISTINCT x.doc_id AS a_doc, y.doc_id AS b_doc
-        |         FROM bands x JOIN bands y
-        |           ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id)
-        |SELECT c.a_doc, c.b_doc, $jacMicroSql
-        |FROM cand c
-        |JOIN inter i ON c.a_doc = i.a_doc AND c.b_doc = i.b_doc
-        |JOIN nsh na ON c.a_doc = na.doc_id
-        |JOIN nsh nb ON c.b_doc = nb.doc_id
-        |WHERE $jaccardExpr >= $JaccardThreshold
-        |ORDER BY c.a_doc, c.b_doc""".stripMargin
-    } { (s, dir) =>
-      // NARROW signature construction: the minhash of a doc is a pure
-      // projection over its (pre-hashed) shingle-set array — all 16
-      // permutation minima in one native codegen pass (minhash_sigs;
-      // the k × transform/array_min formulation pays ~2k interpreted
-      // lambdas per shingle). The shingle-set array RIDES the (4 rows/doc)
-      // band rows, so the exact verify (array_intersect) runs pipelined on
-      // the band-join output — the shingling pipeline is computed ONCE and
-      // nothing re-joins it; multi-band duplicate candidates are deduped
-      // AFTER verify, where rows are 3 scalars, not arrays.
-      graft.plans.GraftExtensions.register(s)
-      val dss = TextAnalysis.docShingleSets(Tables.load(s, dir, "documents"))
-      val sig = dss
-        .withColumn("sigs", call_function("minhash_sigs", col("ss"),
-          typedLit(permA), typedLit(permB), lit(MersenneP)))
-        .filter(col("sigs").isNotNull) // docs with <3 tokens have no shingles
-      val bands = sig.select(col("doc_id"), col("ss"),
-          explode(array(bandStructsOf(col("sigs")): _*)).as("tb"))
-        .select(col("doc_id"), col("ss"), col("tb.band").as("band"), col("tb.bh").as("bh"))
-      bands.as("x").join(bands.as("y"),
-          col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
-            col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("a_doc"), col("y.doc_id").as("b_doc"),
-          col("x.ss").as("a_ss"), col("y.ss").as("b_ss"))
-        .withColumn("n_inter", size(array_intersect(col("a_ss"), col("b_ss"))))
-        .withColumn("jac_raw", col("n_inter").cast(DoubleType) /
-          (size(col("a_ss")) + size(col("b_ss")) - col("n_inter")).cast(DoubleType))
-        .filter(col("jac_raw") >= JaccardThreshold)
+        |$minhashPairCtes
+        |SELECT a_doc, b_doc, jac_micro FROM ndpairs
+        |ORDER BY a_doc, b_doc""".stripMargin) { (s, dir) =>
+      // NARROW signature construction ([[minhashVerified]]): all 16
+      // permutation minima in one native codegen pass (minhash_sigs), the
+      // shingle-set array riding the (4 rows/doc) band rows so the exact
+      // verify runs pipelined on the band-join output — one shingling
+      // compute, no re-joins; multi-band duplicates dedupe after verify
+      // where rows are 3 scalars, not arrays.
+      minhashVerified(Tables.load(s, dir, "documents"))
         .select(col("a_doc"), col("b_doc"),
           floor(col("jac_raw") * 1000000).cast(LongType).as("jac_micro"))
         .distinct()

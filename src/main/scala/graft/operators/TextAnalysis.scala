@@ -47,10 +47,26 @@ object TextAnalysis {
       + lit(0.3) * least(col("avg_token_len") / 8.0, lit(1.0))
       - lit(0.2) * col("punct_ratio")) * 1000000).cast(LongType)
 
-  /** (doc_id, n_tokens, stop_ratio, punct_ratio, avg_token_len,
-    * quality_micro) — shared by q33 and the percentile filter q35a.
+  /** The `qscore AS (doc_id, quality_micro)` DuckDB CTE — shared by q35a
+    * and the corpus-clean composition (q64).
     */
-  private def qualityScored(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+  private[operators] val qualityCteSql: String =
+    s"""qscore AS (SELECT doc_id,
+      |    CAST(floor((0.4 * least(CAST(len(w) AS DOUBLE) / 100.0, 1.0)
+      |        + 0.3 * (1.0 - CAST(len(list_filter(w, x -> x IN ${sqlStrList(stopwords)}))
+      |                         AS DOUBLE) / CAST(len(w) AS DOUBLE))
+      |        + 0.3 * least(CAST(length(t) - (len(w) - 1) AS DOUBLE) / CAST(len(w) AS DOUBLE) / 8.0, 1.0)
+      |        - 0.2 * CAST(length(t) - length(regexp_replace(t, '[^a-z0-9 ]', '', 'g'))
+      |                 AS DOUBLE) / CAST(length(t) AS DOUBLE)) * 1000000) AS BIGINT) AS quality_micro
+      |  FROM (SELECT doc_id, t, regexp_split_to_array(t, '\\s+') AS w
+      |        FROM (SELECT doc_id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS t
+      |              FROM documents)))""".stripMargin
+
+  /** (doc_id, n_tokens, stop_ratio, punct_ratio, avg_token_len,
+    * quality_micro) — shared by q33, the percentile filter q35a, and the
+    * corpus-clean composition.
+    */
+  private[graft] def qualityScored(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     docs
       .withColumn("t", normText(col("text")))
       .withColumn("w", split(col("t"), " "))
@@ -168,18 +184,9 @@ object TextAnalysis {
     // the global-window formulation funnels the corpus through one
     // partition; the scalar-cutoff one scales.
     QuerySpec("q35a_quality_filter")(
-      s"""WITH q AS (SELECT doc_id,
-        |    CAST(floor((0.4 * least(CAST(len(w) AS DOUBLE) / 100.0, 1.0)
-        |        + 0.3 * (1.0 - CAST(len(list_filter(w, x -> x IN ${sqlStrList(stopwords)}))
-        |                         AS DOUBLE) / CAST(len(w) AS DOUBLE))
-        |        + 0.3 * least(CAST(length(t) - (len(w) - 1) AS DOUBLE) / CAST(len(w) AS DOUBLE) / 8.0, 1.0)
-        |        - 0.2 * CAST(length(t) - length(regexp_replace(t, '[^a-z0-9 ]', '', 'g'))
-        |                 AS DOUBLE) / CAST(length(t) AS DOUBLE)) * 1000000) AS BIGINT) AS quality_micro
-        |  FROM (SELECT doc_id, t, regexp_split_to_array(t, '\\s+') AS w
-        |        FROM (SELECT doc_id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS t
-        |              FROM documents)))
-        |SELECT doc_id, quality_micro FROM q
-        |WHERE quality_micro >= (SELECT quantile_cont(quality_micro, 0.25) FROM q)
+      s"""WITH $qualityCteSql
+        |SELECT doc_id, quality_micro FROM qscore
+        |WHERE quality_micro >= (SELECT quantile_cont(quality_micro, 0.25) FROM qscore)
         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
       val scored = qualityScored(Tables.load(s, dir, "documents"))
         .select(col("doc_id"), col("quality_micro"))
