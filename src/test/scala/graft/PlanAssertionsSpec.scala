@@ -105,6 +105,11 @@ class PlanAssertionsSpec extends SparkSpec {
     assert("lineitem\\.parquet".r.findAllIn(p).size == 1, p.take(2000))
   }
 
+  test("q64: the corpus-clean composition plans no cartesian or nested-loop join") {
+    val p = plan("q64_corpus_clean")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("aggregations run partial+final (map-side combine)") {
     val p = plan("q05_count_distinct")
     assert(p.contains("partial_count") || p.contains("HashAggregate"))
