@@ -20,20 +20,28 @@ object Bench {
     // plans, not first-query JVM startup; run in declared spec order.
     try run((s, _) => SparkEntry.entry(s)) catch { case _: Throwable => () }
     var errors = List.empty[String]
-    val results = SparkEntry.specs
-      .filter(sp => only.isEmpty || only(sp.name))
-      .map { sp =>
-        val t0 = System.nanoTime()
-        // A failed query records -1.0 (and lands in "errors") so breakage
-        // never reads as a time-to-failure performance win.
-        val ok = try { run(sp.fn); true } catch { case _: Throwable => errors ::= sp.name; false }
-        sp.name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
-      }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    def timed(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame,
+              name: String): Double = {
+      val t0 = System.nanoTime()
+      // A failed query records -1.0 (and lands in "errors") so breakage
+      // never reads as a time-to-failure performance win.
+      try { run(fn); (System.nanoTime() - t0) / 1e9 }
+      catch { case _: Throwable => errors ::= name; -1.0 }
+    }
+    val specs = SparkEntry.specs.filter(sp => only.isEmpty || only(sp.name))
+    val results = specs.map(sp => sp.name -> timed(sp.fn, sp.name)).toMap
+    // Second, warm pass: per-query JIT/GC swing is ±20% on the first run;
+    // the warm numbers are the plan-comparison signal. The headline total
+    // stays the first-run sum for round-over-round comparability.
+    val warm = specs.filter(sp => results(sp.name) >= 0)
+      .map(sp => sp.name -> timed(sp.fn, sp.name)).toMap
+    def toJson(m: Map[String, Double]) =
+      m.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
-    val errJson = errors.reverse.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
+    val totalWarm = warm.values.filter(_ >= 0).sum
+    val errJson = errors.reverse.distinct.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${toJson(results)},""" +
+      s""""value_warm":$totalWarm,"queries_warm":${toJson(warm)},"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
