@@ -253,9 +253,5 @@ object TextAnalysis {
       .select(col("doc_id"),
         array_distinct(transform(shingles(split(col("t"), " ")), sh => hex60(sh))).as("ss"))
 
-  /** Exploded (doc_id, shingle) inverted-index rows over [[docShingleSets]]. */
-  private[operators] def docShingles(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
-    docShingleSets(docs).select(col("doc_id"), explode(col("ss")).as("s"))
-
   private[operators] val markerList: Seq[(String, Seq[String])] = langMarkers
 }
