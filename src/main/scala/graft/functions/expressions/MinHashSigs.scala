@@ -21,7 +21,9 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   *
   * Arguments: (shingle hashes array&lt;long&gt;, a coefficients, b offsets,
   * p). Coefficient arrays are literals in practice; elements must be
-  * non-null. An EMPTY hash array yields null (a doc too short to shingle
+  * non-null, and mismatched a/b lengths raise a clear error in both eval
+  * paths (the function is SQL-registered, so callers are unvetted).
+  * An EMPTY hash array yields null (a doc too short to shingle
   * has no signature), matching the `min(...)` = NULL the SQL oracle
   * produces for zero rows.
   */
@@ -53,6 +55,10 @@ case class MinHashSigs(first: Expression, second: Expression,
     val n = hs.numElements()
     if (n == 0) return null
     val k = as.numElements()
+    if (bs.numElements() != k)
+      throw new IllegalArgumentException(
+        s"$prettyName: coefficient arrays must have equal length, " +
+          s"got a=$k b=${bs.numElements()}")
     val out = Array.fill(k)(Long.MaxValue)
     var i = 0
     while (i < n) {
@@ -83,6 +89,11 @@ case class MinHashSigs(first: Expression, second: Expression,
          |  ${ev.isNull} = true;
          |} else {
          |  final int $k = $a.numElements();
+         |  if ($b.numElements() != $k) {
+         |    throw new IllegalArgumentException(
+         |      "minhash_sigs: coefficient arrays must have equal length, got a=" +
+         |        $k + " b=" + $b.numElements());
+         |  }
          |  final long[] $out = new long[$k];
          |  java.util.Arrays.fill($out, Long.MAX_VALUE);
          |  for (int $i = 0; $i < $n; $i++) {

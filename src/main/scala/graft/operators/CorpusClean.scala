@@ -15,11 +15,18 @@ import org.apache.spark.sql.types._
   *      composite quality score (scalar cutoff broadcast, q35a);
   *   2. exact dedup — keep the min-doc_id representative per bag-of-words
   *      fingerprint (q35);
-  *   3. near-dup removal — drop the larger document of every
-  *      MinHash-verified pair at Jaccard ≥ 0.8 whose BOTH ends survived
-  *      the prior stages (q37's verified pairs);
+  *   3. near-dup removal — drop the higher-doc_id end (b_doc; pairs are
+  *      emitted with a_doc < b_doc) of every MinHash-verified pair at
+  *      Jaccard ≥ 0.8 whose BOTH ends survived the prior stages (q37's
+  *      verified pairs). Note the drop is NON-transitive: for a chain
+  *      a–b, b–c both b and c are dropped even though removing b alone
+  *      would already break the b–c pair — deliberate, so the survivor
+  *      set is a pure function of the pair list (order-independent,
+  *      cross-engine reproducible), at the cost of slight over-removal
+  *      on duplicate chains;
   *   4. benchmark decontamination — drop the benchmark slice itself and
-  *      every corpus document sharing ≥ 5 shingles with it (q63);
+  *      every corpus document sharing ≥ 5 shingles with it (q63's
+  *      size-gated join, [[Dedup.decontaminate]]);
   *   5. deterministic train/val/test split (q56's salted hash buckets).
   *
   * Every stage is the already-oracle-checked operator; the composition is
@@ -47,8 +54,8 @@ object CorpusClean {
       .withColumn("keep_doc", min(col("doc_id")).over(Window.partitionBy(col("fp_bag"))))
       .filter(col("doc_id") === col("keep_doc"))
       .select(col("doc_id"), col("quality_micro"))
-    // 3. near-dup removal: drop the larger end of verified pairs whose
-    //    both ends are still alive
+    // 3. near-dup removal: drop the higher-doc_id end of verified pairs
+    //    whose both ends are still alive (non-transitive; see object doc)
     val pairs = Dedup.minhashNearDupPairs(docs)
     val dropNear = pairs
       .join(keep2.select(col("doc_id").as("a_doc")), "a_doc")
@@ -60,12 +67,9 @@ object CorpusClean {
       .select(col("doc_id"), explode(col("ss")).as("s"))
     val bench = sh.filter(col("doc_id") % 7 === 0)
       .select(col("doc_id").as("bench_doc"), col("s"))
-    val contaminated = sh.filter(col("doc_id") % 7 =!= 0)
-      .join(broadcast(bench), "s")
-      .groupBy(col("doc_id"), col("bench_doc"))
-      .agg(count(lit(1)).as("n_shared"))
-      .filter(col("n_shared") >= 5)
-      .select(col("doc_id")).distinct()
+    val contaminated =
+      Dedup.decontaminate(sh.filter(col("doc_id") % 7 =!= 0), bench, minShared = 5)
+        .select(col("doc_id")).distinct()
     val keep4 = keep3.filter(col("doc_id") % 7 =!= 0)
       .join(contaminated, Seq("doc_id"), "left_anti")
     // 5. deterministic split

@@ -35,6 +35,11 @@ object Dedup {
   private val Bands = 4
   private val RowsPerBand = NumPerms / Bands
   private val JaccardThreshold = 0.8
+  /** Production df-cap for the capped Jaccard path (SCALE.md): shingles in
+    * more than DfCap documents carry no near-dup signal (boilerplate) and
+    * dominate the Σdf² pair expansion — drop them before pairing.
+    */
+  private[graft] val DfCap = 64
 
   /** Minhash permutation family: ONE md5 per distinct shingle, then 16
     * affine transforms `(a_j·h + b_j) mod p` over the Mersenne prime
@@ -183,6 +188,37 @@ object Dedup {
         .orderBy(col("a_doc"), col("b_doc"))
     },
 
+    // ----- df-capped exact Jaccard: the at-scale default -------------------
+    // Same semantics as q36 but candidates come from df-capped posting
+    // lists (drop shingles in > 64 docs before pair expansion — bounds
+    // per-task skew to cap²/2 and total shuffle to Σ min(df,cap)²), then
+    // n_inter/sizes are EXACT via shingle-set intersection on survivors.
+    // This is the path SCALE.md prescribes for 100 TB; the oracle applies
+    // the identical cap rule, so the comparison is exact, not approximate.
+    QuerySpec("q36a_jaccard_capped")(
+      s"""WITH $shingleCtes,
+        |sdf AS (SELECT s, count(*) AS df FROM sh GROUP BY s),
+        |cand AS (SELECT DISTINCT a.doc_id AS a_doc, b.doc_id AS b_doc
+        |         FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |         JOIN sdf ON sdf.s = a.s
+        |         WHERE sdf.df <= $DfCap)
+        |SELECT c.a_doc, c.b_doc, i.n_inter, na.ns AS n_a, nb.ns AS n_b,
+        |  $jacMicroSql
+        |FROM cand c
+        |JOIN inter i ON c.a_doc = i.a_doc AND c.b_doc = i.b_doc
+        |JOIN nsh na ON c.a_doc = na.doc_id
+        |JOIN nsh nb ON c.b_doc = nb.doc_id
+        |WHERE $jaccardExpr >= $JaccardThreshold
+        |ORDER BY c.a_doc, c.b_doc""".stripMargin) { (s, dir) =>
+      val dss = TextAnalysis.docShingleSets(Tables.load(s, dir, "documents"))
+      pairJaccardCapped(dss, DfCap)
+        .filter(col("jac_raw") >= JaccardThreshold)
+        .select(col("a_doc"), col("b_doc"), col("n_inter"),
+          col("n_a").cast(LongType).as("n_a"), col("n_b").cast(LongType).as("n_b"),
+          floor(col("jac_raw") * 1000000).cast(LongType).as("jac_micro"))
+        .orderBy(col("a_doc"), col("b_doc"))
+    },
+
     // ----- MinHash + LSH banding, candidate-restricted exact verify -------
     QuerySpec("q37_minhash_lsh")(
       s"""WITH $shingleCtes,
@@ -205,9 +241,11 @@ object Dedup {
     // ----- benchmark decontamination --------------------------------------
     // The eval-set contamination check a training pipeline runs before
     // shipping data: flag corpus documents sharing ≥ 5 3-gram shingles
-    // with any benchmark document. The benchmark side is tiny by nature,
-    // so its shingle set BROADCASTS and the corpus is scanned once — no
-    // corpus-side self-join. (Fixture benchmark: doc_id % 7 = 0.)
+    // with any benchmark document. The bench side broadcasts only below a
+    // SIZE GATE ([[decontaminate]]); above it the join is a plain
+    // shingle-keyed shuffle equi-join. (Fixture benchmark: doc_id % 7 = 0
+    // — which is corpus-proportional, exactly the case the gate exists
+    // for; the fixture passes the gate only because sf fixtures are small.)
     QuerySpec("q63_decontaminate")(
       s"""WITH $shingleCtes,
         |bench AS (SELECT doc_id, s FROM sh WHERE doc_id % 7 = 0),
@@ -221,11 +259,7 @@ object Dedup {
         .select(col("doc_id"), explode(col("ss")).as("s"))
       val bench = sh.filter(col("doc_id") % 7 === 0)
         .select(col("doc_id").as("bench_doc"), col("s"))
-      sh.filter(col("doc_id") % 7 =!= 0)
-        .join(broadcast(bench), "s")
-        .groupBy(col("doc_id"), col("bench_doc"))
-        .agg(count(lit(1)).as("n_shared"))
-        .filter(col("n_shared") >= 5)
+      decontaminate(sh.filter(col("doc_id") % 7 =!= 0), bench, minShared = 5)
         .orderBy(col("doc_id"), col("bench_doc"))
     },
 
@@ -366,6 +400,38 @@ object Dedup {
       .withColumn("jac_raw",
         col("n_inter").cast(DoubleType) /
           (col("n_a") + col("n_b") - col("n_inter")).cast(DoubleType))
+
+  /** Max bench-side shingle rows the decontamination join may broadcast:
+    * ~1M (bench_doc, s) rows ≈ a few tens of MB of unsafe rows, safely
+    * inside driver + executor memory. Real eval sets (hundreds to a few
+    * thousand docs) sit orders of magnitude below this.
+    */
+  private[graft] val DecontBroadcastMaxRows = 1000000
+
+  /** Decontamination join: corpus shingle rows (doc_id, s) × bench shingle
+    * rows (bench_doc, s) → (doc_id, bench_doc, n_shared) pairs sharing
+    * ≥ `minShared` shingles.
+    *
+    * The broadcast of the bench side is SIZE-GATED, never assumed: the
+    * bench side is counted first with an early-exit
+    * `limit(gate + 1).count()` — so the probe costs O(gate), not O(bench)
+    * — and broadcasts only when it provably fits. Above the gate the join
+    * runs as a plain shingle-keyed shuffle equi-join (the correct plan for
+    * an unbounded bench side; AQE may still upgrade it at runtime from
+    * MEASURED shuffle sizes). A corpus-proportional "bench" input — like a
+    * fixture deriving it as a slice of the corpus — therefore can never
+    * force a corpus-sized broadcast at scale.
+    */
+  private[graft] def decontaminate(corpusSh: DataFrame, benchSh: DataFrame,
+      minShared: Int, maxBroadcastRows: Int = DecontBroadcastMaxRows): DataFrame = {
+    val benchFits = maxBroadcastRows > 0 &&
+      benchSh.limit(maxBroadcastRows + 1).count() <= maxBroadcastRows
+    val rhs = if (benchFits) broadcast(benchSh) else benchSh
+    corpusSh.join(rhs, "s")
+      .groupBy(col("doc_id"), col("bench_doc"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
 
   /** The capped-at-scale exact-Jaccard path: candidate pairs from df-capped
     * posting lists (skew-bounded shuffle), then EXACT n_inter/sizes by

@@ -29,30 +29,58 @@ final class CountOrTimeBatcher(
     clock: () => Long = () => System.currentTimeMillis())(
     flush: DataFrame => Unit) {
 
-  private var pending = 0L
+  // -1 = not yet recovered: after a restart, replayed-but-unflushed rows
+  // may still sit in the staging dir, so the counter initializes from the
+  // staged content on first use instead of silently starting at 0 (which
+  // would under-report and trip the count threshold late).
+  private var pending = -1L
   private var lastFlush = clock()
 
-  /** Number of rows staged and not yet flushed. */
-  def pendingRows: Long = synchronized(pending)
+  /** Number of rows staged and not yet flushed (0 until first recovery). */
+  def pendingRows: Long = synchronized(math.max(pending, 0L))
+
+  private def stagedFrame(spark: SparkSession): DataFrame =
+    // recursiveFileLookup: deltas live in per-batch subdirectories, which
+    // must NOT be inferred as a partition column of the flushed frame.
+    spark.read.option("recursiveFileLookup", "true").parquet(stagingDir)
+
+  private def stagingNonEmpty(spark: SparkSession): Boolean = {
+    val p = new Path(stagingDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(p) && fs.listStatus(p).nonEmpty
+  }
+
+  private def recoverPending(spark: SparkSession): Unit =
+    if (pending < 0)
+      pending = if (stagingNonEmpty(spark)) stagedFrame(spark).count() else 0L
 
   /** foreachBatch hook: stage the micro-batch, then flush if either
     * threshold (count OR age) has tripped.
+    *
+    * The micro-batch is computed exactly ONCE: it is written to a fresh
+    * staging delta, and the row count comes from reading the written
+    * parquet back (a footer-metadata count) — never from a second action
+    * on the batch itself, which for a Kafka-backed frame would re-read
+    * the broker every trigger.
     */
   def add(batch: DataFrame): Unit = synchronized {
-    val n = batch.count()
-    if (n > 0) {
-      batch.write.mode("append").parquet(stagingDir)
-      pending += n
-    }
-    if (pending >= batchSize || clock() - lastFlush >= maxAgeMs) doFlush(batch.sparkSession)
+    val spark = batch.sparkSession
+    recoverPending(spark)
+    val delta = s"$stagingDir/delta-${java.util.UUID.randomUUID().toString.take(12)}"
+    batch.write.mode("errorifexists").parquet(delta)
+    pending += spark.read.parquet(delta).count()
+    if (pending >= batchSize || clock() - lastFlush >= maxAgeMs) doFlush(spark)
   }
 
   /** Graceful-shutdown flush of whatever is staged (ST8). */
-  def flushNow(spark: SparkSession): Unit = synchronized(doFlush(spark))
+  def flushNow(spark: SparkSession): Unit = synchronized {
+    recoverPending(spark)
+    doFlush(spark)
+  }
 
   private def doFlush(spark: SparkSession): Unit = {
     if (pending > 0) {
-      flush(spark.read.parquet(stagingDir))
+      flush(stagedFrame(spark))
       val p = new Path(stagingDir)
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
       fs.delete(p, true)

@@ -122,7 +122,13 @@ object ProducerJob {
         try {
           if (runCycle(spark, cfg, fetch, send) < 0) EmptyDimBackoffSec
           else CycleIntervalSec
-        } catch { case _: Exception => ErrorBackoffSec }
+        } catch {
+          // NonFatal only: an InterruptedException (supervisor shutdown) or
+          // a fatal error must terminate the loop, not back off and retry.
+          case e: InterruptedException =>
+            Thread.currentThread().interrupt(); throw e
+          case scala.util.control.NonFatal(_) => ErrorBackoffSec
+        }
       sleep(backoff)
       i += 1
     }

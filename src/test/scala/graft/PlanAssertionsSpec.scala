@@ -112,6 +112,35 @@ class PlanAssertionsSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q63: bench side above the size gate is NOT broadcast (shuffle equi-join)") {
+    import org.apache.spark.sql.functions._
+    // With autoBroadcastJoinThreshold off, the ONLY thing that could put a
+    // broadcast in this plan is the decontaminate hint — so the two
+    // assertions isolate the size gate exactly.
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val sh = operators.TextAnalysis.docShingleSets(Tables.load(spark, dir, "documents"))
+        .select(col("doc_id"), explode(col("ss")).as("s"))
+      val bench = sh.filter(col("doc_id") % 7 === 0)
+        .select(col("doc_id").as("bench_doc"), col("s"))
+      val corp = sh.filter(col("doc_id") % 7 =!= 0)
+      // Fixture bench exceeds a gate of 8 shingle rows → hint must NOT apply.
+      val over = operators.Dedup.decontaminate(corp, bench, minShared = 5,
+        maxBroadcastRows = 8)
+      val pOver = over.queryExecution.executedPlan.toString
+      assert(!pOver.contains("BroadcastHashJoin") && !pOver.contains("BroadcastExchange"),
+        pOver.take(2000))
+      // Under the default gate the same bench fits → hint applies.
+      val under = operators.Dedup.decontaminate(corp, bench, minShared = 5)
+      assert(under.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+      // Same rows either way: the gate changes the plan, never the result.
+      val a = over.orderBy("doc_id", "bench_doc").collect().toSeq
+      val b = under.orderBy("doc_id", "bench_doc").collect().toSeq
+      assert(a == b)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
   test("aggregations run partial+final (map-side combine)") {
     val p = plan("q05_count_distinct")
     assert(p.contains("partial_count") || p.contains("HashAggregate"))

@@ -126,6 +126,35 @@ class StreamingSpec extends SparkSpec {
     assert(flushes == Seq(100L, 11L, 5L) && batcher.pendingRows == 0)
   }
 
+  test("count-or-time batcher computes each micro-batch exactly once") {
+    import spark.implicits._
+    val acc = spark.sparkContext.longAccumulator("batch_evals")
+    val batcher = new graft.streaming.CountOrTimeBatcher(
+      tmp("graft_staging_once"), batchSize = 1000L, maxAgeMs = Long.MaxValue)(_ => ())
+    val batch = spark.range(10).map { i => acc.add(1); i }.toDF("v")
+    batcher.add(batch)
+    // The old count()-then-write path evaluated every row twice (20); the
+    // write-then-footer-count path evaluates the batch exactly once.
+    assert(acc.value == 10L, s"micro-batch rows evaluated ${acc.value} times / 10")
+    assert(batcher.pendingRows == 10)
+  }
+
+  test("count-or-time batcher recovers the pending count from staging after restart") {
+    import spark.implicits._
+    val staging = tmp("graft_staging_recover")
+    var flushes = Seq.empty[Long]
+    val first = new graft.streaming.CountOrTimeBatcher(
+      staging, batchSize = 90L, maxAgeMs = Long.MaxValue)(df => flushes :+= df.count())
+    first.add((1 to 40).toDF("v")) // staged, below threshold
+    assert(first.pendingRows == 40 && flushes.isEmpty)
+    // "Restart": a fresh batcher over the same staging dir must see the 40
+    // replay-surviving rows, not start its counter at 0.
+    val second = new graft.streaming.CountOrTimeBatcher(
+      staging, batchSize = 90L, maxAgeMs = Long.MaxValue)(df => flushes :+= df.count())
+    second.add((1 to 60).toDF("v")) // 40 + 60 ≥ 90 → flush of ALL staged rows
+    assert(flushes == Seq(100L) && second.pendingRows == 0)
+  }
+
   test("count-or-time ingest: warehouse sees nothing until flush, everything after") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
