@@ -1,0 +1,218 @@
+package graft.operators
+
+import graft.functions.TextFunctions.hex60
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** IVF (inverted-file) ANN index construction — genuine k-means, not a
+  * fixed seed slice:
+  *
+  *  1. **Seeding**: deterministic k-means++ (farthest-first traversal)
+  *     over a BOUNDED hash sample of the corpus (`md5(vec_id) % sampleMod
+  *     = 0`). The sample — not the corpus — is collected to the driver
+  *     (k-means||-style: callers size `sampleMod` so the sample is
+  *     O(thousands) rows at any corpus size), the k seeds are picked by
+  *     repeated argmin-of-max-similarity with a vec_id tiebreak.
+  *  2. **Lloyd iterations to a fixed point**, hard-capped at `maxIters`:
+  *     assign every vector to its argmax-integer-dot centroid
+  *     (deterministic cid tiebreak), recompute centroids as per-dimension
+  *     floored means, stop early when the centroid set stops changing.
+  *     Centroids live on the DRIVER between iterations (k × dim longs —
+  *     exactly how Spark MLlib's KMeans holds cluster centers), which
+  *     keeps the per-iteration lineage flat: each assignment reads the
+  *     corpus once against a broadcast-literal centroid table.
+  *
+  * Everything is integer/IEEE-exact, so DuckDB recomputes IDENTICAL
+  * centroids from the same unrolled recurrence ([[centroidsSql]]): sums of
+  * |q|≤1e4 ints are exact, the double division is correctly rounded in
+  * both engines, and floor lands identically. The early exit is sound for
+  * the oracle because Lloyd is idempotent at a fixed point — the SQL side
+  * always unrolls exactly `maxIters` iterations, and once Spark observes
+  * cents(t+1) = cents(t) every later unrolled iteration reproduces the
+  * same centroids.
+  *
+  * Cross-engine determinism notes: assignment ties break by cid ASC,
+  * seeding ties by vec_id ASC, and empty cells drop in both engines (the
+  * mean is a GROUP BY over members).
+  */
+object Ivf {
+
+  val Dim = 64
+  /** 1-in-4 hash sample for seeding at fixture scale; at a real corpus
+    * size this grows with the corpus to keep the sample bounded.
+    */
+  val DefaultSampleMod = 4
+  val DefaultMaxIters = 4
+
+  /** Fitted centroids (cid → quantized vector), iterations actually run,
+    * and whether a fixed point was reached before the cap.
+    */
+  final case class Model(cents: IndexedSeq[(Int, Array[Long])], iters: Int, converged: Boolean)
+
+  /** floor(x·1e4) quantization: exact in both engines, and member sums
+    * stay ≪ 2^63 for the centroid means.
+    */
+  def quantize(e: DataFrame): DataFrame =
+    e.withColumn("eq", transform(col("embedding"),
+      x => floor(x.cast(DoubleType) * 1e4).cast(LongType)))
+
+  private def sampleFilter(mod: Int): Column =
+    hex60(concat(lit("ivf|"), col("vec_id").cast(StringType))) % mod === 0
+
+  private def dotL(a: Array[Long], b: Array[Long]): Long = {
+    var s = 0L; var i = 0
+    while (i < a.length) { s += a(i) * b(i); i += 1 }
+    s
+  }
+
+  /** Farthest-first (deterministic k-means++) seeds over the hash sample,
+    * in pick order. First seed = the sample's min vec_id; each next seed
+    * is the sample point with the SMALLEST maximum similarity to any
+    * already-chosen seed (ties → min vec_id). The collect here is
+    * sample-sized by construction, never corpus-sized.
+    */
+  private[operators] def seeds(eqf: DataFrame, k: Int, sampleMod: Int): IndexedSeq[Array[Long]] = {
+    val samp = eqf.filter(sampleFilter(sampleMod))
+      .select(col("vec_id"), col("eq"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+      .sortBy(_._1)
+    require(samp.length >= k, s"seeding sample ${samp.length} < k=$k — lower sampleMod")
+    val chosen = scala.collection.mutable.ArrayBuffer(samp.head._2)
+    val maxDot = samp.map(p => dotL(p._2, chosen.head))
+    while (chosen.length < k) {
+      var best = 0
+      var i = 1
+      while (i < samp.length) { // strict < keeps the min-vec_id tie winner
+        if (maxDot(i) < maxDot(best)) best = i
+        i += 1
+      }
+      chosen += samp(best)._2
+      i = 0
+      while (i < samp.length) {
+        val d = dotL(samp(i)._2, samp(best)._2)
+        if (d > maxDot(i)) maxDot(i) = d
+        i += 1
+      }
+    }
+    chosen.toIndexedSeq
+  }
+
+  /** Driver-held centroids as a broadcast-literal frame (cid, ceq). */
+  def centsDF(spark: SparkSession, cents: Seq[(Int, Array[Long])]): DataFrame = {
+    import spark.implicits._
+    cents.map { case (cid, cq) => (cid, cq.toSeq) }.toDF("cid", "ceq")
+  }
+
+  /** Every (vector × centroid) integer dot, ranked per vector:
+    * rk = 1 is the cell assignment, rk ≤ p the probe set.
+    */
+  def ranked(eqf: DataFrame, cents: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("idot").desc, col("cid").asc)
+    eqf.select(col("vec_id"), col("eq"))
+      .crossJoin(broadcast(cents))
+      .withColumn("idot", call_function("vec_dot_long", col("eq"), col("ceq")))
+      .withColumn("rk", row_number().over(w))
+  }
+
+  /** k-means++ seed + Lloyd to a fixed point (≤ maxIters). */
+  def fit(eqf: DataFrame, k: Int,
+          sampleMod: Int = DefaultSampleMod,
+          maxIters: Int = DefaultMaxIters): Model = {
+    val spark = eqf.sparkSession
+    graft.plans.GraftExtensions.register(spark)
+    var cents: IndexedSeq[(Int, Array[Long])] =
+      seeds(eqf, k, sampleMod).zipWithIndex.map { case (c, i) => (i, c) }
+    var it = 0
+    var converged = false
+    while (it < maxIters && !converged) {
+      // Per-dimension floored mean of each cell's members: the shuffle is
+      // k × dim rows; the collect is the same k × dim longs MLlib keeps
+      // driver-side between KMeans iterations.
+      val upd = ranked(eqf, centsDF(spark, cents)).filter(col("rk") === 1)
+        .select(col("vec_id"), col("cid"))
+        .join(eqf.select(col("vec_id"), col("eq")), "vec_id")
+        .select(col("cid"), posexplode(col("eq")).as(Seq("pos", "v")))
+        .groupBy(col("cid"), col("pos"))
+        .agg(floor(sum(col("v")).cast(DoubleType) / count(lit(1)).cast(DoubleType))
+          .cast(LongType).as("cv"))
+        .collect()
+      val next = upd.groupBy(_.getInt(0)).map { case (cid, rows) =>
+        val arr = new Array[Long](Dim)
+        rows.foreach(r => arr(r.getInt(1)) = r.getLong(2))
+        (cid, arr)
+      }.toIndexedSeq.sortBy(_._1)
+      converged = next.length == cents.length &&
+        next.zip(cents).forall { case ((c1, a1), (c2, a2)) =>
+          c1 == c2 && java.util.Arrays.equals(a1, a2)
+        }
+      cents = next
+      it += 1
+    }
+    Model(cents, it, converged)
+  }
+
+  /** Multi-probe ANN with exact rerank: queries (vec_id < numQueries)
+    * probe their `probes` best cells, candidates come from the cell
+    * equi-join, and survivors are exactly re-scored with `score`
+    * (column-level, e.g. the DECIMAL-fold dot) for the final top-k.
+    */
+  def annTopK(e: DataFrame, eqf: DataFrame, cents: DataFrame,
+              numQueries: Int, probes: Int, topK: Int,
+              score: (Column, Column) => Column): DataFrame = {
+    val rk = ranked(eqf, cents)
+    val cells = rk.filter(col("rk") === 1)
+      .select(col("vec_id"), col("cid").as("cell"))
+    val probeSet = rk.filter(col("vec_id") < numQueries && col("rk") <= probes)
+      .select(col("vec_id").as("q_id"), col("cid").as("cell"))
+    val cand = probeSet.join(cells, "cell")
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"))
+      .distinct()
+    val qe = e.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim_dec").desc, col("vec_id").asc)
+    cand
+      .join(broadcast(qe), "q_id")
+      .join(e.select(col("vec_id"), col("embedding")), "vec_id")
+      .withColumn("sim_dec", score(col("q_emb"), col("embedding")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= topK)
+      .select(col("q_id"), col("rk"), col("vec_id").as("neighbor_id"),
+        col("sim_dec").cast(DoubleType).as("sim"))
+      .orderBy(col("q_id"), col("rk"))
+  }
+
+  // ---------------------------------------------------------------- SQL --
+  private def idotSql(a: String, b: String): String =
+    s"list_sum(list_transform(generate_series(1, $Dim), j -> $a[j] * $b[j]))"
+
+  /** DuckDB CTE chain from an upstream `eq(vec_id, q)` CTE to a final
+    * `cents(cid, cq)` CTE: the seeding picks unrolled (one argmin CTE per
+    * seed) and exactly `maxIters` Lloyd iterations — the closed form of
+    * [[fit]]'s recurrence, reproducing identical centroids.
+    */
+  private[operators] def centroidsSql(k: Int, sampleMod: Int, maxIters: Int): String = {
+    // Every recurrent CTE is MATERIALIZED: iv_seeds{i} is referenced twice
+    // per seeding level (by iv_m{i+1} and iv_seeds{i+1}), so an inlining
+    // planner would otherwise expand the chain 2^k times.
+    val sb = new StringBuilder
+    sb ++= s"iv_samp AS MATERIALIZED (SELECT vec_id, q FROM eq WHERE CAST('0x' || substr(md5('ivf|' || CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT) % $sampleMod = 0),\n"
+    sb ++= "iv_seeds0 AS MATERIALIZED (SELECT 0 AS cid, vec_id, q FROM iv_samp WHERE vec_id = (SELECT min(vec_id) FROM iv_samp)),\n"
+    for (i <- 1 until k) {
+      sb ++= s"iv_m$i AS (SELECT s.vec_id, max(${idotSql("s.q", "c.q")}) AS m FROM iv_samp s, iv_seeds${i - 1} c GROUP BY s.vec_id),\n"
+      sb ++= s"iv_p$i AS (SELECT $i AS cid, s.vec_id, s.q FROM iv_samp s JOIN (SELECT vec_id FROM iv_m$i ORDER BY m ASC, vec_id ASC LIMIT 1) t USING (vec_id)),\n"
+      sb ++= s"iv_seeds$i AS MATERIALIZED (SELECT * FROM iv_seeds${i - 1} UNION ALL SELECT * FROM iv_p$i),\n"
+    }
+    sb ++= s"iv_cents0 AS MATERIALIZED (SELECT cid, q AS cq FROM iv_seeds${k - 1}),\n"
+    for (t <- 1 to maxIters) {
+      sb ++= s"iv_s$t AS (SELECT e.vec_id, c.cid, ${idotSql("e.q", "c.cq")} AS idot FROM eq e, iv_cents${t - 1} c),\n"
+      sb ++= s"iv_a$t AS (SELECT vec_id, cid FROM (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY idot DESC, cid ASC) AS rk FROM iv_s$t) WHERE rk = 1),\n"
+      sb ++= s"iv_upd$t AS (SELECT cid, i, CAST(floor(CAST(sum(q[i]) AS DOUBLE) / count(*)) AS BIGINT) AS cv FROM (SELECT a.cid, e.q FROM iv_a$t a JOIN eq e USING (vec_id)) mem, range(1, ${Dim + 1}) AS r(i) GROUP BY cid, i),\n"
+      sb ++= s"iv_cents$t AS MATERIALIZED (SELECT cid, list(cv ORDER BY i) AS cq FROM iv_upd$t GROUP BY cid),\n"
+    }
+    sb ++= s"cents AS (SELECT cid, cq FROM iv_cents$maxIters)"
+    sb.toString
+  }
+}

@@ -52,6 +52,45 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(hits >= exact.size / 2, s"IVF top-1 recall too low: $hits/${exact.size}")
   }
 
+  test("IVF k-means++ on a clustered fixture: fixed point reached, brute-force recall ≥ 0.9") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // Non-uniform fixture: 8 well-separated clusters (orthogonal axes) of
+    // 40 deterministic perturbed unit vectors; vec_ids interleaved so
+    // vec_id < 8 queries hit one member of EACH cluster.
+    val k0 = 8; val per = 40; val dim = 64
+    def unit(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n)
+    }
+    val rows = for (j <- 0 until per; c <- 0 until k0) yield {
+      val base = Array.tabulate(dim)(i => if (i == c * 8) 1.0 else 0.0)
+      val pert = Array.tabulate(dim)(i =>
+        ((graft.functions.VectorFunctions.md5Hex60(s"cl|$c|$j|$i") % 1001L) - 500L) / 5000.0)
+      ((j * k0 + c).toLong, unit(base.zip(pert).map { case (a, b) => a + b }).map(_.toFloat).toSeq)
+    }
+    val e = rows.toDF("vec_id", "embedding")
+    val eqf = operators.Ivf.quantize(e)
+    val model = operators.Ivf.fit(eqf, k = k0, sampleMod = 2, maxIters = 8)
+    assert(model.converged, s"Lloyd hit the cap (${model.iters} iters) without a fixed point")
+    val nq = 8; val topk = 5
+    val score = graft.functions.VectorFunctions.dotDec _
+    val ann = operators.Ivf.annTopK(e, eqf, operators.Ivf.centsDF(spark, model.cents),
+        nq, probes = 2, topk, score)
+      .select("q_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val q = e.filter(col("vec_id") < nq)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("sim_dec").desc, col("vec_id").asc)
+    val brute = e.crossJoin(broadcast(q)).filter(col("vec_id") =!= col("q_id"))
+      .withColumn("sim_dec", score(col("q_emb"), col("embedding")))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= topk)
+      .select("q_id", "vec_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = ann.intersect(brute).size.toDouble / brute.size
+    assert(recall >= 0.9, s"IVF recall $recall < 0.9 (ann=${ann.size}, brute=${brute.size})")
+  }
+
   test("SRP-bucketed near-dup finds every brute-force pair at τ (sf0.01 fixture)") {
     import org.apache.spark.sql.functions._
     import graft.functions.VectorFunctions.dotDec
