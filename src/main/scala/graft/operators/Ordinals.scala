@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -30,8 +30,68 @@ import org.apache.spark.sql.types._
   */
 object Ordinals {
 
-  /** Append a 1-based global ordinal column `out`, ordered by `sortCols`
-    * (which must form a total order — supply a unique tiebreaker).
+  /** Tungsten-native two-phase global row_number — no RDD round-trip (the
+    * zipWithIndex variant below deserializes every row out of Tungsten and
+    * back), and AQE-safe WITHOUT pinning AQE off, because the two phases
+    * key offsets by a BUCKET VALUE that is a pure function of row content,
+    * never by a partition id that a re-evaluated exchange could reshuffle:
+    *
+    *   1. boundaries: a deterministic md5-hash sample of the sort key
+    *      (bounded by `sampleMod` choice — size it so the sample is
+    *      O(100k) at any corpus size) is sorted BY SPARK (so string
+    *      ordering is UTF8-binary, matching phase-3 comparisons) and
+    *      every len/buckets-th key becomes a literal range boundary;
+    *   2. counts: group by the bucket expression (Σ of `key >= boundary`
+    *      — monotone, equal keys always co-bucket), collect the ≤buckets
+    *      counts, prefix-sum into an offset-by-bucket literal map;
+    *   3. number: row_number over (partitionBy bucket, orderBy key+ties)
+    *      — parallel across buckets, one window task per bucket, the
+    *      per-partition slice of the classic two-phase scheme — plus the
+    *      broadcast offset.
+    *
+    * Both actions and the final plan evaluate the bucket expression from
+    * the same literal boundaries, so any re-planning (AQE coalescing,
+    * retries, speculative tasks) yields identical bucketing. Bucket-size
+    * skew follows the sample quality exactly as repartitionByRange's
+    * sampler does; duplicate-heavy keys skew both the same way.
+    *
+    * `sortCol` must be non-null; (`sortCol` + `tieCols`) must form a total
+    * order for a deterministic numbering.
+    */
+  def globalRowNumberNative(df: DataFrame, out: String, sortCol: String,
+      tieCols: Seq[String] = Nil, buckets: Int = 64, sampleMod: Int = 4): DataFrame = {
+    import graft.functions.TextFunctions.hex60
+    import org.apache.spark.sql.expressions.Window
+    val keyStr = col(sortCol).cast(StringType)
+    val samp = df
+      .filter(hex60(concat(lit("ord|"), keyStr)) % sampleMod === 0)
+      .select(col(sortCol)).orderBy(col(sortCol))
+      .collect().map(_.get(0))
+    val step = math.max(1, samp.length / buckets)
+    val boundaries = samp.indices.collect { case i if i > 0 && i % step == 0 => samp(i) }
+      .distinct.toSeq
+    val bucket = boundaries
+      .map(b => when(col(sortCol) >= lit(b), 1).otherwise(0))
+      .reduceOption[Column](_ + _).getOrElse(lit(0))
+    val withB = df.withColumn("__ord_bucket", bucket)
+    val counts = withB.groupBy(col("__ord_bucket")).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val offsets: Map[Int, Long] = counts
+      .scanLeft((Int.MinValue, 0L)) { case ((_, acc), (b, n)) => (b, acc + n) }
+      .sliding(2).collect { case Array((_, off), (b, _)) => b -> off }.toMap
+    val w = Window.partitionBy(col("__ord_bucket"))
+      .orderBy(col(sortCol) +: tieCols.map(col): _*)
+    withB
+      .withColumn(out,
+        row_number().over(w).cast(LongType) +
+          coalesce(try_element_at(typedLit(offsets), col("__ord_bucket")), lit(0L)))
+      .drop("__ord_bucket")
+  }
+
+  /** RDD fallback: append a 1-based global ordinal column `out`, ordered
+    * by `sortCols` (which must form a total order — supply a unique
+    * tiebreaker). Pays the Tungsten↔JVM serialization round-trip; prefer
+    * [[globalRowNumberNative]].
     */
   def globalRowNumber(df: DataFrame, out: String, sortCols: String*): DataFrame = {
     val spark = df.sparkSession

@@ -480,10 +480,11 @@ object Relational {
         |        row_number() OVER (ORDER BY c_name) AS rn
         |      FROM customer) t
         |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
-      // Two-phase numbering (Ordinals.globalRowNumber) instead of a global
-      // Window.orderBy: no single-partition exchange, same deterministic
-      // sorted-by-name i%3+1 routing (c_name is unique in customer).
-      Ordinals.globalRowNumber(
+      // Two-phase numbering (Ordinals.globalRowNumberNative) instead of a
+      // global Window.orderBy: no single-partition exchange and no RDD
+      // round-trip; same deterministic sorted-by-name i%3+1 routing
+      // (c_name is unique in customer).
+      Ordinals.globalRowNumberNative(
           Tables.load(s, dir, "customer").select(col("c_custkey"), col("c_name")),
           "rn", "c_name")
         .select(col("c_custkey"), col("c_name"),

@@ -51,5 +51,9 @@ class OperatorPropSpec extends SparkSpec {
     val got = operators.Ordinals.globalRowNumber(df, "rn", "key")
       .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
     assert(got == expected)
+    val gotNative = operators.Ordinals.globalRowNumberNative(df, "rn", "key",
+        buckets = 8, sampleMod = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(gotNative == expected)
   }
 }

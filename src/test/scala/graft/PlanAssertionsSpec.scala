@@ -68,12 +68,20 @@ class PlanAssertionsSpec extends SparkSpec {
     assert(naive.nonEmpty && salted == naive)
   }
 
-  test("q26: global row numbering plans no single-partition window") {
-    val p = plan("q26_route_roundrobin")
-    assert(!p.contains("Window"))
+  test("q26: global row numbering plans no single-partition window and no RDD scan") {
+    val qe = SparkEntry.queries("q26_route_roundrobin")(spark, dir).queryExecution
+    // Every window must be partitioned (the native two-phase numbering
+    // windows per bucket); an empty partitionSpec = the single-task global
+    // window the operator exists to avoid.
+    val globalWindows = qe.sparkPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec if w.partitionSpec.isEmpty => w
+    }
+    assert(globalWindows.isEmpty, s"found global window:\n${globalWindows.headOption}")
+    // And no Tungsten→RDD round-trip (the zipWithIndex fallback).
+    assert(!qe.executedPlan.toString.contains("ExistingRDD"))
   }
 
-  test("Ordinals.globalRowNumber matches the window formulation exactly") {
+  test("Ordinals: both variants match the window formulation exactly") {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._
     val cust = Tables.load(spark, dir, "customer").select("c_custkey", "c_name")
@@ -83,6 +91,9 @@ class PlanAssertionsSpec extends SparkSpec {
     val got = operators.Ordinals.globalRowNumber(cust, "rn", "c_name")
       .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
     assert(got == expected)
+    val gotNative = operators.Ordinals.globalRowNumberNative(cust, "rn", "c_name")
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(gotNative == expected)
   }
 
   test("q30: exact distincts plan two-level aggregates, not a multi-distinct Expand") {
