@@ -19,21 +19,67 @@ object Warehouse {
   val PartitionCol = "event_month"
   val SortCols: Seq[String] = Seq("event_date", "city_name", "event_time")
 
+  /** A month whose batch volume exceeds this fans out across
+    * [[HotMonthBuckets]] write tasks instead of funneling through one.
+    * Sized for executor-memory-comfortable single-task months below it.
+    */
+  val HotMonthRows = 5000000L
+  val HotMonthBuckets = 16
+
   /** Append fact rows, month-partitioned and sorted within partitions.
     *
     * `repartition(PartitionCol)` co-locates each month before the write so
     * one task owns one month (no small-file explosion: without it every
     * input partition would emit a file into every month directory).
+    *
+    * Hot-month handling: one-task-per-month is itself a skew hazard when a
+    * batch is dominated by a single month (the common case: a steady
+    * ingest trigger holds mostly *this* month). Months whose row count in
+    * THIS batch exceeds `hotMonthRows` get a composite write key
+    * (month, hash(city_name) % hotBuckets): up to `hotBuckets` tasks share
+    * the month, each writing one file. Hashing on city_name keeps every
+    * city's rows clustered in one sorted file, so the row-group min/max
+    * skip behavior survives the fan-out (files overlap in date range, not
+    * in city set). Cold months keep the exactly-one-file layout. The
+    * per-month count is one cheap aggregation over the batch; pass
+    * `hotMonthRows <= 0` to skip it and pin the legacy single-task layout.
     */
-  def writeFact(fact: DataFrame, path: String, mode: String = "append"): Unit =
-    fact
-      .withColumn(PartitionCol, date_format(col("event_date"), "yyyyMM"))
-      .repartition(col(PartitionCol))
-      .sortWithinPartitions(SortCols.map(col): _*)
+  def writeFact(fact: DataFrame, path: String, mode: String = "append",
+                hotMonthRows: Long = HotMonthRows,
+                hotBuckets: Int = HotMonthBuckets): Unit = {
+    val withMonth = fact.withColumn(PartitionCol, date_format(col("event_date"), "yyyyMM"))
+    val hotMonths: Set[String] =
+      if (hotMonthRows <= 0) Set.empty
+      else withMonth.groupBy(col(PartitionCol)).agg(count(lit(1)).as("n"))
+        .filter(col("n") > hotMonthRows)
+        .collect().map(_.getString(0)).toSet // bounded: one row per month
+    val writeBucket =
+      if (hotMonths.isEmpty) lit(0)
+      else when(col(PartitionCol).isInCollection(hotMonths),
+        pmod(hash(col("city_name")), lit(hotBuckets))).otherwise(lit(0))
+    // Explicit partition count: an advisory repartition(cols) is fair game
+    // for AQE coalescing, which would re-merge the hot month's buckets
+    // into one task (the bucket column is dropped before the write, so
+    // separate FILES require separate TASKS). A user-specified count pins
+    // the exchange.
+    val shuffleN = math.max(
+      withMonth.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt, hotBuckets)
+    withMonth
+      .withColumn("__write_bucket", writeBucket)
+      .repartition(shuffleN, col(PartitionCol), col("__write_bucket"))
+      // The sort MUST lead with the partition column: FileFormatWriter
+      // requires output ordered by the partition dirs and would otherwise
+      // inject its own UNSTABLE sort on event_month alone, scrambling the
+      // within-file (date, city, time) clustering. Leading with the month
+      // satisfies the requirement so no extra sort is planned (and costs
+      // nothing: event_month is monotone in event_date).
+      .sortWithinPartitions(col(PartitionCol) +: SortCols.map(col): _*)
+      .drop("__write_bucket")
       .write
       .mode(mode)
       .partitionBy(PartitionCol)
       .parquet(path)
+  }
 
   /** Read the fact table back; filters on `event_month` prune directories. */
   def readFact(spark: SparkSession, path: String): DataFrame =
@@ -59,7 +105,8 @@ object Warehouse {
       else readFact(spark, path).localCheckpoint(eager = true)
     snapshot
       .repartition(col(PartitionCol))
-      .sortWithinPartitions(SortCols.map(col): _*)
+      // lead with the partition col — see writeFact
+      .sortWithinPartitions(col(PartitionCol) +: SortCols.map(col): _*)
       .write
       .mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")

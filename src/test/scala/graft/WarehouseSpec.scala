@@ -54,4 +54,41 @@ class WarehouseSpec extends SparkSpec {
     assert(back.select("city_name").collect().map(_.getString(0)).sorted.toSeq ==
       Seq("City1", "City2", "City3"))
   }
+
+  test("hot-month batch fans out across bucket files; cold month stays single-file") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_wh_hot").toFile.getAbsolutePath
+    // Skewed batch: 2000 March rows across 40 cities (hot at threshold
+    // 500), 5 April rows (cold).
+    val rows = (1 to 2000).map { i =>
+      (java.sql.Date.valueOf("2024-03-15"), "City%02d".format(i % 40),
+        java.sql.Timestamp.valueOf("2024-03-15 %02d:00:00".format(i % 24)), i.toDouble)
+    } ++ (1 to 5).map { i =>
+      (java.sql.Date.valueOf("2024-04-02"), s"City0$i",
+        java.sql.Timestamp.valueOf("2024-04-02 01:00:00"), i.toDouble)
+    }
+    val fact = rows.toDF("event_date", "city_name", "event_time", "temperature")
+      .repartition(8)
+    Warehouse.writeFact(fact, dir, hotMonthRows = 500L, hotBuckets = 4)
+
+    def files(month: String) = new java.io.File(s"$dir/event_month=$month")
+      .listFiles().filter(_.getName.endsWith(".parquet"))
+    assert(files("202403").length > 1 && files("202403").length <= 4,
+      s"hot month wrote ${files("202403").length} files")
+    assert(files("202404").length == 1, "cold month must keep the one-file layout")
+
+    // Every hot file is internally sorted by the warehouse sort key, and
+    // the city-hash fan-out keeps each city's rows in exactly one file
+    // (row-group min/max skipping on city survives).
+    val citySets = files("202403").map { f =>
+      val content = spark.read.parquet(f.getAbsolutePath)
+        .select("event_date", "city_name", "event_time").collect()
+        .map(r => (r.getDate(0).toString, r.getString(1), r.getTimestamp(2).toString))
+      assert(content.toSeq == content.toSeq.sorted, s"${f.getName} not sorted")
+      content.map(_._2).toSet
+    }
+    for (Seq(a, b) <- citySets.toSeq.combinations(2))
+      assert(a.intersect(b).isEmpty, "a city leaked into two bucket files")
+    assert(Warehouse.readFact(spark, dir).count() == 2005)
+  }
 }
