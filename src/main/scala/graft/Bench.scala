@@ -29,25 +29,31 @@ object Bench {
       catch { case _: Throwable => errors ::= name; -1.0 }
     }
     val specs = SparkEntry.specs.filter(sp => only.isEmpty || only(sp.name))
-    val results = specs.map(sp => sp.name -> timed(sp.fn, sp.name)).toMap
-    // Optional second, warm pass (SPARK_GRAFT_WARM=1): per-query JIT/GC
-    // swing is ±20% on the first run; warm numbers are the plan-comparison
-    // signal. Opt-in so the default bench wall time stays unchanged; the
-    // headline total is always the first-run sum for comparability.
+    val results = specs.map(sp => sp.name -> timed(sp.fn, sp.name))
+    // Second, warm pass — ON by default (SPARK_GRAFT_WARM=0 skips it):
+    // per-query JIT/GC swing is ±20%..5× on the cold run (r02 recorded
+    // 6.8 s for a query whose warmed plan runs in ~1 s), so the warm
+    // numbers are the plan-comparison signal. The headline "value" stays
+    // the cold-run sum for comparability with earlier rounds.
+    val resMap = results.toMap
     val warm =
-      if (sys.env.get("SPARK_GRAFT_WARM").contains("1"))
-        specs.filter(sp => results(sp.name) >= 0)
-          .map(sp => sp.name -> timed(sp.fn, sp.name)).toMap
-      else Map.empty[String, Double]
-    def toJson(m: Map[String, Double]) =
-      m.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val total = results.values.filter(_ >= 0).sum
+      if (sys.env.get("SPARK_GRAFT_WARM").contains("0")) Seq.empty
+      else specs.filter(sp => resMap(sp.name) >= 0)
+        .map(sp => sp.name -> timed(sp.fn, sp.name))
+    // 3-decimal values keep the ONE json line short, and the totals sit at
+    // the END of the line: the driver's tail capture keeps the line's
+    // tail, and r02 lost the leading fields (metric/value + the first
+    // queries) to exactly that truncation.
+    def fmt(v: Double) = if (v < 0) "-1" else f"$v%.3f"
+    def toJson(m: Seq[(String, Double)]) =
+      m.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+    val total = results.map(_._2).filter(_ >= 0).sum
     val errJson = errors.reverse.distinct.map("\"" + _ + "\"").mkString("[", ",", "]")
     val warmJson =
       if (warm.isEmpty) ""
-      else s""""value_warm":${warm.values.filter(_ >= 0).sum},"queries_warm":${toJson(warm)},"""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${toJson(results)},""" +
-      warmJson + s""""errors":$errJson,"sf":"$sfDir"}""")
+      else s""""queries_warm":${toJson(warm)},"value_warm":${fmt(warm.map(_._2).filter(_ >= 0).sum)},"""
+    println(s"""{"unit":"sec","sf":"$sfDir","queries":${toJson(results)},""" +
+      warmJson + s""""errors":$errJson,"value":${fmt(total)},"metric":"total"}""")
     spark.stop()
   }
 }
