@@ -59,4 +59,20 @@ class LongVecDotSpec extends SparkSpec {
     // ...and an empty shingle array yields a null signature (no shingles).
     assert(native(2).isNullAt(0))
   }
+
+  test("minhash_sigs rejects mismatched coefficient arrays with a clear error") {
+    GraftExtensions.register(spark)
+    import spark.implicits._
+    val df = Seq(Seq(42L, 7L)).toDF("ss")
+    // SQL-registered function, unvetted callers: b shorter than a must be
+    // a clear error in both eval paths, never an out-of-bounds read.
+    val e = intercept[Exception] {
+      df.select(call_function("minhash_sigs", col("ss"),
+        typedLit(Seq(1L, 2L, 3L)), typedLit(Seq(9L)), lit(2147483647L))).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: messages(x.getCause))
+    assert(messages(e).exists(m => m != null && m.contains("equal length")),
+      s"unexpected error: $e")
+  }
 }

@@ -100,4 +100,20 @@ class ProducerJobSpec extends SparkSpec {
     assert(sleeps == Seq(ProducerJob.EmptyDimBackoffSec,
       ProducerJob.ErrorBackoffSec, ProducerJob.CycleIntervalSec))
   }
+
+  test("loop shutdown: InterruptedException terminates the loop instead of backing off") {
+    val okDim = writeCityList(("Kazan", "RU", 55.79, 49.12))
+    var cycles = 0
+    val send: org.apache.spark.sql.DataFrame => Unit = { _ =>
+      cycles += 1
+      throw new InterruptedException("supervisor stop")
+    }
+    val thrown = intercept[InterruptedException] {
+      ProducerJob.runLoop(spark, ProducerJob.Config(okDim, "k"),
+        fakeFetch, send, _ => (), maxCycles = 10)
+    }
+    assert(thrown.getMessage == "supervisor stop")
+    assert(cycles == 1, "the loop must not retry after an interrupt")
+    assert(Thread.interrupted(), "the interrupt flag must be restored") // also clears it for later tests
+  }
 }
