@@ -32,8 +32,11 @@ import org.apache.spark.sql.types._
   * Every stage is the already-oracle-checked operator; the composition is
   * itself oracle-checked end-to-end (q64), so stage ORDER and the
   * survivor-set algebra are pinned cross-engine too. Scale: each stage is
-  * the scan-parallel/bucketed plan its own query uses; nothing here adds
-  * a join or shuffle beyond them.
+  * the scan-parallel/bucketed plan its own query uses, and stages 3–4 run
+  * on the SURVIVOR set only (a doc_id equi-join narrows the input before
+  * the expensive shingling/banding — valid because minhash signatures are
+  * per-doc and the contamination set is intersected with survivors
+  * anyway), so each removal stage also shrinks the work of the next.
   */
 object CorpusClean {
 
@@ -55,21 +58,28 @@ object CorpusClean {
       .filter(col("doc_id") === col("keep_doc"))
       .select(col("doc_id"), col("quality_micro"))
     // 3. near-dup removal: drop the higher-doc_id end of verified pairs
-    //    whose both ends are still alive (non-transitive; see object doc)
-    val pairs = Dedup.minhashNearDupPairs(docs)
-    val dropNear = pairs
-      .join(keep2.select(col("doc_id").as("a_doc")), "a_doc")
-      .join(keep2.select(col("doc_id").as("b_doc")), "b_doc")
-      .select(col("b_doc").as("doc_id")).distinct()
+    //    whose both ends are still alive (non-transitive; see object doc).
+    //    Minhash runs on the SURVIVORS only — signatures are per-doc and
+    //    the verify is pair-local, so pairs(docs ∩ keep2) is exactly the
+    //    corpus-wide pair set with both ends in keep2, at (survivor
+    //    fraction)× the shingling/banding cost.
+    val pairs = Dedup.minhashNearDupPairs(
+      docs.join(keep2.select(col("doc_id")), "doc_id"))
+    val dropNear = pairs.select(col("b_doc").as("doc_id")).distinct()
     val keep3 = keep2.join(dropNear, Seq("doc_id"), "left_anti")
-    // 4. decontamination: benchmark slice out, contaminated docs out
-    val sh = TextAnalysis.docShingleSets(docs)
+    // 4. decontamination: benchmark slice out, contaminated docs out. Same
+    //    algebra: keep4 = keep3 \ contaminated, so only keep3's own docs
+    //    need shingling on the corpus side (the bench side stays the full
+    //    doc_id % 7 = 0 slice, matching the oracle's corpus-wide `cont`
+    //    restricted after the fact).
+    val bench = TextAnalysis.docShingleSets(docs.filter(col("doc_id") % 7 === 0))
+      .select(col("doc_id").as("bench_doc"), explode(col("ss")).as("s"))
+    val corpusSh = TextAnalysis.docShingleSets(
+        docs.join(keep3.select(col("doc_id")), "doc_id")
+          .filter(col("doc_id") % 7 =!= 0))
       .select(col("doc_id"), explode(col("ss")).as("s"))
-    val bench = sh.filter(col("doc_id") % 7 === 0)
-      .select(col("doc_id").as("bench_doc"), col("s"))
-    val contaminated =
-      Dedup.decontaminate(sh.filter(col("doc_id") % 7 =!= 0), bench, minShared = 5)
-        .select(col("doc_id")).distinct()
+    val contaminated = Dedup.decontaminate(corpusSh, bench, minShared = 5)
+      .select(col("doc_id")).distinct()
     val keep4 = keep3.filter(col("doc_id") % 7 =!= 0)
       .join(contaminated, Seq("doc_id"), "left_anti")
     // 5. deterministic split
