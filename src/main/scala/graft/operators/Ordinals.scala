@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -59,9 +60,37 @@ object Ordinals {
     * order for a deterministic numbering.
     */
   def globalRowNumberNative(df: DataFrame, out: String, sortCol: String,
-      tieCols: Seq[String] = Nil, buckets: Int = 64, sampleMod: Int = 4): DataFrame = {
+      tieCols: Seq[String] = Nil, buckets: Int = 64, sampleMod: Int = 4): DataFrame =
+    twoPhase(df, out, sortCol, tieCols, buckets, sampleMod,
+      perBucket = count(lit(1)),
+      local = w => row_number().over(w).cast(LongType))
+
+  /** Two-phase GLOBAL RUNNING SUM of `value` over the (`sortCol`, ties)
+    * total order — same content-keyed bucketing as
+    * [[globalRowNumberNative]] (a row_number is just the running sum of 1),
+    * so no single-partition window at any size. The workhorse behind
+    * sequence packing: shard boundaries are pure functions of the running
+    * token total. `value` must be non-null and non-negative for the
+    * per-bucket offsets to prefix-sum correctly.
+    */
+  def globalRunningSumNative(df: DataFrame, out: String, sortCol: String,
+      value: Column, tieCols: Seq[String] = Nil, buckets: Int = 64,
+      sampleMod: Int = 4): DataFrame =
+    twoPhase(df.withColumn("__ord_v", value.cast(LongType)), out, sortCol,
+      tieCols, buckets, sampleMod,
+      perBucket = sum(col("__ord_v")),
+      local = w => sum(col("__ord_v"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .drop("__ord_v")
+
+  /** The shared two-phase skeleton: sample→boundaries→bucket expression,
+    * per-bucket totals (`perBucket`) prefix-summed into offset literals,
+    * then the within-bucket window value (`local`) plus the offset.
+    */
+  private def twoPhase(df: DataFrame, out: String, sortCol: String,
+      tieCols: Seq[String], buckets: Int, sampleMod: Int,
+      perBucket: Column, local: org.apache.spark.sql.expressions.WindowSpec => Column): DataFrame = {
     import graft.functions.TextFunctions.hex60
-    import org.apache.spark.sql.expressions.Window
     val keyStr = col(sortCol).cast(StringType)
     val samp = df
       .filter(hex60(concat(lit("ord|"), keyStr)) % sampleMod === 0)
@@ -74,17 +103,16 @@ object Ordinals {
       .map(b => when(col(sortCol) >= lit(b), 1).otherwise(0))
       .reduceOption[Column](_ + _).getOrElse(lit(0))
     val withB = df.withColumn("__ord_bucket", bucket)
-    val counts = withB.groupBy(col("__ord_bucket")).agg(count(lit(1)).as("n"))
+    val totals = withB.groupBy(col("__ord_bucket")).agg(perBucket.cast(LongType).as("n"))
       .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
-    val offsets: Map[Int, Long] = counts
+    val offsets: Map[Int, Long] = totals
       .scanLeft((Int.MinValue, 0L)) { case ((_, acc), (b, n)) => (b, acc + n) }
       .sliding(2).collect { case Array((_, off), (b, _)) => b -> off }.toMap
     val w = Window.partitionBy(col("__ord_bucket"))
       .orderBy(col(sortCol) +: tieCols.map(col): _*)
     withB
       .withColumn(out,
-        row_number().over(w).cast(LongType) +
-          coalesce(try_element_at(typedLit(offsets), col("__ord_bucket")), lit(0L)))
+        local(w) + coalesce(try_element_at(typedLit(offsets), col("__ord_bucket")), lit(0L)))
       .drop("__ord_bucket")
   }
 

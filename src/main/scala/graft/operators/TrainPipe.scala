@@ -20,6 +20,17 @@ object TrainPipe {
   private val EmailPat = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
   private val DigitRunPat = "[0-9]{7,}"
 
+  /** q65 token budget per training shard — sized so the fixtures produce a
+    * multi-shard layout (sf0.01 ≈ 9 shards, sf0.1 ≈ 90).
+    */
+  private val PackBudget = 2048
+
+  /** q66 keep-fractions in micro-units per lang stratum (absent → keep
+    * all): the fixture's dominant `en` stratum downsampled hardest.
+    */
+  private val StratFractionsMicro: Map[String, Long] =
+    Map("en" -> 250000L, "zh" -> 500000L, "es" -> 500000L)
+
   val specs: Seq[QuerySpec] = Seq(
 
     // ----- deterministic train/val/test split -----------------------------
@@ -88,6 +99,72 @@ object TrainPipe {
         .withColumn("rep_micro",
           floor((lit(1.0) - col("n_distinct_sh").cast(DoubleType) /
             col("n_sh").cast(DoubleType)) * 1000000).cast(LongType))
+        .orderBy(col("doc_id"))
+    },
+
+    // ----- sequence packing: concatenate-and-chunk token sharding ---------
+    // The step that turns a cleaned corpus into fixed-token-budget training
+    // shards: documents are laid out in doc_id order as one token stream
+    // and a document's shard is where its FIRST token lands
+    // (shard = floor((cum − tok) / budget)). The running token total comes
+    // from [[Ordinals.globalRunningSumNative]] — two-phase, content-keyed
+    // buckets, so there is NO single-partition window at any corpus size;
+    // the oracle's `sum() OVER (ORDER BY doc_id)` is the semantic spec,
+    // not the plan. `n_spanning` counts documents whose token span crosses
+    // a shard boundary (floor((cum−1)/budget) lands in a later shard) —
+    // the fragmentation a packing-aware loader needs to know.
+    QuerySpec("q65_pack_sequences")(
+      s"""SELECT shard, count(*) AS n_docs, CAST(sum(tok) AS BIGINT) AS n_tokens,
+        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc,
+        |  CAST(sum(CASE WHEN shard_end > shard THEN 1 ELSE 0 END) AS BIGINT) AS n_spanning
+        |FROM (
+        |  SELECT doc_id, tok, cum,
+        |    CAST(floor((cum - tok) / $PackBudget.0) AS BIGINT) AS shard,
+        |    CAST(floor((cum - 1) / $PackBudget.0) AS BIGINT) AS shard_end
+        |  FROM (
+        |    SELECT doc_id, tok,
+        |      sum(tok) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |    FROM (SELECT doc_id,
+        |            CAST(len(regexp_split_to_array(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), '\\s+')) AS BIGINT) AS tok
+        |          FROM documents)))
+        |GROUP BY shard ORDER BY shard""".stripMargin) { (s, dir) =>
+      val toks = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), size(tokens(col("text"))).cast(LongType).as("tok"))
+      Ordinals.globalRunningSumNative(toks, "cum", "doc_id", col("tok"))
+        .withColumn("shard",
+          floor((col("cum") - col("tok")).cast(DoubleType) / PackBudget).cast(LongType))
+        .withColumn("shard_end",
+          floor((col("cum") - 1).cast(DoubleType) / PackBudget).cast(LongType))
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("n_tokens"),
+          min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"),
+          sum(when(col("shard_end") > col("shard"), 1L).otherwise(0L)).as("n_spanning"))
+        .orderBy(col("shard"))
+    },
+
+    // ----- stratified sampling: the data-mixture primitive ----------------
+    // Deterministic per-stratum downsampling (here: by lang, the dominant
+    // stratum kept at 25%) via a salted 60-bit hash of the doc key against
+    // a per-stratum threshold — membership is a pure row-local function
+    // (no shuffle, no join, reproducible across runs/engines/partitioning),
+    // which is what lets a 100 TB mixture be re-materialized incrementally.
+    // The sampled u_micro rides the output so the oracle pins the hash
+    // itself, not just the surviving set.
+    QuerySpec("q66_stratified_sample")(
+      s"""SELECT doc_id, lang, source, u_micro FROM (
+        |  SELECT doc_id, lang, source,
+        |    ${hex60SqlExpr.format("CAST(doc_id AS VARCHAR) || '|strat'")} % 1000000 AS u_micro
+        |  FROM documents)
+        |WHERE u_micro < CASE lang WHEN 'en' THEN 250000 WHEN 'zh' THEN 500000
+        |                          WHEN 'es' THEN 500000 ELSE 1000000 END
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val thresh = coalesce(
+        try_element_at(typedLit(StratFractionsMicro), col("lang")), lit(1000000L))
+      Tables.load(s, dir, "documents")
+        .withColumn("u_micro",
+          hex60(concat(col("doc_id").cast(StringType), lit("|strat"))) % 1000000)
+        .filter(col("u_micro") < thresh)
+        .select(col("doc_id"), col("lang"), col("source"), col("u_micro"))
         .orderBy(col("doc_id"))
     },
 

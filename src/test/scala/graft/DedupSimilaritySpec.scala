@@ -43,6 +43,32 @@ class DedupSimilaritySpec extends SparkSpec {
       s"ANN top-1 recall too low: $hits/${exact.size}")
   }
 
+  test("semdedup drops are sound: every dropped vec has a true >= tau lower neighbor") {
+    import org.apache.spark.sql.functions._
+    val tau = new java.math.BigDecimal("0.45")
+    // Brute-force ground truth: ALL pairs at cosine >= tau (cell-free).
+    val e = Tables.load(spark, dir, "embeddings")
+    val ea = e.select(col("vec_id").as("a_vec"), col("embedding").as("a_emb"))
+    val eb = e.select(col("vec_id").as("b_vec"), col("embedding").as("b_emb"))
+    val truePairs = ea.crossJoin(eb).filter(col("a_vec") < col("b_vec"))
+      .withColumn("sim_dec", graft.functions.VectorFunctions.dotDec(col("a_emb"), col("b_emb")))
+      .filter(col("sim_dec") >= tau)
+      .select("a_vec", "b_vec")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val dropped = run("q68_semdedup").select("vec_id", "kept_anchor")
+      .collect().map(r => (r.getLong(1), r.getLong(0))).toSet
+    // Soundness: exact-verified, so every (anchor, dropped) is a true pair.
+    assert(dropped.subsetOf(truePairs),
+      s"unsound drops: ${dropped -- truePairs}")
+    // Recall floor on the fixture: same-cell bucketing keeps most true
+    // dup-ends detectable (cross-cell pairs are the documented miss).
+    val trueDropEnds = truePairs.map(_._2)
+    val gotDropEnds = dropped.map(_._2)
+    if (trueDropEnds.nonEmpty)
+      assert(gotDropEnds.size * 2 >= trueDropEnds.size,
+        s"semdedup found ${gotDropEnds.size} of ${trueDropEnds.size} droppable ends")
+  }
+
   test("IVF ANN returns true top-1 for most queries (recall floor)") {
     val exact = run("q39_cosine_topk").filter("rk = 1").select("q_id", "neighbor_id")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

@@ -56,4 +56,20 @@ class OperatorPropSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
     assert(gotNative == expected)
   }
+
+  test("Ordinals.globalRunningSumNative equals the global window sum on random values") {
+    import spark.implicits._
+    val rows = sample(Gen.chooseNum(0L, 5000L), 400, seed = 7L)
+      .zipWithIndex.map { case (v, i) => (i.toLong, v) }
+    val df = rows.toDF("id", "v").repartition(9)
+    val expected = df
+      .withColumn("cum", sum(col("v")).over(
+        Window.orderBy(col("id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val got = operators.Ordinals.globalRunningSumNative(df, "cum", "id", col("v"),
+        buckets = 8, sampleMod = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got == expected)
+  }
 }

@@ -152,6 +152,32 @@ class PlanAssertionsSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
   }
 
+  test("q65: sequence packing plans no single-partition window") {
+    val qe = SparkEntry.queries("q65_pack_sequences")(spark, dir).queryExecution
+    val globalWindows = qe.sparkPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec if w.partitionSpec.isEmpty => w
+    }
+    assert(globalWindows.isEmpty, s"found global window:\n${globalWindows.headOption}")
+  }
+
+  test("q68: semdedup candidate pairs come from the cell equi-join, no cartesian") {
+    val p = plan("q68_semdedup")
+    // (the k-centroid broadcast in the assignment is the one allowed
+    // nested-loop against a 16-row literal table; nothing may plan an
+    // unbucketed pair cartesian)
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q66: stratified sample is a single scan with a row-local filter (no shuffle)") {
+    val qe = SparkEntry.queries("q66_stratified_sample")(spark, dir).queryExecution
+    // Membership must be a pure projection+filter: the only exchange in the
+    // plan is the final ORDER BY's range partitioning.
+    val exchanges = qe.executedPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(exchanges.size <= 1, qe.executedPlan.toString.take(2000))
+  }
+
   test("aggregations run partial+final (map-side combine)") {
     val p = plan("q05_count_distinct")
     assert(p.contains("partial_count") || p.contains("HashAggregate"))
