@@ -121,9 +121,16 @@ object Dedup {
     * intersect, possibly duplicated across colliding bands (dedupe on the
     * scalar outputs downstream).
     */
-  private def minhashVerified(docs: DataFrame): DataFrame = {
-    graft.plans.GraftExtensions.register(docs.sparkSession)
-    val dss = TextAnalysis.docShingleSets(docs)
+  private def minhashVerified(docs: DataFrame): DataFrame =
+    minhashVerifiedDss(docs.sparkSession, TextAnalysis.docShingleSets(docs))
+
+  /** [[minhashVerified]] from an already-built shingle-set frame — so q37
+    * can run off the shared [[TextAnalysis.shingleIndex]] while the
+    * corpus-clean composition passes its survivor-filtered frame.
+    */
+  private def minhashVerifiedDss(spark: org.apache.spark.sql.SparkSession,
+      dss: DataFrame): DataFrame = {
+    graft.plans.GraftExtensions.register(spark)
     val sig = dss
       .withColumn("sigs", call_function("minhash_sigs", col("ss"),
         typedLit(permA), typedLit(permB), lit(MersenneP)))
@@ -179,8 +186,7 @@ object Dedup {
         |JOIN nsh nb ON i.b_doc = nb.doc_id
         |WHERE $jaccardExpr >= $JaccardThreshold
         |ORDER BY i.a_doc, i.b_doc""".stripMargin) { (s, dir) =>
-      val dss = TextAnalysis.docShingleSets(Tables.load(s, dir, "documents"))
-      pairJaccard(dss)
+      pairJaccard(TextAnalysis.shingleIndex(s, dir))
         .filter(col("jac_raw") >= JaccardThreshold)
         .select(col("a_doc"), col("b_doc"), col("n_inter"),
           col("n_a").cast(LongType).as("n_a"), col("n_b").cast(LongType).as("n_b"),
@@ -210,8 +216,7 @@ object Dedup {
         |JOIN nsh nb ON c.b_doc = nb.doc_id
         |WHERE $jaccardExpr >= $JaccardThreshold
         |ORDER BY c.a_doc, c.b_doc""".stripMargin) { (s, dir) =>
-      val dss = TextAnalysis.docShingleSets(Tables.load(s, dir, "documents"))
-      pairJaccardCapped(dss, DfCap)
+      pairJaccardCapped(TextAnalysis.shingleIndex(s, dir), DfCap)
         .filter(col("jac_raw") >= JaccardThreshold)
         .select(col("a_doc"), col("b_doc"), col("n_inter"),
           col("n_a").cast(LongType).as("n_a"), col("n_b").cast(LongType).as("n_b"),
@@ -229,9 +234,9 @@ object Dedup {
       // permutation minima in one native codegen pass (minhash_sigs), the
       // shingle-set array riding the (4 rows/doc) band rows so the exact
       // verify runs pipelined on the band-join output — one shingling
-      // compute, no re-joins; multi-band duplicates dedupe after verify
-      // where rows are 3 scalars, not arrays.
-      minhashVerified(Tables.load(s, dir, "documents"))
+      // compute (off the shared index), no re-joins; multi-band duplicates
+      // dedupe after verify where rows are 3 scalars, not arrays.
+      minhashVerifiedDss(s, TextAnalysis.shingleIndex(s, dir))
         .select(col("a_doc"), col("b_doc"),
           floor(col("jac_raw") * 1000000).cast(LongType).as("jac_micro"))
         .distinct()
@@ -255,7 +260,7 @@ object Dedup {
         |GROUP BY 1, 2
         |HAVING count(*) >= 5
         |ORDER BY c.doc_id, bench_doc""".stripMargin) { (s, dir) =>
-      val sh = TextAnalysis.docShingleSets(Tables.load(s, dir, "documents"))
+      val sh = TextAnalysis.shingleIndex(s, dir)
         .select(col("doc_id"), explode(col("ss")).as("s"))
       val bench = sh.filter(col("doc_id") % 7 === 0)
         .select(col("doc_id").as("bench_doc"), col("s"))

@@ -253,5 +253,24 @@ object TextAnalysis {
       .select(col("doc_id"),
         array_distinct(transform(shingles(split(col("t"), " ")), sh => hex60(sh))).as("ss"))
 
+  /** The corpus shingle-set frame as a MATERIALIZED shared index, one per
+    * (session, fixture dir) — the same posture as Similarity's persisted
+    * SRP index: a production dedup stack computes the shingle index once
+    * and serves every shingle consumer (exact Jaccard q36/q36a, minhash
+    * q37, decontamination q63) from it, instead of re-tokenizing the
+    * corpus per query — and q36a's exact verify alone touches it three
+    * times. MEMORY_AND_DISK: corpus-sized by design (an index, not a
+    * temp), spilling rather than failing when it outgrows executor
+    * memory.
+    */
+  private val shingleIndexCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), org.apache.spark.sql.DataFrame]
+
+  private[graft] def shingleIndex(s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame =
+    shingleIndexCache.getOrElseUpdate(
+      (s.sparkContext.applicationId + "@" + System.identityHashCode(s), dir),
+      docShingleSets(graft.Tables.load(s, dir, "documents"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
   private[operators] val markerList: Seq[(String, Seq[String])] = langMarkers
 }
