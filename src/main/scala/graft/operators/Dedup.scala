@@ -445,10 +445,39 @@ object Dedup {
     * ≥1 sub-cap shingle (near-dup pairs share their *unique* content
     * shingles, which are low-df by nature; DedupSimilaritySpec pins recall
     * on fixtures). Same output columns as pairJaccard.
+    *
+    * `theta` is a SOUND candidate-pruning bound, not a result filter: the
+    * capped count undercounts the true intersection by at most
+    * min(h_a, h_b) hot shingles (h = the doc's own count of df>cap
+    * shingles, a by-product of the same posting-list groupBy), so
+    * jac_upper = (n_cap + min(h_a, h_b)) / (n_a + n_b − n_cap − min(h_a,
+    * h_b)) ≥ true jac, and pairs with jac_upper < theta can skip the
+    * array-intersect verify entirely. On the fixtures this cuts the
+    * verify set from every co-shingle pair (Σ min(df,cap)²/2 of them) to
+    * the near-dup frontier. Callers must filter the OUTPUT at ≥ theta —
+    * below theta the returned pair set is upper-bound-pruned, not exact.
     */
-  private[graft] def pairJaccardCapped(dss: DataFrame, dfCap: Int): DataFrame =
-    pairJaccard(dss, Some(dfCap))
+  private[graft] def pairJaccardCapped(dss: DataFrame, dfCap: Int,
+      theta: Double = JaccardThreshold): DataFrame = {
+    // h(doc) = how many of the doc's shingles are hot (df > cap). The
+    // hot-shingle set is small (≤ shingle_rows/cap by pigeonhole —
+    // boilerplate only) but corpus-proportional in the limit, so NO
+    // broadcast hint: the shingle-keyed equi-join is correct unhinted and
+    // AQE upgrades it from measured sizes when it does fit.
+    val rows = dss.select(col("doc_id"), explode(col("ss")).as("s"))
+    val hotShingles = rows.groupBy(col("s")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > dfCap).select(col("s"))
+    val hot = rows.join(hotShingles, "s")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("h"))
+    val pruned = pairJaccard(dss, Some(dfCap))
+      .join(hot.select(col("doc_id").as("a_doc"), col("h").as("h_a")), Seq("a_doc"), "left")
+      .join(hot.select(col("doc_id").as("b_doc"), col("h").as("h_b")), Seq("b_doc"), "left")
+      .withColumn("i_up", col("n_inter") +
+        least(coalesce(col("h_a"), lit(0L)), coalesce(col("h_b"), lit(0L))))
+      .filter(col("i_up").cast(DoubleType) /
+        (col("n_a") + col("n_b") - col("i_up")).cast(DoubleType) >= theta)
       .select(col("a_doc"), col("b_doc"))
+    pruned
       .join(dss.select(col("doc_id").as("a_doc"), col("ss").as("a_ss")), "a_doc")
       .join(dss.select(col("doc_id").as("b_doc"), col("ss").as("b_ss")), "b_doc")
       .withColumn("n_inter", size(array_intersect(col("a_ss"), col("b_ss"))).cast(LongType))
@@ -457,4 +486,5 @@ object Dedup {
       .withColumn("jac_raw",
         col("n_inter").cast(DoubleType) /
           (col("n_a") + col("n_b") - col("n_inter")).cast(DoubleType))
+  }
 }
