@@ -31,6 +31,14 @@ object TrainPipe {
   private val StratFractionsMicro: Map[String, Long] =
     Map("en" -> 250000L, "zh" -> 500000L, "es" -> 500000L)
 
+  /** q67 reference-vocabulary size and max OOV ratio. k=16 against the
+    * fixture's 31-token vocabulary so the coverage signal is
+    * non-degenerate; production k is 10⁴–10⁵ — still a broadcast-sized
+    * dimension, which is the point of the join formulation.
+    */
+  private val VocabK = 16
+  private val MaxOovMicro = 500000L
+
   val specs: Seq[QuerySpec] = Seq(
 
     // ----- deterministic train/val/test split -----------------------------
@@ -165,6 +173,52 @@ object TrainPipe {
           hex60(concat(col("doc_id").cast(StringType), lit("|strat"))) % 1000000)
         .filter(col("u_micro") < thresh)
         .select(col("doc_id"), col("lang"), col("source"), col("u_micro"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ----- vocabulary-coverage (OOV) filter -------------------------------
+    // Drop documents whose token stream falls too far outside a reference
+    // vocabulary (the top-k by document frequency — q57's vocabulary,
+    // consumed as a filter): classic non-linguistic-noise screening. The
+    // vocabulary is EXPLICITLY BOUNDED (LIMIT k with a total (df, token)
+    // order), so broadcasting it is legitimate — the in-vocab count is a
+    // broadcast join + per-doc count, the total comes free from the same
+    // row, and the OOV ratio is exact micro-units. Scale: one explode
+    // shuffle keyed by doc_id for the count-back; everything else rides
+    // the scan.
+    QuerySpec("q67_oov_filter")(
+      s"""WITH tok AS (SELECT doc_id,
+        |         unnest(regexp_split_to_array(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), '\\s+')) AS t
+        |       FROM documents),
+        |vocab AS (SELECT t FROM (
+        |    SELECT t, count(*) AS df FROM (SELECT DISTINCT doc_id, t FROM tok)
+        |    GROUP BY t ORDER BY df DESC, t ASC LIMIT $VocabK)),
+        |inv AS (SELECT doc_id, count(*) AS n_inv FROM tok JOIN vocab USING (t) GROUP BY doc_id),
+        |tot AS (SELECT doc_id,
+        |          CAST(len(regexp_split_to_array(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), '\\s+')) AS BIGINT) AS n_tokens
+        |        FROM documents)
+        |SELECT doc_id, n_tokens, n_inv, oov_micro FROM (
+        |  SELECT tot.doc_id, tot.n_tokens, coalesce(inv.n_inv, 0) AS n_inv,
+        |    CAST(floor((1.0 - CAST(coalesce(inv.n_inv, 0) AS DOUBLE) / CAST(tot.n_tokens AS DOUBLE)) * 1000000) AS BIGINT) AS oov_micro
+        |  FROM tot LEFT JOIN inv ON tot.doc_id = inv.doc_id)
+        |WHERE oov_micro <= $MaxOovMicro
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+      val vocab = docs
+        .select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("t"))
+        .groupBy(col("t")).agg(count(lit(1)).as("df"))
+        .orderBy(col("df").desc, col("t").asc).limit(VocabK)
+        .select(col("t"))
+      val inv = tok.join(broadcast(vocab), "t")
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_inv"))
+      docs.select(col("doc_id"), size(tokens(col("text"))).cast(LongType).as("n_tokens"))
+        .join(inv, Seq("doc_id"), "left")
+        .withColumn("n_inv", coalesce(col("n_inv"), lit(0L)))
+        .withColumn("oov_micro",
+          floor((lit(1.0) - col("n_inv").cast(DoubleType) /
+            col("n_tokens").cast(DoubleType)) * 1000000).cast(LongType))
+        .filter(col("oov_micro") <= MaxOovMicro)
         .orderBy(col("doc_id"))
     },
 
