@@ -40,8 +40,14 @@ import org.apache.spark.sql.types._
   */
 object CorpusClean {
 
-  /** Cleaned corpus: (doc_id, quality_micro, split), ordered by doc_id. */
-  private[graft] def clean(docs: DataFrame): DataFrame = {
+  /** Cleaned corpus: (doc_id, quality_micro, split), ordered by doc_id.
+    *
+    * `dss` is the corpus shingle-set frame — pass the shared materialized
+    * [[TextAnalysis.shingleIndex]] so stages 3–4 filter the
+    * computed-once index (a doc's shingle set is a pure per-doc function,
+    * so index ∩ survivors ≡ shingling the survivor docs).
+    */
+  private[graft] def clean(docs: DataFrame, dss: DataFrame): DataFrame = {
     // 1. quality percentile filter (scalar cutoff broadcast)
     val scored = TextAnalysis.qualityScored(docs)
       .select(col("doc_id"), col("quality_micro"))
@@ -63,8 +69,8 @@ object CorpusClean {
     //    the verify is pair-local, so pairs(docs ∩ keep2) is exactly the
     //    corpus-wide pair set with both ends in keep2, at (survivor
     //    fraction)× the shingling/banding cost.
-    val pairs = Dedup.minhashNearDupPairs(
-      docs.join(keep2.select(col("doc_id")), "doc_id"))
+    val pairs = Dedup.minhashNearDupPairsDss(docs.sparkSession,
+      dss.join(keep2.select(col("doc_id")), "doc_id"))
     val dropNear = pairs.select(col("b_doc").as("doc_id")).distinct()
     val keep3 = keep2.join(dropNear, Seq("doc_id"), "left_anti")
     // 4. decontamination: benchmark slice out, contaminated docs out. Same
@@ -72,11 +78,10 @@ object CorpusClean {
     //    need shingling on the corpus side (the bench side stays the full
     //    doc_id % 7 = 0 slice, matching the oracle's corpus-wide `cont`
     //    restricted after the fact).
-    val bench = TextAnalysis.docShingleSets(docs.filter(col("doc_id") % 7 === 0))
+    val bench = dss.filter(col("doc_id") % 7 === 0)
       .select(col("doc_id").as("bench_doc"), explode(col("ss")).as("s"))
-    val corpusSh = TextAnalysis.docShingleSets(
-        docs.join(keep3.select(col("doc_id")), "doc_id")
-          .filter(col("doc_id") % 7 =!= 0))
+    val corpusSh = dss.join(keep3.select(col("doc_id")), "doc_id")
+      .filter(col("doc_id") % 7 =!= 0)
       .select(col("doc_id"), explode(col("ss")).as("s"))
     val contaminated = Dedup.decontaminate(corpusSh, bench, minShared = 5)
       .select(col("doc_id")).distinct()
@@ -125,7 +130,7 @@ object CorpusClean {
         |        CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|split'), 1, 15) AS BIGINT) % 100 AS b
         |      FROM keep4)
         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      clean(Tables.load(s, dir, "documents"))
+      clean(Tables.load(s, dir, "documents"), TextAnalysis.shingleIndex(s, dir))
     }
   )
 }

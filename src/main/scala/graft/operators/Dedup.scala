@@ -117,16 +117,11 @@ object Dedup {
       |            WHERE $jaccardExpr >= $JaccardThreshold)""".stripMargin
   }
 
-  /** Verified near-dup rows (a_doc, b_doc, jac_raw) — band-join + exact
-    * intersect, possibly duplicated across colliding bands (dedupe on the
-    * scalar outputs downstream).
-    */
-  private def minhashVerified(docs: DataFrame): DataFrame =
-    minhashVerifiedDss(docs.sparkSession, TextAnalysis.docShingleSets(docs))
-
-  /** [[minhashVerified]] from an already-built shingle-set frame — so q37
-    * can run off the shared [[TextAnalysis.shingleIndex]] while the
-    * corpus-clean composition passes its survivor-filtered frame.
+  /** Verified near-dup rows (a_doc, b_doc, jac_raw) from a shingle-set
+    * frame — band-join + exact intersect, possibly duplicated across
+    * colliding bands (dedupe on the scalar outputs downstream). q37 runs
+    * it off the shared [[TextAnalysis.shingleIndex]]; the corpus-clean
+    * composition passes its survivor-filtered slice of the same index.
     */
   private def minhashVerifiedDss(spark: org.apache.spark.sql.SparkSession,
       dss: DataFrame): DataFrame = {
@@ -149,11 +144,13 @@ object Dedup {
       .filter(col("jac_raw") >= JaccardThreshold)
   }
 
-  /** Distinct verified near-dup pairs — the removal set the corpus-clean
-    * composition consumes.
+  /** Distinct verified near-dup pairs from a shingle-set frame (the full
+    * [[TextAnalysis.shingleIndex]] or a filtered slice of it) — the
+    * removal set the corpus-clean composition consumes.
     */
-  private[graft] def minhashNearDupPairs(docs: DataFrame): DataFrame =
-    minhashVerified(docs).select(col("a_doc"), col("b_doc")).distinct()
+  private[graft] def minhashNearDupPairsDss(spark: org.apache.spark.sql.SparkSession,
+      dss: DataFrame): DataFrame =
+    minhashVerifiedDss(spark, dss).select(col("a_doc"), col("b_doc")).distinct()
 
   // ------------------------------------------------------------- specs --
   val specs: Seq[QuerySpec] = Seq(
@@ -230,7 +227,7 @@ object Dedup {
         |$minhashPairCtes
         |SELECT a_doc, b_doc, jac_micro FROM ndpairs
         |ORDER BY a_doc, b_doc""".stripMargin) { (s, dir) =>
-      // NARROW signature construction ([[minhashVerified]]): all 16
+      // NARROW signature construction ([[minhashVerifiedDss]]): all 16
       // permutation minima in one native codegen pass (minhash_sigs), the
       // shingle-set array riding the (4 rows/doc) band rows so the exact
       // verify runs pipelined on the band-join output — one shingling
