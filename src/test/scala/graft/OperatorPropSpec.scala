@@ -57,6 +57,36 @@ class OperatorPropSpec extends SparkSpec {
     assert(gotNative == expected)
   }
 
+  test("capped-Jaccard upper-bound prune is output-neutral on random corpora") {
+    import spark.implicits._
+    // Random docs over a tiny vocabulary → dense shingle collisions, lots
+    // of hot (df > cap) shingles — the regime where the prune bound
+    // actually bites. The invariant is prune SOUNDNESS: theta-pruned
+    // verify ≡ verify-everything (theta = 0 disables the prune), both
+    // filtered at the threshold. (Equivalence to the UNCAPPED pairs is
+    // data-dependent — pairs sharing only hot shingles are the cap's
+    // documented miss — and is pinned separately on the fixtures.)
+    val vocab = Vector("a", "b", "c", "d", "e", "f")
+    val docGen = Gen.chooseNum(8, 12).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf(vocab)).map(_.mkString(" ")))
+    // Each random base doc gets a planted near-dup (one appended token):
+    // ≥6 shared shingles of 7 → jaccard ≥ 6/7 > 0.8.
+    val bases = sample(docGen, 60, seed = 17L)
+    val rows = (bases ++ bases.map(_ + " a")).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+    val dss = operators.TextAnalysis.docShingleSets(
+      rows.toDF("doc_id", "text"))
+    def pairs(df: org.apache.spark.sql.DataFrame) = df
+      .filter(org.apache.spark.sql.functions.col("jac_raw") >= 0.8)
+      .select("a_doc", "b_doc", "n_inter")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val unpruned = pairs(operators.Dedup.pairJaccardCapped(dss, dfCap = 4, theta = 0.0))
+    val pruned = pairs(operators.Dedup.pairJaccardCapped(dss, dfCap = 4, theta = 0.8))
+    assert(unpruned.nonEmpty, "random corpus over a 6-token vocab should produce near-dups")
+    assert(pruned == unpruned,
+      s"prune dropped real pairs: missing=${unpruned -- pruned} extra=${pruned -- unpruned}")
+  }
+
   test("Ordinals.globalRunningSumNative equals the global window sum on random values") {
     import spark.implicits._
     val rows = sample(Gen.chooseNum(0L, 5000L), 400, seed = 7L)
