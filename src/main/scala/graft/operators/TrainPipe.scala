@@ -31,6 +31,22 @@ object TrainPipe {
   private val StratFractionsMicro: Map[String, Long] =
     Map("en" -> 250000L, "zh" -> 500000L, "es" -> 500000L)
 
+  /** q66's salted per-doc uniform draw in micro-units — a pure column
+    * expression, so the same sampler runs unchanged over a stream
+    * (StreamingSpec pins batch/stream agreement).
+    */
+  private[graft] def stratUMicro(docId: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    hex60(concat(docId.cast(StringType), lit("|strat"))) % 1000000
+
+  /** Stratified-sample membership for a (doc key, stratum) pair against
+    * per-stratum keep-fractions (micro-units; absent stratum → keep).
+    */
+  private[graft] def stratifiedKeep(docId: org.apache.spark.sql.Column,
+      stratum: org.apache.spark.sql.Column,
+      fractionsMicro: Map[String, Long]): org.apache.spark.sql.Column =
+    stratUMicro(docId) <
+      coalesce(try_element_at(typedLit(fractionsMicro), stratum), lit(1000000L))
+
   /** q67 reference-vocabulary size and max OOV ratio. k=16 against the
     * fixture's 31-token vocabulary so the coverage signal is
     * non-degenerate; production k is 10⁴–10⁵ — still a broadcast-sized
@@ -166,12 +182,9 @@ object TrainPipe {
         |WHERE u_micro < CASE lang WHEN 'en' THEN 250000 WHEN 'zh' THEN 500000
         |                          WHEN 'es' THEN 500000 ELSE 1000000 END
         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      val thresh = coalesce(
-        try_element_at(typedLit(StratFractionsMicro), col("lang")), lit(1000000L))
       Tables.load(s, dir, "documents")
-        .withColumn("u_micro",
-          hex60(concat(col("doc_id").cast(StringType), lit("|strat"))) % 1000000)
-        .filter(col("u_micro") < thresh)
+        .withColumn("u_micro", stratUMicro(col("doc_id")))
+        .filter(stratifiedKeep(col("doc_id"), col("lang"), StratFractionsMicro))
         .select(col("doc_id"), col("lang"), col("source"), col("u_micro"))
         .orderBy(col("doc_id"))
     },

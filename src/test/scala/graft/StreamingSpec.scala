@@ -223,6 +223,34 @@ class StreamingSpec extends SparkSpec {
     assert(perDoc.getOrElse(3L, 0L) == 4L, s"novel doc keeps all bands: $perDoc")
   }
 
+  test("stratified sampler keeps the same rows on a stream as in batch") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    val fracs = Map("en" -> 300000L, "zh" -> 700000L)
+    val rows = (0L until 200L).map(i => (i, if (i % 3 == 0) "en" else if (i % 3 == 1) "zh" else "fr"))
+    val batchKept = rows.toDF("doc_id", "lang")
+      .filter(operators.TrainPipe.stratifiedKeep(col("doc_id"), col("lang"), fracs))
+      .collect().map(_.getLong(0)).toSet
+    val input = MemoryStream[(Long, String)]
+    val q = input.toDF().toDF("doc_id", "lang")
+      .filter(operators.TrainPipe.stratifiedKeep(col("doc_id"), col("lang"), fracs))
+      .writeStream.format("memory").queryName("strat_sample").outputMode("append").start()
+    input.addData(rows.take(100): _*)
+    q.processAllAvailable()
+    input.addData(rows.drop(100): _*) // replay-independent: membership is row-local
+    q.processAllAvailable()
+    q.stop()
+    val streamKept = spark.table("strat_sample").collect().map(_.getLong(0)).toSet
+    assert(batchKept.nonEmpty && streamKept == batchKept)
+    // and the per-stratum rates actually differ (the sampler samples)
+    val keptEn = rows.filter(r => r._2 == "en" && batchKept(r._1)).size.toDouble /
+      rows.count(_._2 == "en")
+    val keptFr = rows.filter(r => r._2 == "fr" && batchKept(r._1)).size.toDouble /
+      rows.count(_._2 == "fr")
+    assert(keptEn < 0.6 && keptFr == 1.0, s"en=$keptEn fr=$keptFr")
+  }
+
   test("dropDuplicatesWithinWatermark dedupes replayed event_ids") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
