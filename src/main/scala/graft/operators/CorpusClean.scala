@@ -42,14 +42,15 @@ object CorpusClean {
 
   /** Cleaned corpus: (doc_id, quality_micro, split), ordered by doc_id.
     *
-    * `dss` is the corpus shingle-set frame — pass the shared materialized
-    * [[TextAnalysis.shingleIndex]] so stages 3–4 filter the
-    * computed-once index (a doc's shingle set is a pure per-doc function,
-    * so index ∩ survivors ≡ shingling the survivor docs).
+    * `dss` is the corpus shingle-set frame and `qscored` the per-doc
+    * quality features — pass the shared materialized
+    * [[TextAnalysis.shingleIndex]] / [[TextAnalysis.qualityIndex]] so
+    * stages 1 and 3–4 filter computed-once indexes (both are pure per-doc
+    * functions, so index ∩ survivors ≡ recomputing on survivor docs).
     */
-  private[graft] def clean(docs: DataFrame, dss: DataFrame): DataFrame = {
+  private[graft] def clean(docs: DataFrame, dss: DataFrame, qscored: DataFrame): DataFrame = {
     // 1. quality percentile filter (scalar cutoff broadcast)
-    val scored = TextAnalysis.qualityScored(docs)
+    val scored = qscored
       .select(col("doc_id"), col("quality_micro"))
     val cutoff = scored.agg(percentile(col("quality_micro"), lit(0.25)).as("cut"))
     val keep1 = scored.crossJoin(broadcast(cutoff))
@@ -130,7 +131,8 @@ object CorpusClean {
         |        CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|split'), 1, 15) AS BIGINT) % 100 AS b
         |      FROM keep4)
         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      clean(Tables.load(s, dir, "documents"), TextAnalysis.shingleIndex(s, dir))
+      clean(Tables.load(s, dir, "documents"), TextAnalysis.shingleIndex(s, dir),
+        TextAnalysis.qualityIndex(s, dir))
     }
   )
 }

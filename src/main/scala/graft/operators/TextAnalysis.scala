@@ -80,6 +80,22 @@ object TextAnalysis {
           size(col("w")).cast(DoubleType)).as("avg_token_len"))
       .withColumn("quality_micro", qualityMicro)
 
+  /** Per-doc quality features as a MATERIALIZED shared index per
+    * (session, corpus) — like [[shingleIndex]]: q33, the percentile
+    * filter q35a (which reads it twice — cutoff pass + filter pass), and
+    * the corpus-clean composition all serve off one regex-heavy scoring
+    * pass. Narrow (6 numeric columns/doc), so memory cost is trivial
+    * next to the shingle index.
+    */
+  private val qualityIndexCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), org.apache.spark.sql.DataFrame]
+
+  private[graft] def qualityIndex(s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame =
+    qualityIndexCache.getOrElseUpdate(
+      (s.sparkContext.applicationId + "@" + System.identityHashCode(s), dir),
+      qualityScored(graft.Tables.load(s, dir, "documents"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
   val specs: Seq[QuerySpec] = Seq(
 
     // ----- token counting (whitespace tokenizer + distinct/statistics) ----
@@ -162,18 +178,7 @@ object TextAnalysis {
         |        FROM (SELECT doc_id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS t
         |              FROM documents)))
         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      val d = Tables.load(s, dir, "documents")
-        .withColumn("t", normText(col("text")))
-        .withColumn("w", split(col("t"), " "))
-        .select(col("doc_id"),
-          size(col("w")).as("n_tokens"),
-          (markerCount(col("w"), stopwords).cast(DoubleType) /
-            size(col("w")).cast(DoubleType)).as("stop_ratio"),
-          ((length(col("t")) - length(regexp_replace(col("t"), "[^a-z0-9 ]", ""))).cast(DoubleType) /
-            length(col("t")).cast(DoubleType)).as("punct_ratio"),
-          ((length(col("t")) - (size(col("w")) - 1)).cast(DoubleType) /
-            size(col("w")).cast(DoubleType)).as("avg_token_len"))
-      d.withColumn("quality_micro", qualityMicro)
+      qualityIndex(s, dir)
         .orderBy(col("doc_id"))
     },
 
@@ -188,7 +193,7 @@ object TextAnalysis {
         |SELECT doc_id, quality_micro FROM qscore
         |WHERE quality_micro >= (SELECT quantile_cont(quality_micro, 0.25) FROM qscore)
         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      val scored = qualityScored(Tables.load(s, dir, "documents"))
+      val scored = qualityIndex(s, dir)
         .select(col("doc_id"), col("quality_micro"))
       val cutoff = scored.agg(
         percentile(col("quality_micro"), lit(0.25)).as("cut"))
