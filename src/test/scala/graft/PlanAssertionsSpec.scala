@@ -178,6 +178,13 @@ class PlanAssertionsSpec extends SparkSpec {
     assert(exchanges.size <= 1, qe.executedPlan.toString.take(2000))
   }
 
+  test("q37/q33: dedup and quality queries read their materialized shared indexes") {
+    // Losing the InMemoryRelation means every consumer silently goes back
+    // to re-tokenizing the corpus per query.
+    assert(plan("q37_minhash_lsh").contains("InMemoryTableScan"))
+    assert(plan("q33_quality_score").contains("InMemoryTableScan"))
+  }
+
   test("aggregations run partial+final (map-side combine)") {
     val p = plan("q05_count_distinct")
     assert(p.contains("partial_count") || p.contains("HashAggregate"))
