@@ -296,14 +296,16 @@ object Dedup {
         |WHERE bit_count(xor(a_fp, b_fp)) <= $HammingMax
         |ORDER BY a_doc, b_doc""".stripMargin
     } { (s, dir) =>
-      val tf0 = Tables.load(s, dir, "documents")
+      // Digest per AGGREGATED (doc, token) row — one md5 per doc×distinct
+      // token, matching the oracle's `th` CTE exactly. (A broadcast
+      // token-hash dim would digest each global-distinct token once, but
+      // pays two extra computes of this groupBy subtree — post-combine
+      // row counts make the direct digest the cheaper side everywhere.)
+      val tf = Tables.load(s, dir, "documents")
         .repartition(col("doc_id")) // rebalance narrow scan pre-explode
         .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
         .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("cnt"))
-      // Vocabulary is tiny relative to (doc, token) rows: digest each
-      // distinct token once and broadcast the hash dim back.
-      val tokDim = tf0.select(col("tok")).distinct().withColumn("h", hex60(col("tok")))
-      val tf = tf0.join(broadcast(tokDim), "tok")
+        .withColumn("h", hex60(col("tok")))
       val bits = tf.groupBy(col("doc_id"))
         .agg(bitSum(0), (1 until SimHashBits).map(bitSum): _*)
       val fp = bits.select(col("doc_id"),
