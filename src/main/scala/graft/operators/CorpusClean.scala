@@ -96,43 +96,92 @@ object CorpusClean {
       .orderBy(col("doc_id"))
   }
 
+  /** The full cleaning recipe as a DuckDB CTE chain ending in
+    * `cleaned(doc_id, quality_micro, split)` — q64 selects it directly;
+    * the shard-export composition (q69) packs on top of it.
+    */
+  private[operators] val cleanedCtes: String =
+    s"""${Dedup.shingleCtes},
+      |${Dedup.minhashPairCtes},
+      |${TextAnalysis.qualityCteSql},
+      |keep1 AS (SELECT doc_id, quality_micro FROM qscore
+      |          WHERE quality_micro >= (SELECT quantile_cont(quality_micro, 0.25) FROM qscore)),
+      |fp AS (SELECT doc_id,
+      |         md5(array_to_string(list_sort(list_distinct(
+      |           regexp_split_to_array(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), '\\s+'))), ' ')) AS fp_bag
+      |       FROM documents),
+      |keep2 AS (SELECT doc_id, quality_micro FROM (
+      |            SELECT k.doc_id, k.quality_micro,
+      |              min(k.doc_id) OVER (PARTITION BY f.fp_bag) AS keep_doc
+      |            FROM keep1 k JOIN fp f USING (doc_id))
+      |          WHERE doc_id = keep_doc),
+      |dropnear AS (SELECT DISTINCT p.b_doc AS doc_id FROM ndpairs p
+      |             JOIN keep2 ka ON p.a_doc = ka.doc_id
+      |             JOIN keep2 kb ON p.b_doc = kb.doc_id),
+      |bench AS (SELECT doc_id, s FROM sh WHERE doc_id % 7 = 0),
+      |cont AS (SELECT doc_id FROM (
+      |           SELECT c.doc_id, b.doc_id AS bd, count(*) AS n
+      |           FROM sh c JOIN bench b ON c.s = b.s
+      |           WHERE c.doc_id % 7 <> 0 GROUP BY 1, 2)
+      |         WHERE n >= 5 GROUP BY doc_id),
+      |keep4 AS (SELECT k.doc_id, k.quality_micro FROM keep2 k
+      |          WHERE k.doc_id % 7 <> 0
+      |            AND k.doc_id NOT IN (SELECT doc_id FROM dropnear)
+      |            AND k.doc_id NOT IN (SELECT doc_id FROM cont)),
+      |cleaned AS (SELECT doc_id, quality_micro,
+      |    CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+      |  FROM (SELECT doc_id, quality_micro,
+      |          CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|split'), 1, 15) AS BIGINT) % 100 AS b
+      |        FROM keep4))""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("q64_corpus_clean")(
-      s"""WITH ${Dedup.shingleCtes},
-        |${Dedup.minhashPairCtes},
-        |${TextAnalysis.qualityCteSql},
-        |keep1 AS (SELECT doc_id, quality_micro FROM qscore
-        |          WHERE quality_micro >= (SELECT quantile_cont(quality_micro, 0.25) FROM qscore)),
-        |fp AS (SELECT doc_id,
-        |         md5(array_to_string(list_sort(list_distinct(
-        |           regexp_split_to_array(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), '\\s+'))), ' ')) AS fp_bag
-        |       FROM documents),
-        |keep2 AS (SELECT doc_id, quality_micro FROM (
-        |            SELECT k.doc_id, k.quality_micro,
-        |              min(k.doc_id) OVER (PARTITION BY f.fp_bag) AS keep_doc
-        |            FROM keep1 k JOIN fp f USING (doc_id))
-        |          WHERE doc_id = keep_doc),
-        |dropnear AS (SELECT DISTINCT p.b_doc AS doc_id FROM ndpairs p
-        |             JOIN keep2 ka ON p.a_doc = ka.doc_id
-        |             JOIN keep2 kb ON p.b_doc = kb.doc_id),
-        |bench AS (SELECT doc_id, s FROM sh WHERE doc_id % 7 = 0),
-        |cont AS (SELECT doc_id FROM (
-        |           SELECT c.doc_id, b.doc_id AS bd, count(*) AS n
-        |           FROM sh c JOIN bench b ON c.s = b.s
-        |           WHERE c.doc_id % 7 <> 0 GROUP BY 1, 2)
-        |         WHERE n >= 5 GROUP BY doc_id),
-        |keep4 AS (SELECT k.doc_id, k.quality_micro FROM keep2 k
-        |          WHERE k.doc_id % 7 <> 0
-        |            AND k.doc_id NOT IN (SELECT doc_id FROM dropnear)
-        |            AND k.doc_id NOT IN (SELECT doc_id FROM cont))
-        |SELECT doc_id, quality_micro,
-        |  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
-        |FROM (SELECT doc_id, quality_micro,
-        |        CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|split'), 1, 15) AS BIGINT) % 100 AS b
-        |      FROM keep4)
+      s"""WITH $cleanedCtes
+        |SELECT doc_id, quality_micro, split FROM cleaned
         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
       clean(Tables.load(s, dir, "documents"), TextAnalysis.shingleIndex(s, dir),
         TextAnalysis.qualityIndex(s, dir))
+    },
+
+    // ----- shard export: clean → train split → token-budget packing -------
+    // The END of the preprocessing story: what actually ships to the
+    // trainer. The cleaned corpus's train split is packed into
+    // 2048-token shards (q65's concatenate-and-chunk rule, two-phase
+    // running sum — no global window), with per-shard doc/token counts
+    // and the summed quality mass as the shard manifest. Every stage is
+    // the already-oracle-checked operator; this pins their composition —
+    // clean survivors, split membership, packing boundaries — end-to-end
+    // cross-engine. Token counts come FREE from the quality index
+    // (n_tokens is already a scored feature; no re-tokenization).
+    QuerySpec("q69_export_shards")(
+      s"""WITH $cleanedCtes,
+        |tk AS (SELECT doc_id,
+        |         CAST(len(regexp_split_to_array(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), '\\s+')) AS BIGINT) AS tok
+        |       FROM documents),
+        |tr AS (SELECT c.doc_id, c.quality_micro, tk.tok,
+        |         sum(tk.tok) OVER (ORDER BY c.doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |       FROM cleaned c JOIN tk USING (doc_id) WHERE c.split = 'train')
+        |SELECT shard, count(*) AS n_docs, CAST(sum(tok) AS BIGINT) AS n_tokens,
+        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc,
+        |  CAST(sum(quality_micro) AS BIGINT) AS sum_quality_micro
+        |FROM (SELECT doc_id, quality_micro, tok,
+        |        CAST(floor((cum - tok) / 2048.0) AS BIGINT) AS shard
+        |      FROM tr)
+        |GROUP BY shard ORDER BY shard""".stripMargin) { (s, dir) =>
+      val cleaned = clean(Tables.load(s, dir, "documents"),
+        TextAnalysis.shingleIndex(s, dir), TextAnalysis.qualityIndex(s, dir))
+      val train = cleaned.filter(col("split") === "train")
+        .join(TextAnalysis.qualityIndex(s, dir)
+          .select(col("doc_id"), col("n_tokens").cast(LongType).as("tok")), "doc_id")
+        .select(col("doc_id"), col("quality_micro"), col("tok"))
+      Ordinals.globalRunningSumNative(train, "cum", "doc_id", col("tok"))
+        .withColumn("shard",
+          floor((col("cum") - col("tok")).cast(DoubleType) / 2048).cast(LongType))
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("n_tokens"),
+          min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"),
+          sum(col("quality_micro")).as("sum_quality_micro"))
+        .orderBy(col("shard"))
     }
   )
 }
