@@ -196,6 +196,53 @@ object Extras {
         .withColumn("n_1h", count(lit(1)).over(w))
         .select(col("event_id"), col("user_id"), col("trailing_1h"), col("n_1h"))
         .orderBy(col("event_id"))
+    },
+
+    // ----- mergeable HLL sketches (incremental distinct at scale) ---------
+    // The 100 TB incremental-stats pattern: build a DataSketches HLL per
+    // partition-of-arrival (here: ship month), answer the corpus-wide
+    // distinct from hll_union_agg over the PRE-AGGREGATED sketches — the
+    // raw data is touched once, ever; new partitions just add sketches.
+    // The merged __ALL__ estimate is derived ONLY from the monthly
+    // sketches, so this query exercises the actual merge surface, not
+    // approx_count_distinct again (q30 covers that). Sketch bits differ
+    // per engine, so the oracle is q30's per-engine acceptance band:
+    // exact counts must hash-match, each engine's estimate must sit
+    // within 5% of its own exact value (lgK=14 → ~0.8% standard error,
+    // comfortable margin).
+    QuerySpec("q70_sketch_union")(
+      """SELECT grp, n_exact, within_5pct FROM (
+        |  SELECT strftime(l_shipdate, '%Y-%m') AS grp,
+        |    count(DISTINCT l_partkey) AS n_exact,
+        |    abs(CAST(approx_count_distinct(l_partkey) AS DOUBLE) - count(DISTINCT l_partkey))
+        |      / count(DISTINCT l_partkey) < 0.05 AS within_5pct
+        |  FROM lineitem GROUP BY 1
+        |  UNION ALL
+        |  SELECT '__ALL__' AS grp,
+        |    count(DISTINCT l_partkey) AS n_exact,
+        |    abs(CAST(approx_count_distinct(l_partkey) AS DOUBLE) - count(DISTINCT l_partkey))
+        |      / count(DISTINCT l_partkey) < 0.05 AS within_5pct
+        |  FROM lineitem)
+        |ORDER BY grp""".stripMargin) { (s, dir) =>
+      val li = Tables.load(s, dir, "lineitem")
+        .select(date_format(col("l_shipdate"), "yyyy-MM").as("grp"), col("l_partkey"))
+      val sketches = li.groupBy(col("grp"))
+        .agg(hll_sketch_agg(col("l_partkey"), lit(14)).as("sk"))
+      val perMonth = li.distinct()
+        .groupBy(col("grp")).agg(count(lit(1)).as("n_exact"))
+        .join(sketches.select(col("grp"),
+          hll_sketch_estimate(col("sk")).as("est")), "grp")
+      val total = li.select(col("l_partkey")).distinct()
+        .agg(count(lit(1)).as("n_exact"))
+        .crossJoin(sketches.agg(hll_union_agg(col("sk"), lit(false)).as("sku"))
+          .select(hll_sketch_estimate(col("sku")).as("est")))
+        .select(lit("__ALL__").as("grp"), col("n_exact"), col("est"))
+      perMonth.select(col("grp"), col("n_exact"), col("est"))
+        .unionByName(total)
+        .select(col("grp"), col("n_exact"),
+          (abs(col("est").cast(DoubleType) - col("n_exact"))
+            / col("n_exact") < 0.05).as("within_5pct"))
+        .orderBy(col("grp"))
     }
   )
 }
