@@ -170,10 +170,17 @@ object CorpusClean {
         |GROUP BY shard ORDER BY shard""".stripMargin) { (s, dir) =>
       val cleaned = clean(Tables.load(s, dir, "documents"),
         TextAnalysis.shingleIndex(s, dir), TextAnalysis.qualityIndex(s, dir))
+      // The two-phase running sum makes two bounded driver passes (key
+      // sample, bucket totals) before the final plan — against the full
+      // composition that would execute the clean pipeline three times.
+      // localCheckpoint materializes the (tiny, 3-longs/doc) train
+      // manifest ONCE and truncates the lineage; blocks are dropped by
+      // the ContextCleaner when the frame goes out of scope.
       val train = cleaned.filter(col("split") === "train")
         .join(TextAnalysis.qualityIndex(s, dir)
           .select(col("doc_id"), col("n_tokens").cast(LongType).as("tok")), "doc_id")
         .select(col("doc_id"), col("quality_micro"), col("tok"))
+        .localCheckpoint()
       Ordinals.globalRunningSumNative(train, "cum", "doc_id", col("tok"))
         .withColumn("shard",
           floor((col("cum") - col("tok")).cast(DoubleType) / 2048).cast(LongType))
