@@ -55,6 +55,16 @@ object TrainPipe {
   private val VocabK = 16
   private val MaxOovMicro = 500000L
 
+  /** q71 per-lang mixture weights in micro-units (epochs): a doc is
+    * emitted floor(w) times plus one more when its salted hash draw falls
+    * under frac(w) — so fractional epochs (and pure downsampling, w < 1)
+    * come out exactly right in expectation while staying a deterministic
+    * pure function of the doc key.
+    */
+  private val MixWeightsMicro: Map[String, Long] = Map(
+    "en" -> 500000L, "zh" -> 2500000L, "de" -> 2000000L,
+    "fr" -> 1500000L, "es" -> 1000000L)
+
   val specs: Seq[QuerySpec] = Seq(
 
     // ----- deterministic train/val/test split -----------------------------
@@ -233,6 +243,48 @@ object TrainPipe {
             col("n_tokens").cast(DoubleType)) * 1000000).cast(LongType))
         .filter(col("oov_micro") <= MaxOovMicro)
         .orderBy(col("doc_id"))
+    },
+
+    // ----- mixture upsampling: fractional per-stratum epochs --------------
+    // q66's complement — the data-mixture WEIGHTING op ("books ×2.5"): a
+    // doc in stratum with weight w is emitted floor(w) times plus one
+    // Bernoulli(frac(w)) extra copy decided by the salted doc-key hash —
+    // deterministic, row-local until the explode, and exact in
+    // expectation for fractional epochs. The output aggregates the
+    // emission (post-explode), so the oracle pins both the copy-count
+    // function and the actual row multiplication. Scale: explode factor
+    // = the mixture weight (bounded by design); no shuffle before the
+    // final stats aggregation.
+    QuerySpec("q71_mixture_upsample")(
+      s"""SELECT lang, count(DISTINCT doc_id) AS n_docs,
+        |  count(*) AS n_rows_emitted, max(copy_id) AS max_copies
+        |FROM (
+        |  SELECT lang, doc_id, unnest(generate_series(1, n_copies)) AS copy_id
+        |  FROM (
+        |    SELECT lang, doc_id,
+        |      CAST(w_micro // 1000000 AS BIGINT)
+        |        + CASE WHEN ${hex60SqlExpr.format("CAST(doc_id AS VARCHAR) || '|mix'")} % 1000000
+        |                    < w_micro % 1000000 THEN 1 ELSE 0 END AS n_copies
+        |    FROM (SELECT doc_id, lang,
+        |            CASE lang WHEN 'en' THEN 500000 WHEN 'zh' THEN 2500000
+        |                      WHEN 'de' THEN 2000000 WHEN 'fr' THEN 1500000
+        |                      ELSE 1000000 END AS w_micro
+        |          FROM documents))
+        |  WHERE n_copies >= 1)
+        |GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
+      val w = coalesce(
+        try_element_at(typedLit(MixWeightsMicro), col("lang")), lit(1000000L))
+      val u = hex60(concat(col("doc_id").cast(StringType), lit("|mix"))) % 1000000
+      Tables.load(s, dir, "documents")
+        .withColumn("n_copies",
+          (w / 1000000L).cast(LongType) + when(u < w % 1000000L, 1L).otherwise(0L))
+        .filter(col("n_copies") >= 1)
+        .select(col("lang"), col("doc_id"),
+          explode(sequence(lit(1L), col("n_copies"))).as("copy_id"))
+        .groupBy(col("lang"))
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_rows_emitted"), max(col("copy_id")).as("max_copies"))
+        .orderBy(col("lang"))
     },
 
     // ----- PII scrub: detect + mask emails and long digit runs ------------
