@@ -68,6 +68,31 @@ object EventStreams {
       .withWatermark("ts", horizon)
       .dropDuplicatesWithinWatermark("band", "bh")
 
+  /** Streaming benchmark decontamination — q63's contamination rule
+    * applied AT ARRIVAL TIME, so tainted documents are flagged before
+    * they ever land in the corpus: each incoming doc's shingle rows join
+    * the static benchmark shingle set (stream–static equi-join on the
+    * 60-bit hash; the planner broadcasts the bench side when it fits —
+    * no unconditional hint, same posture as the batch size gate), then a
+    * watermarked per-(window, doc, bench_doc) count applies the
+    * ≥ minShared rule. A doc arrives as ONE row, so all its shingle rows
+    * carry the same event time and land in the same window — the count
+    * is never split. State is bounded by the watermark horizon.
+    */
+  def contaminatedAtIngest(docs: DataFrame, benchSh: DataFrame,
+      minShared: Int = 5, win: String = "5 minutes",
+      horizon: String = "1 hour"): DataFrame = {
+    import graft.functions.TextFunctions._
+    val ss = array_distinct(transform(shingles(split(normText(col("text")), " ")), h => hex60(h)))
+    docs.select(col("doc_id"), col("ts"), explode(ss).as("s"))
+      .withWatermark("ts", horizon)
+      .join(benchSh, "s")
+      .groupBy(window(col("ts"), win), col("doc_id"), col("bench_doc"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .select(col("doc_id"), col("bench_doc"), col("n_shared"))
+  }
+
   /** Stream–static enrichment (SURVEY.md §2.5 J5): join each micro-batch
     * against a broadcast dimension — the producer's city→coord/topic lookup
     * shape (reference Producer_clickhouse.py:109–123). The dimension is

@@ -223,6 +223,35 @@ class StreamingSpec extends SparkSpec {
     assert(perDoc.getOrElse(3L, 0L) == 4L, s"novel doc keeps all bands: $perDoc")
   }
 
+  test("streaming decontamination flags benchmark-overlapping docs at arrival") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.functions.TextFunctions._
+    implicit val sqlCtx = spark.sqlContext
+    val benchText = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val novelText = "one two three four five six seven eight nine ten eleven twelve"
+    // Static bench shingle set (what q63 derives from the eval tables).
+    val bench = Seq((1000L, benchText)).toDF("bench_doc", "text")
+      .select(col("bench_doc"),
+        explode(array_distinct(transform(shingles(split(normText(col("text")), " ")), h => hex60(h)))).as("s"))
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val q = EventStreams.contaminatedAtIngest(
+        input.toDF().toDF("doc_id", "ts", "text"), bench)
+      .writeStream.format("memory").queryName("decont_stream").outputMode("append").start()
+    input.addData(
+      (1L, Timestamp.valueOf("2024-01-01 00:00:10"), benchText),   // full overlap
+      (2L, Timestamp.valueOf("2024-01-01 00:00:20"), novelText))   // zero overlap
+    q.processAllAvailable()
+    // advance the watermark past the window so the append-mode agg emits
+    input.addData((3L, Timestamp.valueOf("2024-01-01 02:00:00"), novelText))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("decont_stream")
+      .select("doc_id", "bench_doc", "n_shared")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq((1L, 1000L, 10L)), out.mkString(","))
+  }
+
   test("stratified sampler keeps the same rows on a stream as in batch") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
