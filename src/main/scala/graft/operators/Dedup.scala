@@ -265,6 +265,38 @@ object Dedup {
         .orderBy(col("doc_id"), col("bench_doc"))
     },
 
+    // ----- near-dup clusters: connected components over verified pairs ----
+    // Production dedup keeps ONE representative per duplicate CLUSTER —
+    // the transitive closure of the pair list, not the pairwise drop.
+    // Spark side: iterative min-label propagation ([[connectedComponents]]);
+    // oracle side: the closed form as a DuckDB recursive CTE (reachability
+    // from each node, min reached id = the component root). Both engines
+    // must agree on every doc's root and its cluster size — pinning the
+    // iterative algorithm against an independent formulation, not a port
+    // of itself.
+    QuerySpec("q73_dedup_clusters")(
+      s"""WITH RECURSIVE $shingleCtes,
+        |$minhashPairCtes,
+        |e AS (SELECT a_doc AS src, b_doc AS dst FROM ndpairs
+        |      UNION SELECT b_doc, a_doc FROM ndpairs),
+        |nd AS (SELECT DISTINCT src AS id FROM e),
+        |reach(id, r) AS (
+        |    SELECT id, id FROM nd
+        |    UNION
+        |    SELECT reach.id, e.dst FROM reach JOIN e ON e.src = reach.r),
+        |comp AS (SELECT id AS doc_id, min(r) AS root FROM reach GROUP BY id)
+        |SELECT c.doc_id, c.root, sz.n_members
+        |FROM comp c JOIN (SELECT root, count(*) AS n_members
+        |                  FROM comp GROUP BY root) sz USING (root)
+        |ORDER BY c.doc_id""".stripMargin) { (s, dir) =>
+      val comp = connectedComponents(
+        minhashNearDupPairsDss(s, TextAnalysis.shingleIndex(s, dir)))
+      comp
+        .join(comp.groupBy(col("root")).agg(count(lit(1)).as("n_members")), "root")
+        .select(col("id").as("doc_id"), col("root"), col("n_members"))
+        .orderBy(col("doc_id"))
+    },
+
     // ----- SimHash (TF-weighted, 60-bit) + banded hamming join ------------
     QuerySpec("q38_simhash") {
       val h = hex60Sql("tok")
@@ -404,6 +436,43 @@ object Dedup {
       .withColumn("jac_raw",
         col("n_inter").cast(DoubleType) /
           (col("n_a") + col("n_b") - col("n_inter")).cast(DoubleType))
+
+  /** Connected components over an undirected pair list — the TRANSITIVE
+    * dedup-cluster structure (the corpus-clean stage deliberately uses the
+    * non-transitive drop; this operator exposes the full clusters, the
+    * production "keep one representative per duplicate chain" semantics).
+    * Iterative min-label propagation: every node's label becomes the min
+    * of itself and its neighbors' labels until a fixed point — converges
+    * in O(component diameter) rounds (hard-capped), deterministic, and
+    * each round is one edge-keyed shuffle join. Labels are
+    * localCheckpoint'ed per round so the lineage stays flat (the k-means
+    * pattern, but node-sized state stays distributed instead of driver-
+    * collected).
+    */
+  private[graft] def connectedComponents(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    val edges = pairs.select(col("a_doc").as("src"), col("b_doc").as("dst"))
+      .union(pairs.select(col("b_doc").as("src"), col("a_doc").as("dst")))
+      .distinct().localCheckpoint()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("root")).localCheckpoint()
+    var changed = 1L
+    var it = 0
+    while (changed > 0 && it < maxIters) {
+      val nbMin = edges
+        .join(labels.select(col("id").as("dst"), col("root").as("nb_root")), "dst")
+        .groupBy(col("src")).agg(min(col("nb_root")).as("nb_min"))
+      val next = labels
+        .join(nbMin.select(col("src").as("id"), col("nb_min")), Seq("id"), "left")
+        .select(col("id"),
+          least(col("root"), coalesce(col("nb_min"), col("root"))).as("root"))
+        .localCheckpoint()
+      changed = next.join(labels.select(col("id"), col("root").as("old")), "id")
+        .filter(col("root") =!= col("old")).count()
+      labels = next
+      it += 1
+    }
+    labels
+  }
 
   /** Max bench-side shingle rows the decontamination join may broadcast:
     * ~1M (bench_doc, s) rows ≈ a few tens of MB of unsafe rows, safely

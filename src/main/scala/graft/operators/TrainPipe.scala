@@ -287,6 +287,47 @@ object TrainPipe {
         .orderBy(col("lang"))
     },
 
+    // ----- cross-split leakage check --------------------------------------
+    // The QA gate a training pipeline runs AFTER splitting: content that
+    // hash-splits into train while a bag-of-words-identical copy lands in
+    // val/test leaks evaluation data into training. One fingerprint
+    // hash-groupBy (q35's fp_bag) carrying per-split conditional counts;
+    // emit only fingerprints present in train AND in an eval split.
+    // Scale: shuffle = one row per doc on a 128-bit key; output is the
+    // (hopefully tiny) leak list.
+    QuerySpec("q72_split_leakage")(
+      s"""SELECT fp_bag, n_train, n_val, n_test, first_doc FROM (
+        |  SELECT fp_bag,
+        |    CAST(sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+        |    CAST(sum(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS BIGINT) AS n_val,
+        |    CAST(sum(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS BIGINT) AS n_test,
+        |    min(doc_id) AS first_doc
+        |  FROM (
+        |    SELECT doc_id,
+        |      md5(array_to_string(list_sort(list_distinct(
+        |        regexp_split_to_array(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), '\\s+'))), ' ')) AS fp_bag,
+        |      CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+        |    FROM (SELECT doc_id, text,
+        |            ${hex60SqlExpr.format("CAST(doc_id AS VARCHAR) || '|split'")} % 100 AS b
+        |          FROM documents))
+        |  GROUP BY fp_bag)
+        |WHERE n_train > 0 AND (n_val > 0 OR n_test > 0)
+        |ORDER BY first_doc""".stripMargin) { (s, dir) =>
+      val b = hex60(concat(col("doc_id").cast(StringType), lit("|split"))) % 100
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          md5(concat_ws(" ", array_sort(array_distinct(tokens(col("text")))))
+            .cast(BinaryType)).as("fp_bag"),
+          when(b < 80, "train").when(b < 90, "val").otherwise("test").as("split"))
+        .groupBy(col("fp_bag"))
+        .agg(sum(when(col("split") === "train", 1L).otherwise(0L)).as("n_train"),
+          sum(when(col("split") === "val", 1L).otherwise(0L)).as("n_val"),
+          sum(when(col("split") === "test", 1L).otherwise(0L)).as("n_test"),
+          min(col("doc_id")).as("first_doc"))
+        .filter(col("n_train") > 0 && (col("n_val") > 0 || col("n_test") > 0))
+        .orderBy(col("first_doc"))
+    },
+
     // ----- PII scrub: detect + mask emails and long digit runs ------------
     // Pure projection; counts verify the detector, the masked length
     // verifies the rewrite (both engines replace ALL occurrences — DuckDB

@@ -43,6 +43,20 @@ class DedupSimilaritySpec extends SparkSpec {
       s"ANN top-1 recall too low: $hits/${exact.size}")
   }
 
+  test("connectedComponents resolves duplicate chains to one root (transitive)") {
+    import spark.implicits._
+    // a 7-hop chain (diameter stresses the propagation loop), a pair, and
+    // a triangle with a chord — roots must be the component minima.
+    val pairs = (Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L), (6L, 7L), (7L, 8L)) ++
+      Seq((10L, 11L)) ++ Seq((20L, 21L), (21L, 22L), (20L, 22L)))
+      .toDF("a_doc", "b_doc")
+    val roots = operators.Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to 8L).forall(roots(_) == 1L), roots.toString)
+    assert(roots(10L) == 10L && roots(11L) == 10L)
+    assert((20L to 22L).forall(roots(_) == 20L))
+  }
+
   test("semdedup drops are sound: every dropped vec has a true >= tau lower neighbor") {
     import org.apache.spark.sql.functions._
     val tau = new java.math.BigDecimal("0.45")
