@@ -87,6 +87,30 @@ class OperatorPropSpec extends SparkSpec {
       s"prune dropped real pairs: missing=${unpruned -- pruned} extra=${pruned -- unpruned}")
   }
 
+  test("connectedComponents equals driver-side union-find on random graphs") {
+    import spark.implicits._
+    val edgeGen = for {
+      a <- Gen.chooseNum(0L, 60L); b <- Gen.chooseNum(0L, 60L) if a != b
+    } yield (math.min(a, b), math.max(a, b))
+    val edges = sample(edgeGen, 80, seed = 23L).distinct
+    // reference: plain union-find
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      .map(n => n -> find(n)).toMap
+    val got = operators.Dedup.connectedComponents(edges.toDF("a_doc", "b_doc"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(expected.nonEmpty && got == expected,
+      s"diff=${(expected.toSet -- got.toSet) ++ (got.toSet -- expected.toSet)}")
+  }
+
   test("Ordinals.globalRunningSumNative equals the global window sum on random values") {
     import spark.implicits._
     val rows = sample(Gen.chooseNum(0L, 5000L), 400, seed = 7L)
