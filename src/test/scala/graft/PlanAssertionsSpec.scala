@@ -178,6 +178,27 @@ class PlanAssertionsSpec extends SparkSpec {
     assert(exchanges.size <= 1, qe.executedPlan.toString.take(2000))
   }
 
+  test("q40: the broadcast query-embedding side carries the inferred q_id bound") {
+    // broadcast(qe) hints on a frame derived from the FULL embeddings
+    // table; it is bounded only because InferFiltersFromConstraints
+    // propagates cand's q_id < NumQueries through the equi-join onto the
+    // broadcast side. If that inference breaks, this broadcast becomes
+    // corpus-sized — fail loudly.
+    // AQE hides exchanges until execution; plan without it for this check.
+    val saved = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val qe = SparkEntry.queries("q40_ann_lsh")(spark, dir).queryExecution
+      val broadcastQEmb = qe.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+          if b.toString.contains("q_emb") => b
+      }
+      assert(broadcastQEmb.nonEmpty, "expected a broadcast of the query-embedding side")
+      broadcastQEmb.foreach(b =>
+        assert(b.toString.contains("< 8"), s"unbounded broadcast:\n${b.toString.take(800)}"))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", saved)
+  }
+
   test("q37/q33: dedup and quality queries read their materialized shared indexes") {
     // Losing the InMemoryRelation means every consumer silently goes back
     // to re-tokenizing the corpus per query.
