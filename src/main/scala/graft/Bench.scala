@@ -44,7 +44,10 @@ object Bench {
     // the END of the line: the driver's tail capture keeps the line's
     // tail, and r02 lost the leading fields (metric/value + the first
     // queries) to exactly that truncation.
-    def fmt(v: Double) = if (v < 0) "-1" else f"$v%.3f"
+    // Locale.ROOT: the f-interpolator uses the default locale, which under
+    // comma-decimal locales would print "1,234" and corrupt the JSON line.
+    def fmt(v: Double) =
+      if (v < 0) "-1" else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     def toJson(m: Seq[(String, Double)]) =
       m.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum

@@ -1,0 +1,30 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Per-(session, corpus dir) memoization for built-once/served-many
+  * artifacts — the materialized index frames (shingle sets, quality
+  * features, SRP bucket rows) and fitted models (IVF centroids) that
+  * every consumer query serves from instead of recomputing. One
+  * implementation so the key recipe lives in exactly one place.
+  *
+  * Lifecycle: entries live for the session (the posture of a production
+  * index — built once per corpus, reused by every query); persisted
+  * frames spill via their own StorageLevel rather than being evicted.
+  */
+final class SessionCache[V] {
+  private val entries =
+    scala.collection.concurrent.TrieMap.empty[(String, String), V]
+
+  def getOrElseUpdate(s: SparkSession, dir: String)(build: => V): V =
+    entries.getOrElseUpdate(SessionCache.key(s, dir), build)
+}
+
+object SessionCache {
+  /** applicationId PLUS the session's object identity: a restarted
+    * session (new SparkSession instance, possibly same appId) must never
+    * be handed a frame bound to a stopped one.
+    */
+  private def key(s: SparkSession, dir: String): (String, String) =
+    (s.sparkContext.applicationId + "@" + System.identityHashCode(s), dir)
+}

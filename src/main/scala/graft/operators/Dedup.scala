@@ -449,7 +449,7 @@ object Dedup {
     * pattern, but node-sized state stays distributed instead of driver-
     * collected).
     */
-  private[graft] def connectedComponents(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+  private[graft] def connectedComponents(pairs: DataFrame, maxIters: Int = 1000): DataFrame = {
     val edges = pairs.select(col("a_doc").as("src"), col("b_doc").as("dst"))
       .union(pairs.select(col("b_doc").as("src"), col("a_doc").as("dst")))
       .distinct().localCheckpoint()
@@ -471,6 +471,14 @@ object Dedup {
       labels = next
       it += 1
     }
+    // Propagation converges in <= diameter rounds, so the cap is a pure
+    // runaway backstop — but if it ever fires, the labels are NOT the
+    // transitive roots. Returning them silently would hand dedup a wrong
+    // (oracle-diverging) cluster map; fail loudly instead. (At corpus
+    // scale, diameter-deep chains call for the O(log n)-round
+    // large-star/small-star formulation — this loop is the exact one.)
+    require(changed == 0,
+      s"connectedComponents did not converge within $maxIters rounds")
     labels
   }
 

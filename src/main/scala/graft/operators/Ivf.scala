@@ -171,7 +171,12 @@ object Ivf {
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"))
       .distinct()
-    val qe = e.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    // Explicit bound on the broadcast side — correctness-neutral (cand's
+    // q_ids are already < numQueries) but it makes the broadcast
+    // query-set-sized BY CONSTRUCTION instead of relying on the optimizer
+    // inferring the bound through the join.
+    val qe = e.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("sim_dec").desc, col("vec_id").asc)
     cand
       .join(broadcast(qe), "q_id")

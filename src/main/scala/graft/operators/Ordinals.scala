@@ -38,8 +38,9 @@ object Ordinals {
     * never by a partition id that a re-evaluated exchange could reshuffle:
     *
     *   1. boundaries: a deterministic md5-hash sample of the sort key
-    *      (bounded by `sampleMod` choice — size it so the sample is
-    *      O(100k) at any corpus size) is sorted BY SPARK (so string
+    *      (sampleMod auto-derives from a row count so the sample stays
+    *      ~64k keys at ANY corpus size; pass it explicitly to skip the
+    *      count job) is sorted BY SPARK (so string
     *      ordering is UTF8-binary, matching phase-3 comparisons) and
     *      every len/buckets-th key becomes a literal range boundary;
     *   2. counts: group by the bucket expression (Σ of `key >= boundary`
@@ -60,7 +61,7 @@ object Ordinals {
     * order for a deterministic numbering.
     */
   def globalRowNumberNative(df: DataFrame, out: String, sortCol: String,
-      tieCols: Seq[String] = Nil, buckets: Int = 64, sampleMod: Int = 4): DataFrame =
+      tieCols: Seq[String] = Nil, buckets: Int = 64, sampleMod: Int = 0): DataFrame =
     twoPhase(df, out, sortCol, tieCols, buckets, sampleMod,
       perBucket = count(lit(1)),
       local = w => row_number().over(w).cast(LongType))
@@ -75,7 +76,7 @@ object Ordinals {
     */
   def globalRunningSumNative(df: DataFrame, out: String, sortCol: String,
       value: Column, tieCols: Seq[String] = Nil, buckets: Int = 64,
-      sampleMod: Int = 4): DataFrame =
+      sampleMod: Int = 0): DataFrame =
     twoPhase(df.withColumn("__ord_v", value.cast(LongType)), out, sortCol,
       tieCols, buckets, sampleMod,
       perBucket = sum(col("__ord_v")),
@@ -87,13 +88,24 @@ object Ordinals {
     * per-bucket totals (`perBucket`) prefix-summed into offset literals,
     * then the within-bucket window value (`local`) plus the offset.
     */
+  /** Driver-side sample target: the collect in phase 1 is bounded to
+    * ~this many keys regardless of input size (sampleMod auto-derives
+    * from a count when the caller does not fix it — one extra
+    * bounded-output job, the price of never collecting a corpus
+    * fraction).
+    */
+  private val TargetSampleKeys = 65536L
+
   private def twoPhase(df: DataFrame, out: String, sortCol: String,
       tieCols: Seq[String], buckets: Int, sampleMod: Int,
       perBucket: Column, local: org.apache.spark.sql.expressions.WindowSpec => Column): DataFrame = {
     import graft.functions.TextFunctions.hex60
     val keyStr = col(sortCol).cast(StringType)
+    val mod =
+      if (sampleMod > 0) sampleMod.toLong
+      else math.max(1L, df.count() / TargetSampleKeys)
     val samp = df
-      .filter(hex60(concat(lit("ord|"), keyStr)) % sampleMod === 0)
+      .filter(hex60(concat(lit("ord|"), keyStr)) % mod === 0)
       .select(col(sortCol)).orderBy(col(sortCol))
       .collect().map(_.get(0))
     val step = math.max(1, samp.length / buckets)

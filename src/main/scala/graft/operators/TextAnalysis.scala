@@ -87,12 +87,10 @@ object TextAnalysis {
     * pass. Narrow (6 numeric columns/doc), so memory cost is trivial
     * next to the shingle index.
     */
-  private val qualityIndexCache =
-    scala.collection.concurrent.TrieMap.empty[(String, String), org.apache.spark.sql.DataFrame]
+  private val qualityIndexCache = new graft.SessionCache[org.apache.spark.sql.DataFrame]
 
   private[graft] def qualityIndex(s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame =
-    qualityIndexCache.getOrElseUpdate(
-      (s.sparkContext.applicationId + "@" + System.identityHashCode(s), dir),
+    qualityIndexCache.getOrElseUpdate(s, dir)(
       qualityScored(graft.Tables.load(s, dir, "documents"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
@@ -268,12 +266,10 @@ object TextAnalysis {
     * temp), spilling rather than failing when it outgrows executor
     * memory.
     */
-  private val shingleIndexCache =
-    scala.collection.concurrent.TrieMap.empty[(String, String), org.apache.spark.sql.DataFrame]
+  private val shingleIndexCache = new graft.SessionCache[org.apache.spark.sql.DataFrame]
 
   private[graft] def shingleIndex(s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame =
-    shingleIndexCache.getOrElseUpdate(
-      (s.sparkContext.applicationId + "@" + System.identityHashCode(s), dir),
+    shingleIndexCache.getOrElseUpdate(s, dir)(
       docShingleSets(graft.Tables.load(s, dir, "documents"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 

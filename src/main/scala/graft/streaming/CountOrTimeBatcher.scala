@@ -68,7 +68,15 @@ final class CountOrTimeBatcher(
     recoverPending(spark)
     val delta = s"$stagingDir/delta-${java.util.UUID.randomUUID().toString.take(12)}"
     batch.write.mode("errorifexists").parquet(delta)
-    pending += spark.read.parquet(delta).count()
+    val n = spark.read.parquet(delta).count()
+    if (n == 0) {
+      // Empty micro-batch (idle source, watermark ticks): drop the empty
+      // delta right away — doFlush only cleans staging when pending > 0,
+      // so an idle stream would otherwise accumulate empty delta dirs
+      // without bound.
+      val p = new Path(delta)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    } else pending += n
     if (pending >= batchSize || clock() - lastFlush >= maxAgeMs) doFlush(spark)
   }
 

@@ -126,6 +126,22 @@ class StreamingSpec extends SparkSpec {
     assert(flushes == Seq(100L, 11L, 5L) && batcher.pendingRows == 0)
   }
 
+  test("count-or-time batcher drops empty micro-batch deltas (idle stream stays clean)") {
+    import spark.implicits._
+    val dir = tmp("graft_staging_empty")
+    val batcher = new graft.streaming.CountOrTimeBatcher(dir)(_ => ())
+    // an idle stream: many empty micro-batches (watermark ticks)
+    (1 to 5).foreach(_ => batcher.add(Seq.empty[Int].toDF("v")))
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val deltas = if (fs.exists(p)) fs.listStatus(p).length else 0
+    assert(deltas == 0, s"empty deltas accumulated: $deltas")
+    assert(batcher.pendingRows == 0)
+    // and a real batch afterwards still stages/flushes normally
+    batcher.add((1 to 3).toDF("v"))
+    assert(batcher.pendingRows == 3)
+  }
+
   test("count-or-time batcher computes each micro-batch exactly once") {
     import spark.implicits._
     val acc = spark.sparkContext.longAccumulator("batch_evals")
