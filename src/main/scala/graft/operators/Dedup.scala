@@ -268,7 +268,8 @@ object Dedup {
     // ----- near-dup clusters: connected components over verified pairs ----
     // Production dedup keeps ONE representative per duplicate CLUSTER —
     // the transitive closure of the pair list, not the pairwise drop.
-    // Spark side: iterative min-label propagation ([[connectedComponents]]);
+    // Spark side: alternating large-star/small-star
+    // ([[connectedComponentsStar]], O(log n) rounds at any diameter);
     // oracle side: the closed form as a DuckDB recursive CTE (reachability
     // from each node, min reached id = the component root). Both engines
     // must agree on every doc's root and its cluster size — pinning the
@@ -289,7 +290,7 @@ object Dedup {
         |FROM comp c JOIN (SELECT root, count(*) AS n_members
         |                  FROM comp GROUP BY root) sz USING (root)
         |ORDER BY c.doc_id""".stripMargin) { (s, dir) =>
-      val comp = connectedComponents(
+      val comp = connectedComponentsStar(
         minhashNearDupPairsDss(s, TextAnalysis.shingleIndex(s, dir)))
       comp
         .join(comp.groupBy(col("root")).agg(count(lit(1)).as("n_members")), "root")
@@ -475,11 +476,66 @@ object Dedup {
     // runaway backstop — but if it ever fires, the labels are NOT the
     // transitive roots. Returning them silently would hand dedup a wrong
     // (oracle-diverging) cluster map; fail loudly instead. (At corpus
-    // scale, diameter-deep chains call for the O(log n)-round
-    // large-star/small-star formulation — this loop is the exact one.)
+    // scale, prefer [[connectedComponentsStar]] — O(log n) rounds
+    // regardless of diameter.)
     require(changed == 0,
       s"connectedComponents did not converge within $maxIters rounds")
     labels
+  }
+
+  /** Alternating large-star/small-star connected components (Kiveris et
+    * al. 2014, "Connected Components in MapReduce and Beyond" — public):
+    * converges in O(log n) ROUNDS regardless of component diameter, vs
+    * the O(diameter) of plain min-label propagation — the difference
+    * between ~6 and ~10⁶ shuffles on a pathological duplicate chain.
+    * Each round is two neighbor-keyed aggregations + joins; the edge set
+    * only shrinks toward the star form, so per-round cost is bounded by
+    * the current edge count. Equivalence to [[connectedComponents]] and
+    * to driver-side union-find is property-tested on random graphs; q73
+    * binds THIS variant (the oracle is an independent recursive-CTE
+    * closed form, so the algorithm is cross-checked, not self-checked).
+    *
+    *  - large-star(u): every neighbor v > u links to m = min(Γ(u) ∪ {u});
+    *  - small-star(u): every smaller neighbor (and u itself) links to the
+    *    minimum of u's smaller neighborhood;
+    *  - at the fixed point every node holds one edge to its component
+    *    minimum.
+    */
+  private[graft] def connectedComponentsStar(pairs: DataFrame, maxRounds: Int = 50): DataFrame = {
+    def canon(df: DataFrame): DataFrame = df
+      .select(least(col("a"), col("b")).as("a"), greatest(col("a"), col("b")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    var e = canon(pairs.select(col("a_doc").as("a"), col("b_doc").as("b"))).localCheckpoint()
+    val nodes = e.select(col("a").as("id")).union(e.select(col("b").as("id")))
+      .distinct().localCheckpoint()
+    var stable = false
+    var round = 0
+    while (!stable && round < maxRounds) {
+      // large-star
+      val nb = e.select(col("a").as("u"), col("b").as("v"))
+        .union(e.select(col("b").as("u"), col("a").as("v")))
+      val m1 = nb.groupBy(col("u")).agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      val ls = canon(nb.join(m1, "u").filter(col("v") > col("u"))
+        .select(col("v").as("a"), col("m").as("b")))
+      // small-star (keyed by the larger endpoint; values are all smaller)
+      val dir = ls.select(greatest(col("a"), col("b")).as("u"), least(col("a"), col("b")).as("v"))
+      val m2 = dir.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val withM = dir.join(m2, "u")
+      val ss = canon(
+        withM.filter(col("v") =!= col("m")).select(col("v").as("a"), col("m").as("b"))
+          .union(withM.select(col("u").as("a"), col("m").as("b"))))
+        .localCheckpoint()
+      stable = ss.count() == e.count() && ss.exceptAll(e).isEmpty
+      e = ss
+      round += 1
+    }
+    require(stable, s"connectedComponentsStar did not converge within $maxRounds rounds")
+    // At the fixed point every edge is (root=a, node=b); roots have no
+    // out-edge and label themselves.
+    val nonRoots = e.groupBy(col("b").as("id")).agg(min(col("a")).as("root"))
+    nodes.join(nonRoots, Seq("id"), "left")
+      .select(col("id"), coalesce(col("root"), col("id")).as("root"))
   }
 
   /** Max bench-side shingle rows the decontamination join may broadcast:

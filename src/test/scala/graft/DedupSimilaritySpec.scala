@@ -50,11 +50,15 @@ class DedupSimilaritySpec extends SparkSpec {
     val pairs = (Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L), (6L, 7L), (7L, 8L)) ++
       Seq((10L, 11L)) ++ Seq((20L, 21L), (21L, 22L), (20L, 22L)))
       .toDF("a_doc", "b_doc")
-    val roots = operators.Dedup.connectedComponents(pairs)
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert((1L to 8L).forall(roots(_) == 1L), roots.toString)
-    assert(roots(10L) == 10L && roots(11L) == 10L)
-    assert((20L to 22L).forall(roots(_) == 20L))
+    def check(roots: Map[Long, Long]): Unit = {
+      assert((1L to 8L).forall(roots(_) == 1L), roots.toString)
+      assert(roots(10L) == 10L && roots(11L) == 10L)
+      assert((20L to 22L).forall(roots(_) == 20L))
+    }
+    check(operators.Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap)
+    check(operators.Dedup.connectedComponentsStar(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap)
   }
 
   test("semdedup drops are sound: every dropped vec has a true >= tau lower neighbor") {

@@ -109,6 +109,10 @@ class OperatorPropSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(expected.nonEmpty && got == expected,
       s"diff=${(expected.toSet -- got.toSet) ++ (got.toSet -- expected.toSet)}")
+    val gotStar = operators.Dedup.connectedComponentsStar(edges.toDF("a_doc", "b_doc"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotStar == expected,
+      s"star diff=${(expected.toSet -- gotStar.toSet) ++ (gotStar.toSet -- expected.toSet)}")
   }
 
   test("Ordinals.globalRunningSumNative equals the global window sum on random values") {
