@@ -1,0 +1,41 @@
+package graft
+
+/** Partitioning-invariance: the determinism contract (every oracle query
+  * totally ordered, membership/sampling/numbering a pure function of row
+  * content) implies the OUTPUT must be byte-identical regardless of how
+  * the work is partitioned. Run the determinism-sensitive families under
+  * two different shuffle-partition settings and require identical rows in
+  * identical order — the failure mode this catches (partition-dependent
+  * tie-breaks, spark_partition_id leakage, non-commutative accumulation)
+  * is exactly what the single-plan oracle compare CANNOT see.
+  */
+class DeterminismSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  // window/top-k ties, two-phase numbering/sums, hash sampling/splits,
+  // iterative components, banded dedup, composed pipeline
+  private val sensitive = Seq(
+    "q16_window_rank", "q26_route_roundrobin", "q36a_jaccard_capped",
+    "q37_minhash_lsh", "q56_dataset_split", "q65_pack_sequences",
+    "q66_stratified_sample", "q68_semdedup", "q69_export_shards",
+    "q71_mixture_upsample", "q73_dedup_clusters")
+
+  test("sensitive queries are byte-identical under different shuffle partitioning") {
+    val saved = spark.conf.get("spark.sql.shuffle.partitions")
+    def rows(name: String): Seq[String] =
+      SparkEntry.queries(name)(spark, dir).collect().map(_.toString).toSeq
+    try {
+      sensitive.foreach { name =>
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+        val a = rows(name)
+        spark.conf.set("spark.sql.shuffle.partitions", "5")
+        val b = rows(name)
+        assert(a.nonEmpty, s"$name returned no rows at sf0.001")
+        assert(a == b,
+          s"$name diverges under repartitioning: first diff at index " +
+            s"${a.zip(b).indexWhere { case (x, y) => x != y }} of ${a.size}/${b.size}")
+      }
+    } finally spark.conf.set("spark.sql.shuffle.partitions", saved)
+  }
+}
