@@ -124,7 +124,7 @@ object Dedup {
     * composition passes its survivor-filtered slice of the same index.
     */
   private def minhashVerifiedDss(spark: org.apache.spark.sql.SparkSession,
-      dss: DataFrame): DataFrame = {
+      dss: DataFrame, newSide: Column = lit(true)): DataFrame = {
     graft.plans.GraftExtensions.register(spark)
     val sig = dss
       .withColumn("sigs", call_function("minhash_sigs", col("ss"),
@@ -133,7 +133,11 @@ object Dedup {
     val bands = sig.select(col("doc_id"), col("ss"),
         explode(array(bandStructsOf(col("sigs")): _*)).as("tb"))
       .select(col("doc_id"), col("ss"), col("tb.band").as("band"), col("tb.bh").as("bh"))
-    bands.as("x").join(bands.as("y"),
+    // `newSide` restricts the HIGHER-id join side: for the incremental
+    // path (q74) only band rows of the new slice sit on the probe side,
+    // so the pair space is new×all, not all×all — the full recompute is
+    // the default (newSide = true).
+    bands.as("x").join(bands.filter(newSide).as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a_doc"), col("y.doc_id").as("b_doc"),
@@ -234,6 +238,34 @@ object Dedup {
       // compute (off the shared index), no re-joins; multi-band duplicates
       // dedupe after verify where rows are 3 scalars, not arrays.
       minhashVerifiedDss(s, TextAnalysis.shingleIndex(s, dir))
+        .select(col("a_doc"), col("b_doc"),
+          floor(col("jac_raw") * 1000000).cast(LongType).as("jac_micro"))
+        .distinct()
+        .orderBy(col("a_doc"), col("b_doc"))
+    },
+
+    // ----- incremental near-dup: new batch vs existing corpus -------------
+    // The daily production dedup job: check an APPEND-ONLY increment (here
+    // the top-20%-of-doc_id slice, threshold = floor(0.8·max(doc_id)) so
+    // both engines derive it identically) against the whole corpus —
+    // pairs must involve at least one new doc. Append-only ids mean a
+    // pair (a < b) involves a new doc iff b ≥ T, so the oracle is the
+    // full pair set filtered on its higher end, while the Spark side
+    // never GENERATES the old×old pairs at all: the minhash band join
+    // probes the persisted shingle index with only the increment's band
+    // rows (new×all, not all×all — the incremental-index pattern the
+    // shared indexes exist for).
+    QuerySpec("q74_incremental_neardup")(
+      s"""WITH $shingleCtes,
+        |$minhashPairCtes,
+        |t AS (SELECT CAST(floor(max(doc_id) * 0.8) AS BIGINT) AS t FROM documents)
+        |SELECT a_doc, b_doc, jac_micro FROM ndpairs, t
+        |WHERE b_doc >= t.t
+        |ORDER BY a_doc, b_doc""".stripMargin) { (s, dir) =>
+      val dss = TextAnalysis.shingleIndex(s, dir)
+      val t = Tables.load(s, dir, "documents")
+        .agg(floor(max(col("doc_id")) * 0.8).cast(LongType)).collect()(0).getLong(0)
+      minhashVerifiedDss(s, dss, newSide = col("doc_id") >= t)
         .select(col("a_doc"), col("b_doc"),
           floor(col("jac_raw") * 1000000).cast(LongType).as("jac_micro"))
         .distinct()
