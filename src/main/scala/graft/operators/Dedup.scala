@@ -258,13 +258,16 @@ object Dedup {
     QuerySpec("q74_incremental_neardup")(
       s"""WITH $shingleCtes,
         |$minhashPairCtes,
-        |t AS (SELECT CAST(floor(max(doc_id) * 0.8) AS BIGINT) AS t FROM documents)
+        |t AS (SELECT (max(doc_id) * 8) // 10 AS t FROM documents)
         |SELECT a_doc, b_doc, jac_micro FROM ndpairs, t
         |WHERE b_doc >= t.t
         |ORDER BY a_doc, b_doc""".stripMargin) { (s, dir) =>
       val dss = TextAnalysis.shingleIndex(s, dir)
+      // integer arithmetic on BOTH sides — double 0.8 would round the
+      // boundary differently for snowflake-scale ids (the decimal-vs-
+      // double parity class).
       val t = Tables.load(s, dir, "documents")
-        .agg(floor(max(col("doc_id")) * 0.8).cast(LongType)).collect()(0).getLong(0)
+        .selectExpr("(max(doc_id) * 8) div 10 AS t").collect()(0).getLong(0)
       minhashVerifiedDss(s, dss, newSide = col("doc_id") >= t)
         .select(col("a_doc"), col("b_doc"),
           floor(col("jac_raw") * 1000000).cast(LongType).as("jac_micro"))
@@ -537,9 +540,14 @@ object Dedup {
     def canon(df: DataFrame): DataFrame = df
       .select(least(col("a"), col("b")).as("a"), greatest(col("a"), col("b")).as("b"))
       .filter(col("a") =!= col("b")).distinct()
-    var e = canon(pairs.select(col("a_doc").as("a"), col("b_doc").as("b"))).localCheckpoint()
-    val nodes = e.select(col("a").as("id")).union(e.select(col("b").as("id")))
+    // nodes are derived BEFORE the self-edge filter so a doc appearing
+    // only in a degenerate self-pair still labels itself (matching
+    // [[connectedComponents]], which keeps self-edges harmlessly).
+    val base = pairs.select(col("a_doc").as("a"), col("b_doc").as("b"))
+    val nodes = base.select(col("a").as("id")).union(base.select(col("b").as("id")))
       .distinct().localCheckpoint()
+    var e = canon(base).localCheckpoint()
+    var eCount = e.count()
     var stable = false
     var round = 0
     while (!stable && round < maxRounds) {
@@ -558,8 +566,10 @@ object Dedup {
         withM.filter(col("v") =!= col("m")).select(col("v").as("a"), col("m").as("b"))
           .union(withM.select(col("u").as("a"), col("m").as("b"))))
         .localCheckpoint()
-      stable = ss.count() == e.count() && ss.exceptAll(e).isEmpty
+      val ssCount = ss.count()
+      stable = ssCount == eCount && ss.exceptAll(e).isEmpty
       e = ss
+      eCount = ssCount
       round += 1
     }
     require(stable, s"connectedComponentsStar did not converge within $maxRounds rounds")

@@ -48,12 +48,14 @@ class DedupSimilaritySpec extends SparkSpec {
     // a 7-hop chain (diameter stresses the propagation loop), a pair, and
     // a triangle with a chord — roots must be the component minima.
     val pairs = (Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L), (6L, 7L), (7L, 8L)) ++
-      Seq((10L, 11L)) ++ Seq((20L, 21L), (21L, 22L), (20L, 22L)))
+      Seq((10L, 11L)) ++ Seq((20L, 21L), (21L, 22L), (20L, 22L)) ++
+      Seq((30L, 30L))) // degenerate self-pair: singleton root, not dropped
       .toDF("a_doc", "b_doc")
     def check(roots: Map[Long, Long]): Unit = {
       assert((1L to 8L).forall(roots(_) == 1L), roots.toString)
       assert(roots(10L) == 10L && roots(11L) == 10L)
       assert((20L to 22L).forall(roots(_) == 20L))
+      assert(roots(30L) == 30L)
     }
     check(operators.Dedup.connectedComponents(pairs)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap)

@@ -14,7 +14,13 @@ class DeterminismSpec extends SparkSpec {
   private val dir = "/root/testdata/sf0.001"
 
   // window/top-k ties, two-phase numbering/sums, hash sampling/splits,
-  // iterative components, banded dedup, composed pipeline
+  // iterative components, banded dedup, composed pipeline.
+  // Caveat: the shared shingle/quality indexes are persisted on first
+  // use, so for their consumers the comparison exercises the
+  // post-index stages — the index subtree itself is computed once. The
+  // upstream tokenize/shingle pipeline is pure per-row projection
+  // (verified by the oracle at two SFs), so the partition-sensitive
+  // surface IS the downstream shuffles this covers.
   private val sensitive = Seq(
     "q16_window_rank", "q26_route_roundrobin", "q36a_jaccard_capped",
     "q37_minhash_lsh", "q56_dataset_split", "q65_pack_sequences",
@@ -32,9 +38,13 @@ class DeterminismSpec extends SparkSpec {
         spark.conf.set("spark.sql.shuffle.partitions", "5")
         val b = rows(name)
         assert(a.nonEmpty, s"$name returned no rows at sf0.001")
+        val firstDiff = a.zip(b).indexWhere { case (x, y) => x != y } match {
+          case -1 => math.min(a.size, b.size) // prefix-equal, sizes differ
+          case i => i
+        }
         assert(a == b,
           s"$name diverges under repartitioning: first diff at index " +
-            s"${a.zip(b).indexWhere { case (x, y) => x != y }} of ${a.size}/${b.size}")
+            s"$firstDiff of ${a.size}/${b.size}")
       }
     } finally spark.conf.set("spark.sql.shuffle.partitions", saved)
   }
