@@ -5,6 +5,23 @@ import org.apache.spark.sql.functions._
 
 class MultimodalSpec extends SparkSpec {
 
+  test("metadata-only queries prune the binary payload from the media parquet scan") {
+    import spark.implicits._
+    // The storage posture SCALE.md claims: payloads stay opaque binary, so
+    // a metadata-only query must never read them off disk.
+    val docs = Seq((1L, "abc", 3L), (2L, "hello world", 11L))
+      .toDF("doc_id", "text", "n_chars")
+    val path = java.nio.file.Files.createTempDirectory("graft_media").toString + "/media"
+    Multimodal.synthesizeFromDocuments(docs).write.mode("overwrite").parquet(path)
+    val qe = spark.read.parquet(path)
+      .groupBy(col("media_type"))
+      .agg(count(lit(1)).as("n"), avg(col("width")).as("w"))
+      .queryExecution
+    val plan = qe.executedPlan.toString
+    assert(plan.contains("media_type") && !plan.contains("payload"),
+      plan.take(1500))
+  }
+
   test("decodeFeatures is deterministic and matches a hand-computed digest") {
     import spark.implicits._
     val docs = Seq((1L, "abc", 3L), (2L, "hello world", 11L))
