@@ -457,6 +457,14 @@ object Dedup {
     * runs should exact-verify survivors ([[pairJaccardCapped]]); oracle
     * query q36 runs uncapped so both engines compute the same closed form.
     */
+  /** Loud-failure bound for UNCAPPED [[pairJaccard]]: a df-f posting list
+    * expands f²/2 structs inside ONE row, so f=1024 ≈ 16 MB — the edge of
+    * executor-memory-comfortable. Fixture max df is 25 (sf0.1); anything
+    * past this bound means the caller forgot the df cap on a real corpus,
+    * and the task fails with instructions instead of OOMing.
+    */
+  private[graft] val UncappedMaxDf = 1024
+
   private[graft] def pairJaccard(dss: DataFrame, dfCap: Option[Int] = None): DataFrame =
     dss.select(col("doc_id"), size(col("ss")).as("ns"), explode(col("ss")).as("s"))
       .groupBy(col("s"))
@@ -464,7 +472,13 @@ object Dedup {
       // (ss is distinct per doc), so set-dedup work buys nothing.
       .agg(sort_array(collect_list(struct(col("doc_id"), col("ns")))).as("ds"))
       .filter(size(col("ds")) > 1 &&
-        dfCap.map(c => size(col("ds")) <= c).getOrElse(lit(true)))
+        dfCap.map(c => size(col("ds")) <= c).getOrElse(
+          // uncapped misuse fails loudly BEFORE the in-row expansion
+          when(size(col("ds")) > UncappedMaxDf,
+            raise_error(concat(lit("pairJaccard uncapped: posting list df="),
+              size(col("ds")).cast(StringType),
+              lit(s" exceeds $UncappedMaxDf — pass dfCap/use pairJaccardCapped"))))
+            .otherwise(lit(true))))
       .select(explode(pairCombos(col("ds"))).as("p"))
       .groupBy(col("p.a").as("a_doc"), col("p.b").as("b_doc"),
         col("p.na").as("n_a"), col("p.nb").as("n_b"))
@@ -547,7 +561,6 @@ object Dedup {
     val nodes = base.select(col("a").as("id")).union(base.select(col("b").as("id")))
       .distinct().localCheckpoint()
     var e = canon(base).localCheckpoint()
-    var eCount = e.count()
     var stable = false
     var round = 0
     while (!stable && round < maxRounds) {
@@ -566,10 +579,11 @@ object Dedup {
         withM.filter(col("v") =!= col("m")).select(col("v").as("a"), col("m").as("b"))
           .union(withM.select(col("u").as("a"), col("m").as("b"))))
         .localCheckpoint()
-      val ssCount = ss.count()
-      stable = ssCount == eCount && ss.exceptAll(e).isEmpty
+      // ONE driver-synced action per round: both frames are canon'd
+      // (distinct), so empty symmetric difference ⟺ set equality — no
+      // separate count() job needed to rule out ss ⊊ e.
+      stable = ss.exceptAll(e).union(e.exceptAll(ss)).isEmpty
       e = ss
-      eCount = ssCount
       round += 1
     }
     require(stable, s"connectedComponentsStar did not converge within $maxRounds rounds")

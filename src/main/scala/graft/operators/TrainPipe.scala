@@ -162,8 +162,13 @@ object TrainPipe {
         |            CAST(len(regexp_split_to_array(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), '\\s+')) AS BIGINT) AS tok
         |          FROM documents)))
         |GROUP BY shard ORDER BY shard""".stripMargin) { (s, dir) =>
+      // localCheckpoint (the q69 pattern): globalRunningSumNative drives
+      // four jobs over its input (count, boundary sample, bucket totals,
+      // final plan) — materializing the narrow (doc_id, tok) frame once
+      // keeps the regex tokenization from running 4×.
       val toks = Tables.load(s, dir, "documents")
         .select(col("doc_id"), size(tokens(col("text"))).cast(LongType).as("tok"))
+        .localCheckpoint()
       Ordinals.globalRunningSumNative(toks, "cum", "doc_id", col("tok"))
         .withColumn("shard",
           floor((col("cum") - col("tok")).cast(DoubleType) / PackBudget).cast(LongType))

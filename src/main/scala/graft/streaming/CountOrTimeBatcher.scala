@@ -44,15 +44,35 @@ final class CountOrTimeBatcher(
     // must NOT be inferred as a partition column of the flushed frame.
     spark.read.option("recursiveFileLookup", "true").parquet(stagingDir)
 
-  private def stagingNonEmpty(spark: SparkSession): Boolean = {
-    val p = new Path(stagingDir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.exists(p) && fs.listStatus(p).nonEmpty
-  }
+  /** True iff staging holds at least one COMMITTED parquet data file. A
+    * crash mid-delta-write leaves only junk (`_temporary` trees, empty
+    * delta dirs, `_SUCCESS` markers): a bare "directory non-empty" probe
+    * would then send recovery into spark.read.parquet, which throws
+    * "Unable to infer schema" on a data-free tree — wedging every
+    * subsequent add()/flushNow() until staging is cleaned by hand.
+    * Committed data = a non-hidden (no `_`/`.` component) non-empty
+    * regular file.
+    */
+  private def committedDataExists(fs: org.apache.hadoop.fs.FileSystem, dir: Path): Boolean =
+    fs.listStatus(dir).exists { st =>
+      val n = st.getPath.getName
+      !n.startsWith("_") && !n.startsWith(".") &&
+        (if (st.isDirectory) committedDataExists(fs, st.getPath) else st.getLen > 0)
+    }
 
   private def recoverPending(spark: SparkSession): Unit =
-    if (pending < 0)
-      pending = if (stagingNonEmpty(spark)) stagedFrame(spark).count() else 0L
+    if (pending < 0) {
+      val p = new Path(stagingDir)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      pending =
+        if (fs.exists(p) && committedDataExists(fs, p)) stagedFrame(spark).count()
+        else {
+          // nothing committed — prune crash junk so later staged reads
+          // (doFlush's recursive lookup) start from a clean tree
+          if (fs.exists(p)) fs.delete(p, true)
+          0L
+        }
+    }
 
   /** foreachBatch hook: stage the micro-batch, then flush if either
     * threshold (count OR age) has tripped.

@@ -33,6 +33,29 @@ class DedupSimilaritySpec extends SparkSpec {
       s"capped path diverged: missing=${uncapped -- capped} extra=${capped -- uncapped}")
   }
 
+  test("pairJaccard in-row expansion stays cap-bounded; uncapped misuse fails loudly") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // One shared shingle across n docs: the posting list for shingle 42 has
+    // df = n, and each doc carries a private shingle so sets differ.
+    def dss(n: Int) = (0 until n)
+      .map(i => (i.toLong, Seq(42L, 1000L + i))).toDF("doc_id", "ss")
+    // df = cap: expansion allowed, exactly cap·(cap−1)/2 pairs in one row.
+    val atCap = operators.Dedup.pairJaccard(dss(8), Some(8))
+    assert(atCap.count() == 8L * 7 / 2)
+    // df = cap+1: the hot posting list is dropped BEFORE pair expansion.
+    assert(operators.Dedup.pairJaccard(dss(9), Some(8)).count() == 0)
+    // Uncapped beyond UncappedMaxDf: the task must fail with instructions,
+    // not expand df²/2 structs toward an OOM.
+    val err = intercept[Exception] {
+      operators.Dedup.pairJaccard(dss(operators.Dedup.UncappedMaxDf + 1)).count()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(err).exists(_.contains("pairJaccard uncapped")),
+      s"expected loud misuse error, got: $err")
+  }
+
   test("ANN returns true top-1 for most queries (recall floor)") {
     val exact = run("q39_cosine_topk").filter("rk = 1").select("q_id", "neighbor_id")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

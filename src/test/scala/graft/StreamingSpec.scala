@@ -171,6 +171,28 @@ class StreamingSpec extends SparkSpec {
     assert(flushes == Seq(100L) && second.pendingRows == 0)
   }
 
+  test("count-or-time batcher recovers past a crash-junk staging tree") {
+    import spark.implicits._
+    // A crash during a delta write leaves staging NON-EMPTY but with zero
+    // committed data: an uncommitted _temporary tree and an empty delta
+    // dir. Recovery must treat this as 0 staged rows (pruning the junk),
+    // not feed it to spark.read.parquet (schema inference throws there,
+    // wedging every subsequent add()).
+    val staging = tmp("graft_staging_crash")
+    val crashed = new java.io.File(s"$staging/delta-crashed0000/_temporary/0")
+    assert(crashed.mkdirs())
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"${crashed.getPath}/part-00000"), Array[Byte](1, 2, 3))
+    assert(new java.io.File(s"$staging/delta-empty000000").mkdirs())
+    var flushes = Seq.empty[Long]
+    val batcher = new graft.streaming.CountOrTimeBatcher(
+      staging, batchSize = 90L, maxAgeMs = Long.MaxValue)(df => flushes :+= df.count())
+    batcher.add((1 to 10).toDF("v")) // must not throw on recovery
+    assert(batcher.pendingRows == 10 && flushes.isEmpty)
+    batcher.add((1 to 80).toDF("v")) // 10 + 80 ≥ 90 → flush of real rows only
+    assert(flushes == Seq(90L) && batcher.pendingRows == 0)
+  }
+
   test("count-or-time ingest: warehouse sees nothing until flush, everything after") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
