@@ -40,11 +40,21 @@ import org.apache.spark.sql.types._
 object Ivf {
 
   val Dim = 64
-  /** 1-in-4 hash sample for seeding at fixture scale; at a real corpus
-    * size this grows with the corpus to keep the sample bounded.
+  /** Seeding-sample size target: the sample mod is DERIVED from the corpus
+    * count toward this many rows (the Ordinals.TargetSampleKeys pattern) —
+    * ~4k × 64-long vectors ≈ 2 MB on the driver at ANY corpus size, and
+    * comfortably ≥ k for every realistic cell count. Both engines derive
+    * the identical mod from the identical count, so the oracle reproduces
+    * the same seeds.
     */
-  val DefaultSampleMod = 4
+  val TargetSeedSample = 4096L
   val DefaultMaxIters = 4
+
+  /** mod = max(1, ⌊n / target⌋): one sampled row per mod-block keeps the
+    * expected sample within [target/2, 2·target) for any n.
+    */
+  def derivedSampleMod(n: Long): Int =
+    math.max(1L, n / TargetSeedSample).toInt
 
   /** Fitted centroids (cid → quantized vector), iterations actually run,
     * and whether a fixed point was reached before the cap.
@@ -82,6 +92,11 @@ object Ivf {
     require(samp.length >= k, s"seeding sample ${samp.length} < k=$k — lower sampleMod")
     val chosen = scala.collection.mutable.ArrayBuffer(samp.head._2)
     val maxDot = samp.map(p => dotL(p._2, chosen.head))
+    // Chosen seeds leave the candidate pool (maxDot = ∞): without this, a
+    // LOW-NORM point (small self-dot) can be argmin again, yielding a
+    // duplicate centroid and k−1 effective cells. Mirrored in
+    // [[centroidsSql]] via the NOT IN exclusion.
+    maxDot(0) = Long.MaxValue
     while (chosen.length < k) {
       var best = 0
       var i = 1
@@ -96,6 +111,7 @@ object Ivf {
         if (d > maxDot(i)) maxDot(i) = d
         i += 1
       }
+      maxDot(best) = Long.MaxValue
     }
     chosen.toIndexedSeq
   }
@@ -117,14 +133,20 @@ object Ivf {
       .withColumn("rk", row_number().over(w))
   }
 
-  /** k-means++ seed + Lloyd to a fixed point (≤ maxIters). */
+  /** k-means++ seed + Lloyd to a fixed point (≤ maxIters). `sampleMod ≤ 0`
+    * (the default) derives the seeding sample mod from a corpus count
+    * toward [[TargetSeedSample]] rows — the driver-side collect is then
+    * bounded BY CONSTRUCTION at any corpus size, instead of trusting the
+    * caller to size a fixed mod.
+    */
   def fit(eqf: DataFrame, k: Int,
-          sampleMod: Int = DefaultSampleMod,
+          sampleMod: Int = 0,
           maxIters: Int = DefaultMaxIters): Model = {
     val spark = eqf.sparkSession
     graft.plans.GraftExtensions.register(spark)
+    val mod = if (sampleMod > 0) sampleMod else derivedSampleMod(eqf.count())
     var cents: IndexedSeq[(Int, Array[Long])] =
-      seeds(eqf, k, sampleMod).zipWithIndex.map { case (c, i) => (i, c) }
+      seeds(eqf, k, mod).zipWithIndex.map { case (c, i) => (i, c) }
     var it = 0
     var converged = false
     while (it < maxIters && !converged) {
@@ -194,19 +216,22 @@ object Ivf {
     s"list_sum(list_transform(generate_series(1, $Dim), j -> $a[j] * $b[j]))"
 
   /** DuckDB CTE chain from an upstream `eq(vec_id, q)` CTE to a final
-    * `cents(cid, cq)` CTE: the seeding picks unrolled (one argmin CTE per
-    * seed) and exactly `maxIters` Lloyd iterations — the closed form of
-    * [[fit]]'s recurrence, reproducing identical centroids.
+    * `cents(cid, cq)` CTE: the sample mod derived from the corpus count
+    * (the closed form of [[derivedSampleMod]]), the seeding picks unrolled
+    * (one argmin CTE per seed, chosen seeds excluded from the pool) and
+    * exactly `maxIters` Lloyd iterations — the closed form of [[fit]]'s
+    * recurrence, reproducing identical centroids.
     */
-  private[operators] def centroidsSql(k: Int, sampleMod: Int, maxIters: Int): String = {
+  private[operators] def centroidsSql(k: Int, maxIters: Int): String = {
     // Every recurrent CTE is MATERIALIZED: iv_seeds{i} is referenced twice
     // per seeding level (by iv_m{i+1} and iv_seeds{i+1}), so an inlining
     // planner would otherwise expand the chain 2^k times.
     val sb = new StringBuilder
-    sb ++= s"iv_samp AS MATERIALIZED (SELECT vec_id, q FROM eq WHERE CAST('0x' || substr(md5('ivf|' || CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT) % $sampleMod = 0),\n"
+    sb ++= s"iv_mod AS (SELECT greatest(1, count(*) // $TargetSeedSample) AS m FROM eq),\n"
+    sb ++= s"iv_samp AS MATERIALIZED (SELECT vec_id, q FROM eq WHERE CAST('0x' || substr(md5('ivf|' || CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT) % (SELECT m FROM iv_mod) = 0),\n"
     sb ++= "iv_seeds0 AS MATERIALIZED (SELECT 0 AS cid, vec_id, q FROM iv_samp WHERE vec_id = (SELECT min(vec_id) FROM iv_samp)),\n"
     for (i <- 1 until k) {
-      sb ++= s"iv_m$i AS (SELECT s.vec_id, max(${idotSql("s.q", "c.q")}) AS m FROM iv_samp s, iv_seeds${i - 1} c GROUP BY s.vec_id),\n"
+      sb ++= s"iv_m$i AS (SELECT s.vec_id, max(${idotSql("s.q", "c.q")}) AS m FROM iv_samp s, iv_seeds${i - 1} c WHERE s.vec_id NOT IN (SELECT vec_id FROM iv_seeds${i - 1}) GROUP BY s.vec_id),\n"
       sb ++= s"iv_p$i AS (SELECT $i AS cid, s.vec_id, s.q FROM iv_samp s JOIN (SELECT vec_id FROM iv_m$i ORDER BY m ASC, vec_id ASC LIMIT 1) t USING (vec_id)),\n"
       sb ++= s"iv_seeds$i AS MATERIALIZED (SELECT * FROM iv_seeds${i - 1} UNION ALL SELECT * FROM iv_p$i),\n"
     }

@@ -47,4 +47,25 @@ class ScaleTechniquesSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS o_bucketed")
     }
   }
+
+  test("IVF seeding sample stays target-bounded under the derived mod at 10x scale") {
+    import graft.operators.Ivf
+    // The driver-side seeding collect must be bounded BY CONSTRUCTION: at
+    // any corpus size n, the derived mod keeps the hash sample within
+    // [target/2, 2·target) in expectation. 50k ids ≈ 10× the sf0.1
+    // embeddings fixture.
+    val n = 50000L
+    val mod = Ivf.derivedSampleMod(n)
+    assert(mod == (n / Ivf.TargetSeedSample).toInt && mod > 1)
+    val sampled = spark.range(n)
+      .filter(graft.functions.TextFunctions.hex60(
+        concat(lit("ivf|"), col("id").cast("string"))) % mod === 0)
+      .count()
+    assert(sampled <= 2 * Ivf.TargetSeedSample,
+      s"sample $sampled exceeds 2x target ${Ivf.TargetSeedSample}")
+    assert(sampled >= Ivf.TargetSeedSample / 2,
+      s"sample $sampled under half the target — seeding would starve")
+    // tiny corpora degrade to mod = 1 (sample = corpus), never mod = 0
+    assert(Ivf.derivedSampleMod(10) == 1)
+  }
 }
