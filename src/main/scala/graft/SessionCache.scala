@@ -18,6 +18,13 @@ final class SessionCache[V] {
 
   def getOrElseUpdate(s: SparkSession, dir: String)(build: => V): V =
     entries.getOrElseUpdate(SessionCache.key(s, dir), build)
+
+  /** Drop the entry (returning it for cleanup, e.g. unpersist) — the
+    * invalidation hook for durable-index appends: the next read rebuilds
+    * from the now-larger on-disk store.
+    */
+  def remove(s: SparkSession, dir: String): Option[V] =
+    entries.remove(SessionCache.key(s, dir))
 }
 
 object SessionCache {

@@ -126,6 +126,9 @@ object Ivf {
     * rk = 1 is the cell assignment, rk ≤ p the probe set.
     */
   def ranked(eqf: DataFrame, cents: DataFrame): DataFrame = {
+    // Register here, not just in fit(): a store-loaded model skips fit
+    // entirely, and this is the first vec_dot_long call site on that path.
+    graft.plans.GraftExtensions.register(eqf.sparkSession)
     val w = Window.partitionBy(col("vec_id")).orderBy(col("idot").desc, col("cid").asc)
     eqf.select(col("vec_id"), col("eq"))
       .crossJoin(broadcast(cents))
@@ -210,6 +213,31 @@ object Ivf {
         col("sim_dec").cast(DoubleType).as("sim"))
       .orderBy(col("q_id"), col("rk"))
   }
+
+  /** Persist a fitted model into the durable index store tier: one parquet
+    * row per centroid (cid, cq, iters, converged). k × dim longs — a
+    * single tiny file; coalesce(1) keeps the store tidy.
+    */
+  def save(s: SparkSession, path: String, m: Model): Unit = {
+    import s.implicits._
+    m.cents.map { case (cid, cq) => (cid, cq.toSeq, m.iters, m.converged) }
+      .toDF("cid", "cq", "iters", "converged")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a committed model from the store; None when absent/torn (caller
+    * falls back to fitting).
+    */
+  def load(s: SparkSession, path: String): Option[Model] =
+    if (!graft.IndexStore.committed(s, path)) None
+    else {
+      val rows = s.read.parquet(path).collect() // k rows by construction
+      val cents = rows.map(r =>
+          (r.getInt(r.fieldIndex("cid")), r.getSeq[Long](r.fieldIndex("cq")).toArray))
+        .sortBy(_._1).toIndexedSeq
+      Some(Model(cents, rows.head.getInt(rows.head.fieldIndex("iters")),
+        rows.head.getBoolean(rows.head.fieldIndex("converged"))))
+    }
 
   // ---------------------------------------------------------------- SQL --
   private def idotSql(a: String, b: String): String =

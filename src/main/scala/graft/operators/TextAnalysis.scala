@@ -268,10 +268,33 @@ object TextAnalysis {
     */
   private val shingleIndexCache = new graft.SessionCache[org.apache.spark.sql.DataFrame]
 
+  /** The name of the shingle-set frame in the durable [[graft.IndexStore]]. */
+  private[graft] val ShingleStoreName = "shingle_sets"
+
+  /** Durable tier first ([[graft.IndexStore]], opt-in via
+    * `spark.graft.index.dir`): with a store configured, a session that
+    * finds yesterday's committed shingle parquet serves every consumer
+    * (q36/q36a/q37/q63/q73/q74, corpus-clean) from a columnar scan of it —
+    * ZERO re-shingling of already-indexed docs. Without a store, build
+    * in-session exactly as before.
+    */
   private[graft] def shingleIndex(s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame =
     shingleIndexCache.getOrElseUpdate(s, dir)(
-      docShingleSets(graft.Tables.load(s, dir, "documents"))
+      graft.IndexStore.servedFrom(s, dir, ShingleStoreName)(
+        docShingleSets(graft.Tables.load(s, dir, "documents")))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+  /** Incremental-index append: shingle ONLY the new doc batch, land it in
+    * the durable store, and invalidate the session tier so the next
+    * [[shingleIndex]] read serves old∪new from disk. The daily-ingest
+    * counterpart of q74's new×all probe: the increment pays O(increment)
+    * shingling, never O(corpus).
+    */
+  private[graft] def appendToShingleIndex(s: org.apache.spark.sql.SparkSession,
+      dir: String, newDocs: org.apache.spark.sql.DataFrame): Unit = {
+    graft.IndexStore.append(s, dir, ShingleStoreName, docShingleSets(newDocs))
+    shingleIndexCache.remove(s, dir).foreach(_.unpersist())
+  }
 
   private[operators] val markerList: Seq[(String, Seq[String])] = langMarkers
 }
