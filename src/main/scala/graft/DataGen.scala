@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Deterministic LOCAL fixture scaler for scale rehearsals (SCALE.md): the
+  * driver ships sf ≤ 0.1, so the sf0.1→sf1 scaling-exponent measurement
+  * needs a locally generated 10× set. Replication is FK-consistent (every
+  * bigint key family shifts by `replica × (max_key + 1)`) and
+  * WORKLOAD-PRESERVING rather than row-duplicating:
+  *
+  *  - `documents`: replica r > 0 prefixes every token with `r<r>` — token
+  *    counts, in-replica duplicate structure, and shingle df distributions
+  *    are preserved while cross-replica shingle spaces stay DISJOINT, so
+  *    the dedup pair space scales ~linearly (replicating text verbatim
+  *    would instead make every doc a 10-way near-dup and square the pair
+  *    space — a different workload, not a bigger one);
+  *  - `embeddings`: replica r rotates the vector by r positions — norms
+  *    and pairwise-similarity distribution preserved, replicas
+  *    decorrelated;
+  *  - `events.ts` is written back as raw long nanos, the driver fixtures'
+  *    physical type, so [[Tables.load]] applies the identical decode path.
+  *
+  * NOT an oracle input: generated dirs are for `graft.Bench` only (the
+  * DuckDB correctness gate stays on the driver's own fixtures).
+  */
+object DataGen {
+
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2, "usage: DataGen <srcDir> <outDir> [factor]")
+    val src = args(0)
+    val out = args(1)
+    val factor = if (args.length > 2) args(2).toInt else 10
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    generate(spark, src, out, factor)
+    spark.stop()
+  }
+
+  private def keySpan(df: DataFrame, key: String): Long =
+    df.agg(max(col(key)).cast(LongType)).head().getLong(0) + 1
+
+  def generate(spark: SparkSession, src: String, out: String, factor: Int): Unit = {
+    def shift(c: String, span: Long, i: Int): Column = col(c) + lit(span * i)
+    def write(name: String, df: DataFrame, parts: Int): Unit =
+      df.repartition(parts).write.mode("overwrite").parquet(s"$out/$name.parquet")
+    def reps(mk: Int => DataFrame): DataFrame =
+      (0 until factor).map(mk).reduce(_ union _)
+
+    for (t <- Seq("region", "nation")) write(t, Tables.load(spark, src, t), 1)
+
+    val cust = Tables.load(spark, src, "customer")
+    val supp = Tables.load(spark, src, "supplier")
+    val part = Tables.load(spark, src, "part")
+    val ord = Tables.load(spark, src, "orders")
+    val li = Tables.load(spark, src, "lineitem")
+    val ev = Tables.load(spark, src, "events")
+    val docs = Tables.load(spark, src, "documents")
+    val emb = Tables.load(spark, src, "embeddings")
+    val (cSpan, sSpan, pSpan, oSpan) = (keySpan(cust, "c_custkey"),
+      keySpan(supp, "s_suppkey"), keySpan(part, "p_partkey"), keySpan(ord, "o_orderkey"))
+    val (eSpan, uSpan) = (keySpan(ev, "event_id"), keySpan(ev, "user_id"))
+    val (dSpan, vSpan) = (keySpan(docs, "doc_id"), keySpan(emb, "vec_id"))
+
+    write("customer", reps(i => cust.withColumn("c_custkey", shift("c_custkey", cSpan, i))), 4)
+    write("supplier", reps(i => supp.withColumn("s_suppkey", shift("s_suppkey", sSpan, i))), 2)
+    write("part", reps(i => part.withColumn("p_partkey", shift("p_partkey", pSpan, i))), 4)
+    write("orders", reps(i => ord
+      .withColumn("o_orderkey", shift("o_orderkey", oSpan, i))
+      .withColumn("o_custkey", shift("o_custkey", cSpan, i))), 8)
+    write("lineitem", reps(i => li
+      .withColumn("l_orderkey", shift("l_orderkey", oSpan, i))
+      .withColumn("l_partkey", shift("l_partkey", pSpan, i))
+      .withColumn("l_suppkey", shift("l_suppkey", sSpan, i))), 16)
+    // back to the fixtures' physical type: raw long nanos
+    write("events", reps(i => ev
+      .withColumn("event_id", shift("event_id", eSpan, i))
+      .withColumn("user_id", shift("user_id", uSpan, i))
+      .withColumn("ts", unix_micros(col("ts")) * 1000L)), 8)
+    write("documents", reps { i =>
+      val d = docs.withColumn("doc_id", shift("doc_id", dSpan, i))
+      if (i == 0) d
+      else d
+        .withColumn("text", concat_ws(" ",
+          transform(split(col("text"), "\\s+"), t => concat(lit(s"r$i"), t))))
+        .withColumn("n_chars", length(col("text")).cast(LongType))
+    }, 8)
+    write("embeddings", reps { i =>
+      val e = emb.withColumn("vec_id", shift("vec_id", vSpan, i))
+      if (i == 0) e
+      else e.withColumn("embedding",
+        concat(slice(col("embedding"), i + 1, 64 - i), slice(col("embedding"), 1, i)))
+    }, 4)
+  }
+}

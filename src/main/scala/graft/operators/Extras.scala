@@ -83,6 +83,10 @@ object Extras {
       // Single pass: all 6 stats × 3 columns in ONE aggregation over ONE
       // lineitem scan (the multi-distinct is an Expand, not extra scans),
       // then stack-unpivot to the per-column output shape.
+      // Scale note (SCALE.md): the 3 EXACT countDistincts Expand the scan
+      // ×4 through the aggregate — the right plan for an exact audit, the
+      // wrong default at 100 TB. Production profiling belongs on q70's
+      // mergeable HLL sketches (per-partition sketch + union-merge).
       val cols = Seq("l_quantity", "l_extendedprice", "l_discount")
       val aggs = cols.flatMap(c => Seq(
         count(col(c)).as(s"${c}_n_nonnull"),

@@ -108,4 +108,26 @@ class IndexStoreSpec extends SparkSpec {
     assert(results(spark, "q40_ann_lsh") == q40A)
     assert(results(spark, "q53_ann_ivf") == q53A)
   }
+
+  test("SRP index append: new embedding batch probes yesterday's store (q47 unchanged)") {
+    val root = tmp("graft_idx_srp_incr")
+    val emb = Tables.load(spark, dir, "embeddings")
+    val t = emb.selectExpr("(max(vec_id) * 8) div 10 AS t").collect()(0).getLong(0)
+
+    val sA = spark.newSession()
+    sA.conf.set(IndexStore.DirConf, root)
+    IndexStore.servedFrom(sA, dir, operators.Similarity.SrpStoreName)(
+      operators.Similarity.srpRows(
+        Tables.load(sA, dir, "embeddings").filter(col("vec_id") < t)))
+
+    val sB = spark.newSession()
+    sB.conf.set(IndexStore.DirConf, root)
+    operators.Similarity.appendToSrpIndex(sB, dir,
+      Tables.load(sB, dir, "embeddings").filter(col("vec_id") >= t))
+    val viaStore = SparkEntry.queries("q47_embedding_neardup")(sB, dir)
+      .collect().map(_.toSeq).toSeq
+    val direct = SparkEntry.queries("q47_embedding_neardup")(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    assert(viaStore == direct, "append-then-serve must equal full recompute")
+  }
 }
