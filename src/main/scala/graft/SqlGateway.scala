@@ -1,0 +1,178 @@
+package graft
+
+import java.io.OutputStream
+import java.net.{InetSocketAddress, URLDecoder}
+import java.nio.charset.StandardCharsets.UTF_8
+import java.util.concurrent.Executors
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Interactive ad-hoc SQL endpoint — the analog of the reference's
+  * ClickHouse HTTP `/play` surface (reference README.md:140: the read path
+  * is raw SQL over the fact table at `http://localhost:8122/play`;
+  * clickhouse docker-compose.yaml:6 maps 8122→8123, the ClickHouse HTTP
+  * port). Semantically `spark.sql` already covers the read path (q48/q50);
+  * this closes the ERGONOMIC gap: a user points a browser or `curl` at the
+  * gateway and runs SQL over the registered tables, exactly as they would
+  * against `/play`.
+  *
+  * Protocol (the useful subset of the ClickHouse HTTP interface, all
+  * public knowledge):
+  *  - `GET /ping` → `Ok.` — liveness probe.
+  *  - `GET /play` → a minimal HTML query form posting to `/`.
+  *  - `POST /` with the SQL text as the body (or `GET /?query=...`) →
+  *    result rows; `format=JSONEachRow` (default) or `format=TSV`.
+  *  - Analysis/parse errors → HTTP 400 with the message; anything else
+  *    → 500. Responses carry `X-Graft-Rows` and `X-Graft-Truncated`.
+  *
+  * Scale posture — the gateway is an INTERACTIVE surface, not an export
+  * path, so the driver-side result set is bounded by construction:
+  *  - every query is wrapped in `limit(cap + 1)` (default
+  *    [[DefaultMaxRows]], per-request `max_result_rows` up to
+  *    [[HardMaxRows]]), so the plan itself is a `CollectLimit` — the
+  *    cluster never computes, and the driver never holds, more than
+  *    cap+1 rows no matter what the SQL says. Row cap+1 is the
+  *    truncation sentinel (dropped from the payload, flagged in the
+  *    header). Bulk extraction belongs to the warehouse/export operators
+  *    (q69), not an HTTP endpoint.
+  *  - the server binds loopback by default (like the reference's
+  *    docker-internal ClickHouse port) and runs a small fixed pool;
+  *    concurrent queries are safe (SparkSession is thread-safe; each
+  *    request is one independent action).
+  */
+object SqlGateway {
+
+  val DefaultMaxRows = 10000
+  val HardMaxRows = 100000
+
+  final class Gateway private[SqlGateway] (server: HttpServer) {
+    def port: Int = server.getAddress.getPort
+    def stop(): Unit = server.stop(0)
+  }
+
+  /** Start the gateway on `host:port` (port 0 = ephemeral; host defaults to
+    * loopback). Tables must already be registered on `spark` (temp views /
+    * catalog tables) — the gateway adds no catalog state of its own.
+    */
+  def start(spark: SparkSession, port: Int = 0, host: String = "127.0.0.1"): Gateway = {
+    val server = HttpServer.create(new InetSocketAddress(host, port), 0)
+    server.setExecutor(Executors.newFixedThreadPool(4))
+    server.createContext("/ping", (ex: HttpExchange) => respond(ex, 200, "text/plain", "Ok.\n"))
+    server.createContext("/play", (ex: HttpExchange) => respond(ex, 200, "text/html", PlayHtml))
+    server.createContext("/", (ex: HttpExchange) => handleQuery(spark, ex))
+    server.start()
+    new Gateway(server)
+  }
+
+  private def handleQuery(spark: SparkSession, ex: HttpExchange): Unit =
+    try {
+      val params = queryParams(ex)
+      val body = new String(ex.getRequestBody.readAllBytes(), UTF_8).trim
+      val sql = if (body.nonEmpty) body else params.getOrElse("query", "")
+      if (sql.isEmpty) { respond(ex, 400, "text/plain", "empty query\n"); return }
+      val cap = math.min(
+        params.get("max_result_rows").flatMap(_.toIntOption).getOrElse(DefaultMaxRows),
+        HardMaxRows)
+      val format = params.getOrElse("format", "JSONEachRow")
+      val df = spark.sql(sql)
+      val (payload, rows, truncated) = render(df, format, cap)
+      ex.getResponseHeaders.set("X-Graft-Rows", rows.toString)
+      ex.getResponseHeaders.set("X-Graft-Truncated", truncated.toString)
+      val mime = if (format == "JSONEachRow") "application/x-ndjson" else "text/tab-separated-values"
+      respond(ex, 200, mime, payload)
+    } catch {
+      // Parse/analysis/parameter problems are the user's 400 (ParseException
+      // extends AnalysisException); real faults are our 500.
+      case e @ (_: org.apache.spark.sql.AnalysisException | _: IllegalArgumentException) =>
+        respond(ex, 400, "text/plain", clip(e.getMessage) + "\n")
+      case scala.util.control.NonFatal(e) =>
+        respond(ex, 500, "text/plain", clip(e.toString) + "\n")
+    } finally ex.close()
+
+  /** Materialize ≤ cap rows (cap+1 is the truncation probe — the extra row
+    * never reaches the payload). `limit` keeps the whole thing one bounded
+    * `CollectLimit` action regardless of the submitted SQL.
+    */
+  private def render(df: DataFrame, format: String, cap: Int): (String, Int, Boolean) = {
+    format match {
+      case "JSONEachRow" =>
+        val lines = df.limit(cap + 1).toJSON.collect()
+        val truncated = lines.length > cap
+        val kept = if (truncated) lines.take(cap) else lines
+        (kept.mkString("", "\n", if (kept.nonEmpty) "\n" else ""), kept.length, truncated)
+      case "TSV" =>
+        val rows = df.limit(cap + 1).collect()
+        val truncated = rows.length > cap
+        val kept = if (truncated) rows.take(cap) else rows
+        val text = kept.iterator.map(_.toSeq.map {
+          case null => "\\N"
+          case s: collection.Seq[_] => s.mkString("[", ",", "]")
+          case v => v.toString
+        }.mkString("\t")).mkString("", "\n", if (kept.nonEmpty) "\n" else "")
+        (text, kept.length, truncated)
+      case other =>
+        throw new IllegalArgumentException(s"unsupported format '$other' (JSONEachRow | TSV)")
+    }
+  }
+
+  private def queryParams(ex: HttpExchange): Map[String, String] =
+    Option(ex.getRequestURI.getRawQuery).map(_.split('&').toSeq).getOrElse(Seq.empty)
+      .flatMap { kv =>
+        kv.split("=", 2) match {
+          case Array(k, v) => Some(URLDecoder.decode(k, UTF_8) -> URLDecoder.decode(v, UTF_8))
+          case Array(k) if k.nonEmpty => Some(URLDecoder.decode(k, UTF_8) -> "")
+          case _ => None
+        }
+      }.toMap
+
+  private def respond(ex: HttpExchange, status: Int, mime: String, body: String): Unit = {
+    val bytes = body.getBytes(UTF_8)
+    ex.getResponseHeaders.set("Content-Type", s"$mime; charset=UTF-8")
+    ex.sendResponseHeaders(status, if (bytes.isEmpty) -1 else bytes.length.toLong)
+    if (bytes.nonEmpty) {
+      val os: OutputStream = ex.getResponseBody
+      try os.write(bytes) finally os.close()
+    }
+  }
+
+  private def clip(s: String): String =
+    if (s == null) "error" else if (s.length > 4000) s.take(4000) + " …" else s
+
+  /** The `/play` page: textarea + run button, results rendered as
+    * preformatted NDJSON — the minimal ClickHouse-play-like loop.
+    */
+  private val PlayHtml: String =
+    """<!doctype html><html><head><meta charset="utf-8"><title>graft play</title>
+      |<style>body{font-family:monospace;margin:2em}textarea{width:100%;height:10em}
+      |pre{background:#f4f4f4;padding:1em;overflow:auto}</style></head><body>
+      |<h2>graft SQL</h2>
+      |<textarea id="q">SELECT 1</textarea><br>
+      |<button onclick="run()">Run</button>
+      |<pre id="out"></pre>
+      |<script>
+      |async function run(){
+      |  const r = await fetch('/', {method:'POST', body:document.getElementById('q').value});
+      |  document.getElementById('out').textContent = await r.text();
+      |}
+      |</script></body></html>
+      |""".stripMargin
+
+  /** Standalone server: registers the fixture tables from
+    * `SPARK_GRAFT_SF_DIR` and serves until killed.
+    */
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val port = args.headOption.flatMap(_.toIntOption).getOrElse(8122)
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    Tables.registerAll(spark, sfDir)
+    val gw = start(spark, port)
+    println(s"graft SQL gateway listening on http://127.0.0.1:${gw.port}/play")
+    Thread.currentThread.join()
+  }
+}

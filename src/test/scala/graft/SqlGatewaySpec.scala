@@ -1,0 +1,84 @@
+package graft
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.charset.StandardCharsets.UTF_8
+
+/** The interactive SQL endpoint ([[SqlGateway]]) — the reference's
+  * ClickHouse `/play` analog (reference README.md:140). Exercised over a
+  * REAL loopback HTTP round-trip (JDK HttpClient against the JDK
+  * HttpServer), not by calling handlers directly: the protocol — status
+  * codes, headers, formats, truncation — IS the surface under test.
+  */
+class SqlGatewaySpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+  private lazy val client = HttpClient.newHttpClient()
+
+  private def withGateway[A](f: (SqlGateway.Gateway, Int) => A): A = {
+    Tables.registerAll(spark, dir)
+    val gw = SqlGateway.start(spark)
+    try f(gw, gw.port) finally gw.stop()
+  }
+
+  private def post(port: Int, sql: String, query: String = ""): HttpResponse[String] = {
+    val uri = new URI(s"http://127.0.0.1:$port/" + (if (query.isEmpty) "" else s"?$query"))
+    client.send(
+      HttpRequest.newBuilder(uri).POST(HttpRequest.BodyPublishers.ofString(sql, UTF_8)).build(),
+      HttpResponse.BodyHandlers.ofString())
+  }
+
+  private def get(port: Int, path: String): HttpResponse[String] =
+    client.send(
+      HttpRequest.newBuilder(new URI(s"http://127.0.0.1:$port$path")).GET().build(),
+      HttpResponse.BodyHandlers.ofString())
+
+  test("ping, play page, and a POSTed aggregate over the registered tables") {
+    withGateway { (_, port) =>
+      assert(get(port, "/ping").body() == "Ok.\n")
+      val play = get(port, "/play")
+      assert(play.statusCode() == 200 && play.body().contains("<textarea"))
+
+      val r = post(port, "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey")
+      assert(r.statusCode() == 200)
+      assert(r.headers().firstValue("X-Graft-Rows").orElse("") == "5")
+      assert(r.headers().firstValue("X-Graft-Truncated").orElse("") == "false")
+      val lines = r.body().split("\n").toSeq
+      assert(lines.size == 5 && lines.head.contains("\"r_regionkey\":0"))
+    }
+  }
+
+  test("GET ?query= form, TSV format, and the row cap with truncation header") {
+    withGateway { (_, port) =>
+      val g = get(port, "/?query=" + java.net.URLEncoder.encode(
+        "SELECT count(*) AS n FROM nation", UTF_8))
+      assert(g.statusCode() == 200 && g.body().trim == "{\"n\":25}")
+
+      val tsv = post(port, "SELECT n_nationkey, n_name FROM nation ORDER BY n_nationkey LIMIT 2",
+        query = "format=TSV")
+      assert(tsv.statusCode() == 200)
+      assert(tsv.body() == "0\tNATION_0\n1\tNATION_1\n")
+
+      // cap < result size: payload is exactly cap rows and flagged truncated;
+      // the submitted SQL had no LIMIT — the bound is the gateway's, applied
+      // inside the plan (CollectLimit), not after a full materialize.
+      val t = post(port, "SELECT o_orderkey FROM orders ORDER BY o_orderkey",
+        query = "max_result_rows=7")
+      assert(t.headers().firstValue("X-Graft-Rows").orElse("") == "7")
+      assert(t.headers().firstValue("X-Graft-Truncated").orElse("") == "true")
+      assert(t.body().split("\n").length == 7)
+    }
+  }
+
+  test("errors: bad SQL and unknown format → 400 with a message; empty → 400") {
+    withGateway { (_, port) =>
+      val parse = post(port, "SELEKT 1")
+      assert(parse.statusCode() == 400 && parse.body().nonEmpty)
+      val analysis = post(port, "SELECT no_such_col FROM region")
+      assert(analysis.statusCode() == 400)
+      val fmt = post(port, "SELECT 1", query = "format=Parquet")
+      assert(fmt.statusCode() == 400 && fmt.body().contains("unsupported format"))
+      assert(post(port, "").statusCode() == 400)
+    }
+  }
+}
