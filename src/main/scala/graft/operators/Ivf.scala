@@ -140,16 +140,22 @@ object Ivf {
     * (the default) derives the seeding sample mod from a corpus count
     * toward [[TargetSeedSample]] rows — the driver-side collect is then
     * bounded BY CONSTRUCTION at any corpus size, instead of trusting the
-    * caller to size a fixed mod.
+    * caller to size a fixed mod. `k ≤ 0` (the default) derives the cell
+    * count from the same corpus count via [[Sizing.deriveCells]] — linear
+    * growth keeps cells bounded at any scale (the fixture queries pass
+    * their explicit constant because the DuckDB oracle unrolls it into
+    * static SQL).
     */
-  def fit(eqf: DataFrame, k: Int,
+  def fit(eqf: DataFrame, k: Int = 0,
           sampleMod: Int = 0,
           maxIters: Int = DefaultMaxIters): Model = {
     val spark = eqf.sparkSession
     graft.plans.GraftExtensions.register(spark)
-    val mod = if (sampleMod > 0) sampleMod else derivedSampleMod(eqf.count())
+    val n = if (k <= 0 || sampleMod <= 0) eqf.count() else 0L
+    val kk = if (k > 0) k else Sizing.deriveCells(n)
+    val mod = if (sampleMod > 0) sampleMod else derivedSampleMod(n)
     var cents: IndexedSeq[(Int, Array[Long])] =
-      seeds(eqf, k, mod).zipWithIndex.map { case (c, i) => (i, c) }
+      seeds(eqf, kk, mod).zipWithIndex.map { case (c, i) => (i, c) }
     var it = 0
     var converged = false
     while (it < maxIters && !converged) {
