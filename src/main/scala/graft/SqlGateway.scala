@@ -3,10 +3,12 @@ package graft
 import java.io.OutputStream
 import java.net.{InetSocketAddress, URLDecoder}
 import java.nio.charset.StandardCharsets.UTF_8
-import java.util.concurrent.Executors
+import java.util.concurrent.{Executors, ScheduledExecutorService, TimeUnit}
+import java.util.concurrent.atomic.AtomicBoolean
 
 import com.sun.net.httpserver.{HttpExchange, HttpServer}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.plans.logical.{Command, InsertIntoStatement, LogicalPlan}
 
 /** Interactive ad-hoc SQL endpoint — the analog of the reference's
   * ClickHouse HTTP `/play` surface (reference README.md:140: the read path
@@ -23,8 +25,23 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *  - `GET /play` → a minimal HTML query form posting to `/`.
   *  - `POST /` with the SQL text as the body (or `GET /?query=...`) →
   *    result rows; `format=JSONEachRow` (default) or `format=TSV`.
-  *  - Analysis/parse errors → HTTP 400 with the message; anything else
-  *    → 500. Responses carry `X-Graft-Rows` and `X-Graft-Truncated`.
+  *    Any other path → 404.
+  *  - `max_result_rows` caps the payload (validated to
+  *    [1, [[HardMaxRows]]]); `max_execution_time` (seconds, default
+  *    [[DefaultTimeoutSec]]) is the per-query execution deadline — the
+  *    analog of ClickHouse's `max_execution_time` setting (and the
+  *    reference's own client-side timeouts, clickhouse_db.py:20). A query
+  *    that outruns it has its Spark jobs cancelled and answers 504.
+  *  - Analysis/parse/parameter errors → HTTP 400 with the message;
+  *    anything else → 500. Responses carry `X-Graft-Rows` and
+  *    `X-Graft-Truncated`.
+  *
+  * The gateway is READ-ONLY: the submitted text is parsed first and
+  * anything that is not a pure query (SET / DDL / CACHE / INSERT — any
+  * `Command` or insert node in the parsed tree) is rejected with 400
+  * before it can touch session state. `spark.sql` executes commands
+  * EAGERLY at call time, so the gate must run on the parsed-but-unexecuted
+  * plan, not on the returned DataFrame.
   *
   * Scale posture — the gateway is an INTERACTIVE surface, not an export
   * path, so the driver-side result set is bounded by construction:
@@ -36,19 +53,28 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    truncation sentinel (dropped from the payload, flagged in the
   *    header). Bulk extraction belongs to the warehouse/export operators
   *    (q69), not an HTTP endpoint.
+  *  - `limit` bounds ROWS, not COMPUTE (a cartesian join under the limit
+  *    still burns the cluster) — that is what the execution deadline is
+  *    for: each request runs under its own Spark job group
+  *    (`setJobGroup` is thread-local, one handler thread per request) and
+  *    a deadline timer `cancelJobGroup`s it, so four pathological
+  *    queries can no longer wedge the fixed pool for everyone.
   *  - the server binds loopback by default (like the reference's
-  *    docker-internal ClickHouse port) and runs a small fixed pool;
-  *    concurrent queries are safe (SparkSession is thread-safe; each
-  *    request is one independent action).
+  *    docker-internal ClickHouse port) and is a TRUSTED-operator surface:
+  *    read-only is enforced, but there is no authn — callers who rebind
+  *    `host` off loopback own that exposure.
   */
 object SqlGateway {
 
   val DefaultMaxRows = 10000
   val HardMaxRows = 100000
+  val DefaultTimeoutSec = 60
+  val MaxTimeoutSec = 600
 
-  final class Gateway private[SqlGateway] (server: HttpServer) {
+  final class Gateway private[SqlGateway] (server: HttpServer,
+      deadlines: ScheduledExecutorService) {
     def port: Int = server.getAddress.getPort
-    def stop(): Unit = server.stop(0)
+    def stop(): Unit = { server.stop(0); deadlines.shutdownNow() }
   }
 
   /** Start the gateway on `host:port` (port 0 = ephemeral; host defaults to
@@ -58,29 +84,90 @@ object SqlGateway {
   def start(spark: SparkSession, port: Int = 0, host: String = "127.0.0.1"): Gateway = {
     val server = HttpServer.create(new InetSocketAddress(host, port), 0)
     server.setExecutor(Executors.newFixedThreadPool(4))
+    val deadlines = Executors.newSingleThreadScheduledExecutor { r =>
+      val t = new Thread(r, "graft-gateway-deadline"); t.setDaemon(true); t
+    }
     server.createContext("/ping", (ex: HttpExchange) => respond(ex, 200, "text/plain", "Ok.\n"))
     server.createContext("/play", (ex: HttpExchange) => respond(ex, 200, "text/html", PlayHtml))
-    server.createContext("/", (ex: HttpExchange) => handleQuery(spark, ex))
+    server.createContext("/", (ex: HttpExchange) => handleQuery(spark, deadlines, ex))
     server.start()
-    new Gateway(server)
+    new Gateway(server, deadlines)
   }
 
-  private def handleQuery(spark: SparkSession, ex: HttpExchange): Unit =
+  /** 400 for a request-parameter problem — distinct from Spark's own
+    * AnalysisException so the catch block can tell ours apart from a
+    * genuine runtime fault.
+    */
+  private final class BadRequest(msg: String) extends IllegalArgumentException(msg)
+
+  private def intParam(params: Map[String, String], name: String,
+      default: Int, min: Int, max: Int): Int =
+    params.get(name) match {
+      case None => default
+      case Some(raw) =>
+        val v = raw.toIntOption.getOrElse(throw new BadRequest(
+          s"$name must be an integer in [$min, $max], got '$raw'"))
+        if (v < min || v > max)
+          throw new BadRequest(s"$name must be in [$min, $max], got $v")
+        v
+    }
+
+  /** The parsed statement is a pure query: no `Command` (SET, DDL, CACHE,
+    * ANALYZE, …) and no insert anywhere in the tree. Runs BEFORE
+    * `spark.sql`, which would execute a command eagerly.
+    */
+  private def firstMutatingNode(plan: LogicalPlan): Option[String] =
+    plan.collectFirst {
+      case c: Command => c.nodeName
+      case i: InsertIntoStatement => i.nodeName
+    }
+
+  private def handleQuery(spark: SparkSession, deadlines: ScheduledExecutorService,
+      ex: HttpExchange): Unit =
     try {
+      if (ex.getRequestURI.getPath != "/") {
+        respond(ex, 404, "text/plain", "not found\n"); return
+      }
       val params = queryParams(ex)
       val body = new String(ex.getRequestBody.readAllBytes(), UTF_8).trim
       val sql = if (body.nonEmpty) body else params.getOrElse("query", "")
       if (sql.isEmpty) { respond(ex, 400, "text/plain", "empty query\n"); return }
-      val cap = math.min(
-        params.get("max_result_rows").flatMap(_.toIntOption).getOrElse(DefaultMaxRows),
-        HardMaxRows)
+      val cap = intParam(params, "max_result_rows", DefaultMaxRows, 1, HardMaxRows)
+      val timeoutSec = intParam(params, "max_execution_time", DefaultTimeoutSec, 1, MaxTimeoutSec)
       val format = params.getOrElse("format", "JSONEachRow")
-      val df = spark.sql(sql)
-      val (payload, rows, truncated) = render(df, format, cap)
-      ex.getResponseHeaders.set("X-Graft-Rows", rows.toString)
-      ex.getResponseHeaders.set("X-Graft-Truncated", truncated.toString)
-      val mime = if (format == "JSONEachRow") "application/x-ndjson" else "text/tab-separated-values"
-      respond(ex, 200, mime, payload)
+      firstMutatingNode(spark.sessionState.sqlParser.parsePlan(sql)) match {
+        case Some(node) =>
+          respond(ex, 400, "text/plain",
+            s"read-only gateway: statement '$node' is not a query\n")
+        case None =>
+          // Per-request job group (thread-local: this handler thread runs
+          // the whole action) + a deadline that cancels it.
+          // interruptOnCancel reaches into running tasks, not just queued
+          // stages.
+          val group = "graft-gateway-" + java.util.UUID.randomUUID()
+          val timedOut = new AtomicBoolean(false)
+          val sc = spark.sparkContext
+          sc.setJobGroup(group, s"SqlGateway: ${sql.take(120)}", interruptOnCancel = true)
+          val deadline = deadlines.schedule({ () =>
+            timedOut.set(true)
+            sc.cancelJobGroup(group)
+          }: Runnable, timeoutSec.toLong, TimeUnit.SECONDS)
+          try {
+            val df = spark.sql(sql)
+            val (payload, rows, truncated) = render(df, format, cap)
+            ex.getResponseHeaders.set("X-Graft-Rows", rows.toString)
+            ex.getResponseHeaders.set("X-Graft-Truncated", truncated.toString)
+            val mime = if (format == "JSONEachRow") "application/x-ndjson" else "text/tab-separated-values"
+            respond(ex, 200, mime, payload)
+          } catch {
+            case _: Throwable if timedOut.get() =>
+              respond(ex, 504, "text/plain",
+                s"query cancelled: exceeded max_execution_time=${timeoutSec}s\n")
+          } finally {
+            deadline.cancel(false)
+            sc.clearJobGroup()
+          }
+      }
     } catch {
       // Parse/analysis/parameter problems are the user's 400 (ParseException
       // extends AnalysisException); real faults are our 500.
@@ -107,14 +194,33 @@ object SqlGateway {
         val kept = if (truncated) rows.take(cap) else rows
         val text = kept.iterator.map(_.toSeq.map {
           case null => "\\N"
-          case s: collection.Seq[_] => s.mkString("[", ",", "]")
-          case v => v.toString
+          case s: collection.Seq[_] => tsvEscape(s.mkString("[", ",", "]"))
+          case v => tsvEscape(v.toString)
         }.mkString("\t")).mkString("", "\n", if (kept.nonEmpty) "\n" else "")
         (text, kept.length, truncated)
       case other =>
-        throw new IllegalArgumentException(s"unsupported format '$other' (JSONEachRow | TSV)")
+        throw new BadRequest(s"unsupported format '$other' (JSONEachRow | TSV)")
     }
   }
+
+  /** ClickHouse TSV escaping (the convention `\N`-for-NULL already
+    * implies): tab / newline / carriage-return / backslash inside a cell
+    * become `\t` `\n` `\r` `\\`, so embedded separators can never shift
+    * columns or rows for the consumer.
+    */
+  private def tsvEscape(s: String): String =
+    if (s.indexOf('\t') < 0 && s.indexOf('\n') < 0 && s.indexOf('\r') < 0 && s.indexOf('\\') < 0) s
+    else {
+      val sb = new StringBuilder(s.length + 8)
+      s.foreach {
+        case '\t' => sb ++= "\\t"
+        case '\n' => sb ++= "\\n"
+        case '\r' => sb ++= "\\r"
+        case '\\' => sb ++= "\\\\"
+        case c => sb += c
+      }
+      sb.toString
+    }
 
   private def queryParams(ex: HttpExchange): Map[String, String] =
     Option(ex.getRequestURI.getRawQuery).map(_.split('&').toSeq).getOrElse(Seq.empty)

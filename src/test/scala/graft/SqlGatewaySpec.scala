@@ -81,4 +81,63 @@ class SqlGatewaySpec extends SparkSpec {
       assert(post(port, "").statusCode() == 400)
     }
   }
+
+  test("read-only gate: SET / DDL / CACHE / INSERT are rejected before execution") {
+    withGateway { (_, port) =>
+      for (stmt <- Seq(
+          "SET spark.sql.shuffle.partitions=1",
+          "DROP TABLE region",
+          "CREATE TABLE t AS SELECT 1",
+          "CACHE TABLE region",
+          "INSERT INTO region VALUES (99, 'X', 'c')")) {
+        val r = post(port, stmt)
+        assert(r.statusCode() == 400 && r.body().contains("read-only"),
+          s"'$stmt' → ${r.statusCode()} ${r.body()}")
+      }
+      // the DROP above must not have executed: region still answers
+      val after = post(port, "SELECT count(*) AS n FROM region")
+      assert(after.statusCode() == 200 && after.body().trim == "{\"n\":5}")
+    }
+  }
+
+  test("unknown paths → 404; parameter validation → 400") {
+    withGateway { (_, port) =>
+      assert(get(port, "/favicon.ico").statusCode() == 404)
+      assert(get(port, "/some/other").statusCode() == 404)
+      for (bad <- Seq("max_result_rows=0", "max_result_rows=-5",
+          "max_result_rows=abc", "max_execution_time=0")) {
+        val r = post(port, "SELECT 1", query = bad)
+        assert(r.statusCode() == 400, s"'$bad' → ${r.statusCode()}")
+      }
+    }
+  }
+
+  test("TSV escaping: embedded tab/newline/backslash cannot shift columns or rows") {
+    withGateway { (_, port) =>
+      val r = post(port,
+        raw"SELECT 1 AS a, 'x\ty' AS s, 'p\nq' AS t, 'a\\b' AS u, 2 AS z",
+        query = "format=TSV")
+      assert(r.statusCode() == 200)
+      // one physical line, five cells, escapes intact
+      assert(r.body() == "1\tx\\ty\tp\\nq\ta\\\\b\t2\n")
+    }
+  }
+
+  test("execution deadline: a pathological query is cancelled; a concurrent fast query answers") {
+    withGateway { (_, port) =>
+      // Rows are bounded by the limit wrap, but COMPUTE is not: a triple
+      // cartesian self-join of lineitem (~6k rows at sf0.001 → ~2e11
+      // combinations) under count() runs far beyond the deadline.
+      val slowSql = "SELECT count(*) AS n FROM lineitem a, lineitem b, lineitem c"
+      val slowF = java.util.concurrent.CompletableFuture.supplyAsync(() =>
+        post(port, slowSql, query = "max_execution_time=2"))
+      Thread.sleep(500) // let the slow query occupy its pool thread first
+      val fast = post(port, "SELECT count(*) AS n FROM nation")
+      assert(fast.statusCode() == 200 && fast.body().trim == "{\"n\":25}",
+        "a fast query must answer while the slow one is running")
+      val slow = slowF.get(60, java.util.concurrent.TimeUnit.SECONDS)
+      assert(slow.statusCode() == 504, s"expected 504, got ${slow.statusCode()}: ${slow.body()}")
+      assert(slow.body().contains("max_execution_time"))
+    }
+  }
 }
