@@ -40,21 +40,36 @@ import org.apache.spark.sql.types._
 object Ivf {
 
   val Dim = 64
-  /** Seeding-sample size target: the sample mod is DERIVED from the corpus
-    * count toward this many rows (the Ordinals.TargetSampleKeys pattern) —
-    * ~4k × 64-long vectors ≈ 2 MB on the driver at ANY corpus size, and
-    * comfortably ≥ k for every realistic cell count. Both engines derive
-    * the identical mod from the identical count, so the oracle reproduces
-    * the same seeds.
+  /** Seeding-sample size floor: the sample mod is DERIVED from the corpus
+    * count toward max(this, [[SeedSamplePerCell]]·k) rows (the
+    * Ordinals.TargetSampleKeys pattern) — ~4k × 64-long vectors ≈ 2 MB on
+    * the driver at fixture-scale k, and never below the derived cell
+    * count. Both engines derive the identical mod from the identical
+    * count, so the oracle reproduces the same seeds.
     */
   val TargetSeedSample = 4096L
+  /** Sample rows per cell: the seed sample scales WITH k (target =
+    * max([[TargetSeedSample]], 2k)), because a derived k = ⌈n/4096⌉
+    * outgrows a fixed 4096-row sample at n ≈ 16.7M rows — the all-defaults
+    * fit() would then have fewer sample points than seeds to pick.
+    * 2 rows/cell keeps sample ≥ 2k by construction (expected; the
+    * farthest-first pick needs ≥ k). Driver cost at the [[Sizing.MaxCells]]
+    * clamp: 2·65536 rows ≈ 67 MB and an O(sample·k·dim) seeding pass —
+    * minutes, acceptable for a one-time index build of a ≥256M-row corpus;
+    * beyond the clamp the posture is sharded per-partition fits
+    * (Sizing.scala MaxCells note).
+    */
+  val SeedSamplePerCell = 2L
   val DefaultMaxIters = 4
 
-  /** mod = max(1, ⌊n / target⌋): one sampled row per mod-block keeps the
-    * expected sample within [target/2, 2·target) for any n.
+  /** mod = max(1, ⌊n / max(seedTarget, 2k)⌋): one sampled row per
+    * mod-block keeps the expected sample within [target, 2·target) for any
+    * n, and scaling the target with k keeps sample ≥ k at any corpus size
+    * (`k ≤ 0` = the caller passes an explicit sampleMod elsewhere and only
+    * the corpus-count term applies).
     */
-  def derivedSampleMod(n: Long): Int =
-    math.max(1L, n / TargetSeedSample).toInt
+  def derivedSampleMod(n: Long, k: Long = 0L, seedTarget: Long = TargetSeedSample): Int =
+    math.max(1L, n / math.max(seedTarget, SeedSamplePerCell * math.max(0L, k))).toInt
 
   /** Fitted centroids (cid → quantized vector), iterations actually run,
     * and whether a fixed point was reached before the cap.
@@ -138,22 +153,27 @@ object Ivf {
 
   /** k-means++ seed + Lloyd to a fixed point (≤ maxIters). `sampleMod ≤ 0`
     * (the default) derives the seeding sample mod from a corpus count
-    * toward [[TargetSeedSample]] rows — the driver-side collect is then
-    * bounded BY CONSTRUCTION at any corpus size, instead of trusting the
+    * toward max([[TargetSeedSample]], [[SeedSamplePerCell]]·k) rows — the
+    * driver-side collect is then bounded BY CONSTRUCTION at any corpus
+    * size AND never smaller than the seed count, instead of trusting the
     * caller to size a fixed mod. `k ≤ 0` (the default) derives the cell
     * count from the same corpus count via [[Sizing.deriveCells]] — linear
     * growth keeps cells bounded at any scale (the fixture queries pass
     * their explicit constant because the DuckDB oracle unrolls it into
-    * static SQL).
+    * static SQL). `cellTarget`/`seedTarget` re-aim both derivations (the
+    * library sizing knobs; tests shrink them to exercise derived-k >
+    * seed-target geometry at fixture scale).
     */
   def fit(eqf: DataFrame, k: Int = 0,
           sampleMod: Int = 0,
-          maxIters: Int = DefaultMaxIters): Model = {
+          maxIters: Int = DefaultMaxIters,
+          cellTarget: Long = Sizing.TargetCellRows,
+          seedTarget: Long = TargetSeedSample): Model = {
     val spark = eqf.sparkSession
     graft.plans.GraftExtensions.register(spark)
     val n = if (k <= 0 || sampleMod <= 0) eqf.count() else 0L
-    val kk = if (k > 0) k else Sizing.deriveCells(n)
-    val mod = if (sampleMod > 0) sampleMod else derivedSampleMod(n)
+    val kk = if (k > 0) k else Sizing.deriveCells(n, cellTarget)
+    val mod = if (sampleMod > 0) sampleMod else derivedSampleMod(n, kk, seedTarget)
     var cents: IndexedSeq[(Int, Array[Long])] =
       seeds(eqf, kk, mod).zipWithIndex.map { case (c, i) => (i, c) }
     var it = 0
@@ -261,7 +281,11 @@ object Ivf {
     // per seeding level (by iv_m{i+1} and iv_seeds{i+1}), so an inlining
     // planner would otherwise expand the chain 2^k times.
     val sb = new StringBuilder
-    sb ++= s"iv_mod AS (SELECT greatest(1, count(*) // $TargetSeedSample) AS m FROM eq),\n"
+    // the closed form of derivedSampleMod(n, k): the seed-sample target
+    // scales with k so sample ≥ k at any corpus size (for the fixture
+    // k=16 the greatest() resolves to TargetSeedSample — byte-identical
+    // centroids to the fixed-target form)
+    sb ++= s"iv_mod AS (SELECT greatest(1, count(*) // greatest($TargetSeedSample, ${SeedSamplePerCell * k})) AS m FROM eq),\n"
     sb ++= s"iv_samp AS MATERIALIZED (SELECT vec_id, q FROM eq WHERE CAST('0x' || substr(md5('ivf|' || CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT) % (SELECT m FROM iv_mod) = 0),\n"
     sb ++= "iv_seeds0 AS MATERIALIZED (SELECT 0 AS cid, vec_id, q FROM iv_samp WHERE vec_id = (SELECT min(vec_id) FROM iv_samp)),\n"
     for (i <- 1 until k) {

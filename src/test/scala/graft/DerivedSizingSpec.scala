@@ -60,6 +60,34 @@ class DerivedSizingSpec extends SparkSpec {
     assert(assigned == n, "rk=1 must assign every vector to exactly one cell")
   }
 
+  test("Ivf.fit all-defaults path: seed sample scales with derived k (k > seed target)") {
+    // Re-aimed targets reproduce at fixture scale the geometry a real
+    // corpus hits at n ≈ 16.7M rows with the DEFAULT targets: derived
+    // k = ⌈n/cellTarget⌉ exceeds the seed-sample target. With a fixed
+    // sample target (the pre-fix derivation) the expected sample
+    // (≈ seedTarget rows) is smaller than k and seeds() must throw; the
+    // k-scaled target keeps sample ≥ 2k by construction.
+    val e = Tables.load(spark, dir, "embeddings")
+    val eqf = operators.Ivf.quantize(e)
+    val n = eqf.count() // 500 at sf0.001
+    val cellTarget = 16L
+    val seedTarget = 8L
+    val kk = Sizing.deriveCells(n, cellTarget)
+    assert(kk > seedTarget, s"test geometry broken: k=$kk must exceed seedTarget=$seedTarget")
+    // the pre-fix derivation really is infeasible here: a mod aimed at
+    // seedTarget rows alone yields an expected sample < k
+    assert(n / math.max(1L, n / seedTarget) < kk)
+    val mod = operators.Ivf.derivedSampleMod(n, kk, seedTarget)
+    assert(n / mod >= kk, s"expected sample ${n / mod} must cover k=$kk seeds")
+    val model = operators.Ivf.fit(eqf, cellTarget = cellTarget, seedTarget = seedTarget)
+    assert(model.cents.size > seedTarget.toInt,
+      s"fit must seed more cells (${model.cents.size}) than the un-scaled sample could (≤ $seedTarget)")
+    // every vector still lands in exactly one of the fitted cells
+    val assigned = operators.Ivf.ranked(eqf, operators.Ivf.centsDF(spark, model.cents))
+      .filter(col("rk") === 1).count()
+    assert(assigned == n)
+  }
+
   test("srpRows with derived planes keeps bucket ids in range and buckets populated") {
     val e = Tables.load(spark, dir, "embeddings")
     val n = e.count()
