@@ -1,5 +1,9 @@
 package graft
 
+import java.util.Properties
+
+import scala.jdk.CollectionConverters._
+
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -23,19 +27,37 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * torn index. Appends (incremental batches) go through the same
   * committer, so a torn append likewise surfaces as missing files, never
   * a half-row.
+  *
+  * Every committed entry carries a `_graft_meta` sidecar recording the
+  * BUILD's parameters (e.g. the SRP plane family) and the cumulative
+  * corpus row count (build + appends). Loads compare both against the
+  * caller's request: a parameter mismatch (the store was built under a
+  * different index geometry) or a corpus-count drift (the corpus mutated
+  * out-of-band under the same path) logs a warning and REBUILDS instead
+  * of silently serving rows from an incompatible or stale index. Appends
+  * read the sidecar to reuse the build's parameters — an increment must
+  * never be bucketed under a different family than the rows it joins.
+  * The sidecar is written AFTER the parquet commit, so a crash between
+  * the two reads as "no metadata" and rebuilds (same posture as a torn
+  * parquet write).
   */
 object IndexStore {
 
+  private val log = org.slf4j.LoggerFactory.getLogger("graft.IndexStore")
+
   /** Session conf key: root directory of the on-disk index store. */
   val DirConf = "spark.graft.index.dir"
+
+  /** Sidecar key holding the cumulative indexed corpus row count. */
+  val CorpusCountKey = "corpusCount"
 
   def configuredDir(s: SparkSession): Option[String] =
     s.conf.getOption(DirConf).map(_.trim).filter(_.nonEmpty)
 
   /** Corpus-identity tag: content-free (pure path hash) by design — the
-    * store is an optimization tier, and a changed corpus under the SAME
-    * path is the caller's cache-invalidation event (delete the store dir),
-    * exactly like any warehouse-adjacent materialized view.
+    * store is an optimization tier keyed by the corpus LOCATION; content
+    * drift under the same path is caught by the sidecar's corpus count at
+    * load time (the loud staleness tripwire), not by the key.
     */
   private def corpusKey(corpusDir: String): String =
     java.security.MessageDigest.getInstance("MD5")
@@ -50,30 +72,123 @@ object IndexStore {
     p.getFileSystem(s.sparkContext.hadoopConfiguration).exists(p)
   }
 
-  /** Serve the index frame `name` for `corpusDir`: load it from the store
-    * when present, build-write-reload when absent, or just build when no
-    * store is configured. The reload (rather than returning the built
-    * frame) pins the returned lineage to the parquet files, so every
-    * consumer plan is a plain columnar scan of the store — including in
-    * the very session that built it.
+  // ------------------------------------------------------------ sidecar --
+
+  private def metaFile(path: String) = new Path(path, "_graft_meta")
+
+  /** Persist the entry's build metadata (small `key=value` properties —
+    * parameters plus [[CorpusCountKey]]). Overwrites atomically enough for
+    * this tier: the file is tiny and readers treat an unreadable/absent
+    * sidecar as "rebuild".
     */
-  def servedFrom(s: SparkSession, corpusDir: String, name: String)(
+  def writeMeta(s: SparkSession, path: String, meta: Map[String, String]): Unit = {
+    val p = metaFile(path)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val props = new Properties()
+    meta.foreach { case (k, v) => props.setProperty(k, v) }
+    val os = fs.create(p, true)
+    try props.store(os, "graft index store metadata") finally os.close()
+  }
+
+  /** The entry's build metadata, or None when absent/unreadable (a
+    * pre-metadata or torn store — callers rebuild).
+    */
+  def readMeta(s: SparkSession, path: String): Option[Map[String, String]] = {
+    val p = metaFile(path)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else try {
+      val is = fs.open(p)
+      try {
+        val props = new Properties()
+        props.load(is)
+        Some(props.asScala.toMap)
+      } finally is.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Convenience: the committed store's metadata for (corpusDir, name)
+    * under the configured root, if any.
+    */
+  def storedMeta(s: SparkSession, corpusDir: String, name: String): Option[Map[String, String]] =
+    configuredDir(s).flatMap { root =>
+      val path = storePath(root, corpusDir, name)
+      if (committed(s, path)) readMeta(s, path) else None
+    }
+
+  // ------------------------------------------------------------- serving --
+
+  /** Serve the index frame `name` for `corpusDir`: load it from the store
+    * when present AND compatible, build-write-reload when absent or when
+    * the sidecar disagrees with the request, or just build when no store
+    * is configured. The reload (rather than returning the built frame)
+    * pins the returned lineage to the parquet files, so every consumer
+    * plan is a plain columnar scan of the store — including in the very
+    * session that built it.
+    *
+    * `params` is the index geometry the caller expects (e.g. the SRP
+    * plane family); `corpusCount` (evaluated lazily, ≥ 0 to enable) is
+    * the corpus's CURRENT row count — both are recorded in the sidecar at
+    * build time and checked at load time, so geometry changes and
+    * out-of-band corpus mutation rebuild loudly instead of serving wrong
+    * rows. A store without a sidecar (torn meta write) also rebuilds.
+    */
+  def servedFrom(s: SparkSession, corpusDir: String, name: String,
+      params: Map[String, String] = Map.empty, corpusCount: => Long = -1L)(
       build: => DataFrame): DataFrame =
     configuredDir(s) match {
       case None => build
       case Some(root) =>
         val path = storePath(root, corpusDir, name)
-        if (!committed(s, path)) build.write.mode("overwrite").parquet(path)
+        val fresh =
+          if (!committed(s, path)) false
+          else readMeta(s, path) match {
+            case None =>
+              // Tolerate a bare store only when the caller tracks nothing
+              // (no params, no count) — otherwise rebuild and self-heal.
+              val bare = params.isEmpty && corpusCount < 0
+              if (!bare) log.warn(s"index store $path has no metadata sidecar — rebuilding")
+              bare
+            case Some(meta) =>
+              val paramDrift = params.collect {
+                case (k, v) if !meta.get(k).contains(v) => s"$k: store=${meta.getOrElse(k, "?")} requested=$v"
+              }
+              val current = corpusCount
+              val countDrift = meta.get(CorpusCountKey).map(_.toLong) match {
+                case Some(stored) if current >= 0 && stored != current =>
+                  Seq(s"$CorpusCountKey: store=$stored corpus=$current")
+                case _ => Seq.empty
+              }
+              val drift = paramDrift ++ countDrift
+              if (drift.nonEmpty)
+                log.warn(s"index store $path is stale (${drift.mkString("; ")}) — rebuilding")
+              drift.isEmpty
+          }
+        if (!fresh) {
+          build.write.mode("overwrite").parquet(path)
+          val count = corpusCount
+          writeMeta(s, path, params ++
+            (if (count >= 0) Map(CorpusCountKey -> count.toString) else Map.empty))
+        }
         s.read.parquet(path)
     }
 
   /** Append an increment (e.g. a new doc batch's shingle sets) to an
-    * existing store. Requires a configured store: an append with nowhere
-    * durable to land is a caller bug, not a silent no-op.
+    * existing store, advancing the sidecar's corpus count by
+    * `incrementCount` (≥ 0) so the next load's staleness check expects
+    * the grown corpus. Requires a configured store: an append with
+    * nowhere durable to land is a caller bug, not a silent no-op.
     */
-  def append(s: SparkSession, corpusDir: String, name: String, rows: DataFrame): Unit = {
+  def append(s: SparkSession, corpusDir: String, name: String, rows: DataFrame,
+      incrementCount: Long = -1L): Unit = {
     val root = configuredDir(s).getOrElse(throw new IllegalStateException(
       s"IndexStore.append: no index store configured — set $DirConf"))
-    rows.write.mode("append").parquet(storePath(root, corpusDir, name))
+    val path = storePath(root, corpusDir, name)
+    rows.write.mode("append").parquet(path)
+    if (incrementCount >= 0) readMeta(s, path).foreach { meta =>
+      meta.get(CorpusCountKey).map(_.toLong).foreach { stored =>
+        writeMeta(s, path, meta.updated(CorpusCountKey, (stored + incrementCount).toString))
+      }
+    }
   }
 }

@@ -72,9 +72,21 @@ object Ivf {
     math.max(1L, n / math.max(seedTarget, SeedSamplePerCell * math.max(0L, k))).toInt
 
   /** Fitted centroids (cid → quantized vector), iterations actually run,
-    * and whether a fixed point was reached before the cap.
+    * whether a fixed point was reached before the cap, and the corpus row
+    * count the fit saw (`n` — the staleness reference for the store's
+    * refresh policy; ≤ 0 = unknown, e.g. a pre-metadata store).
     */
-  final case class Model(cents: IndexedSeq[(Int, Array[Long])], iters: Int, converged: Boolean)
+  final case class Model(cents: IndexedSeq[(Int, Array[Long])], iters: Int,
+      converged: Boolean, n: Long = 0L)
+
+  /** A served model refits when the corpus has grown to ≥ this multiple
+    * of the stored fit's row count: appended embeddings enter the SRP
+    * store incrementally, but k-means centroids only learn them on a
+    * refit. Below the threshold the stored model serves (an ANN index is
+    * allowed to lag its corpus a little — that is what makes it an
+    * index), with a warning on any drift.
+    */
+  val RefitGrowthFactor = 2.0
 
   /** floor(x·1e4) quantization: exact in both engines, and member sums
     * stay ≪ 2^63 for the centroid means.
@@ -171,7 +183,10 @@ object Ivf {
           seedTarget: Long = TargetSeedSample): Model = {
     val spark = eqf.sparkSession
     graft.plans.GraftExtensions.register(spark)
-    val n = if (k <= 0 || sampleMod <= 0) eqf.count() else 0L
+    // Always counted (cheap parquet-metadata action): the sizing
+    // derivations need it, and the fitted model records it as the
+    // staleness reference for the store refresh policy.
+    val n = eqf.count()
     val kk = if (k > 0) k else Sizing.deriveCells(n, cellTarget)
     val mod = if (sampleMod > 0) sampleMod else derivedSampleMod(n, kk, seedTarget)
     var cents: IndexedSeq[(Int, Array[Long])] =
@@ -202,7 +217,7 @@ object Ivf {
       cents = next
       it += 1
     }
-    Model(cents, it, converged)
+    Model(cents, it, converged, n)
   }
 
   /** Multi-probe ANN with exact rerank: queries (vec_id < numQueries)
@@ -246,24 +261,64 @@ object Ivf {
     */
   def save(s: SparkSession, path: String, m: Model): Unit = {
     import s.implicits._
-    m.cents.map { case (cid, cq) => (cid, cq.toSeq, m.iters, m.converged) }
-      .toDF("cid", "cq", "iters", "converged")
+    m.cents.map { case (cid, cq) => (cid, cq.toSeq, m.iters, m.converged, m.n) }
+      .toDF("cid", "cq", "iters", "converged", "n")
       .coalesce(1).write.mode("overwrite").parquet(path)
   }
 
   /** Load a committed model from the store; None when absent/torn (caller
-    * falls back to fitting).
+    * falls back to fitting). A pre-metadata store (no `n` column) loads
+    * with n = -1 — unknown fit size, which the refresh policy treats as
+    * "refit" rather than trusting an untracked model.
     */
   def load(s: SparkSession, path: String): Option[Model] =
     if (!graft.IndexStore.committed(s, path)) None
     else {
-      val rows = s.read.parquet(path).collect() // k rows by construction
+      val df = s.read.parquet(path)
+      val hasN = df.schema.fieldNames.contains("n")
+      val rows = df.collect() // k rows by construction
       val cents = rows.map(r =>
           (r.getInt(r.fieldIndex("cid")), r.getSeq[Long](r.fieldIndex("cq")).toArray))
         .sortBy(_._1).toIndexedSeq
       Some(Model(cents, rows.head.getInt(rows.head.fieldIndex("iters")),
-        rows.head.getBoolean(rows.head.fieldIndex("converged"))))
+        rows.head.getBoolean(rows.head.fieldIndex("converged")),
+        if (hasN) rows.head.getLong(rows.head.fieldIndex("n")) else -1L))
     }
+
+  /** Store-backed model serving with the refresh policy: load the
+    * committed model at `path` and REFIT (overwriting the store) when the
+    * corpus has grown to ≥ [[RefitGrowthFactor]] × the stored fit's row
+    * count, or when the stored fit size is unknown; smaller drift logs a
+    * staleness warning and serves the stored centroids. Absent/torn store
+    * → fit and save.
+    */
+  def servedModel(s: SparkSession, path: String, eqf: DataFrame, k: Int = 0,
+      growth: Double = RefitGrowthFactor): Model = {
+    val log = org.slf4j.LoggerFactory.getLogger("graft.Ivf")
+    def fitAndSave(): Model = {
+      val m = fit(eqf, k)
+      save(s, path, m)
+      m
+    }
+    load(s, path) match {
+      case None => fitAndSave()
+      case Some(m) =>
+        val current = eqf.count()
+        if (m.n <= 0) {
+          log.warn(s"IVF model at $path has no recorded fit size — refitting")
+          fitAndSave()
+        } else if (current >= growth * m.n) {
+          log.warn(s"IVF model at $path fit on ${m.n} rows, corpus now $current " +
+            s"(≥ ${growth}× growth) — refitting")
+          fitAndSave()
+        } else {
+          if (current != m.n)
+            log.warn(s"IVF model at $path fit on ${m.n} rows, corpus now $current — " +
+              "serving stored centroids (below refit threshold)")
+          m
+        }
+    }
+  }
 
   // ---------------------------------------------------------------- SQL --
   private def idotSql(a: String, b: String): String =

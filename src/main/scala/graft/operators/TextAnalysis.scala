@@ -278,21 +278,40 @@ object TextAnalysis {
     * ZERO re-shingling of already-indexed docs. Without a store, build
     * in-session exactly as before.
     */
+  /** The sidecar geometry of the shingle store: an append re-shingles its
+    * increment under the same recipe, and a load must agree for stored
+    * hashes to be comparable with freshly computed ones.
+    */
+  private val shingleParams: Map[String, String] =
+    Map("shingleN" -> "3", "hash" -> "md5-60")
+
+  /** Build (or serve) the durable shingle index over an arbitrary docs
+    * frame — the library entry [[shingleIndex]] and the incremental specs
+    * share. Records the shingle recipe and the indexed row count in the
+    * store's metadata sidecar ([[graft.IndexStore.servedFrom]]'s loud
+    * staleness tripwire: an out-of-band corpus mutation rebuilds instead
+    * of serving stale sets).
+    */
+  private[graft] def buildShingleIndex(s: org.apache.spark.sql.SparkSession, dir: String,
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    graft.IndexStore.servedFrom(s, dir, ShingleStoreName,
+      shingleParams, docs.count())(docShingleSets(docs))
+
   private[graft] def shingleIndex(s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame =
     shingleIndexCache.getOrElseUpdate(s, dir)(
-      graft.IndexStore.servedFrom(s, dir, ShingleStoreName)(
-        docShingleSets(graft.Tables.load(s, dir, "documents")))
+      buildShingleIndex(s, dir, graft.Tables.load(s, dir, "documents"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
   /** Incremental-index append: shingle ONLY the new doc batch, land it in
-    * the durable store, and invalidate the session tier so the next
-    * [[shingleIndex]] read serves old∪new from disk. The daily-ingest
-    * counterpart of q74's new×all probe: the increment pays O(increment)
-    * shingling, never O(corpus).
+    * the durable store (advancing the sidecar's corpus count so the next
+    * load's staleness check expects the grown corpus), and invalidate the
+    * session tier so the next [[shingleIndex]] read serves old∪new from
+    * disk. The daily-ingest counterpart of q74's new×all probe: the
+    * increment pays O(increment) shingling, never O(corpus).
     */
   private[graft] def appendToShingleIndex(s: org.apache.spark.sql.SparkSession,
       dir: String, newDocs: org.apache.spark.sql.DataFrame): Unit = {
-    graft.IndexStore.append(s, dir, ShingleStoreName, docShingleSets(newDocs))
+    graft.IndexStore.append(s, dir, ShingleStoreName, docShingleSets(newDocs), newDocs.count())
     shingleIndexCache.remove(s, dir).foreach(_.unpersist())
   }
 

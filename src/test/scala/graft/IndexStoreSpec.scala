@@ -64,9 +64,8 @@ class IndexStoreSpec extends SparkSpec {
     // Session A (yesterday): index ONLY the old corpus slice.
     val sA = spark.newSession()
     sA.conf.set(IndexStore.DirConf, root)
-    IndexStore.servedFrom(sA, dir, operators.TextAnalysis.ShingleStoreName)(
-      operators.TextAnalysis.docShingleSets(
-        Tables.load(sA, dir, "documents").filter(col("doc_id") < t)))
+    operators.TextAnalysis.buildShingleIndex(sA, dir,
+      Tables.load(sA, dir, "documents").filter(col("doc_id") < t))
 
     // Session B (today): append the increment's shingle sets — O(increment)
     // shingling — then run the incremental near-dup off the loaded store.
@@ -116,9 +115,8 @@ class IndexStoreSpec extends SparkSpec {
 
     val sA = spark.newSession()
     sA.conf.set(IndexStore.DirConf, root)
-    IndexStore.servedFrom(sA, dir, operators.Similarity.SrpStoreName)(
-      operators.Similarity.srpRows(
-        Tables.load(sA, dir, "embeddings").filter(col("vec_id") < t)))
+    operators.Similarity.buildSrpIndex(sA, dir,
+      Tables.load(sA, dir, "embeddings").filter(col("vec_id") < t))
 
     val sB = spark.newSession()
     sB.conf.set(IndexStore.DirConf, root)
@@ -129,5 +127,124 @@ class IndexStoreSpec extends SparkSpec {
     val direct = SparkEntry.queries("q47_embedding_neardup")(spark, dir)
       .collect().map(_.toSeq).toSeq
     assert(viaStore == direct, "append-then-serve must equal full recompute")
+  }
+
+  test("SRP append reuses the BUILD's plane family from store metadata (derived planes)") {
+    val root = tmp("graft_idx_srp_planes")
+    val emb = Tables.load(spark, dir, "embeddings")
+    val t = emb.selectExpr("(max(vec_id) * 8) div 10 AS t").collect()(0).getLong(0)
+    // A non-default plane family — the value derivePlanes gives a real
+    // 500k-row corpus. Pre-metadata appends bucketed increments with the
+    // fixture constant (4), silently mixing two incompatible families.
+    val pp = operators.Sizing.derivePlanes(500_000L)
+    assert(pp != 4, s"test needs a non-default plane count, got $pp")
+
+    val sA = spark.newSession()
+    sA.conf.set(IndexStore.DirConf, root)
+    operators.Similarity.buildSrpIndex(sA, dir, emb.filter(col("vec_id") < t), pp)
+    val storePath = IndexStore.storePath(root, dir, operators.Similarity.SrpStoreName)
+    assert(IndexStore.readMeta(sA, storePath).flatMap(_.get("planes")).contains(pp.toString))
+
+    val sB = spark.newSession()
+    sB.conf.set(IndexStore.DirConf, root)
+    operators.Similarity.appendToSrpIndex(sB, dir, emb.filter(col("vec_id") >= t))
+    // Serve old∪new under the build's family and compare against a full
+    // recompute under the SAME family: identical near-dup pairs.
+    val served = operators.Similarity.buildSrpIndex(sB, dir, emb, pp)
+    val viaStore = operators.Similarity.neardupPairs(emb, served, 0.5)
+      .collect().map(_.toSeq).toSeq
+    val direct = operators.Similarity.neardupPairs(
+      emb, operators.Similarity.srpRows(emb, pp), 0.5)
+      .collect().map(_.toSeq).toSeq
+    assert(viaStore == direct,
+      "append under the build's plane family must equal full recompute")
+  }
+
+  test("append to a store without metadata is refused, not silently mis-bucketed") {
+    val root = tmp("graft_idx_srp_bare")
+    val emb = Tables.load(spark, dir, "embeddings")
+    val sA = spark.newSession()
+    sA.conf.set(IndexStore.DirConf, root)
+    // a bare pre-metadata store: parquet + _SUCCESS but no sidecar
+    operators.Similarity.srpRows(emb).write.mode("overwrite")
+      .parquet(IndexStore.storePath(root, dir, operators.Similarity.SrpStoreName))
+    val e = intercept[IllegalStateException] {
+      operators.Similarity.appendToSrpIndex(sA, dir, emb.limit(10))
+    }
+    assert(e.getMessage.contains("metadata"))
+  }
+
+  test("geometry mismatch rebuilds: a store built under other planes never serves q47") {
+    val root = tmp("graft_idx_srp_geom")
+    val emb = Tables.load(spark, dir, "embeddings")
+    val sA = spark.newSession()
+    sA.conf.set(IndexStore.DirConf, root)
+    operators.Similarity.buildSrpIndex(sA, dir, emb, planesPerTable = 9)
+    val storePath = IndexStore.storePath(root, dir, operators.Similarity.SrpStoreName)
+    assert(IndexStore.readMeta(sA, storePath).flatMap(_.get("planes")).contains("9"))
+
+    // q47 requests the fixture family (4 planes): the 9-plane store must
+    // REBUILD, not serve incomparable bucket ids.
+    val sB = spark.newSession()
+    sB.conf.set(IndexStore.DirConf, root)
+    val viaStore = SparkEntry.queries("q47_embedding_neardup")(sB, dir)
+      .collect().map(_.toSeq).toSeq
+    val direct = SparkEntry.queries("q47_embedding_neardup")(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    assert(viaStore == direct)
+    assert(IndexStore.readMeta(sB, storePath).flatMap(_.get("planes")).contains("4"),
+      "the store must have been rebuilt under the requested family")
+  }
+
+  test("corpus-count drift rebuilds the shingle store (loud staleness tripwire)") {
+    val root = tmp("graft_idx_stale")
+    val docs = Tables.load(spark, dir, "documents")
+    val t = docs.selectExpr("(max(doc_id) * 6) div 10 AS t").collect()(0).getLong(0)
+
+    // Yesterday's store covers only 60% of the corpus and — unlike the
+    // incremental test — no append ever advanced its count: the corpus
+    // mutated out-of-band relative to the store.
+    val sA = spark.newSession()
+    sA.conf.set(IndexStore.DirConf, root)
+    operators.TextAnalysis.buildShingleIndex(sA, dir, docs.filter(col("doc_id") < t))
+
+    val sB = spark.newSession()
+    sB.conf.set(IndexStore.DirConf, root)
+    val served = operators.TextAnalysis.shingleIndex(sB, dir)
+    // the stale 60% store must NOT be served: content equals the full
+    // corpus's sets (i.e. the index was rebuilt)
+    assert(shingleContent(served) == shingleContent(operators.TextAnalysis.docShingleSets(docs)))
+    val storePath = IndexStore.storePath(root, dir, operators.TextAnalysis.ShingleStoreName)
+    assert(IndexStore.readMeta(sB, storePath).flatMap(_.get(IndexStore.CorpusCountKey))
+      .contains(docs.count().toString))
+  }
+
+  test("IVF refresh policy: ≥2x corpus growth refits; small drift serves the stored model") {
+    val root = tmp("graft_idx_ivf_refresh")
+    val s = spark.newSession()
+    s.conf.set(IndexStore.DirConf, root)
+    val emb = Tables.load(s, dir, "embeddings")
+    val full = operators.Ivf.quantize(emb)
+    val n = full.count()
+    val path = IndexStore.storePath(root, dir, "ivf_model")
+
+    // "yesterday": fit on a 10% slice (the verdict's append-10x scenario
+    // inverted: the stored fit saw a tenth of today's corpus)
+    val slice = operators.Ivf.quantize(emb.filter(col("vec_id") < n / 10))
+    val m0 = operators.Ivf.fit(slice, 4)
+    operators.Ivf.save(s, path, m0)
+    assert(m0.n == slice.count())
+
+    // "today": the corpus is 10x the stored fit → refit, store updated
+    val m1 = operators.Ivf.servedModel(s, path, full, 4)
+    assert(m1.n == n, s"expected a refit on 10x growth, served a model fit on ${m1.n}")
+    assert(operators.Ivf.load(s, path).exists(_.n == n), "refit must overwrite the store")
+
+    // small drift (stored n vs n, growth 1.0 < 2.0) → stored model serves
+    val m2 = operators.Ivf.servedModel(s, path, full, 4)
+    assert(m2.n == n)
+    // structural centroid equality (Array == is reference identity)
+    assert(m2.cents.map { case (c, a) => (c, a.toSeq) }
+      == m1.cents.map { case (c, a) => (c, a.toSeq) })
   }
 }
