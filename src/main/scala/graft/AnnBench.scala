@@ -67,6 +67,14 @@ object AnnBench {
   private def fmt(v: Double) =
     String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
 
+  /** Minimal JSON string literal (a path may carry quotes/backslashes). */
+  private def jstr(s: String): String =
+    s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c => c.toString
+    }.mkString("\"", "", "\"")
+
   def measure(spark: SparkSession, dir: String): Unit = {
     val e = Tables.load(spark, dir, "embeddings")
     val n = e.count()
@@ -83,9 +91,14 @@ object AnnBench {
     var model: Ivf.Model = null
     val eqf = Ivf.quantize(e)
     val tIvfFit = time {
-      model = Ivf.fit(eqf, cells, cellTarget = CellTarget,
+      // k = 0: fit() itself derives the cell count from CellTarget — the
+      // sizing knob under measurement is genuinely exercised, not
+      // precomputed and passed in as an explicit k.
+      model = Ivf.fit(eqf, cellTarget = CellTarget,
         seedTarget = Ivf.TargetSeedSample / 16)
     }
+    require(model.cents.length <= cells,
+      s"fit derived ${model.cents.length} cells, expected ≤ $cells (empty cells may drop)")
     val centsDF = Ivf.centsDF(spark, model.cents)
 
     // --- serving pipelines (cold, then warm; warm is the signal)
@@ -109,7 +122,7 @@ object AnnBench {
     def obj(m: Seq[(String, Double)]) =
       m.map { case (k, v) => s"\"$k\":${fmt(v)}" }.mkString("{", ",", "}")
     val warmTotal = warm.map(_._2).sum
-    println(s"""{"dir":"$dir","n":$n,"planes":$planes,"cells":$cells,""" +
+    println(s"""{"dir":${jstr(dir)},"n":$n,"planes":$planes,"cells":$cells,""" +
       s""""bucket_target":$BucketTarget,"cell_target":$CellTarget,""" +
       s""""build":{"srp":${fmt(tSrpBuild)},"ivf_fit":${fmt(tIvfFit)}},""" +
       s""""cold":${obj(cold)},"warm":${obj(warm)},"warm_total":${fmt(warmTotal)}}""")

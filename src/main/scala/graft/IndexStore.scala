@@ -77,17 +77,25 @@ object IndexStore {
   private def metaFile(path: String) = new Path(path, "_graft_meta")
 
   /** Persist the entry's build metadata (small `key=value` properties —
-    * parameters plus [[CorpusCountKey]]). Overwrites atomically enough for
-    * this tier: the file is tiny and readers treat an unreadable/absent
-    * sidecar as "rebuild".
+    * parameters plus [[CorpusCountKey]]) CRASH-CLEANLY: the bytes go to a
+    * `.tmp` sibling first and only a rename publishes them, so a crash
+    * mid-write can never leave a truncated `_graft_meta` — the worst case
+    * is an orphaned `.tmp` plus a missing/old sidecar, both of which read
+    * as "rebuild". (The brief delete-before-rename window likewise reads
+    * as "no metadata" — safe, because readers rebuild on absence.)
     */
   def writeMeta(s: SparkSession, path: String, meta: Map[String, String]): Unit = {
     val p = metaFile(path)
+    val tmp = new Path(path, "_graft_meta.tmp")
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     val props = new Properties()
     meta.foreach { case (k, v) => props.setProperty(k, v) }
-    val os = fs.create(p, true)
+    val os = fs.create(tmp, true)
     try props.store(os, "graft index store metadata") finally os.close()
+    // HDFS/posix rename won't clobber an existing target on every FS
+    if (fs.exists(p)) fs.delete(p, false)
+    if (!fs.rename(tmp, p))
+      throw new java.io.IOException(s"IndexStore: rename $tmp -> $p failed")
   }
 
   /** The entry's build metadata, or None when absent/unreadable (a
@@ -140,20 +148,24 @@ object IndexStore {
       case None => build
       case Some(root) =>
         val path = storePath(root, corpusDir, name)
+        // The by-name count is evaluated AT MOST ONCE per servedFrom call
+        // (staleness check and sidecar write share this): for a parquet
+        // corpus a count is metadata-cheap, but the contract is "any
+        // DataFrame", where each evaluation is a full scan.
+        lazy val current = corpusCount
         val fresh =
           if (!committed(s, path)) false
           else readMeta(s, path) match {
             case None =>
               // Tolerate a bare store only when the caller tracks nothing
               // (no params, no count) — otherwise rebuild and self-heal.
-              val bare = params.isEmpty && corpusCount < 0
+              val bare = params.isEmpty && current < 0
               if (!bare) log.warn(s"index store $path has no metadata sidecar — rebuilding")
               bare
             case Some(meta) =>
               val paramDrift = params.collect {
                 case (k, v) if !meta.get(k).contains(v) => s"$k: store=${meta.getOrElse(k, "?")} requested=$v"
               }
-              val current = corpusCount
               val countDrift = meta.get(CorpusCountKey).map(_.toLong) match {
                 case Some(stored) if current >= 0 && stored != current =>
                   Seq(s"$CorpusCountKey: store=$stored corpus=$current")
@@ -166,9 +178,8 @@ object IndexStore {
           }
         if (!fresh) {
           build.write.mode("overwrite").parquet(path)
-          val count = corpusCount
           writeMeta(s, path, params ++
-            (if (count >= 0) Map(CorpusCountKey -> count.toString) else Map.empty))
+            (if (current >= 0) Map(CorpusCountKey -> current.toString) else Map.empty))
         }
         s.read.parquet(path)
     }
@@ -178,6 +189,14 @@ object IndexStore {
     * `incrementCount` (≥ 0) so the next load's staleness check expects
     * the grown corpus. Requires a configured store: an append with
     * nowhere durable to land is a caller bug, not a silent no-op.
+    *
+    * SINGLE-WRITER contract: the sidecar advance is a read-modify-write
+    * with no cross-process lock, so concurrent appenders to the SAME
+    * store entry can lose an increment's count. The failure is loud, not
+    * silent-wrong — the next load sees the count disagree with the corpus
+    * and rebuilds — but the supported posture is one appending ingest job
+    * per store entry at a time (the reference's single consumer writing
+    * one fact table has the same shape).
     */
   def append(s: SparkSession, corpusDir: String, name: String, rows: DataFrame,
       incrementCount: Long = -1L): Unit = {

@@ -71,6 +71,14 @@ object SqlGateway {
   val DefaultTimeoutSec = 60
   val MaxTimeoutSec = 600
 
+  /** Request-body bound: the body is the SQL text, and no interactive
+    * statement needs a megabyte — past this the read stops and the
+    * request answers 413 instead of buffering an arbitrarily large body
+    * on the driver heap (ClickHouse's own HTTP surface bounds query size
+    * the same way, via max_query_size).
+    */
+  val MaxBodyBytes: Int = 1 << 20
+
   final class Gateway private[SqlGateway] (server: HttpServer,
       deadlines: ScheduledExecutorService) {
     def port: Int = server.getAddress.getPort
@@ -129,7 +137,13 @@ object SqlGateway {
         respond(ex, 404, "text/plain", "not found\n"); return
       }
       val params = queryParams(ex)
-      val body = new String(ex.getRequestBody.readAllBytes(), UTF_8).trim
+      // bounded read: at most cap+1 bytes ever reach the heap
+      val bodyBytes = ex.getRequestBody.readNBytes(MaxBodyBytes + 1)
+      if (bodyBytes.length > MaxBodyBytes) {
+        respond(ex, 413, "text/plain",
+          s"request body exceeds $MaxBodyBytes bytes\n"); return
+      }
+      val body = new String(bodyBytes, UTF_8).trim
       val sql = if (body.nonEmpty) body else params.getOrElse("query", "")
       if (sql.isEmpty) { respond(ex, 400, "text/plain", "empty query\n"); return }
       val cap = intParam(params, "max_result_rows", DefaultMaxRows, 1, HardMaxRows)

@@ -224,10 +224,15 @@ object Ivf {
     * probe their `probes` best cells, candidates come from the cell
     * equi-join, and survivors are exactly re-scored with `score`
     * (column-level, e.g. the DECIMAL-fold dot) for the final top-k.
+    * A query set whose embeddings outgrow `maxBroadcastElems` reranks in
+    * `q_id % chunks` slices ([[Sizing.broadcastChunks]] — exact, since
+    * per-query top-k is independent); small query sets derive chunks = 1
+    * with no extra action.
     */
   def annTopK(e: DataFrame, eqf: DataFrame, cents: DataFrame,
               numQueries: Int, probes: Int, topK: Int,
-              score: (Column, Column) => Column): DataFrame = {
+              score: (Column, Column) => Column,
+              maxBroadcastElems: Long = Sizing.MaxQueryBroadcastElems): DataFrame = {
     val rk = ranked(eqf, cents)
     val cells = rk.filter(col("rk") === 1)
       .select(col("vec_id"), col("cid").as("cell"))
@@ -243,13 +248,22 @@ object Ivf {
     // inferring the bound through the join.
     val qe = e.filter(col("vec_id") < numQueries)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val chunks = Sizing.broadcastChunks(numQueries,
+      qe.select(size(col("q_emb"))).head().getInt(0), maxBroadcastElems)
     val w = Window.partitionBy(col("q_id")).orderBy(col("sim_dec").desc, col("vec_id").asc)
-    cand
-      .join(broadcast(qe), "q_id")
+    def rerank(candC: DataFrame, qeC: DataFrame) = candC
+      .join(broadcast(qeC), "q_id")
       .join(e.select(col("vec_id"), col("embedding")), "vec_id")
       .withColumn("sim_dec", score(col("q_emb"), col("embedding")))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= topK)
+    val body =
+      if (chunks == 1) rerank(cand, qe)
+      else (0 until chunks).map { i =>
+        rerank(cand.filter(pmod(col("q_id"), lit(chunks)) === i),
+          qe.filter(pmod(col("q_id"), lit(chunks)) === i))
+      }.reduce(_ union _)
+    body
       .select(col("q_id"), col("rk"), col("vec_id").as("neighbor_id"),
         col("sim_dec").cast(DoubleType).as("sim"))
       .orderBy(col("q_id"), col("rk"))

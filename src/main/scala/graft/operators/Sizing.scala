@@ -58,4 +58,37 @@ object Sizing {
     val k = (n + target - 1) / math.max(1L, target)
     math.min(MaxCells.toLong, math.max(MinCells.toLong, k)).toInt
   }
+
+  /** Elements (embedding scalars) a query-set broadcast may carry before
+    * the query set is chunked: 16M ≈ 128 MB of doubles per executor copy.
+    * The 64-dim fixtures never get near it; the limit exists for 1k+-dim
+    * production embeddings with large query sets.
+    */
+  val MaxQueryBroadcastElems: Long = 16L << 20
+
+  /** Highest embedding width assumed WITHOUT probing a row: while
+    * nq ≤ budget/4096 even a 4096-wide query set fits one broadcast, so
+    * the common path (small query sets) derives chunks = 1 with zero
+    * extra Spark actions.
+    */
+  val MaxDimNoProbe = 4096
+
+  /** Number of `q_id % chunks` slices a query-set broadcast needs so each
+    * slice carries ≤ `maxElems` embedding scalars. `dims` is by-name and
+    * only evaluated past the no-probe bound (callers pass a one-row
+    * lookup). Per-query top-k is independent across queries, so id-sliced
+    * chunking is exact — each chunk broadcasts against its own corpus
+    * scan, and the union of the per-chunk answers IS the full answer; the
+    * re-scan per chunk is the correct trade once the query set outgrows
+    * one broadcast.
+    */
+  def broadcastChunks(nq: Long, dims: => Int,
+      maxElems: Long = MaxQueryBroadcastElems): Int = {
+    require(maxElems > 0, s"bad broadcast budget $maxElems")
+    if (nq <= 0 || nq <= maxElems / MaxDimNoProbe) 1
+    else {
+      val d = math.max(1, dims)
+      math.max(1L, (nq * d + maxElems - 1) / maxElems).toInt
+    }
+  }
 }

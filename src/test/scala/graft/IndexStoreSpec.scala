@@ -219,6 +219,88 @@ class IndexStoreSpec extends SparkSpec {
       .contains(docs.count().toString))
   }
 
+  test("a torn sidecar write (tmp without rename) reads as no-metadata and rebuilds") {
+    val root = tmp("graft_idx_torn")
+    val emb = Tables.load(spark, dir, "embeddings")
+    val sA = spark.newSession()
+    sA.conf.set(IndexStore.DirConf, root)
+    operators.Similarity.buildSrpIndex(sA, dir, emb)
+    val storePath = IndexStore.storePath(root, dir, operators.Similarity.SrpStoreName)
+    assert(IndexStore.readMeta(sA, storePath).isDefined)
+
+    // Simulate a crash mid-writeMeta: the published sidecar is gone and
+    // only the in-flight `.tmp` remains (writeMeta stages bytes there and
+    // publishes by rename, so this IS the worst on-disk state a crash can
+    // leave — never a truncated `_graft_meta`).
+    val p = new org.apache.hadoop.fs.Path(storePath, "_graft_meta")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(p, new org.apache.hadoop.fs.Path(storePath, "_graft_meta.tmp")))
+    assert(IndexStore.readMeta(sA, storePath).isEmpty,
+      "a torn sidecar must read as no metadata")
+
+    // A tracked load in a new session rebuilds and re-publishes the sidecar.
+    val sB = spark.newSession()
+    sB.conf.set(IndexStore.DirConf, root)
+    operators.Similarity.buildSrpIndex(sB, dir, emb)
+    val meta = IndexStore.readMeta(sB, storePath)
+    assert(meta.flatMap(_.get("planes")).contains("4"), s"rebuild must re-publish: $meta")
+    assert(meta.flatMap(_.get(IndexStore.CorpusCountKey)).contains(emb.count().toString))
+  }
+
+  test("servedFrom evaluates the by-name corpusCount at most once per call") {
+    val root = tmp("graft_idx_count_once")
+    val s = spark.newSession()
+    s.conf.set(IndexStore.DirConf, root)
+    val emb = Tables.load(s, dir, "embeddings")
+    var evals = 0
+    def counted: Long = { evals += 1; emb.count() }
+    // build path: staleness check + sidecar write share one evaluation
+    IndexStore.servedFrom(s, dir, "count_once", Map("p" -> "1"), counted)(
+      emb.select("vec_id"))
+    assert(evals == 1, s"build path evaluated corpusCount $evals times")
+    // load path: the staleness check is the single evaluation
+    IndexStore.servedFrom(s, dir, "count_once", Map("p" -> "1"), counted)(
+      emb.select("vec_id"))
+    assert(evals == 2, s"build+load evaluated corpusCount $evals times")
+  }
+
+  test("buildSrpIndex derived-planes path adds no extra count job over the explicit path") {
+    // Job-count parity via the status tracker (the one public async-safe
+    // window onto job starts): the derived-planes build must share its
+    // single count() between the plane derivation and servedFrom's
+    // staleness/sidecar uses — i.e. run exactly as many jobs as an
+    // explicit-planes build of the same index.
+    def jobsInGroup(group: String)(f: => Unit): Int = {
+      val sc = spark.sparkContext
+      sc.setJobGroup(group, group)
+      try f finally sc.clearJobGroup()
+      // the status store is fed asynchronously; poll until stable
+      var last = -1
+      var cur = sc.statusTracker.getJobIdsForGroup(group).length
+      var spins = 0
+      while ((cur != last || cur == 0) && spins < 100) {
+        Thread.sleep(100); last = cur
+        cur = sc.statusTracker.getJobIdsForGroup(group).length
+        spins += 1
+      }
+      cur
+    }
+    val emb = Tables.load(spark, dir, "embeddings")
+    val pp = operators.Sizing.derivePlanes(emb.count())
+    val sA = spark.newSession()
+    sA.conf.set(IndexStore.DirConf, tmp("graft_idx_jobs_derived"))
+    val derived = jobsInGroup("graft-srp-derived") {
+      operators.Similarity.buildSrpIndex(sA, dir, Tables.load(sA, dir, "embeddings"), 0)
+    }
+    val sB = spark.newSession()
+    sB.conf.set(IndexStore.DirConf, tmp("graft_idx_jobs_explicit"))
+    val explicit = jobsInGroup("graft-srp-explicit") {
+      operators.Similarity.buildSrpIndex(sB, dir, Tables.load(sB, dir, "embeddings"), pp)
+    }
+    assert(derived > 0 && derived == explicit,
+      s"derived-planes build ran $derived jobs vs $explicit explicit — an extra count() leaked in")
+  }
+
   test("IVF refresh policy: ≥2x corpus growth refits; small drift serves the stored model") {
     val root = tmp("graft_idx_ivf_refresh")
     val s = spark.newSession()

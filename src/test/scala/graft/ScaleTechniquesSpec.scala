@@ -48,6 +48,53 @@ class ScaleTechniquesSpec extends SparkSpec {
     }
   }
 
+  test("broadcastChunks: small query sets never probe dims; chunk math covers the budget") {
+    import graft.operators.Sizing
+    // dims is by-name: below the no-probe bound it must never be evaluated
+    assert(Sizing.broadcastChunks(8, sys.error("dims must not be probed")) == 1)
+    assert(Sizing.broadcastChunks(0, sys.error("an empty query set never probes")) == 1)
+    // 100k queries × 1536 dims: every chunk fits the default budget
+    val chunks = Sizing.broadcastChunks(100000L, 1536)
+    assert(chunks > 1)
+    assert((100000L * 1536 + chunks - 1) / chunks <= Sizing.MaxQueryBroadcastElems)
+  }
+
+  test("chunked query-set broadcast: 1k-dim cosine top-k equals the single-broadcast answer") {
+    import spark.implicits._
+    import graft.operators.{Similarity, Sizing}
+    // A 1k-dim synthetic corpus — the geometry the default budget exists
+    // for (the 64-dim fixtures never chunk). Deterministic, no RNG.
+    val dims = 1000
+    def vec(seed: Int): Seq[Double] =
+      (0 until dims).map(j => math.sin(seed * 7919.0 + j * 104729.0))
+    val e = (0 until 40).map(i => (i.toLong, vec(i))).toDF("vec_id", "embedding")
+    val nq = 12L
+    val single = Similarity.cosineTopK(e, e.filter(col("vec_id") < nq), 3, nQueries = nq)
+    assert(!single.queryExecution.optimizedPlan.toString.contains("Union"))
+    // 3000-element budget: 12 × 1000 dims → 4 id-sliced chunks
+    val chunked = Similarity.cosineTopK(e, e.filter(col("vec_id") < nq), 3, nQueries = nq,
+      maxBroadcastElems = 3000)
+    assert(chunked.queryExecution.optimizedPlan.toString.contains("Union"),
+      "the tiny budget must actually take the chunked path")
+    assert(chunked.collect().map(_.toSeq).toSeq == single.collect().map(_.toSeq).toSeq)
+  }
+
+  test("chunked rerank: annTopK under a tiny broadcast budget equals the single-broadcast answer") {
+    import graft.operators.Ivf
+    import graft.functions.VectorFunctions.dotDec
+    val e = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+      .repartition(col("vec_id"))
+    val eqf = Ivf.quantize(e)
+    val model = Ivf.fit(eqf, 4)
+    val cents = Ivf.centsDF(spark, model.cents)
+    val single = Ivf.annTopK(e, eqf, cents, 8, 2, 3, dotDec)
+    // 128-element budget: 8 queries × 64 dims → 4 chunks
+    val chunked = Ivf.annTopK(e, eqf, cents, 8, 2, 3, dotDec, maxBroadcastElems = 128)
+    assert(chunked.queryExecution.optimizedPlan.toString.contains("Union"),
+      "the tiny budget must actually take the chunked path")
+    assert(chunked.collect().map(_.toSeq).toSeq == single.collect().map(_.toSeq).toSeq)
+  }
+
   test("IVF seeding sample stays target-bounded under the derived mod at 10x scale") {
     import graft.operators.Ivf
     // The driver-side seeding collect must be bounded BY CONSTRUCTION: at

@@ -123,6 +123,20 @@ class SqlGatewaySpec extends SparkSpec {
     }
   }
 
+  test("oversized request body → 413 before any parse; a cap-sized body still works") {
+    withGateway { (_, port) =>
+      // 1 byte past the cap: bounded read stops, 413, nothing executed
+      val pad = "-- " + "x" * SqlGateway.MaxBodyBytes
+      val big = post(port, pad)
+      assert(big.statusCode() == 413, s"got ${big.statusCode()}: ${big.body().take(200)}")
+      assert(big.body().contains("exceeds"))
+      // a comment-padded query just UNDER the cap parses and answers
+      val sql = "SELECT count(*) AS n FROM region"
+      val under = post(port, "-- " + "x" * (SqlGateway.MaxBodyBytes - sql.length - 5) + "\n" + sql)
+      assert(under.statusCode() == 200 && under.body().trim == "{\"n\":5}")
+    }
+  }
+
   test("execution deadline: a pathological query is cancelled; a concurrent fast query answers") {
     withGateway { (_, port) =>
       // Rows are bounded by the limit wrap, but COMPUTE is not: a triple
