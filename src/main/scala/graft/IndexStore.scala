@@ -199,15 +199,21 @@ object IndexStore {
     * one fact table has the same shape).
     */
   def append(s: SparkSession, corpusDir: String, name: String, rows: DataFrame,
-      incrementCount: Long = -1L): Unit = {
+      incrementCount: Long = -1L, extraMeta: Map[String, String] = Map.empty): Unit = {
     val root = configuredDir(s).getOrElse(throw new IllegalStateException(
       s"IndexStore.append: no index store configured — set $DirConf"))
     val path = storePath(root, corpusDir, name)
     rows.write.mode("append").parquet(path)
-    if (incrementCount >= 0) readMeta(s, path).foreach { meta =>
-      meta.get(CorpusCountKey).map(_.toLong).foreach { stored =>
-        writeMeta(s, path, meta.updated(CorpusCountKey, (stored + incrementCount).toString))
+    // `extraMeta` (e.g. a streaming maintainer's applied-batch marker)
+    // lands in the SAME sidecar write that advances the count, so a
+    // reader never sees the marker without the count it belongs to.
+    if (incrementCount >= 0 || extraMeta.nonEmpty) readMeta(s, path).foreach { meta =>
+      val advanced = meta.get(CorpusCountKey).map(_.toLong) match {
+        case Some(stored) if incrementCount >= 0 =>
+          meta.updated(CorpusCountKey, (stored + incrementCount).toString)
+        case _ => meta
       }
+      writeMeta(s, path, advanced ++ extraMeta)
     }
   }
 }

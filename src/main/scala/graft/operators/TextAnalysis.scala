@@ -310,8 +310,10 @@ object TextAnalysis {
     * increment pays O(increment) shingling, never O(corpus).
     */
   private[graft] def appendToShingleIndex(s: org.apache.spark.sql.SparkSession,
-      dir: String, newDocs: org.apache.spark.sql.DataFrame): Unit = {
-    graft.IndexStore.append(s, dir, ShingleStoreName, docShingleSets(newDocs), newDocs.count())
+      dir: String, newDocs: org.apache.spark.sql.DataFrame,
+      extraMeta: Map[String, String] = Map.empty): Unit = {
+    graft.IndexStore.append(s, dir, ShingleStoreName, docShingleSets(newDocs),
+      newDocs.count(), extraMeta)
     shingleIndexCache.remove(s, dir).foreach(_.unpersist())
   }
 

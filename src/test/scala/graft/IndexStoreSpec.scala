@@ -301,6 +301,83 @@ class IndexStoreSpec extends SparkSpec {
       s"derived-planes build ran $derived jobs vs $explicit explicit — an extra count() leaked in")
   }
 
+  test("streaming maintenance: doc micro-batches keep the shingle store fresh; replays skip") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val root = tmp("graft_idx_maint_sh")
+    val docs = Tables.load(spark, dir, "documents")
+    val t = docs.selectExpr("(max(doc_id) * 8) div 10 AS t").collect()(0).getLong(0)
+
+    // bootstrap: yesterday's batch build covers the old corpus slice
+    val sA = spark.newSession()
+    sA.conf.set(IndexStore.DirConf, root)
+    operators.TextAnalysis.buildShingleIndex(sA, dir,
+      Tables.load(sA, dir, "documents").filter(col("doc_id") < t))
+
+    // today: the increment arrives as a stream, in two micro-batches
+    import sA.implicits._
+    implicit val sqlCtx = sA.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val inc = docs.filter(col("doc_id") >= t).select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val (b1, b2) = inc.splitAt(inc.length / 2)
+    input.addData(b1.toSeq)
+    val q = streaming.IndexMaintenance.maintainShingleIndex(
+      input.toDF().toDF("doc_id", "text"), dir, tmp("graft_idx_maint_sh_ck"))
+    q.processAllAvailable()
+    input.addData(b2.toSeq)
+    q.processAllAvailable()
+    q.stop()
+
+    // a fresh session serves old∪new from the store — zero re-shingling
+    val sB = spark.newSession()
+    sB.conf.set(IndexStore.DirConf, root)
+    val served = operators.TextAnalysis.shingleIndex(sB, dir)
+    assert(!scanPaths(served).exists(_.contains("documents.parquet")))
+    assert(shingleContent(served) ==
+      shingleContent(operators.TextAnalysis.docShingleSets(docs)))
+
+    // replay guard: re-applying an already-applied batch id is a no-op
+    val storePath = IndexStore.storePath(root, dir, operators.TextAnalysis.ShingleStoreName)
+    val metaBefore = IndexStore.readMeta(sB, storePath)
+    val applied = streaming.IndexMaintenance.applyDocsBatch(
+      sA, dir, "shingle_maintenance", 1L,
+      Tables.load(sA, dir, "documents").limit(3))
+    assert(!applied, "a replayed batch id must be skipped")
+    assert(IndexStore.readMeta(sB, storePath) == metaBefore,
+      "a skipped replay must not touch the sidecar")
+  }
+
+  test("streaming maintenance: SRP micro-batch appends serve q47 identically") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val root = tmp("graft_idx_maint_srp")
+    val emb = Tables.load(spark, dir, "embeddings")
+    val t = emb.selectExpr("(max(vec_id) * 8) div 10 AS t").collect()(0).getLong(0)
+
+    val sA = spark.newSession()
+    sA.conf.set(IndexStore.DirConf, root)
+    operators.Similarity.buildSrpIndex(sA, dir,
+      Tables.load(sA, dir, "embeddings").filter(col("vec_id") < t))
+
+    import sA.implicits._
+    implicit val sqlCtx = sA.sqlContext
+    val input = MemoryStream[(Long, Seq[Float])]
+    input.addData(emb.filter(col("vec_id") >= t).collect()
+      .map(r => (r.getLong(r.fieldIndex("vec_id")),
+        r.getSeq[Float](r.fieldIndex("embedding")))).toSeq)
+    val q = streaming.IndexMaintenance.maintainSrpIndex(
+      input.toDF().toDF("vec_id", "embedding"), dir, tmp("graft_idx_maint_srp_ck"))
+    q.processAllAvailable()
+    q.stop()
+
+    val sB = spark.newSession()
+    sB.conf.set(IndexStore.DirConf, root)
+    val viaStore = SparkEntry.queries("q47_embedding_neardup")(sB, dir)
+      .collect().map(_.toSeq).toSeq
+    val direct = SparkEntry.queries("q47_embedding_neardup")(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    assert(viaStore == direct, "stream-maintained store must equal full recompute")
+  }
+
   test("IVF refresh policy: ≥2x corpus growth refits; small drift serves the stored model") {
     val root = tmp("graft_idx_ivf_refresh")
     val s = spark.newSession()
