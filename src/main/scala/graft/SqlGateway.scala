@@ -90,6 +90,11 @@ object SqlGateway {
     * catalog tables) — the gateway adds no catalog state of its own.
     */
   def start(spark: SparkSession, port: Int = 0, host: String = "127.0.0.1"): Gateway = {
+    // The gateway serves the ENGINE's SQL dialect, which includes its
+    // custom expressions (vec_dot_long, minhash_sigs) — the way the
+    // reference's /play serves ClickHouse's own function library, not
+    // just ANSI SQL.
+    graft.plans.GraftExtensions.register(spark)
     val server = HttpServer.create(new InetSocketAddress(host, port), 0)
     server.setExecutor(Executors.newFixedThreadPool(4))
     val deadlines = Executors.newSingleThreadScheduledExecutor { r =>

@@ -123,6 +123,14 @@ class SqlGatewaySpec extends SparkSpec {
     }
   }
 
+  test("the engine's custom SQL functions are callable through the gateway") {
+    withGateway { (_, port) =>
+      val r = post(port, "SELECT vec_dot_long(array(1L, 2L, 3L), array(4L, 5L, 6L)) AS d")
+      assert(r.statusCode() == 200 && r.body().trim == "{\"d\":32}",
+        s"${r.statusCode()}: ${r.body()}")
+    }
+  }
+
   test("oversized request body → 413 before any parse; a cap-sized body still works") {
     withGateway { (_, port) =>
       // 1 byte past the cap: bounded read stops, 413, nothing executed
