@@ -117,6 +117,22 @@ object Dedup {
       |            WHERE $jaccardExpr >= $JaccardThreshold)""".stripMargin
   }
 
+  /** `comp AS (doc_id, root)` CTEs over [[minhashPairCtes]]'s `ndpairs`
+    * (requires a WITH RECURSIVE prefix): reachability from each pair
+    * endpoint, min reached id = the component root — the closed-form
+    * oracle of [[connectedComponentsStar]], shared by q73 and the
+    * cluster-representative selection (q75).
+    */
+  private[operators] val componentCtes: String =
+    """e AS (SELECT a_doc AS src, b_doc AS dst FROM ndpairs
+      |      UNION SELECT b_doc, a_doc FROM ndpairs),
+      |nd AS (SELECT DISTINCT src AS id FROM e),
+      |reach(id, r) AS (
+      |    SELECT id, id FROM nd
+      |    UNION
+      |    SELECT reach.id, e.dst FROM reach JOIN e ON e.src = reach.r),
+      |comp AS (SELECT id AS doc_id, min(r) AS root FROM reach GROUP BY id)""".stripMargin
+
   /** Verified near-dup rows (a_doc, b_doc, jac_raw) from a shingle-set
     * frame — band-join + exact intersect, possibly duplicated across
     * colliding bands (dedupe on the scalar outputs downstream). q37 runs
@@ -313,14 +329,7 @@ object Dedup {
     QuerySpec("q73_dedup_clusters")(
       s"""WITH RECURSIVE $shingleCtes,
         |$minhashPairCtes,
-        |e AS (SELECT a_doc AS src, b_doc AS dst FROM ndpairs
-        |      UNION SELECT b_doc, a_doc FROM ndpairs),
-        |nd AS (SELECT DISTINCT src AS id FROM e),
-        |reach(id, r) AS (
-        |    SELECT id, id FROM nd
-        |    UNION
-        |    SELECT reach.id, e.dst FROM reach JOIN e ON e.src = reach.r),
-        |comp AS (SELECT id AS doc_id, min(r) AS root FROM reach GROUP BY id)
+        |$componentCtes
         |SELECT c.doc_id, c.root, sz.n_members
         |FROM comp c JOIN (SELECT root, count(*) AS n_members
         |                  FROM comp GROUP BY root) sz USING (root)
@@ -331,6 +340,46 @@ object Dedup {
         .join(comp.groupBy(col("root")).agg(count(lit(1)).as("n_members")), "root")
         .select(col("id").as("doc_id"), col("root"), col("n_members"))
         .orderBy(col("doc_id"))
+    },
+
+    // ----- cluster-representative selection (best-of-cluster dedup) -------
+    // Production dedup keeps the BEST member of each near-dup cluster, not
+    // the lowest id: q73's connected components joined with q33's quality
+    // score, argmax(quality, tie → min doc_id) per root. The per-cluster
+    // argmax runs through the salted two-phase top-k ([[TopK.perKeyTopK]],
+    // k=1) — a pathological mega-cluster (corpus-wide boilerplate) never
+    // funnels through a single window task. Every other shuffle is keyed
+    // by root or doc_id; both shared indexes (shingles, quality) are
+    // reused, so the marginal cost over q73 is one narrow join + top-1.
+    QuerySpec("q75_cluster_representatives")(
+      s"""WITH RECURSIVE $shingleCtes,
+        |$minhashPairCtes,
+        |$componentCtes,
+        |${TextAnalysis.qualityCteSql},
+        |rep AS (SELECT c.doc_id, c.root, q.quality_micro,
+        |    row_number() OVER (PARTITION BY c.root
+        |                       ORDER BY q.quality_micro DESC, c.doc_id ASC) AS rk
+        |  FROM comp c JOIN qscore q USING (doc_id)),
+        |sz AS (SELECT root, count(*) AS n_members FROM comp GROUP BY root)
+        |SELECT r.root, r.doc_id AS rep_doc, r.quality_micro AS rep_quality_micro,
+        |  sz.n_members
+        |FROM rep r JOIN sz USING (root)
+        |WHERE r.rk = 1
+        |ORDER BY r.root""".stripMargin) { (s, dir) =>
+      val comp = connectedComponentsStar(
+        minhashNearDupPairsDss(s, TextAnalysis.shingleIndex(s, dir)))
+      val scored = comp
+        .join(comp.groupBy(col("root")).agg(count(lit(1)).as("n_members")), "root")
+        .join(TextAnalysis.qualityIndex(s, dir)
+          .select(col("doc_id"), col("quality_micro")),
+          col("id") === col("doc_id"))
+      TopK.perKeyTopK(scored,
+          keys = Seq(col("root")),
+          order = Seq(col("quality_micro").desc, col("doc_id").asc),
+          k = 1, saltFrom = col("doc_id"))
+        .select(col("root"), col("doc_id").as("rep_doc"),
+          col("quality_micro").as("rep_quality_micro"), col("n_members"))
+        .orderBy(col("root"))
     },
 
     // ----- SimHash (TF-weighted, 60-bit) + banded hamming join ------------

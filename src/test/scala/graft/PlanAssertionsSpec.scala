@@ -206,6 +206,15 @@ class PlanAssertionsSpec extends SparkSpec {
     assert(plan("q33_quality_score").contains("InMemoryTableScan"))
   }
 
+  test("q75: per-cluster argmax windows are all keyed; no cartesian anywhere") {
+    val qe = SparkEntry.queries("q75_cluster_representatives")(spark, dir).queryExecution
+    val globalWindows = qe.sparkPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec if w.partitionSpec.isEmpty => w
+    }
+    assert(globalWindows.isEmpty, s"found global window:\n${globalWindows.headOption}")
+    assert(!qe.executedPlan.toString.contains("CartesianProduct"))
+  }
+
   test("aggregations run partial+final (map-side combine)") {
     val p = plan("q05_count_distinct")
     assert(p.contains("partial_count") || p.contains("HashAggregate"))
