@@ -58,6 +58,17 @@ object VectorFunctions {
       (md5Hex60(s"hp|${t * planesPerTable + p}|$i") % 2001L).toInt
     }
 
+  /** Random-projection planes as integers in [−1000, 1000], seeded
+    * "rp|&lt;j&gt;|&lt;i&gt;" — a separate family from the SRP bucketing planes
+    * ("hp|…"), regenerated identically by both engines. Used for
+    * Johnson–Lindenstrauss-style dimensionality reduction ahead of an
+    * exact rerank ([[graft.operators.Similarity]] q76).
+    */
+  def projectionInts(outDim: Int, dim: Int): Array[Array[Int]] =
+    Array.tabulate(outDim, dim) { (j, i) =>
+      (md5Hex60(s"rp|$j|$i") % 2001L).toInt - 1000
+    }
+
   /** Embedding scaled to exact 64-bit integers: floor(x·1e9). The float→
     * double product and floor are single IEEE ops, identical in any engine
     * — the basis for order-independent, overflow-free integer plane dots

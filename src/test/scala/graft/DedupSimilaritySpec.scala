@@ -66,6 +66,16 @@ class DedupSimilaritySpec extends SparkSpec {
       s"ANN top-1 recall too low: $hits/${exact.size}")
   }
 
+  test("RP-prefiltered top-k recalls most of the exact top-3 (recall floor)") {
+    val exact = run("q39_cosine_topk").filter("rk <= 3").select("q_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rp = run("q76_rp_prefilter_topk").select("q_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val hits = exact.count(rp.contains)
+    assert(hits * 2 >= exact.size,
+      s"RP-prefilter top-3 recall too low: $hits/${exact.size}")
+  }
+
   test("connectedComponents resolves duplicate chains to one root (transitive)") {
     import spark.implicits._
     // a 7-hop chain (diameter stresses the propagation loop), a pair, and
