@@ -206,6 +206,12 @@ class PlanAssertionsSpec extends SparkSpec {
     assert(plan("q33_quality_score").contains("InMemoryTableScan"))
   }
 
+  test("q76: projected scoring broadcasts the query side; no cartesian") {
+    val p = plan("q76_rp_prefilter_topk")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q75: per-cluster argmax windows are all keyed; no cartesian anywhere") {
     val qe = SparkEntry.queries("q75_cluster_representatives")(spark, dir).queryExecution
     val globalWindows = qe.sparkPlan.collect {
