@@ -315,6 +315,8 @@ object TextAnalysis {
     graft.IndexStore.append(s, dir, ShingleStoreName, docShingleSets(newDocs),
       newDocs.count(), extraMeta)
     shingleIndexCache.remove(s, dir).foreach(_.unpersist())
+    // downstream derived caches: the grown corpus has different components
+    Dedup.invalidateComponents(s, dir)
   }
 
   private[operators] val markerList: Seq[(String, Seq[String])] = langMarkers
