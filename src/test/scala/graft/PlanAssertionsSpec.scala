@@ -212,6 +212,21 @@ class PlanAssertionsSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q39/q76: corpus-wide per-query top-k runs salted two-phase, all windows keyed") {
+    // The scored frame is corpus × queries rows; a window partitioned only
+    // by q_id would funnel the whole corpus through one task per query at
+    // scale. The salted local phase shows up as a (q_id, salt) window —
+    // partitionSpec of size 2 — ahead of the per-query one.
+    for (q <- Seq("q39_cosine_topk", "q76_rp_prefilter_topk")) {
+      val qe = SparkEntry.queries(q)(spark, dir).queryExecution
+      val windows = qe.sparkPlan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w.partitionSpec.size
+      }
+      assert(windows.forall(_ >= 1), s"$q has a global window: $windows")
+      assert(windows.contains(2), s"$q: expected a salted (q_id, salt) local window, got $windows")
+    }
+  }
+
   test("q75: per-cluster argmax windows are all keyed; no cartesian anywhere") {
     val qe = SparkEntry.queries("q75_cluster_representatives")(spark, dir).queryExecution
     val globalWindows = qe.sparkPlan.collect {
