@@ -3,7 +3,6 @@ package graft.operators
 import graft.{QuerySpec, Tables}
 import graft.functions.TextFunctions._
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -56,12 +55,19 @@ object CorpusClean {
     val keep1 = scored.crossJoin(broadcast(cutoff))
       .filter(col("quality_micro") >= col("cut"))
       .select(col("doc_id"), col("quality_micro"))
-    // 2. exact dedup among survivors: min doc_id per fingerprint
+    // 2. exact dedup among survivors: min doc_id per fingerprint. A
+    //    groupBy + join, NOT min().over(partitionBy(fp_bag)): a window
+    //    sorts each fingerprint group in one task, and exact-duplicate
+    //    multiplicity is data-dependent (corpus-wide boilerplate — empty
+    //    or templated docs — can put millions of rows under one
+    //    fingerprint). The aggregate runs partial+final (map-side
+    //    combine), so the hot group reduces before it shuffles.
     val fp = docs.select(col("doc_id"),
       md5(concat_ws(" ", array_sort(array_distinct(tokens(col("text")))))
         .cast(BinaryType)).as("fp_bag"))
-    val keep2 = keep1.join(fp, "doc_id")
-      .withColumn("keep_doc", min(col("doc_id")).over(Window.partitionBy(col("fp_bag"))))
+    val survivorFp = keep1.join(fp, "doc_id")
+    val keepDoc = survivorFp.groupBy(col("fp_bag")).agg(min(col("doc_id")).as("keep_doc"))
+    val keep2 = survivorFp.join(keepDoc, "fp_bag")
       .filter(col("doc_id") === col("keep_doc"))
       .select(col("doc_id"), col("quality_micro"))
     // 3. near-dup removal: drop the higher-doc_id end of verified pairs
