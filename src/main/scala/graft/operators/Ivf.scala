@@ -248,8 +248,11 @@ object Ivf {
     // inferring the bound through the join.
     val qe = e.filter(col("vec_id") < numQueries)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    // dims probe by-name (only past the no-probe bound); empty query set
+    // under an overstated numQueries degrades to one chunk
     val chunks = Sizing.broadcastChunks(numQueries,
-      qe.select(size(col("q_emb"))).head().getInt(0), maxBroadcastElems)
+      qe.select(size(col("q_emb"))).limit(1).collect()
+        .headOption.map(_.getInt(0)).getOrElse(1), maxBroadcastElems)
     val w = Window.partitionBy(col("q_id")).orderBy(col("sim_dec").desc, col("vec_id").asc)
     def rerank(candC: DataFrame, qeC: DataFrame) = candC
       .join(broadcast(qeC), "q_id")
