@@ -14,6 +14,28 @@ class OperatorPropSpec extends SparkSpec {
   private def sample[A](g: Gen[A], n: Int, seed: Long): Seq[A] =
     (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(seed + i)))
 
+  test("broadcastChunks covers the budget for random (nq, dims, budget)") {
+    import graft.operators.Sizing
+    val gen = for {
+      nq <- Gen.chooseNum(1L, 10_000_000L)
+      dims <- Gen.chooseNum(1, 8192)
+      budget <- Gen.chooseNum(1024L, Sizing.MaxQueryBroadcastElems)
+    } yield (nq, dims, budget)
+    sample(gen, 500, seed = 97L).foreach { case (nq, dims, budget) =>
+      val chunks = Sizing.broadcastChunks(nq, dims, budget)
+      assert(chunks >= 1)
+      if (nq > budget / Sizing.MaxDimNoProbe) {
+        // past the no-probe bound the derivation is exact: the chunked
+        // broadcasts jointly cover nq·dims within chunks·budget
+        assert(chunks.toLong * budget >= nq * dims,
+          s"nq=$nq dims=$dims budget=$budget chunks=$chunks under-covers")
+        // and never over-chunks by more than one budget's worth
+        assert((chunks - 1).toLong * budget < nq * dims,
+          s"nq=$nq dims=$dims budget=$budget chunks=$chunks over-chunks")
+      }
+    }
+  }
+
   test("minhash_sigs equals the k-fold transform/array_min HOF on random arrays") {
     graft.plans.GraftExtensions.register(spark)
     import spark.implicits._
