@@ -95,6 +95,17 @@ class ScaleTechniquesSpec extends SparkSpec {
     assert(chunked.collect().map(_.toSeq).toSeq == single.collect().map(_.toSeq).toSeq)
   }
 
+  test("chunked rerank: srpAnnTopK under a tiny broadcast budget equals the single-broadcast answer") {
+    import graft.operators.Similarity
+    val e = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val bk = Similarity.srpRows(e)
+    val single = Similarity.srpAnnTopK(e, bk, 8, 8, 3)
+    val chunked = Similarity.srpAnnTopK(e, bk, 8, 8, 3, maxBroadcastElems = 128)
+    assert(chunked.queryExecution.optimizedPlan.toString.contains("Union"),
+      "the tiny budget must actually take the chunked path")
+    assert(chunked.collect().map(_.toSeq).toSeq == single.collect().map(_.toSeq).toSeq)
+  }
+
   test("IVF seeding sample stays target-bounded under the derived mod at 10x scale") {
     import graft.operators.Ivf
     // The driver-side seeding collect must be bounded BY CONSTRUCTION: at
