@@ -178,12 +178,10 @@ class PlanAssertionsSpec extends SparkSpec {
     assert(exchanges.size <= 1, qe.executedPlan.toString.take(2000))
   }
 
-  test("q40: the broadcast query-embedding side carries the inferred q_id bound") {
-    // broadcast(qe) hints on a frame derived from the FULL embeddings
-    // table; it is bounded only because InferFiltersFromConstraints
-    // propagates cand's q_id < NumQueries through the equi-join onto the
-    // broadcast side. If that inference breaks, this broadcast becomes
-    // corpus-sized — fail loudly.
+  test("q40: the broadcast query-embedding side carries the q_id bound") {
+    // srpAnnTopK bounds qe explicitly (vec_id < numQueries) before the
+    // broadcast hint — this pin fails loudly if a refactor ever drops the
+    // bound and the broadcast becomes corpus-sized.
     // AQE hides exchanges until execution; plan without it for this check.
     val saved = spark.conf.get("spark.sql.adaptive.enabled")
     try {
