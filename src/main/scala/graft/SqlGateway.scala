@@ -150,7 +150,13 @@ object SqlGateway {
       }
       val body = new String(bodyBytes, UTF_8).trim
       val sql = if (body.nonEmpty) body else params.getOrElse("query", "")
-      if (sql.isEmpty) { respond(ex, 400, "text/plain", "empty query\n"); return }
+      if (sql.isEmpty) {
+        // ClickHouse HTTP parity: a bare GET / is the healthcheck ("Ok.");
+        // an empty POST is a malformed query submission.
+        if (ex.getRequestMethod == "GET") respond(ex, 200, "text/plain", "Ok.\n")
+        else respond(ex, 400, "text/plain", "empty query\n")
+        return
+      }
       val cap = intParam(params, "max_result_rows", DefaultMaxRows, 1, HardMaxRows)
       val timeoutSec = intParam(params, "max_execution_time", DefaultTimeoutSec, 1, MaxTimeoutSec)
       val format = params.getOrElse("format", "JSONEachRow")

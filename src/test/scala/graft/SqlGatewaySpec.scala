@@ -79,6 +79,9 @@ class SqlGatewaySpec extends SparkSpec {
       val fmt = post(port, "SELECT 1", query = "format=Parquet")
       assert(fmt.statusCode() == 400 && fmt.body().contains("unsupported format"))
       assert(post(port, "").statusCode() == 400)
+      // ClickHouse parity: bare GET / is the healthcheck, not an error
+      val bare = get(port, "/")
+      assert(bare.statusCode() == 200 && bare.body() == "Ok.\n")
     }
   }
 
