@@ -225,6 +225,12 @@ class PlanAssertionsSpec extends SparkSpec {
     }
   }
 
+  test("q77: the label-centroid side joins as broadcast; no cartesian") {
+    val p = plan("q77_label_coherence")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q75: per-cluster argmax windows are all keyed; no cartesian anywhere") {
     val qe = SparkEntry.queries("q75_cluster_representatives")(spark, dir).queryExecution
     val globalWindows = qe.sparkPlan.collect {
