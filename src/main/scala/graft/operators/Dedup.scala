@@ -129,15 +129,37 @@ object Dedup {
     */
   private val componentsCache = new graft.SessionCache[DataFrame]
 
+  /** Distinct verified near-dup triples (a_doc, b_doc, jac_micro) over the
+    * FULL corpus shingle index, one per (session, corpus): the band join +
+    * exact verify is the expensive part, and THREE consumers need exactly
+    * this set — q37's scalar output, and the component edges behind
+    * q73/q75. Pair-count-sized (tiny), deterministic.
+    */
+  private val verifiedPairsCache = new graft.SessionCache[DataFrame]
+
+  private[operators] def verifiedPairs(s: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame =
+    verifiedPairsCache.getOrElseUpdate(s, dir)(
+      minhashVerifiedDss(s, TextAnalysis.shingleIndex(s, dir))
+        .select(col("a_doc"), col("b_doc"),
+          floor(col("jac_raw") * 1000000).cast(LongType).as("jac_micro"))
+        .distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
   private[operators] def components(s: org.apache.spark.sql.SparkSession,
       dir: String): DataFrame =
     componentsCache.getOrElseUpdate(s, dir)(
-      connectedComponentsStar(minhashNearDupPairsDss(s, TextAnalysis.shingleIndex(s, dir)))
+      connectedComponentsStar(verifiedPairs(s, dir).select(col("a_doc"), col("b_doc")))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
+  /** Invalidation hook for shingle-index appends: every frame derived
+    * from the pre-append index is a different frame for the grown corpus.
+    */
   private[operators] def invalidateComponents(s: org.apache.spark.sql.SparkSession,
-      dir: String): Unit =
+      dir: String): Unit = {
     componentsCache.remove(s, dir).foreach(_.unpersist())
+    verifiedPairsCache.remove(s, dir).foreach(_.unpersist())
+  }
 
   /** `comp AS (doc_id, root)` CTEs over [[minhashPairCtes]]'s `ndpairs`
     * (requires a WITH RECURSIVE prefix): reachability from each pair
@@ -274,11 +296,10 @@ object Dedup {
       // shingle-set array riding the (4 rows/doc) band rows so the exact
       // verify runs pipelined on the band-join output — one shingling
       // compute (off the shared index), no re-joins; multi-band duplicates
-      // dedupe after verify where rows are 3 scalars, not arrays.
-      minhashVerifiedDss(s, TextAnalysis.shingleIndex(s, dir))
-        .select(col("a_doc"), col("b_doc"),
-          floor(col("jac_raw") * 1000000).cast(LongType).as("jac_micro"))
-        .distinct()
+      // dedupe after verify where rows are 3 scalars, not arrays. The
+      // verified triple set is the shared [[verifiedPairs]] frame —
+      // q73/q75's component edges reuse it.
+      verifiedPairs(s, dir)
         .orderBy(col("a_doc"), col("b_doc"))
     },
 
