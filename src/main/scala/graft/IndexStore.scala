@@ -26,7 +26,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * leaves no marker, so the next session rebuilds instead of loading a
   * torn index. Appends (incremental batches) go through the same
   * committer, so a torn append likewise surfaces as missing files, never
-  * a half-row.
+  * a half-row — and an append that COMMITTED its parquet but lost its
+  * sidecar write is caught by the [[StoreRowsKey]] tripwire (actual store
+  * rows ≠ recorded): the next append refuses and the next tracked load
+  * rebuilds, so an at-least-once replayer can never land silent
+  * duplicates.
   *
   * Every committed entry carries a `_graft_meta` sidecar recording the
   * BUILD's parameters (e.g. the SRP plane family) and the cumulative
@@ -50,6 +54,22 @@ object IndexStore {
 
   /** Sidecar key holding the cumulative indexed corpus row count. */
   val CorpusCountKey = "corpusCount"
+
+  /** Sidecar key holding the store's OWN committed parquet row count —
+    * the torn-append tripwire: a crash between a parquet append's commit
+    * and its sidecar write leaves actual rows ≠ recorded rows, which an
+    * at-least-once replayer would otherwise re-append into SILENT
+    * duplicates (the corpus count alone can't catch that case: the
+    * replay's single sidecar advance lands on the right corpus total).
+    * Appends refuse a mismatched store; loads rebuild it.
+    */
+  val StoreRowsKey = "storeRows"
+
+  /** The committed store's actual parquet row count — metadata-cheap
+    * (row-group footers, no data scan).
+    */
+  private def actualStoreRows(s: SparkSession, path: String): Long =
+    s.read.parquet(path).count()
 
   def configuredDir(s: SparkSession): Option[String] =
     s.conf.getOption(DirConf).map(_.trim).filter(_.nonEmpty)
@@ -171,7 +191,18 @@ object IndexStore {
                   Seq(s"$CorpusCountKey: store=$stored corpus=$current")
                 case _ => Seq.empty
               }
-              val drift = paramDrift ++ countDrift
+              // torn-append tripwire: the store's own rows must match the
+              // sidecar's record (a mismatch = an append committed parquet
+              // but crashed before its sidecar write)
+              val rowsDrift = meta.get(StoreRowsKey).map(_.toLong) match {
+                case Some(recorded) =>
+                  val actual = actualStoreRows(s, path)
+                  if (actual != recorded)
+                    Seq(s"$StoreRowsKey: recorded=$recorded actual=$actual (torn append)")
+                  else Seq.empty
+                case None => Seq.empty // pre-storeRows sidecar
+              }
+              val drift = paramDrift ++ countDrift ++ rowsDrift
               if (drift.nonEmpty)
                 log.warn(s"index store $path is stale (${drift.mkString("; ")}) — rebuilding")
               drift.isEmpty
@@ -179,6 +210,7 @@ object IndexStore {
         if (!fresh) {
           build.write.mode("overwrite").parquet(path)
           writeMeta(s, path, params ++
+            Map(StoreRowsKey -> actualStoreRows(s, path).toString) ++
             (if (current >= 0) Map(CorpusCountKey -> current.toString) else Map.empty))
         }
         s.read.parquet(path)
@@ -203,17 +235,34 @@ object IndexStore {
     val root = configuredDir(s).getOrElse(throw new IllegalStateException(
       s"IndexStore.append: no index store configured — set $DirConf"))
     val path = storePath(root, corpusDir, name)
+    // Torn-append tripwire BEFORE writing: if a previous append committed
+    // parquet but crashed before its sidecar write, the actual rows
+    // disagree with the record — appending again would double that
+    // increment SILENTLY (its sidecar advance still lands on the right
+    // corpus total). Refuse loudly; the caller rebuilds via a tracked
+    // load, which sees the same mismatch.
+    val metaBefore = readMeta(s, path)
+    metaBefore.flatMap(_.get(StoreRowsKey)).map(_.toLong).foreach { recorded =>
+      val actual = actualStoreRows(s, path)
+      if (actual != recorded)
+        throw new IllegalStateException(
+          s"IndexStore.append: $path has $actual rows but the sidecar records " +
+            s"$recorded — a previous append tore (parquet committed, sidecar " +
+            "lost). Rebuild the store (any tracked load does) before appending.")
+    }
     rows.write.mode("append").parquet(path)
     // `extraMeta` (e.g. a streaming maintainer's applied-batch marker)
-    // lands in the SAME sidecar write that advances the count, so a
-    // reader never sees the marker without the count it belongs to.
-    if (incrementCount >= 0 || extraMeta.nonEmpty) readMeta(s, path).foreach { meta =>
+    // lands in the SAME sidecar write that advances the count and the
+    // store-rows record, so a reader never sees one without the others.
+    if (metaBefore.isDefined || extraMeta.nonEmpty) {
+      val meta = metaBefore.getOrElse(Map.empty)
       val advanced = meta.get(CorpusCountKey).map(_.toLong) match {
         case Some(stored) if incrementCount >= 0 =>
           meta.updated(CorpusCountKey, (stored + incrementCount).toString)
         case _ => meta
       }
-      writeMeta(s, path, advanced ++ extraMeta)
+      writeMeta(s, path,
+        advanced ++ Map(StoreRowsKey -> actualStoreRows(s, path).toString) ++ extraMeta)
     }
   }
 }

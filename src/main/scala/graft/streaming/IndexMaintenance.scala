@@ -17,14 +17,14 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * Delivery semantics: foreachBatch is at-least-once — a restart replays
   * the last uncommitted micro-batch — so the applied batch id is recorded
   * in the store's sidecar IN THE SAME metadata write that advances the
-  * corpus count, and a batch id ≤ the recorded marker is skipped
-  * (exactly-once in the common path). The one unprotected window — a
-  * crash after the parquet append commits but before the sidecar write —
-  * re-appends on replay; the doubly-advanced corpus count then disagrees
-  * with the corpus at the next tracked load and the store REBUILDS loudly
-  * (the staleness tripwire self-heals the duplicates). Single maintainer
-  * per store entry, per [[graft.IndexStore.append]]'s single-writer
-  * contract.
+  * corpus count and the store-rows record, and a batch id ≤ the recorded
+  * marker is skipped (exactly-once in the common path). The remaining
+  * window — a crash after the parquet append commits but before the
+  * sidecar write — is caught by [[graft.IndexStore]]'s store-rows
+  * tripwire: the replayed append sees actual parquet rows ≠ the sidecar's
+  * record and REFUSES (loudly) instead of landing the batch twice, and
+  * any tracked load of the torn store rebuilds it. Single maintainer per
+  * store entry, per [[graft.IndexStore.append]]'s single-writer contract.
   *
   * Bootstrap the store with a batch build (possibly over an empty frame)
   * before attaching a maintainer — SRP appends refuse metadata-less

@@ -247,6 +247,42 @@ class IndexStoreSpec extends SparkSpec {
     assert(meta.flatMap(_.get(IndexStore.CorpusCountKey)).contains(emb.count().toString))
   }
 
+  test("a torn append (parquet committed, sidecar lost) never serves silent duplicates") {
+    val root = tmp("graft_idx_torn_append")
+    val docs = Tables.load(spark, dir, "documents")
+    val t = docs.selectExpr("(max(doc_id) * 8) div 10 AS t").collect()(0).getLong(0)
+    val inc = docs.filter(col("doc_id") >= t)
+
+    // build on the old slice, then append the increment CLEANLY
+    val sA = spark.newSession()
+    sA.conf.set(IndexStore.DirConf, root)
+    operators.TextAnalysis.buildShingleIndex(sA, dir, docs.filter(col("doc_id") < t))
+    operators.TextAnalysis.appendToShingleIndex(sA, dir, inc)
+
+    // simulate an at-least-once REPLAY whose first attempt committed
+    // parquet but crashed before the sidecar write: the increment's rows
+    // land a second time, the sidecar does not move. The corpus count
+    // alone can NOT catch this — it already matches the corpus.
+    val storePath = IndexStore.storePath(root, dir, operators.TextAnalysis.ShingleStoreName)
+    operators.TextAnalysis.docShingleSets(inc).write.mode("append").parquet(storePath)
+    assert(IndexStore.readMeta(sA, storePath).flatMap(_.get(IndexStore.CorpusCountKey))
+      .contains(docs.count().toString), "precondition: corpus count looks right")
+
+    // the replayer's re-append must refuse loudly, not double the batch
+    val e = intercept[IllegalStateException] {
+      operators.TextAnalysis.appendToShingleIndex(sA, dir, inc)
+    }
+    assert(e.getMessage.contains("tore"), e.getMessage)
+
+    // and a tracked load rebuilds: exactly one row per doc, no duplicates
+    val sB = spark.newSession()
+    sB.conf.set(IndexStore.DirConf, root)
+    val served = operators.TextAnalysis.shingleIndex(sB, dir)
+    assert(served.count() == docs.count(), "rebuild must purge the duplicated batch")
+    assert(shingleContent(served) ==
+      shingleContent(operators.TextAnalysis.docShingleSets(docs)))
+  }
+
   test("servedFrom evaluates the by-name corpusCount at most once per call") {
     val root = tmp("graft_idx_count_once")
     val s = spark.newSession()
