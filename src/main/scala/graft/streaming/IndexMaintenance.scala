@@ -32,6 +32,17 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * family). Maintainers invalidate their own session's cache tier; other
   * long-lived sessions pick up the grown store at their next fresh load
   * (cross-session freshness is the store's job, not the cache's).
+  *
+  * Recovery: a maintainer that hits a torn store fails its streaming
+  * query with the tripwire's instructions (the safe direction — it must
+  * not append into an inconsistent store). Repair = a tracked batch load
+  * (rebuilds from the corpus) or a manual build; the rebuild's fresh
+  * sidecar no longer carries this stream's batch marker, so the restarted
+  * maintainer re-applies its last uncommitted batch as a NEW append —
+  * correct when the rebuild corpus did not include that batch's docs, and
+  * otherwise the corpus-count tripwire flags the double-count on the next
+  * load. Restart with a fresh checkpoint after a rebuild that already
+  * covers the in-flight batch.
   */
 object IndexMaintenance {
 
