@@ -67,11 +67,14 @@ object AnnBench {
   private def fmt(v: Double) =
     String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
 
-  /** Minimal JSON string literal (a path may carry quotes/backslashes). */
+  /** Minimal JSON string literal (a path may carry quotes, backslashes —
+    * or control characters, which JSON forbids raw in strings).
+    */
   private def jstr(s: String): String =
     s.flatMap {
       case '"' => "\\\""
       case '\\' => "\\\\"
+      case c if c < 0x20 => "\\u%04x".format(c.toInt)
       case c => c.toString
     }.mkString("\"", "", "\"")
 

@@ -65,11 +65,34 @@ object IndexStore {
     */
   val StoreRowsKey = "storeRows"
 
-  /** The committed store's actual parquet row count — metadata-cheap
-    * (row-group footers, no data scan).
+  /** Full-store footer-count scans performed — spec observability for the
+    * append-cost contract: ONE full scan per append (the torn-append
+    * tripwire pre-check), never a second for the post-append record.
     */
-  private def actualStoreRows(s: SparkSession, path: String): Long =
+  private[graft] val fullStoreScans = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** The committed store's actual parquet row count — metadata-cheap per
+    * file (row-group footers, no data scan) but O(files) in the store, so
+    * a long-lived appender pays more per call as files accumulate;
+    * [[compact]] bounds that.
+    */
+  private def actualStoreRows(s: SparkSession, path: String): Long = {
+    fullStoreScans.incrementAndGet()
     s.read.parquet(path).count()
+  }
+
+  /** The store's data files (parquet parts — `_SUCCESS`, sidecars and
+    * hidden files excluded).
+    */
+  private def dataFiles(s: SparkSession, path: String): Set[String] = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Set.empty
+    else fs.listStatus(p).iterator.filter { st =>
+      val n = st.getPath.getName
+      st.isFile && !n.startsWith("_") && !n.startsWith(".")
+    }.map(_.getPath.toString).toSet
+  }
 
   def configuredDir(s: SparkSession): Option[String] =
     s.conf.getOption(DirConf).map(_.trim).filter(_.nonEmpty)
@@ -242,7 +265,8 @@ object IndexStore {
     // corpus total). Refuse loudly; the caller rebuilds via a tracked
     // load, which sees the same mismatch.
     val metaBefore = readMeta(s, path)
-    metaBefore.flatMap(_.get(StoreRowsKey)).map(_.toLong).foreach { recorded =>
+    val recordedRows = metaBefore.flatMap(_.get(StoreRowsKey)).map(_.toLong)
+    recordedRows.foreach { recorded =>
       val actual = actualStoreRows(s, path)
       if (actual != recorded)
         throw new IllegalStateException(
@@ -250,11 +274,26 @@ object IndexStore {
             s"$recorded — a previous append tore (parquet committed, sidecar " +
             "lost). Rebuild the store (any tracked load does) before appending.")
     }
+    val trackMeta = metaBefore.isDefined || extraMeta.nonEmpty
+    val filesBefore = if (trackMeta) dataFiles(s, path) else Set.empty[String]
     rows.write.mode("append").parquet(path)
     // `extraMeta` (e.g. a streaming maintainer's applied-batch marker)
     // lands in the SAME sidecar write that advances the count and the
     // store-rows record, so a reader never sees one without the others.
-    if (metaBefore.isDefined || extraMeta.nonEmpty) {
+    if (trackMeta) {
+      // O(increment) post-append record: the pre-check just proved
+      // recorded == actual, so the new total is recorded + the rows in
+      // THIS append's files — a footer count over the increment's files
+      // only, not a second full-store scan (which would make a streaming
+      // maintainer's per-batch cost grow with the day's accumulated
+      // files). A pre-storeRows sidecar pays one full scan to upgrade.
+      val newFiles = (dataFiles(s, path) -- filesBefore).toSeq.sorted
+      val written =
+        if (newFiles.isEmpty) 0L else s.read.parquet(newFiles: _*).count()
+      val storeRowsNow = recordedRows match {
+        case Some(recorded) => recorded + written
+        case None => actualStoreRows(s, path)
+      }
       val meta = metaBefore.getOrElse(Map.empty)
       val advanced = meta.get(CorpusCountKey).map(_.toLong) match {
         case Some(stored) if incrementCount >= 0 =>
@@ -262,7 +301,59 @@ object IndexStore {
         case _ => meta
       }
       writeMeta(s, path,
-        advanced ++ Map(StoreRowsKey -> actualStoreRows(s, path).toString) ++ extraMeta)
+        advanced ++ Map(StoreRowsKey -> storeRowsNow.toString) ++ extraMeta)
     }
+  }
+
+  /** Rewrite the store entry into `targetRowsPerFile`-sized parquet files,
+    * preserving rows and sidecar verbatim — the maintenance hook that
+    * bounds a long-lived appender's file count (every micro-batch append
+    * adds a file set, and both the torn-append tripwire's pre-check and
+    * any footer count are O(files); same posture as the warehouse's
+    * monthly compaction). Crash-clean by staging: the compacted copy is
+    * fully written and row-verified at a `.compacting` sibling before a
+    * delete+rename swap publishes it. A crash before the swap leaves the
+    * live store untouched (plus an orphaned staging dir); a crash between
+    * delete and rename leaves NO committed store, which every tracked
+    * load reads as "rebuild" — never a half-compacted serve. Single-writer
+    * contract as for [[append]].
+    */
+  def compact(s: SparkSession, corpusDir: String, name: String,
+      targetRowsPerFile: Long = 4L << 20): Unit = {
+    require(targetRowsPerFile > 0, s"bad targetRowsPerFile $targetRowsPerFile")
+    val root = configuredDir(s).getOrElse(throw new IllegalStateException(
+      s"IndexStore.compact: no index store configured — set $DirConf"))
+    val path = storePath(root, corpusDir, name)
+    if (!committed(s, path)) throw new IllegalStateException(
+      s"IndexStore.compact: no committed store at $path")
+    val meta = readMeta(s, path)
+    val actual = actualStoreRows(s, path)
+    // tripwire before touching anything: compacting a torn store would
+    // LAUNDER its duplicates into a clean-looking file set
+    meta.flatMap(_.get(StoreRowsKey)).map(_.toLong).foreach { recorded =>
+      if (actual != recorded)
+        throw new IllegalStateException(
+          s"IndexStore.compact: $path has $actual rows but the sidecar " +
+            s"records $recorded (torn append) — rebuild before compacting.")
+    }
+    val files = math.max(1L, (actual + targetRowsPerFile - 1) / targetRowsPerFile)
+    val staging = path + ".compacting"
+    val p = new Path(path)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(staging), true) // a prior crash's orphan
+    s.read.parquet(path).repartition(files.toInt)
+      .write.mode("overwrite").parquet(staging)
+    val compactedRows = s.read.parquet(staging).count() // O(few files)
+    if (compactedRows != actual) {
+      fs.delete(new Path(staging), true)
+      throw new IllegalStateException(
+        s"IndexStore.compact: staged copy has $compactedRows rows, store has " +
+          s"$actual — aborted, live store untouched.")
+    }
+    meta.foreach(writeMeta(s, staging, _)) // sidecar rides the swap
+    if (!fs.delete(p, true))
+      throw new java.io.IOException(s"IndexStore.compact: delete $path failed")
+    if (!fs.rename(new Path(staging), p))
+      throw new java.io.IOException(s"IndexStore.compact: rename $staging -> $path failed")
   }
 }

@@ -145,8 +145,18 @@ object SqlGateway {
       // bounded read: at most cap+1 bytes ever reach the heap
       val bodyBytes = ex.getRequestBody.readNBytes(MaxBodyBytes + 1)
       if (bodyBytes.length > MaxBodyBytes) {
+        // Tell the HttpServer not to reuse this connection before
+        // responding: the unread remainder of an oversized body would
+        // otherwise sit in a keep-alive connection the server then tries
+        // to read the NEXT request from (a stall or reset for a client
+        // still mid-send). Connection: close lets the server discard the
+        // socket without draining an attacker-sized stream onto the heap's
+        // time budget.
+        ex.getResponseHeaders.set("Connection", "close")
         respond(ex, 413, "text/plain",
-          s"request body exceeds $MaxBodyBytes bytes\n"); return
+          s"request body exceeds $MaxBodyBytes bytes\n")
+        ex.close()
+        return
       }
       val body = new String(bodyBytes, UTF_8).trim
       val sql = if (body.nonEmpty) body else params.getOrElse("query", "")

@@ -225,9 +225,9 @@ object Ivf {
     * equi-join, and survivors are exactly re-scored with `score`
     * (column-level, e.g. the DECIMAL-fold dot) for the final top-k.
     * A query set whose embeddings outgrow `maxBroadcastElems` reranks in
-    * `q_id % chunks` slices ([[Sizing.broadcastChunks]] — exact, since
-    * per-query top-k is independent); small query sets derive chunks = 1
-    * with no extra action.
+    * hash-sliced chunks ([[Sizing.broadcastChunks]]/[[Sizing.chunkSlice]]
+    * — exact, since per-query top-k is independent); small query sets
+    * derive chunks = 1 with no extra action.
     */
   def annTopK(e: DataFrame, eqf: DataFrame, cents: DataFrame,
               numQueries: Int, probes: Int, topK: Int,
@@ -263,8 +263,8 @@ object Ivf {
     val body =
       if (chunks == 1) rerank(cand, qe)
       else (0 until chunks).map { i =>
-        rerank(cand.filter(pmod(col("q_id"), lit(chunks)) === i),
-          qe.filter(pmod(col("q_id"), lit(chunks)) === i))
+        rerank(cand.filter(Sizing.chunkSlice(col("q_id"), chunks) === i),
+          qe.filter(Sizing.chunkSlice(col("q_id"), chunks) === i))
       }.reduce(_ union _)
     body
       .select(col("q_id"), col("rk"), col("vec_id").as("neighbor_id"),

@@ -66,12 +66,16 @@ object Sizing {
     */
   val MaxQueryBroadcastElems: Long = 16L << 20
 
-  /** Highest embedding width assumed WITHOUT probing a row: while
-    * nq ≤ budget/4096 even a 4096-wide query set fits one broadcast, so
-    * the common path (small query sets) derives chunks = 1 with zero
-    * extra Spark actions.
+  /** Highest embedding width the NO-PROBE fast path must stay safe for:
+    * while nq ≤ budget/65536, even a 65536-wide query set fits one
+    * broadcast, so the common path (small query sets — every fixture
+    * query) derives chunks = 1 with zero extra Spark actions. Any wider
+    * row makes the unprobed broadcast exceed the budget by dims/65536× —
+    * 64k dims is ~16× past every published embedding family, so this is
+    * a documented hard assumption, not a live risk; past the bound the
+    * real width IS probed (one 1-row collect) and the derivation exact.
     */
-  val MaxDimNoProbe = 4096
+  val MaxDimNoProbe = 65536
 
   /** Number of `q_id % chunks` slices a query-set broadcast needs so each
     * slice carries ≤ `maxElems` embedding scalars. `dims` is by-name and
@@ -91,4 +95,18 @@ object Sizing {
       math.max(1L, (nq * d + maxElems - 1) / maxElems).toInt
     }
   }
+
+  /** The slice a query row falls in when its broadcast is chunked:
+    * `pmod(xxhash64(q_id), chunks)`, NOT raw `q_id % chunks` — a
+    * structured id set (all-even ids, strided shard ids) lands uniformly
+    * mod a hash but can pile into one slice mod a small chunk count,
+    * re-concentrating the very broadcast the chunking just split. Any
+    * deterministic partition of the query set keeps the result EXACT
+    * (per-query answers are independent); the hash only defends the
+    * per-slice memory bound.
+    */
+  def chunkSlice(id: org.apache.spark.sql.Column, chunks: Int): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.pmod(
+      org.apache.spark.sql.functions.xxhash64(id),
+      org.apache.spark.sql.functions.lit(chunks.toLong))
 }

@@ -46,6 +46,8 @@ import org.apache.spark.sql.streaming.StreamingQuery
   */
 object IndexMaintenance {
 
+  private val log = org.slf4j.LoggerFactory.getLogger("graft.IndexMaintenance")
+
   /** Sidecar key carrying the highest applied micro-batch id of `stream`. */
   private[graft] def markerKey(stream: String) = s"lastBatch.$stream"
 
@@ -55,14 +57,43 @@ object IndexMaintenance {
       .flatMap(_.get(markerKey(stream)).flatMap(_.toLongOption))
       .getOrElse(-1L)
 
+  /** The replay guard, with every skip LOGGED: `batchId == marker` is the
+    * expected at-least-once shape (same-checkpoint operation only ever
+    * replays the last uncommitted batch) and logs at info; `batchId <
+    * marker` is only reachable when the maintainer restarted from a FRESH
+    * or rolled-back checkpoint against a store whose sidecar outlived it —
+    * its batches restart at 0 and every one is silently dropped until the
+    * id catches the marker — so it logs a loud warning naming the repair
+    * (a new stream name, or clearing the marker, if this is genuinely a
+    * new incarnation of the stream). The marker stays authoritative either
+    * way: keying it on the run id instead would break the legitimate
+    * restart replay (every restart has a fresh run id, and its first
+    * batch is usually a replay that MUST be skipped).
+    */
+  private def shouldApply(batchId: Long, marker: Long, stream: String,
+      corpusDir: String): Boolean =
+    batchId > marker || {
+      if (batchId < marker)
+        log.warn(s"IndexMaintenance: DROPPING batch $batchId of stream " +
+          s"'$stream' for $corpusDir — the store's marker is already at " +
+          s"$marker, which a same-checkpoint replay can never trail. The " +
+          "maintainer looks restarted from a fresh/rolled-back checkpoint " +
+          "against a store that outlived it; if this is a new incarnation " +
+          "of the stream, use a new stream name or clear the marker.")
+      else
+        log.info(s"IndexMaintenance: skipping replayed batch $batchId of " +
+          s"stream '$stream' for $corpusDir (marker $marker) — already applied.")
+      false
+    }
+
   /** Apply one micro-batch of `(doc_id, text, …)` documents to the
     * shingle store; false = this batch id was already applied (a
     * foreachBatch replay) and nothing ran.
     */
   private[graft] def applyDocsBatch(s: SparkSession, corpusDir: String,
       stream: String, batchId: Long, docs: DataFrame): Boolean =
-    (batchId > lastApplied(s, corpusDir,
-      graft.operators.TextAnalysis.ShingleStoreName, stream)) && {
+    shouldApply(batchId, lastApplied(s, corpusDir,
+      graft.operators.TextAnalysis.ShingleStoreName, stream), stream, corpusDir) && {
       graft.operators.TextAnalysis.appendToShingleIndex(s, corpusDir, docs,
         Map(markerKey(stream) -> batchId.toString))
       true
@@ -73,8 +104,8 @@ object IndexMaintenance {
     */
   private[graft] def applyEmbeddingsBatch(s: SparkSession, corpusDir: String,
       stream: String, batchId: Long, embeddings: DataFrame): Boolean =
-    (batchId > lastApplied(s, corpusDir,
-      graft.operators.Similarity.SrpStoreName, stream)) && {
+    shouldApply(batchId, lastApplied(s, corpusDir,
+      graft.operators.Similarity.SrpStoreName, stream), stream, corpusDir) && {
       graft.operators.Similarity.appendToSrpIndex(s, corpusDir, embeddings,
         Map(markerKey(stream) -> batchId.toString))
       true

@@ -414,6 +414,152 @@ class IndexStoreSpec extends SparkSpec {
     assert(viaStore == direct, "stream-maintained store must equal full recompute")
   }
 
+  test("SRP append invalidates the session IVF model: the next serve re-runs the refresh policy") {
+    val root = tmp("graft_idx_ivf_inval")
+    val s = spark.newSession()
+    s.conf.set(IndexStore.DirConf, root)
+    val emb = Tables.load(s, dir, "embeddings")
+    val n = emb.count()
+    val slice = emb.filter(col("vec_id") < n / 10)
+    // "yesterday": the store holds an SRP index and an IVF model that both
+    // cover only the 10% slice
+    operators.Similarity.buildSrpIndex(s, dir, slice)
+    val modelPath = IndexStore.storePath(root, dir, "ivf_model")
+    val m0 = operators.Ivf.fit(operators.Ivf.quantize(slice), 4)
+    operators.Ivf.save(s, modelPath, m0)
+
+    // first serve against the slice corpus: growth 1.0 → the stored model
+    // serves, and the session cache now holds it
+    val served0 = operators.Similarity.ivfModel(s, dir, operators.Ivf.quantize(slice))
+    assert(served0.n == m0.n)
+
+    // the append grows the indexed corpus 10x past the cached fit …
+    operators.Similarity.appendToSrpIndex(s, dir, emb.filter(col("vec_id") >= n / 10))
+
+    // … so the next serve IN THE SAME SESSION must re-run servedModel's
+    // refresh policy against the grown corpus and refit (the bug this
+    // pins: the session cache hit first and kept serving the slice-fit
+    // centroids until a new session).
+    val served1 = operators.Similarity.ivfModel(s, dir, operators.Ivf.quantize(emb))
+    assert(served1.n == n,
+      s"expected a refit on the 10x-grown corpus, served a model fit on ${served1.n} rows")
+    assert(operators.Ivf.load(s, modelPath).exists(_.n == n),
+      "the refit must also overwrite the stored model")
+  }
+
+  test("append records the grown store-rows with ONE full-store scan (the tripwire pre-check)") {
+    val root = tmp("graft_idx_scan_once")
+    val s = spark.newSession()
+    s.conf.set(IndexStore.DirConf, root)
+    val docs = Tables.load(s, dir, "documents")
+    val t = docs.selectExpr("(max(doc_id) * 8) div 10 AS t").collect()(0).getLong(0)
+    operators.TextAnalysis.buildShingleIndex(s, dir, docs.filter(col("doc_id") < t))
+    val storePath = IndexStore.storePath(root, dir, operators.TextAnalysis.ShingleStoreName)
+
+    val before = IndexStore.fullStoreScans.get()
+    operators.TextAnalysis.appendToShingleIndex(s, dir, docs.filter(col("doc_id") >= t))
+    assert(IndexStore.fullStoreScans.get() - before == 1,
+      "an append must footer-count the WHOLE store exactly once (the torn-append " +
+        "pre-check) — the post-append record is recorded + the increment files' count")
+    // and the O(increment) record is still exact: sidecar == actual rows
+    assert(IndexStore.readMeta(s, storePath).flatMap(_.get(IndexStore.StoreRowsKey))
+      .map(_.toLong).contains(s.read.parquet(storePath).count()))
+  }
+
+  test("compaction bounds the store's files; rows, sidecar and serving unchanged") {
+    val root = tmp("graft_idx_compact")
+    val s = spark.newSession()
+    s.conf.set(IndexStore.DirConf, root)
+    val docs = Tables.load(s, dir, "documents")
+    val Array(t1, t2) = docs
+      .selectExpr("(max(doc_id) * 6) div 10 AS t1", "(max(doc_id) * 8) div 10 AS t2")
+      .collect().map(r => Array(r.getLong(0), r.getLong(1))).head
+    // a build plus an append: the file count a long-lived maintainer grows
+    operators.TextAnalysis.buildShingleIndex(s, dir, docs.filter(col("doc_id") < t1))
+    operators.TextAnalysis.appendToShingleIndex(s, dir,
+      docs.filter(col("doc_id") >= t1 && col("doc_id") < t2))
+    val storePath = IndexStore.storePath(root, dir, operators.TextAnalysis.ShingleStoreName)
+    def partFiles(): Seq[String] = {
+      val p = new org.apache.hadoop.fs.Path(storePath)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(p).toSeq.map(_.getPath.getName)
+        .filter(n => n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith("."))
+    }
+    val filesBefore = partFiles().size
+    val metaBefore = IndexStore.readMeta(s, storePath)
+    val rowsBefore = s.read.parquet(storePath).count()
+
+    IndexStore.compact(s, dir, operators.TextAnalysis.ShingleStoreName)
+    assert(partFiles().size == 1, s"default target must compact to one file, got ${partFiles()}")
+    assert(partFiles().size < filesBefore, "compaction must actually shrink the file count")
+    assert(IndexStore.readMeta(s, storePath) == metaBefore,
+      "the sidecar (counts, params, markers) must ride the swap verbatim")
+    assert(s.read.parquet(storePath).count() == rowsBefore)
+
+    // the compacted store is still appendable (tripwire agrees) and a
+    // fresh session serves old∪new == the full recompute
+    operators.TextAnalysis.appendToShingleIndex(s, dir, docs.filter(col("doc_id") >= t2))
+    val sB = spark.newSession()
+    sB.conf.set(IndexStore.DirConf, root)
+    assert(shingleContent(operators.TextAnalysis.shingleIndex(sB, dir)) ==
+      shingleContent(operators.TextAnalysis.docShingleSets(docs)))
+  }
+
+  test("maintainer replay after a torn-store rebuild: corpus-count tripwire flags the next tracked load") {
+    // The documented recovery edge (IndexMaintenance scaladoc), pinned
+    // end-to-end: torn store → tracked-load rebuild that already covers
+    // the in-flight batch → restarted maintainer re-applies it as a NEW
+    // append → the NEXT tracked load sees the corpus-count drift and
+    // rebuilds (no silent duplicates survive).
+    val root = tmp("graft_idx_replay_edge")
+    val docs = Tables.load(spark, dir, "documents")
+    val t = docs.selectExpr("(max(doc_id) * 8) div 10 AS t").collect()(0).getLong(0)
+    val inc = docs.filter(col("doc_id") >= t)
+    val stream = "shingle_maintenance"
+
+    val sA = spark.newSession()
+    sA.conf.set(IndexStore.DirConf, root)
+    operators.TextAnalysis.buildShingleIndex(sA, dir, docs.filter(col("doc_id") < t))
+    // the maintainer's batch 0 TEARS: parquet commits, the sidecar write
+    // (count advance + batch marker) is lost
+    val storePath = IndexStore.storePath(root, dir, operators.TextAnalysis.ShingleStoreName)
+    operators.TextAnalysis.docShingleSets(inc).write.mode("append").parquet(storePath)
+
+    // a restarted maintainer replaying batch 0 must REFUSE (store torn)
+    val torn = intercept[IllegalStateException] {
+      streaming.IndexMaintenance.applyDocsBatch(sA, dir, stream, 0L, inc)
+    }
+    assert(torn.getMessage.contains("tore"), torn.getMessage)
+
+    // repair: a tracked load rebuilds from the FULL corpus — the rebuild
+    // already covers the in-flight batch, and its fresh sidecar carries
+    // no batch marker for the stream
+    val sB = spark.newSession()
+    sB.conf.set(IndexStore.DirConf, root)
+    assert(shingleContent(operators.TextAnalysis.shingleIndex(sB, dir)) ==
+      shingleContent(operators.TextAnalysis.docShingleSets(docs)))
+    assert(IndexStore.readMeta(sB, storePath)
+      .forall(!_.contains(streaming.IndexMaintenance.markerKey(stream))))
+
+    // the maintainer restarts with its old checkpoint: batch 0 re-applies
+    // as a NEW append (marker gone — nothing refuses it) and double-counts
+    val applied = streaming.IndexMaintenance.applyDocsBatch(sB, dir, stream, 0L, inc)
+    assert(applied, "post-rebuild, the replayed batch lands as a new append")
+    assert(IndexStore.readMeta(sB, storePath).flatMap(_.get(IndexStore.CorpusCountKey))
+      .map(_.toLong).contains(docs.count() + inc.count()),
+      "precondition: the sidecar now over-counts the corpus")
+
+    // … and the NEXT tracked load flags the drift and rebuilds clean
+    val sC = spark.newSession()
+    sC.conf.set(IndexStore.DirConf, root)
+    val served = operators.TextAnalysis.shingleIndex(sC, dir)
+    assert(served.count() == docs.count(), "rebuild must purge the duplicated batch")
+    assert(shingleContent(served) ==
+      shingleContent(operators.TextAnalysis.docShingleSets(docs)))
+    assert(IndexStore.readMeta(sC, storePath).flatMap(_.get(IndexStore.CorpusCountKey))
+      .contains(docs.count().toString))
+  }
+
   test("IVF refresh policy: ≥2x corpus growth refits; small drift serves the stored model") {
     val root = tmp("graft_idx_ivf_refresh")
     val s = spark.newSession()

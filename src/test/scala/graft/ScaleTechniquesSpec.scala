@@ -59,6 +59,18 @@ class ScaleTechniquesSpec extends SparkSpec {
     assert((100000L * 1536 + chunks - 1) / chunks <= Sizing.MaxQueryBroadcastElems)
   }
 
+  test("chunkSlice spreads structured (all-even) id sets across every slice") {
+    import spark.implicits._
+    import graft.operators.Sizing
+    // Raw `q_id % 2` would put ALL of these in slice 0, re-concentrating
+    // the broadcast the chunking just split; the hash slice must not.
+    val ids = (0L until 1000L).map(_ * 2).toDF("q_id")
+    val counts = ids.groupBy(Sizing.chunkSlice(col("q_id"), 2).as("slice"))
+      .count().collect().map(r => r.getLong(1)).toSeq
+    assert(counts.length == 2, s"both slices must be populated, got $counts")
+    assert(counts.forall(_ > 250), s"hash slices badly skewed: $counts")
+  }
+
   test("chunked query-set broadcast: 1k-dim cosine top-k equals the single-broadcast answer") {
     import spark.implicits._
     import graft.operators.{Similarity, Sizing}
@@ -71,7 +83,7 @@ class ScaleTechniquesSpec extends SparkSpec {
     val nq = 12L
     val single = Similarity.cosineTopK(e, e.filter(col("vec_id") < nq), 3, nQueries = nq)
     assert(!single.queryExecution.optimizedPlan.toString.contains("Union"))
-    // 3000-element budget: 12 × 1000 dims → 4 id-sliced chunks
+    // 3000-element budget: 12 × 1000 dims → 4 hash-sliced chunks
     val chunked = Similarity.cosineTopK(e, e.filter(col("vec_id") < nq), 3, nQueries = nq,
       maxBroadcastElems = 3000)
     assert(chunked.queryExecution.optimizedPlan.toString.contains("Union"),
