@@ -41,6 +41,13 @@ object Dedup {
     */
   private[graft] val DfCap = 64
 
+  /** Overlap-coefficient (containment) threshold for q79: |A∩B|/min(|A|,|B|)
+    * ≥ 0.8 — the doc-inside-doc duplicates Jaccard structurally misses (a
+    * quote of a tenth of a long document caps its Jaccard at ~0.1 however
+    * exact the copy is, while its containment is ~1.0).
+    */
+  private val ContainmentThreshold = 0.8
+
   /** Minhash permutation family: ONE md5 per distinct shingle, then 16
     * affine transforms `(a_j·h + b_j) mod p` over the Mersenne prime
     * p = 2^31−1 (products < 2^62, no BIGINT overflow in either engine).
@@ -423,6 +430,66 @@ object Dedup {
         .orderBy(col("root"))
     },
 
+    // ----- duplication-degree profile (corpus-health diagnostic) ----------
+    // The report a pipeline runs BEFORE deciding how aggressively to dedup:
+    // how many docs have 1, 2, … verified near-dup partners (degree in the
+    // q37 pair graph). A fat tail here means boilerplate/template content
+    // (cluster-level dedup pays off); a thin one means pairwise drops
+    // suffice. Rides the shared verified-pairs frame — the marginal cost
+    // over q37 is two tiny aggregations over pair-count-sized rows.
+    QuerySpec("q78_dup_degree_profile")(
+      s"""WITH $shingleCtes,
+        |$minhashPairCtes,
+        |deg AS (SELECT doc_id, count(*) AS dup_degree FROM (
+        |    SELECT a_doc AS doc_id FROM ndpairs
+        |    UNION ALL SELECT b_doc AS doc_id FROM ndpairs)
+        |  GROUP BY doc_id)
+        |SELECT dup_degree, count(*) AS n_docs, min(doc_id) AS example_doc
+        |FROM deg GROUP BY dup_degree
+        |ORDER BY dup_degree""".stripMargin) { (s, dir) =>
+      val vp = verifiedPairs(s, dir)
+      vp.select(col("a_doc").as("doc_id"))
+        .unionAll(vp.select(col("b_doc").as("doc_id")))
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("dup_degree"))
+        .groupBy(col("dup_degree"))
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("example_doc"))
+        .orderBy(col("dup_degree"))
+    },
+
+    // ----- containment (overlap-coefficient) near-dup ---------------------
+    // Same df-capped candidate machinery as q36a, different similarity:
+    // |A∩B| / min(|A|,|B|) — the doc-inside-doc measure. The prune bound
+    // adapts: contain_upper = (n_cap + min(h_a, h_b)) / min(n_a, n_b) ≥
+    // the true coefficient (the capped count undercounts by at most the
+    // smaller doc's hot-shingle count), so pruning below θ is sound and
+    // the exact verify only touches the containment frontier. Integer
+    // micro-units ((n_inter·1e6) div min) — exact in both engines, no
+    // float boundary.
+    QuerySpec("q79_containment_neardup")(
+      s"""WITH $shingleCtes,
+        |sdf AS (SELECT s, count(*) AS df FROM sh GROUP BY s),
+        |cand AS (SELECT DISTINCT a.doc_id AS a_doc, b.doc_id AS b_doc
+        |         FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |         JOIN sdf ON sdf.s = a.s
+        |         WHERE sdf.df <= $DfCap)
+        |SELECT c.a_doc, c.b_doc, i.n_inter, na.ns AS n_a, nb.ns AS n_b,
+        |  (i.n_inter * 1000000) // least(na.ns, nb.ns) AS contain_micro,
+        |  $jacMicroSql
+        |FROM cand c
+        |JOIN inter i ON c.a_doc = i.a_doc AND c.b_doc = i.b_doc
+        |JOIN nsh na ON c.a_doc = na.doc_id
+        |JOIN nsh nb ON c.b_doc = nb.doc_id
+        |WHERE (i.n_inter * 1000000) // least(na.ns, nb.ns) >= ${(ContainmentThreshold * 1e6).toLong}
+        |ORDER BY c.a_doc, c.b_doc""".stripMargin) { (s, dir) =>
+      pairContainmentCapped(TextAnalysis.shingleIndex(s, dir), DfCap)
+        .filter(col("contain_micro") >= (ContainmentThreshold * 1e6).toLong)
+        .select(col("a_doc"), col("b_doc"), col("n_inter"),
+          col("n_a").cast(LongType).as("n_a"), col("n_b").cast(LongType).as("n_b"),
+          col("contain_micro"),
+          floor(col("jac_raw") * 1000000).cast(LongType).as("jac_micro"))
+        .orderBy(col("a_doc"), col("b_doc"))
+    },
+
     // ----- SimHash (TF-weighted, 60-bit) + banded hamming join ------------
     QuerySpec("q38_simhash") {
       val h = hex60Sql("tok")
@@ -737,24 +804,57 @@ object Dedup {
     */
   private[graft] def pairJaccardCapped(dss: DataFrame, dfCap: Int,
       theta: Double = JaccardThreshold): DataFrame = {
-    // h(doc) = how many of the doc's shingles are hot (df > cap). The
-    // hot-shingle set is small (≤ shingle_rows/cap by pigeonhole —
-    // boilerplate only) but corpus-proportional in the limit, so NO
-    // broadcast hint: the shingle-keyed equi-join is correct unhinted and
-    // AQE upgrades it from measured sizes when it does fit.
+    val pruned = cappedCandidates(dss, dfCap) { (iUp, nA, nB) =>
+      // jac_upper = i_up / (n_a + n_b − i_up) ≥ true jaccard
+      iUp.cast(DoubleType) / (nA + nB - iUp).cast(DoubleType) >= theta
+    }
+    exactVerify(dss, pruned)
+  }
+
+  /** The df-capped CONTAINMENT path (q79): identical candidate machinery,
+    * overlap-coefficient prune bound — contain_upper = (n_cap + min(h_a,
+    * h_b)) / min(n_a, n_b) ≥ the true coefficient, so pruning below θ is
+    * sound. Output adds exact integer `contain_micro` next to `jac_raw`.
+    */
+  private[graft] def pairContainmentCapped(dss: DataFrame, dfCap: Int,
+      theta: Double = ContainmentThreshold): DataFrame = {
+    val pruned = cappedCandidates(dss, dfCap) { (iUp, nA, nB) =>
+      iUp.cast(DoubleType) / least(nA, nB).cast(DoubleType) >= theta
+    }
+    exactVerify(dss, pruned)
+      .withColumn("contain_micro",
+        expr("(n_inter * CAST(1000000 AS BIGINT)) div CAST(least(n_a, n_b) AS BIGINT)"))
+  }
+
+  /** Candidate (a_doc, b_doc) pairs from df-capped posting lists, pruned
+    * by a SOUND upper bound: `keep(i_up, n_a, n_b)` sees the capped
+    * intersection plus min hot-shingle slack (i_up ≥ true n_inter) and
+    * must be monotone in it. h(doc) = how many of the doc's shingles are
+    * hot (df > cap). The hot-shingle set is small (≤ shingle_rows/cap by
+    * pigeonhole — boilerplate only) but corpus-proportional in the limit,
+    * so NO broadcast hint: the shingle-keyed equi-join is correct unhinted
+    * and AQE upgrades it from measured sizes when it does fit.
+    */
+  private def cappedCandidates(dss: DataFrame, dfCap: Int)(
+      keep: (Column, Column, Column) => Column): DataFrame = {
     val rows = dss.select(col("doc_id"), explode(col("ss")).as("s"))
     val hotShingles = rows.groupBy(col("s")).agg(count(lit(1)).as("df"))
       .filter(col("df") > dfCap).select(col("s"))
     val hot = rows.join(hotShingles, "s")
       .groupBy(col("doc_id")).agg(count(lit(1)).as("h"))
-    val pruned = pairJaccard(dss, Some(dfCap))
+    pairJaccard(dss, Some(dfCap))
       .join(hot.select(col("doc_id").as("a_doc"), col("h").as("h_a")), Seq("a_doc"), "left")
       .join(hot.select(col("doc_id").as("b_doc"), col("h").as("h_b")), Seq("b_doc"), "left")
       .withColumn("i_up", col("n_inter") +
         least(coalesce(col("h_a"), lit(0L)), coalesce(col("h_b"), lit(0L))))
-      .filter(col("i_up").cast(DoubleType) /
-        (col("n_a") + col("n_b") - col("i_up")).cast(DoubleType) >= theta)
+      .filter(keep(col("i_up"), col("n_a"), col("n_b")))
       .select(col("a_doc"), col("b_doc"))
+  }
+
+  /** Exact n_inter/sizes (and jac_raw) for a pruned candidate pair set, by
+    * intersecting the two docs' shingle-set arrays.
+    */
+  private def exactVerify(dss: DataFrame, pruned: DataFrame): DataFrame =
     pruned
       .join(dss.select(col("doc_id").as("a_doc"), col("ss").as("a_ss")), "a_doc")
       .join(dss.select(col("doc_id").as("b_doc"), col("ss").as("b_ss")), "b_doc")
@@ -764,5 +864,4 @@ object Dedup {
       .withColumn("jac_raw",
         col("n_inter").cast(DoubleType) /
           (col("n_a") + col("n_b") - col("n_inter")).cast(DoubleType))
-  }
 }

@@ -33,6 +33,28 @@ class DedupSimilaritySpec extends SparkSpec {
       s"capped path diverged: missing=${uncapped -- capped} extra=${capped -- uncapped}")
   }
 
+  test("containment (q79 path) finds doc-inside-doc pairs the Jaccard threshold misses") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // A 12-token note quoted verbatim inside a 112-token article: every
+    // shingle of the note appears in the article, so containment ≈ 1.0 —
+    // while jaccard ≈ 10/110 ≈ 0.09, far below any dedup threshold.
+    val note = (0 until 12).map(i => s"n$i").mkString(" ")
+    val article = ((0 until 50).map(i => s"p$i") ++ (0 until 12).map(i => s"n$i") ++
+      (0 until 50).map(i => s"s$i")).mkString(" ")
+    val dss = operators.TextAnalysis.docShingleSets(
+      Seq((1L, note), (2L, article), (3L, (0 until 30).map(i => s"x$i").mkString(" ")))
+        .toDF("doc_id", "text"))
+    val contained = operators.Dedup.pairContainmentCapped(dss, 64)
+      .filter(col("contain_micro") >= 800000L)
+      .select("a_doc", "b_doc").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(contained == Set((1L, 2L)),
+      s"containment must flag exactly the note-inside-article pair, got $contained")
+    val jac = operators.Dedup.pairJaccardCapped(dss, 64)
+      .filter(col("jac_raw") >= 0.8).count()
+    assert(jac == 0, "jaccard at the same threshold structurally misses the quoted note")
+  }
+
   test("pairJaccard in-row expansion stays cap-bounded; uncapped misuse fails loudly") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

@@ -107,6 +107,17 @@ class OperatorPropSpec extends SparkSpec {
     assert(unpruned.nonEmpty, "random corpus over a 6-token vocab should produce near-dups")
     assert(pruned == unpruned,
       s"prune dropped real pairs: missing=${unpruned -- pruned} extra=${pruned -- unpruned}")
+    // the containment prune bound is sound on the same random corpus: the
+    // θ-pruned pair set equals the unpruned set filtered at the output
+    def cpairs(df: org.apache.spark.sql.DataFrame) = df
+      .filter(org.apache.spark.sql.functions.col("contain_micro") >= 800000L)
+      .select("a_doc", "b_doc", "n_inter")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val cUnpruned = cpairs(operators.Dedup.pairContainmentCapped(dss, dfCap = 4, theta = 0.0))
+    val cPruned = cpairs(operators.Dedup.pairContainmentCapped(dss, dfCap = 4, theta = 0.8))
+    assert(cUnpruned.nonEmpty, "random corpus should produce containment pairs")
+    assert(cPruned == cUnpruned,
+      s"containment prune dropped real pairs: missing=${cUnpruned -- cPruned} extra=${cPruned -- cUnpruned}")
   }
 
   test("connectedComponents equals driver-side union-find on random graphs") {
