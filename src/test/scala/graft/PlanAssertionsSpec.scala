@@ -244,4 +244,22 @@ class PlanAssertionsSpec extends SparkSpec {
     val p = plan("q05_count_distinct")
     assert(p.contains("partial_count") || p.contains("HashAggregate"))
   }
+
+  test("q78/q79: pair-graph profile and containment stay equi-join shaped; no cartesian") {
+    for (q <- Seq("q78_dup_degree_profile", "q79_containment_neardup")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q plans an all-pairs join")
+    }
+  }
+
+  test("q80: recall report windows are all keyed (salted exact side), no cartesian") {
+    val qe = SparkEntry.queries("q80_ann_recall")(spark, dir).queryExecution
+    val windows = qe.sparkPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w.partitionSpec.size
+    }
+    assert(windows.forall(_ >= 1), s"q80 has a global window: $windows")
+    assert(windows.contains(2), s"q80: expected the salted (q_id, salt) local window, got $windows")
+    assert(!qe.executedPlan.toString.contains("CartesianProduct"))
+  }
 }
