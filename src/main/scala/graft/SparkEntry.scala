@@ -17,6 +17,7 @@ object SparkEntry {
       operators.Dedup.specs ++
       operators.Similarity.specs ++
       operators.EventsWindows.specs ++
+      operators.Behavioral.specs ++
       operators.WeatherOps.specs ++
       operators.MultimodalOps.specs ++
       operators.SqlSurface.specs ++

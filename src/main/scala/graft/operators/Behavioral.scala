@@ -1,0 +1,157 @@
+package graft.operators
+
+import graft.{QuerySpec, Tables}
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Behavioral / product analytics over the `events` table — the ClickHouse
+  * signature functions the reference's warehouse ships natively
+  * (`windowFunnel`, `retention`; the reference stores its facts in
+  * ClickHouse — docker-compose.yaml:20, Consumer_clickhouse.py:75 — so a
+  * user of that stack has these one call away). Re-expressed Spark-first:
+  *
+  *  - q81: ordered funnel depth within a time window. NOT the naive
+  *    step-table self-join (view×click×purchase explodes cubically per
+  *    heavy user): one `groupBy(user)` shuffle collects each user's step
+  *    events, and a linear DP over the time-sorted array — Spark
+  *    `aggregate()` higher-order function, no UDF — computes the max
+  *    chain depth. State per level = the LATEST chain-start time reaching
+  *    it (max start maximizes remaining window slack, so keeping one
+  *    start per level loses nothing); a commit frontier (`com` vs `al`)
+  *    enforces STRICT timestamp increase so same-instant events never
+  *    chain. Per-user cost is O(events·levels); the oracle is the
+  *    EXISTS-join formulation — a genuine cross-derivation differential
+  *    test of funnel semantics.
+  *  - q82: cohort retention. Single `groupBy(user)` pass building
+  *    (first-signup day, distinct active-day set) per user, then
+  *    membership probes at day +1/+7/+14 — no events×cohort join, and the
+  *    per-user day set is bounded by the calendar span, not event count.
+  *
+  * Scale: both are one user-keyed shuffle plus a tiny second aggregate
+  * (levels / cohort days). Per-user state is bounded (step events for
+  * q81, distinct days for q82) — the same per-key-fits-in-memory posture
+  * ClickHouse's own windowFunnel/retention take.
+  */
+object Behavioral {
+
+  /** Funnel steps, in order: view → click → purchase. */
+  private val Steps = Seq("view" -> 1, "click" -> 2, "purchase" -> 3)
+  private val NumSteps = Steps.size
+
+  /** Chain window: last step within 6 h of the chain's first step. */
+  private val WindowMicros = 6L * 3600L * 1000000L
+
+  private val nullL = lit(null).cast(LongType)
+
+  /** Max funnel depth over a time-sorted array of struct(t µs, k step).
+    *
+    * DP state: `cur` = timestamp of the last processed event; `com[i]` =
+    * latest chain-start among chains of depth i whose last event is
+    * STRICTLY before `cur` (the committed frontier — extensions may only
+    * chain onto these, never onto a same-instant event); `al[i]` = same
+    * over all processed events. An event (t, k) first commits (`al`→`com`)
+    * if t advanced, then extends: depth 1 starts a chain at t; depth k>1
+    * chains onto `com[k-1]` iff t − start ≤ window. Keeping the MAX start
+    * per depth is lossless: any reachable depth stays reachable under a
+    * later start, and a later start only widens the remaining window.
+    */
+  private[graft] def funnelLevel(evs: Column): Column = {
+    val init = struct(
+      lit(Long.MinValue).as("cur"),
+      array(Seq.fill(NumSteps)(nullL): _*).as("com"),
+      array(Seq.fill(NumSteps)(nullL): _*).as("al"))
+    val dp = aggregate(
+      evs, init,
+      (acc, e) => {
+        val t = e.getField("t")
+        val k = e.getField("k")
+        val com = when(t > acc.getField("cur"), acc.getField("al"))
+          .otherwise(acc.getField("com"))
+        val al = acc.getField("al")
+        val prevStart = element_at(com, k - 1)
+        val cand = when(k === 1, t)
+          .otherwise(when(t - prevStart <= WindowMicros, prevStart))
+        val al2 = transform(sequence(lit(1), lit(NumSteps)),
+          i => when(i === k, greatest(element_at(al, i), cand))
+            .otherwise(element_at(al, i)))
+        struct(t.as("cur"), com.as("com"), al2.as("al"))
+      })
+    // Fold low→high so the DEEPEST level's check lands outermost in the
+    // final CaseWhen (foldLeft wraps; the last-wrapped branch wins).
+    (1 to NumSteps).foldLeft(lit(0)) { (acc, lvl) =>
+      when(element_at(dp.getField("al"), lvl).isNotNull, lvl).otherwise(acc)
+    }
+  }
+
+  val specs: Seq[QuerySpec] = Seq(
+
+    // ----- windowed ordered funnel (ClickHouse windowFunnel analog) -------
+    QuerySpec("q81_window_funnel")(
+      s"""WITH u AS (SELECT DISTINCT user_id FROM events),
+        |v AS (SELECT user_id, epoch_us(ts) AS t FROM events WHERE event_type = 'view'),
+        |c AS (SELECT user_id, epoch_us(ts) AS t FROM events WHERE event_type = 'click'),
+        |p AS (SELECT user_id, epoch_us(ts) AS t FROM events WHERE event_type = 'purchase'),
+        |lvl AS (SELECT u.user_id,
+        |  CASE
+        |    WHEN EXISTS (SELECT 1 FROM v, c, p
+        |                 WHERE v.user_id = u.user_id AND c.user_id = u.user_id
+        |                   AND p.user_id = u.user_id
+        |                   AND v.t < c.t AND c.t < p.t AND p.t - v.t <= $WindowMicros) THEN 3
+        |    WHEN EXISTS (SELECT 1 FROM v, c
+        |                 WHERE v.user_id = u.user_id AND c.user_id = u.user_id
+        |                   AND v.t < c.t AND c.t - v.t <= $WindowMicros) THEN 2
+        |    WHEN EXISTS (SELECT 1 FROM v WHERE v.user_id = u.user_id) THEN 1
+        |    ELSE 0 END AS level
+        |  FROM u)
+        |SELECT level, count(*) AS n_users FROM lvl
+        |GROUP BY level ORDER BY level""".stripMargin) { (s, dir) =>
+      val e = Tables.load(s, dir, "events")
+      val stepOf = Steps.tail.foldLeft(when(col("event_type") === Steps.head._1, Steps.head._2)) {
+        case (acc, (name, k)) => acc.when(col("event_type") === name, k)
+      }
+      val arrs = e.filter(col("event_type").isin(Steps.map(_._1): _*))
+        .select(col("user_id"),
+          struct(unix_micros(col("ts")).as("t"), stepOf.as("k")).as("ev"))
+        .groupBy(col("user_id"))
+        .agg(sort_array(collect_list(col("ev"))).as("evs"))
+      e.select(col("user_id")).distinct()
+        .join(arrs, Seq("user_id"), "left")
+        .select(when(col("evs").isNull, 0).otherwise(funnelLevel(col("evs"))).as("level"))
+        .groupBy(col("level")).agg(count(lit(1)).as("n_users"))
+        .orderBy(col("level"))
+    },
+
+    // ----- cohort retention (ClickHouse retention analog) -----------------
+    QuerySpec("q82_retention_cohort")(
+      """WITH s AS (SELECT user_id, min(CAST(ts AS DATE)) AS d0
+        |           FROM events WHERE event_type = 'signup' GROUP BY user_id),
+        |a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+        |f AS (SELECT s.user_id, s.d0,
+        |        max(CASE WHEN a.d = s.d0 + 1 THEN 1 ELSE 0 END) AS r1,
+        |        max(CASE WHEN a.d = s.d0 + 7 THEN 1 ELSE 0 END) AS r7,
+        |        max(CASE WHEN a.d = s.d0 + 14 THEN 1 ELSE 0 END) AS r14
+        |      FROM s JOIN a ON s.user_id = a.user_id GROUP BY s.user_id, s.d0)
+        |SELECT d0 AS cohort_day, count(*) AS n_users,
+        |  count(*) FILTER (WHERE r1 = 1) AS retained_d1,
+        |  count(*) FILTER (WHERE r7 = 1) AS retained_d7,
+        |  count(*) FILTER (WHERE r14 = 1) AS retained_d14
+        |FROM f GROUP BY d0 ORDER BY cohort_day""".stripMargin) { (s, dir) =>
+      val e = Tables.load(s, dir, "events")
+      val perUser = e.groupBy(col("user_id"))
+        .agg(
+          min(when(col("event_type") === "signup", to_date(col("ts")))).as("d0"),
+          collect_set(to_date(col("ts"))).as("days"))
+        .filter(col("d0").isNotNull)
+      def retained(off: Int): Column = array_contains(col("days"), date_add(col("d0"), off))
+      perUser
+        .select(col("d0"), retained(1).as("r1"), retained(7).as("r7"), retained(14).as("r14"))
+        .groupBy(col("d0").as("cohort_day"))
+        .agg(count(lit(1)).as("n_users"),
+          count(when(col("r1"), 1)).as("retained_d1"),
+          count(when(col("r7"), 1)).as("retained_d7"),
+          count(when(col("r14"), 1)).as("retained_d14"))
+        .orderBy(col("cohort_day"))
+    }
+  )
+}

@@ -71,13 +71,16 @@ object Dedup {
     * ([[TextAnalysis.docShingleSets]]) — 8-byte join keys, identical in
     * both engines.
     */
-  private[operators] val shingleCtes =
+  private[operators] val shingleBaseCtes =
     """d AS (SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS t FROM documents),
       |tok AS (SELECT doc_id, regexp_split_to_array(t, '\s+') AS w FROM d),
       |sh AS (SELECT DISTINCT doc_id,
       |         unnest(list_transform(generate_series(1, greatest(len(w) - 2, 0)),
       |                               i -> CAST('0x' || substr(md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2]), 1, 15) AS BIGINT))) AS s
-      |       FROM tok),
+      |       FROM tok)""".stripMargin
+
+  private[operators] val shingleCtes =
+    s"""$shingleBaseCtes,
       |nsh AS (SELECT doc_id, count(*) AS ns FROM sh GROUP BY doc_id),
       |inter AS (SELECT a.doc_id AS a_doc, b.doc_id AS b_doc, count(*) AS n_inter
       |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
@@ -488,6 +491,40 @@ object Dedup {
           col("contain_micro"),
           floor(col("jac_raw") * 1000000).cast(LongType).as("jac_micro"))
         .orderBy(col("a_doc"), col("b_doc"))
+    },
+
+    // ----- per-doc n-gram novelty vs the earlier corpus -------------------
+    // Training-data memorization/novelty profiling: for each doc, the
+    // fraction of its distinct shingles never seen in any LOWER-doc_id doc
+    // (doc_id as ingest order). A shingle is novel for exactly the doc
+    // that is min(doc_id) over its posting list, so novel counts come
+    // from a groupBy(shingle).min + groupBy(first_doc).count — NO join
+    // back onto the exploded (doc, shingle) pairs and no per-shingle
+    // window (hot stopword shingles have huge df; min() is a partial
+    // aggregate, so the skew never leaves the map side). Rides the shared
+    // session shingle index like q36/q37/q63. The ratio is one IEEE
+    // double division on exact longs — bit-identical cross-engine.
+    QuerySpec("q83_shingle_novelty")(
+      s"""WITH $shingleBaseCtes,
+        |firsts AS (SELECT s, min(doc_id) AS first_doc FROM sh GROUP BY s),
+        |novel AS (SELECT first_doc AS doc_id, count(*) AS n_novel FROM firsts GROUP BY first_doc),
+        |totals AS (SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY doc_id)
+        |SELECT t.doc_id, t.n_shingles, coalesce(n.n_novel, 0) AS n_novel,
+        |  CAST(coalesce(n.n_novel, 0) AS DOUBLE) / CAST(t.n_shingles AS DOUBLE) AS novelty
+        |FROM totals t LEFT JOIN novel n ON t.doc_id = n.doc_id
+        |ORDER BY t.doc_id""".stripMargin) { (s, dir) =>
+      val idx = TextAnalysis.shingleIndex(s, dir)
+      val novel = idx.select(col("doc_id"), explode(col("ss")).as("sh"))
+        .groupBy(col("sh")).agg(min(col("doc_id")).as("doc_id"))
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_novel"))
+      idx.filter(size(col("ss")) > 0)
+        .select(col("doc_id"), size(col("ss")).cast(LongType).as("n_shingles"))
+        .join(novel, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_shingles"),
+          coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+          (coalesce(col("n_novel"), lit(0L)).cast(DoubleType) /
+            col("n_shingles").cast(DoubleType)).as("novelty"))
+        .orderBy(col("doc_id"))
     },
 
     // ----- SimHash (TF-weighted, 60-bit) + banded hamming join ------------

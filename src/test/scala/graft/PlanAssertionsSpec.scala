@@ -262,4 +262,38 @@ class PlanAssertionsSpec extends SparkSpec {
     assert(windows.contains(2), s"q80: expected the salted (q_id, salt) local window, got $windows")
     assert(!qe.executedPlan.toString.contains("CartesianProduct"))
   }
+
+  test("q81: funnel is the per-user DP — no window, no step-table self-join blowup") {
+    val qe = SparkEntry.queries("q81_window_funnel")(spark, dir).queryExecution
+    val p = qe.executedPlan.toString
+    // The EXISTS-join oracle derivation must stay on the DuckDB side only:
+    // the Spark plan is one user-keyed aggregate (plus the all-users left
+    // join), never view×click×purchase.
+    val joins = qe.sparkPlan.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    }
+    assert(joins.size <= 1, s"q81 plans ${joins.size} joins; expected only users⟕arrays")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("WindowExec"), "q81 should not plan an SQL window")
+  }
+
+  test("q82: retention is a single user-keyed pass — no events×cohort join at all") {
+    val qe = SparkEntry.queries("q82_retention_cohort")(spark, dir).queryExecution
+    val joins = qe.sparkPlan.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    }
+    assert(joins.isEmpty, s"q82 plans a join; the day-set membership probe needs none")
+  }
+
+  test("q83: novelty has no per-shingle window and no join onto the exploded pairs") {
+    val qe = SparkEntry.queries("q83_shingle_novelty")(spark, dir).queryExecution
+    val p = qe.executedPlan.toString
+    assert(!p.contains("WindowExec"), "q83 must not rank within shingle partitions")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    // The one join is doc-keyed (totals ⟕ novel counts), both sides ~n_docs.
+    val joins = qe.sparkPlan.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    }
+    assert(joins.size == 1, s"q83 plans ${joins.size} joins; expected only totals⟕novel")
+  }
 }
