@@ -122,6 +122,53 @@ object Behavioral {
         .orderBy(col("level"))
     },
 
+    // ----- greedy non-overlapping chain count (sequenceCount analog) ------
+    // ClickHouse sequenceCount('(?1).*(?2)'): per user, the number of
+    // NON-OVERLAPPING view→purchase chains under strict time order. The
+    // greedy automaton (arm on view, count+disarm on purchase) is
+    // equivalent to a per-purchase rule — count purchase p iff some view
+    // falls strictly between the previous purchase and p — because an
+    // armed state persists across uncounted purchases: a view before any
+    // purchase makes that purchase counted, so "view since the last
+    // purchase" and "view since the last COUNTED purchase" coincide.
+    // (Equivalence holds on strictly increasing per-user timestamps;
+    // same-instant events are mutually invisible under the strict rule —
+    // the per-purchase formulation IS the spec, in both engines.)
+    // That rule is two running maxima over ONE per-user range-frame
+    // window (frame [-∞, t−1] ⇒ strictness is structural, same-instant
+    // events never chain, and the result is deterministic with NO
+    // tiebreak column). The oracle derives the same counts from
+    // correlated max-subqueries — a cross-derivation differential test.
+    // Scale: one user-keyed shuffle; the window is keyed by user_id
+    // (never global), per-user state is one running max per type.
+    QuerySpec("q84_sequence_count")(
+      """WITH vp AS (SELECT user_id, epoch_us(ts) AS t, event_type FROM events
+        |            WHERE event_type IN ('view', 'purchase')),
+        |p AS (SELECT user_id, t FROM vp WHERE event_type = 'purchase'),
+        |v AS (SELECT user_id, t FROM vp WHERE event_type = 'view'),
+        |c AS (SELECT p.user_id, p.t,
+        |        (SELECT max(v.t) FROM v WHERE v.user_id = p.user_id AND v.t < p.t) AS mv,
+        |        (SELECT max(p2.t) FROM p p2 WHERE p2.user_id = p.user_id AND p2.t < p.t) AS mp
+        |      FROM p)
+        |SELECT user_id, count(*) AS n_purchases,
+        |  count(*) FILTER (WHERE mv IS NOT NULL AND (mp IS NULL OR mv > mp)) AS n_chains
+        |FROM c GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val e = Tables.load(s, dir, "events")
+        .filter(col("event_type").isin("view", "purchase"))
+        .select(col("user_id"), unix_micros(col("ts")).as("t"), col("event_type"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("t"))
+        .rangeBetween(Window.unboundedPreceding, -1)
+      e.withColumn("mv", max(when(col("event_type") === "view", col("t"))).over(w))
+        .withColumn("mp", max(when(col("event_type") === "purchase", col("t"))).over(w))
+        .filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_purchases"),
+          count(when(col("mv").isNotNull &&
+            (col("mp").isNull || col("mv") > col("mp")), 1)).as("n_chains"))
+        .orderBy(col("user_id"))
+    },
+
     // ----- cohort retention (ClickHouse retention analog) -----------------
     QuerySpec("q82_retention_cohort")(
       """WITH s AS (SELECT user_id, min(CAST(ts AS DATE)) AS d0

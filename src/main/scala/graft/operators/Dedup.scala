@@ -527,6 +527,43 @@ object Dedup {
         .orderBy(col("doc_id"))
     },
 
+    // ----- per-doc duplicated-text fraction (df-based) --------------------
+    // Corpus-health profiling (the RefinedWeb/Gopher-style "duplicated
+    // n-gram fraction" report that sizes a dedup pass): for each doc, the
+    // fraction of its distinct shingles that appear in ≥2 docs. A shingle
+    // is unique iff its posting list has exactly one doc, so unique
+    // counts come from groupBy(shingle).agg(count, min(doc)) — count and
+    // min are partial aggregates, the stopword-shingle skew collapses
+    // map-side, and there is NO join back onto the exploded pairs (the
+    // same shape q83's plan guard pins). Unlike q83's ingest-order
+    // novelty, this metric is order-independent: dup = seen anywhere
+    // else, not seen earlier. dup_fraction is one IEEE division on exact
+    // longs — bit-identical cross-engine.
+    QuerySpec("q86_dup_fraction")(
+      s"""WITH $shingleBaseCtes,
+        |df1 AS (SELECT s, min(doc_id) AS doc_id FROM sh GROUP BY s HAVING count(*) = 1),
+        |u AS (SELECT doc_id, count(*) AS n_unique FROM df1 GROUP BY doc_id),
+        |tot AS (SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY doc_id)
+        |SELECT t.doc_id, t.n_shingles, coalesce(u.n_unique, 0) AS n_unique,
+        |  CAST(t.n_shingles - coalesce(u.n_unique, 0) AS DOUBLE) / CAST(t.n_shingles AS DOUBLE) AS dup_fraction
+        |FROM tot t LEFT JOIN u ON t.doc_id = u.doc_id
+        |ORDER BY t.doc_id""".stripMargin) { (s, dir) =>
+      val idx = TextAnalysis.shingleIndex(s, dir)
+      val uniq = idx.select(col("doc_id"), explode(col("ss")).as("sh"))
+        .groupBy(col("sh"))
+        .agg(count(lit(1)).as("df"), min(col("doc_id")).as("doc_id"))
+        .filter(col("df") === 1)
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_unique"))
+      idx.filter(size(col("ss")) > 0)
+        .select(col("doc_id"), size(col("ss")).cast(LongType).as("n_shingles"))
+        .join(uniq, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_shingles"),
+          coalesce(col("n_unique"), lit(0L)).as("n_unique"),
+          ((col("n_shingles") - coalesce(col("n_unique"), lit(0L))).cast(DoubleType) /
+            col("n_shingles").cast(DoubleType)).as("dup_fraction"))
+        .orderBy(col("doc_id"))
+    },
+
     // ----- SimHash (TF-weighted, 60-bit) + banded hamming join ------------
     QuerySpec("q38_simhash") {
       val h = hex60Sql("tok")

@@ -109,6 +109,38 @@ object TrainPipe {
         .limit(20)
     },
 
+    // ----- per-language heavy hitters (grouped topK analog) ---------------
+    // ClickHouse topK per GROUP BY key: the k most document-frequent
+    // tokens within each language. q57's global top-k is a
+    // TakeOrderedAndProject; the grouped variant can't be (k rows PER
+    // key), and the naive per-lang window funnels the whole vocabulary of
+    // a dominant language through one task — so it runs through the same
+    // salted two-phase TopK.perKeyTopK as q16/q75: per-(lang, salt) local
+    // top-k prunes to ≤ salts·k rows per language before the exact global
+    // rank. (df DESC, token ASC) is a total order, so rank = dense
+    // position and the result is deterministic.
+    QuerySpec("q85_lang_heavy_hitters")(
+      """WITH d AS (SELECT DISTINCT doc_id, lang,
+        |    unnest(regexp_split_to_array(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), '\s+')) AS t
+        |  FROM documents),
+        |cnt AS (SELECT lang, t AS token, count(*) AS df FROM d GROUP BY lang, t),
+        |rk AS (SELECT lang, token, df,
+        |         rank() OVER (PARTITION BY lang ORDER BY df DESC, token ASC) AS rk
+        |       FROM cnt)
+        |SELECT lang, token, df, rk FROM rk WHERE rk <= 5
+        |ORDER BY lang, rk""".stripMargin) { (s, dir) =>
+      val cnt = Tables.load(s, dir, "documents")
+        .select(col("lang"), explode(array_distinct(tokens(col("text")))).as("token"))
+        .groupBy(col("lang"), col("token"))
+        .agg(count(lit(1)).as("df"))
+      TopK.perKeyTopK(cnt,
+          keys = Seq(col("lang")),
+          order = Seq(col("df").desc, col("token").asc),
+          k = 5, saltFrom = col("token"))
+        .select(col("lang"), col("token"), col("df"), col("rk"))
+        .orderBy(col("lang"), col("rk"))
+    },
+
     // ----- intra-document repetition (Gopher-style quality signal) --------
     // duplicate-3-gram fraction per doc, entirely in-row (no shuffle):
     // 1 − distinct/total shingles, in exact micro-units.

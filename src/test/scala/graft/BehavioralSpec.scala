@@ -78,6 +78,61 @@ class BehavioralSpec extends SparkSpec {
     }
   }
 
+  test("q84: window-derived chain counts match a sequential-scan automaton") {
+    // Third derivation of the same semantics (range-frame windows in
+    // Spark, EXISTS subqueries in the oracle, and here a per-user
+    // instant-batched scan): process events grouped by timestamp against
+    // the state strictly before it — a purchase counts iff the last view
+    // is later than the last purchase.
+    val byUser = Tables.load(spark, dir, "events")
+      .filter(col("event_type").isin("view", "purchase"))
+      .select(col("user_id"), unix_micros(col("ts")).as("t"), col("event_type"))
+      .collect()
+      .groupBy(_.getLong(0))
+    val expected = byUser.flatMap { case (uid, rows) =>
+      var lastV, lastP = Long.MinValue
+      var chains, purchases = 0L
+      rows.map(r => (r.getLong(1), r.getString(2))).sortBy(_._1)
+        .groupBy(_._1).toSeq.sortBy(_._1)
+        .foreach { case (t, evs) =>
+          val nP = evs.count(_._2 == "purchase")
+          purchases += nP
+          if (nP > 0 && lastV > lastP) chains += nP
+          if (evs.exists(_._2 == "view")) lastV = t
+          if (nP > 0) lastP = t
+        }
+      if (purchases > 0) Some(uid -> (purchases, chains)) else None
+    }
+    val got = SparkEntry.queries("q84_sequence_count")(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == expected,
+      s"window vs scan mismatch on ${expected.keySet.diff(got.keySet) ++ got.filterNot(kv => expected.get(kv._1).contains(kv._2)).keys}")
+  }
+
+  test("q85: exactly k hitters per language, ranks dense, df non-increasing") {
+    val rows = SparkEntry.queries("q85_lang_heavy_hitters")(spark, dir).collect()
+    rows.groupBy(_.getString(0)).foreach { case (lang, rs) =>
+      val ranked = rs.sortBy(_.getInt(3))
+      assert(ranked.map(_.getInt(3)).toSeq == (1 to ranked.length),
+        s"$lang ranks not dense: ${ranked.map(_.getInt(3)).toSeq}")
+      assert(ranked.length <= 5)
+      val dfs = ranked.map(_.getLong(2))
+      assert(dfs.zip(dfs.tail).forall { case (a, b) => a >= b }, s"$lang df not sorted")
+    }
+  }
+
+  test("q86 vs q83: a doc's unique (df=1) shingles are a subset of its novel ones") {
+    // df=1 ⇒ this doc is the shingle's only owner ⇒ also its first owner.
+    val dup = SparkEntry.queries("q86_dup_fraction")(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val nov = SparkEntry.queries("q83_shingle_novelty")(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(dup.keySet == nov.keySet)
+    dup.foreach { case (doc, nUnique) =>
+      assert(nUnique <= nov(doc), s"doc $doc: n_unique $nUnique > n_novel ${nov(doc)}")
+    }
+  }
+
   test("q83: every distinct corpus shingle is novel for exactly one doc") {
     val out = SparkEntry.queries("q83_shingle_novelty")(spark, dir)
     val novelSum = out.agg(sum(col("n_novel"))).collect()(0).getLong(0)

@@ -296,4 +296,38 @@ class PlanAssertionsSpec extends SparkSpec {
     }
     assert(joins.size == 1, s"q83 plans ${joins.size} joins; expected only totals⟕novel")
   }
+
+  test("q84: chain count is one user-keyed window pass — no join, no global window") {
+    val qe = SparkEntry.queries("q84_sequence_count")(spark, dir).queryExecution
+    val joins = qe.sparkPlan.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    }
+    assert(joins.isEmpty, s"q84 plans a join; the running maxima need none")
+    val windows = qe.sparkPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w.partitionSpec.size
+    }
+    assert(windows.nonEmpty && windows.forall(_ >= 1),
+      s"q84 windows must be user-keyed, got partition sizes $windows")
+  }
+
+  test("q85: grouped heavy hitters run the salted two-phase top-k, all windows keyed") {
+    val qe = SparkEntry.queries("q85_lang_heavy_hitters")(spark, dir).queryExecution
+    val windows = qe.sparkPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w.partitionSpec.size
+    }
+    assert(windows.forall(_ >= 1), s"q85 has a global window: $windows")
+    assert(windows.contains(2), s"q85: expected the salted (lang, salt) local window, got $windows")
+    assert(!qe.executedPlan.toString.contains("CartesianProduct"))
+  }
+
+  test("q86: dup fraction has no per-shingle window and only the doc-keyed join") {
+    val qe = SparkEntry.queries("q86_dup_fraction")(spark, dir).queryExecution
+    val p = qe.executedPlan.toString
+    assert(!p.contains("WindowExec"), "q86 must not rank within shingle partitions")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    val joins = qe.sparkPlan.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    }
+    assert(joins.size == 1, s"q86 plans ${joins.size} joins; expected only totals⟕unique")
+  }
 }
