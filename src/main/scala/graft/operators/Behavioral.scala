@@ -159,8 +159,9 @@ object Behavioral {
         .select(col("user_id"), unix_micros(col("ts")).as("t"), col("event_type"))
       val w = Window.partitionBy(col("user_id")).orderBy(col("t"))
         .rangeBetween(Window.unboundedPreceding, -1)
-      e.withColumn("mv", max(when(col("event_type") === "view", col("t"))).over(w))
-        .withColumn("mp", max(when(col("event_type") === "purchase", col("t"))).over(w))
+      e.select(col("*"),
+          max(when(col("event_type") === "view", col("t"))).over(w).as("mv"),
+          max(when(col("event_type") === "purchase", col("t"))).over(w).as("mp"))
         .filter(col("event_type") === "purchase")
         .groupBy(col("user_id"))
         .agg(count(lit(1)).as("n_purchases"),

@@ -103,6 +103,40 @@ object Extras {
         .orderBy(col("col"))
     },
 
+    // ----- fixed-bin value histogram per group (histogram analog) ---------
+    // ClickHouse `histogram(N)(value)` per event_type, with deterministic
+    // fixed-width bins instead of the adaptive (and per-run unstable)
+    // streaming-merge bins: bounds come from an exact per-type min/max
+    // aggregate (dimension-sized, explicitly broadcast back), bin =
+    // least(floor((v − mn)/w), 9) on the identical IEEE doubles in both
+    // engines. Two scans of events, one tiny broadcast, no shuffle of the
+    // fact side beyond the final (type, bin) hash-agg — at 100 TB the
+    // min/max pre-pass is the cheap half of the cost of a histogram that
+    // needs true bounds.
+    QuerySpec("q87_value_histogram")(
+      """WITH b AS (SELECT event_type, min(value) AS mn, max(value) AS mx
+        |           FROM events GROUP BY event_type)
+        |SELECT e.event_type,
+        |  CASE WHEN b.mx = b.mn THEN 0
+        |       ELSE CAST(least(floor((e.value - b.mn) / ((b.mx - b.mn) / 10.0)), 9.0) AS BIGINT)
+        |  END AS bin,
+        |  count(*) AS n, b.mn, b.mx
+        |FROM events e JOIN b ON e.event_type = b.event_type
+        |GROUP BY e.event_type, bin, b.mn, b.mx
+        |ORDER BY e.event_type, bin""".stripMargin) { (s, dir) =>
+      val e = Tables.load(s, dir, "events").select(col("event_type"), col("value"))
+      val b = e.groupBy(col("event_type"))
+        .agg(min(col("value")).as("mn"), max(col("value")).as("mx"))
+      val bin = when(col("mx") === col("mn"), lit(0L))
+        .otherwise(least(floor((col("value") - col("mn")) /
+          ((col("mx") - col("mn")) / lit(10.0))), lit(9.0)).cast(LongType))
+      e.join(broadcast(b), Seq("event_type"))
+        .groupBy(col("event_type"), bin.as("bin"), col("mn"), col("mx"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("event_type"), col("bin"), col("n"), col("mn"), col("mx"))
+        .orderBy(col("event_type"), col("bin"))
+    },
+
     // ----- salted join, oracle-checked ------------------------------------
     // The skew technique as a query surface: Skew.saltedJoin splits each
     // (potentially hot) fact key across 8 salt sub-keys and replicates the

@@ -229,6 +229,65 @@ object TextAnalysis {
           aggregate(transform(toks, tk => hex60(tk) % p),
             lit(0L), (acc, h) => (acc * 31 + h) % p).as("fp_roll"))
         .orderBy(col("doc_id"))
+    },
+
+    // ----- per-source corpus profile (domain-level health report) ---------
+    // The report a training pipeline runs per crawl domain / data source
+    // before deciding inclusion and mixture weight: volume, language
+    // spread, quality, and duplicated-text mass, one row per `source`.
+    // All aggregates are EXACT LONGS until a final per-group IEEE
+    // division (the q83/q86 recipe), so the composition stays
+    // hash-identical cross-engine despite averaging floats. Rides the
+    // session quality + shingle indexes (one scan each, shared with
+    // q33/q35a and the whole dedup family); every join is doc-keyed and
+    // n_docs-sized; the source-keyed aggregate is dimension-sized.
+    QuerySpec("q88_source_profile")(
+      s"""WITH ${graft.operators.Dedup.shingleBaseCtes},
+        |$qualityCteSql,
+        |tot AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        |df1 AS (SELECT s, min(doc_id) AS doc_id FROM sh GROUP BY s HAVING count(*) = 1),
+        |u AS (SELECT doc_id, count(*) AS n_unique FROM df1 GROUP BY doc_id)
+        |SELECT dd.source, count(*) AS n_docs, count(DISTINCT dd.lang) AS n_langs,
+        |  CAST(sum(q.quality_micro) AS BIGINT) AS sum_quality_micro,
+        |  CAST(sum(q.quality_micro) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_quality_micro,
+        |  CAST(sum(coalesce(t.n_sh, 0)) AS BIGINT) AS n_shingles,
+        |  CAST(sum(coalesce(t.n_sh, 0)) - sum(coalesce(u.n_unique, 0)) AS BIGINT) AS n_dup,
+        |  CASE WHEN sum(coalesce(t.n_sh, 0)) = 0 THEN NULL
+        |       ELSE CAST(sum(coalesce(t.n_sh, 0)) - sum(coalesce(u.n_unique, 0)) AS DOUBLE)
+        |            / CAST(sum(coalesce(t.n_sh, 0)) AS DOUBLE) END AS dup_fraction
+        |FROM documents dd
+        |JOIN qscore q ON dd.doc_id = q.doc_id
+        |LEFT JOIN tot t ON dd.doc_id = t.doc_id
+        |LEFT JOIN u ON dd.doc_id = u.doc_id
+        |GROUP BY dd.source ORDER BY dd.source""".stripMargin) { (s, dir) =>
+      val docs = graft.Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("lang"))
+      val q = qualityIndex(s, dir).select(col("doc_id"), col("quality_micro"))
+      val idx = shingleIndex(s, dir)
+      val tot = idx.select(col("doc_id"),
+        size(col("ss")).cast(LongType).as("n_sh"))
+      val uniq = idx.select(col("doc_id"), explode(col("ss")).as("shg"))
+        .groupBy(col("shg"))
+        .agg(count(lit(1)).as("df"), min(col("doc_id")).as("doc_id"))
+        .filter(col("df") === 1)
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_unique"))
+      val sumSh = sum(coalesce(col("n_sh"), lit(0L)))
+      val sumUniq = sum(coalesce(col("n_unique"), lit(0L)))
+      docs.join(q, Seq("doc_id"))
+        .join(tot, Seq("doc_id"), "left")
+        .join(uniq, Seq("doc_id"), "left")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("lang")).as("n_langs"),
+          sum(col("quality_micro")).as("sum_quality_micro"),
+          (sum(col("quality_micro")).cast(DoubleType) /
+            count(lit(1)).cast(DoubleType)).as("avg_quality_micro"),
+          sumSh.as("n_shingles"),
+          (sumSh - sumUniq).as("n_dup"),
+          when(sumSh === 0, lit(null).cast(DoubleType))
+            .otherwise((sumSh - sumUniq).cast(DoubleType) / sumSh.cast(DoubleType))
+            .as("dup_fraction"))
+        .orderBy(col("source"))
     }
   )
 

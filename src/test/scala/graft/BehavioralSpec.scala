@@ -133,6 +133,36 @@ class BehavioralSpec extends SparkSpec {
     }
   }
 
+  test("q87: bins partition each type's rows; bounds are the true min/max") {
+    val rows = SparkEntry.queries("q87_value_histogram")(spark, dir).collect()
+    val e = Tables.load(spark, dir, "events")
+    val perType = e.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), min(col("value")).as("mn"), max(col("value")).as("mx"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    rows.groupBy(_.getString(0)).foreach { case (tpe, rs) =>
+      val (n, mn, mx) = perType(tpe)
+      assert(rs.map(_.getLong(2)).sum == n, s"$tpe bins don't partition the rows")
+      assert(rs.forall(r => r.getDouble(3) == mn && r.getDouble(4) == mx))
+      assert(rs.forall(r => r.getLong(1) >= 0 && r.getLong(1) <= 9))
+    }
+  }
+
+  test("q88: source profile totals reconcile with the corpus-wide aggregates") {
+    val rows = SparkEntry.queries("q88_source_profile")(spark, dir).collect()
+    val docs = Tables.load(spark, dir, "documents")
+    assert(rows.map(_.getLong(1)).sum == docs.count(), "n_docs must partition the corpus")
+    // Σ n_shingles over sources = corpus shingle postings; Σ (n_shingles −
+    // n_dup) = the corpus's df=1 shingle count (each unique shingle has
+    // exactly one owner doc, hence one owner source).
+    val idx = operators.TextAnalysis.docShingleSets(docs)
+      .select(col("doc_id"), explode(col("ss")).as("s"))
+    val postings = idx.count()
+    val df1 = idx.groupBy(col("s")).agg(count(lit(1)).as("df"))
+      .filter(col("df") === 1).count()
+    assert(rows.map(_.getLong(5)).sum == postings)
+    assert(rows.map(r => r.getLong(5) - r.getLong(6)).sum == df1)
+  }
+
   test("q83: every distinct corpus shingle is novel for exactly one doc") {
     val out = SparkEntry.queries("q83_shingle_novelty")(spark, dir)
     val novelSum = out.agg(sum(col("n_novel"))).collect()(0).getLong(0)

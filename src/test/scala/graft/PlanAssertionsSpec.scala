@@ -330,4 +330,19 @@ class PlanAssertionsSpec extends SparkSpec {
     }
     assert(joins.size == 1, s"q86 plans ${joins.size} joins; expected only totals⟕unique")
   }
+
+  test("q87: per-type bounds join back as broadcast; no window, no cartesian") {
+    val qe = SparkEntry.queries("q87_value_histogram")(spark, dir).queryExecution
+    val p = qe.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), "q87 bounds must broadcast")
+    assert(!p.contains("SortMergeJoin"), "q87 must not shuffle the fact side for the join")
+    assert(!p.contains("CartesianProduct") && !p.contains("WindowExec"))
+  }
+
+  test("q88: source profile is all equi-joins and aggregates — no window, no cartesian") {
+    val qe = SparkEntry.queries("q88_source_profile")(spark, dir).queryExecution
+    val p = qe.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("WindowExec"), "q88 must not plan a window")
+  }
 }
