@@ -42,6 +42,9 @@ object Behavioral {
   /** Chain window: last step within 6 h of the chain's first step. */
   private val WindowMicros = 6L * 3600L * 1000000L
 
+  /** q90 session gap: a >30 min silence starts a new session. */
+  private val SessionGapMicros = 30L * 60L * 1000000L
+
   private val nullL = lit(null).cast(LongType)
 
   /** Max funnel depth over a time-sorted array of struct(t µs, k step).
@@ -200,6 +203,48 @@ object Behavioral {
           count(when(col("r7"), 1)).as("retained_d7"),
           count(when(col("r14"), 1)).as("retained_d14"))
         .orderBy(col("cohort_day"))
+    },
+
+    // ----- gap-based sessionization ---------------------------------------
+    // The batch counterpart of q42's streaming session window: a new
+    // session starts when a user's inter-event gap exceeds 30 min; the
+    // session ordinal is the running sum of those boundary flags. Both
+    // windows (the lag and the running sum) share one (user, t, event_id)
+    // sort — the event_id tiebreak makes the order TOTAL, so tie rows get
+    // identical session ids in both engines (with `ORDER BY t` alone the
+    // two window passes could order a tie differently and split it across
+    // sessions). Equal-timestamp events always share a session either way:
+    // their gap is 0. Scale: ONE user-keyed shuffle; the running-sum
+    // window is per-user (never global), and the per-(user, session)
+    // aggregate reuses the user_id partitioning — no second exchange.
+    QuerySpec("q90_sessionize")(
+      s"""WITH t AS (SELECT user_id, event_id, epoch_us(ts) AS t FROM events),
+        |f AS (SELECT user_id, t, event_id,
+        |        CASE WHEN lag(t) OVER w IS NULL OR t - lag(t) OVER w > $SessionGapMicros
+        |             THEN 1 ELSE 0 END AS nf
+        |      FROM t WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
+        |g AS (SELECT user_id, t,
+        |        CAST(sum(nf) OVER (PARTITION BY user_id ORDER BY t, event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
+        |      FROM f)
+        |SELECT user_id, sid, count(*) AS n_events, min(t) AS t_start,
+        |  max(t) AS t_end, max(t) - min(t) AS dur_us
+        |FROM g GROUP BY user_id, sid ORDER BY user_id, sid""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val e = Tables.load(s, dir, "events")
+        .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("t"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("t"), col("event_id"))
+      val lagT = lag(col("t"), 1).over(w)
+      e.select(col("user_id"), col("t"), col("event_id"),
+          when(lagT.isNull || col("t") - lagT > SessionGapMicros, 1L)
+            .otherwise(0L).as("nf"))
+        .select(col("user_id"), col("t"),
+          sum(col("nf")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("sid"))
+        .groupBy(col("user_id"), col("sid"))
+        .agg(count(lit(1)).as("n_events"), min(col("t")).as("t_start"),
+          max(col("t")).as("t_end"), (max(col("t")) - min(col("t"))).as("dur_us"))
+        .orderBy(col("user_id"), col("sid"))
     }
   )
 }

@@ -137,6 +137,52 @@ object Extras {
         .orderBy(col("event_type"), col("bin"))
     },
 
+    // ----- calendar gap-fill with carry-forward (WITH FILL analog) --------
+    // ClickHouse `ORDER BY day WITH FILL` + `INTERPOLATE (n AS prev)`: the
+    // per-type daily series with missing days materialized (n = 0,
+    // filled = 1) and the last OBSERVED day's count carried forward
+    // (locf_n). The fact table is reduced to (type, day) counts by one
+    // hash-agg FIRST; everything after — the per-type calendar spine
+    // (explode over day offsets), the spine⟕counts join (explicitly
+    // broadcast: counts are calendar-sized), and the LOCF window — runs on
+    // frames bounded by days × types, independent of fact cardinality. The
+    // per-type window parallelism is #types, which is fine precisely
+    // because the window input is the spine, never the 100 TB fact scan.
+    // The DuckDB oracle derives LOCF through its native ASOF join instead
+    // of IGNORE NULLS — a cross-derivation check of the fill semantics.
+    QuerySpec("q89_gap_fill")(
+      """WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+        |           FROM events GROUP BY 1, 2),
+        |b AS (SELECT event_type, min(day) AS mn, max(day) AS mx FROM d GROUP BY 1),
+        |cal AS (SELECT event_type,
+        |          CAST(unnest(generate_series(CAST(mn AS TIMESTAMP),
+        |                 CAST(mx AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day
+        |        FROM b),
+        |j AS (SELECT c.event_type, c.day, d.n FROM cal c
+        |      LEFT JOIN d ON c.event_type = d.event_type AND c.day = d.day)
+        |SELECT j.event_type, j.day, coalesce(j.n, 0) AS n,
+        |  CASE WHEN j.n IS NULL THEN 1 ELSE 0 END AS filled,
+        |  f.n AS locf_n
+        |FROM j ASOF LEFT JOIN d f
+        |  ON j.event_type = f.event_type AND f.day <= j.day
+        |ORDER BY j.event_type, j.day""".stripMargin) { (s, dir) =>
+      val d = Tables.load(s, dir, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      val cal = d.groupBy(col("event_type"))
+        .agg(min(col("day")).as("mn"), max(col("day")).as("mx"))
+        .select(col("event_type"), col("mn"),
+          explode(sequence(lit(0), datediff(col("mx"), col("mn")))).as("i"))
+        .select(col("event_type"), date_add(col("mn"), col("i")).as("day"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      cal.join(broadcast(d), Seq("event_type", "day"), "left")
+        .select(col("event_type"), col("day"),
+          coalesce(col("n"), lit(0L)).as("n"),
+          when(col("n").isNull, 1).otherwise(0).as("filled"),
+          last(col("n"), ignoreNulls = true).over(w).as("locf_n"))
+        .orderBy(col("event_type"), col("day"))
+    },
+
     // ----- salted join, oracle-checked ------------------------------------
     // The skew technique as a query surface: Skew.saltedJoin splits each
     // (potentially hot) fact key across 8 salt sub-keys and replicates the

@@ -388,6 +388,56 @@ object TrainPipe {
             regexp_replace(regexp_replace(lowered, EmailPat, "<EMAIL>"),
               DigitRunPat, "<NUM>")).cast(LongType).as("scrubbed_bytes"))
         .orderBy(col("doc_id"))
+    },
+
+    // ----- token-weighted quality quantile (quantileExactWeighted analog) -
+    // The cutoff a mixture designer actually wants: the quality value
+    // below which 10% of the corpus's TOKEN MASS (not document count)
+    // falls — ClickHouse quantileExactWeighted(0.1)(quality, tokens),
+    // exact. Docs collapse to one row per distinct quality_micro (≤ 1e6+1
+    // rows by construction — the micro-unit domain bounds the frame at any
+    // corpus size), the token/doc running sums ride the two-phase
+    // native running sum (never a single-partition window), and the
+    // threshold test is INTEGER (cum·10 ≥ total) so no float division
+    // enters the compared columns. One doc-keyed join + one hash-agg
+    // touch the corpus; everything after is domain-bounded.
+    QuerySpec("q91_weighted_quantile")(
+      s"""WITH ${TextAnalysis.qualityCteSql},
+        |tk AS (SELECT doc_id,
+        |         CAST(len(regexp_split_to_array(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), '\\s+')) AS BIGINT) AS tok
+        |       FROM documents),
+        |g AS (SELECT quality_micro, CAST(sum(tok) AS BIGINT) AS w, count(*) AS nd
+        |      FROM qscore q JOIN tk USING (doc_id) GROUP BY quality_micro),
+        |c AS (SELECT quality_micro,
+        |        CAST(sum(w) OVER o AS BIGINT) AS cum_w,
+        |        CAST(sum(nd) OVER o AS BIGINT) AS cum_d
+        |      FROM g WINDOW o AS (ORDER BY quality_micro
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |t AS (SELECT max(cum_w) AS tot_w, max(cum_d) AS tot_d FROM c)
+        |SELECT min(c.quality_micro) AS cutoff_quality_micro,
+        |  min_by(c.cum_w, c.quality_micro) AS dropped_tokens,
+        |  min_by(c.cum_d, c.quality_micro) AS dropped_docs,
+        |  min(t.tot_w) AS total_tokens, min(t.tot_d) AS total_docs
+        |FROM c, t WHERE c.cum_w * 10 >= t.tot_w""".stripMargin) { (s, dir) =>
+      val toks = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), size(tokens(col("text"))).cast(LongType).as("tok"))
+      val q = TextAnalysis.qualityIndex(s, dir)
+        .select(col("doc_id"), col("quality_micro"))
+      val g = toks.join(q, Seq("doc_id"))
+        .groupBy(col("quality_micro"))
+        .agg(sum(col("tok")).as("w"), count(lit(1)).as("nd"))
+        .localCheckpoint() // running sums drive several jobs over this tiny frame
+      val cum = Ordinals.globalRunningSumNative(
+        Ordinals.globalRunningSumNative(g, "cum_w", "quality_micro", col("w")),
+        "cum_d", "quality_micro", col("nd"))
+      val tot = cum.agg(max(col("cum_w")).as("tot_w"), max(col("cum_d")).as("tot_d"))
+      cum.crossJoin(broadcast(tot)) // 1-row totals — the q35a scalar pattern
+        .filter(col("cum_w") * 10 >= col("tot_w"))
+        .agg(min(col("quality_micro")).as("cutoff_quality_micro"),
+          min_by(col("cum_w"), col("quality_micro")).as("dropped_tokens"),
+          min_by(col("cum_d"), col("quality_micro")).as("dropped_docs"),
+          min(col("tot_w")).as("total_tokens"),
+          min(col("tot_d")).as("total_docs"))
     }
   )
 }

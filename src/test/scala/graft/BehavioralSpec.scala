@@ -163,6 +163,51 @@ class BehavioralSpec extends SparkSpec {
     assert(rows.map(r => r.getLong(5) - r.getLong(6)).sum == df1)
   }
 
+  test("q89: spine is contiguous per type; n partitions the events; LOCF carries the last observed count") {
+    val rows = SparkEntry.queries("q89_gap_fill")(spark, dir).collect()
+    val e = Tables.load(spark, dir, "events")
+    val perType = e.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.groupBy(_.getString(0)).foreach { case (tpe, rs0) =>
+      val rs = rs0.sortBy(_.getDate(1).toLocalDate.toEpochDay)
+      val days = rs.map(_.getDate(1).toLocalDate.toEpochDay)
+      assert(days.zip(days.tail).forall { case (a, b) => b == a + 1 },
+        s"$tpe spine has gaps")
+      assert(rs.map(_.getLong(2)).sum == perType(tpe),
+        s"$tpe filled counts don't partition the events")
+      // filled ⟺ n == 0, and locf carries the last observed (filled=0) n
+      var lastObs = -1L
+      rs.foreach { r =>
+        val (n, filled, locf) = (r.getLong(2), r.getInt(3), r.getLong(4))
+        assert((filled == 1) == (n == 0L))
+        if (filled == 0) lastObs = n
+        assert(locf == lastObs, s"$tpe day ${r.getDate(1)}: locf $locf != $lastObs")
+      }
+    }
+  }
+
+  test("q90: sessions match a per-user greedy sequential scan") {
+    val gap = 30L * 60L * 1000000L
+    val out = SparkEntry.queries("q90_sessionize")(spark, dir).collect()
+      .groupBy(_.getLong(0))
+    val evs = Tables.load(spark, dir, "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("t"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+    evs.foreach { case (u, rows) =>
+      val ts = rows.map(_._2).sorted
+      val sessions = ts.foldLeft(List.empty[(Long, Long, Int)]) {
+        case ((st, en, n) :: rest, t) if t - en <= gap => (st, t, n + 1) :: rest
+        case (acc, t) => (t, t, 1) :: acc
+      }.reverse
+      val got = out(u).sortBy(_.getLong(1))
+        .map(r => (r.getLong(3), r.getLong(4), r.getLong(2).toInt)).toList
+      assert(got == sessions, s"user $u: $got != $sessions")
+      // session ids are 1..k in order
+      assert(out(u).sortBy(_.getLong(1)).map(_.getLong(1)).toList ==
+        (1L to sessions.size).toList)
+    }
+  }
+
   test("q83: every distinct corpus shingle is novel for exactly one doc") {
     val out = SparkEntry.queries("q83_shingle_novelty")(spark, dir)
     val novelSum = out.agg(sum(col("n_novel"))).collect()(0).getLong(0)

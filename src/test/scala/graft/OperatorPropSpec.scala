@@ -163,4 +163,29 @@ class OperatorPropSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
     assert(got == expected)
   }
+
+  test("q91 weighted quantile equals the driver-side brute force on the fixture") {
+    val dir = "/root/testdata/sf0.001"
+    val row = SparkEntry.queries("q91_weighted_quantile")(spark, dir).collect()(0)
+    // brute force: doc-level (quality, tok), sorted by quality, walk the
+    // cumulative token mass to the 10% threshold
+    val docs = operators.TextAnalysis.qualityIndex(spark, dir)
+      .select(col("doc_id"), col("quality_micro"), col("n_tokens").cast("long"))
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    val tot = docs.map(_._2).sum
+    val byQ = docs.groupBy(_._1).view.mapValues(v => (v.map(_._2).sum, v.size.toLong))
+      .toSeq.sortBy(_._1)
+    var (cumW, cumD) = (0L, 0L)
+    var hit: Option[(Long, Long, Long)] = None
+    byQ.foreach { case (q, (w, d)) =>
+      cumW += w; cumD += d
+      if (hit.isEmpty && cumW * 10 >= tot) hit = Some((q, cumW, cumD))
+    }
+    val (q, dw, dd) = hit.get
+    assert((row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3), row.getLong(4)) ==
+      ((q, dw, dd, tot, docs.length.toLong)))
+    // the cutoff is a genuine 10% token-mass threshold: the mass strictly
+    // below it stays under 10%
+    assert((dw - byQ.toMap.apply(q)._1) * 10 < tot)
+  }
 }

@@ -345,4 +345,37 @@ class PlanAssertionsSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
     assert(!p.contains("WindowExec"), "q88 must not plan a window")
   }
+
+  test("q89: gap-fill joins the spine to broadcast counts; LOCF window is type-keyed") {
+    val qe = SparkEntry.queries("q89_gap_fill")(spark, dir).queryExecution
+    val p = qe.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), "q89 daily counts must broadcast onto the spine")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+    val windows = qe.sparkPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w.partitionSpec.size
+    }
+    assert(windows.nonEmpty && windows.forall(_ >= 1),
+      s"q89 LOCF must be per-type, got partition sizes $windows")
+  }
+
+  test("q90: sessionization is one user-keyed pass — no join, no global window") {
+    val qe = SparkEntry.queries("q90_sessionize")(spark, dir).queryExecution
+    val joins = qe.sparkPlan.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    }
+    assert(joins.isEmpty, s"q90 plans a join; the flag + running sum need none")
+    val windows = qe.sparkPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w.partitionSpec.size
+    }
+    assert(windows.nonEmpty && windows.forall(_ >= 1),
+      s"q90 windows must be user-keyed, got partition sizes $windows")
+  }
+
+  test("q91: weighted quantile plans no single-partition window") {
+    val qe = SparkEntry.queries("q91_weighted_quantile")(spark, dir).queryExecution
+    val global = qe.sparkPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec if w.partitionSpec.isEmpty => w
+    }
+    assert(global.isEmpty, "q91 running sums must ride the two-phase form")
+  }
 }
