@@ -245,6 +245,70 @@ object Behavioral {
         .agg(count(lit(1)).as("n_events"), min(col("t")).as("t_start"),
           max(col("t")).as("t_end"), (max(col("t")) - min(col("t"))).as("dur_us"))
         .orderBy(col("user_id"), col("sid"))
+    },
+
+    // ----- rolling 7-day distinct actives (DAU / trailing-WAU) ------------
+    // Exact sliding-window COUNT DISTINCT — the engagement report
+    // ClickHouse serves with uniqExact over a window — via the
+    // CONTRIBUTION trick: each distinct (user, active-day) pair
+    // contributes to the 7 window-days it can be seen from, so the
+    // rolling distinct is `explode(0..6) → re-distinct → count`, never a
+    // day×7-day range self-join of the fact table and never per-day
+    // distinct state. Scale: the fact table collapses to distinct
+    // (user, day) in ONE shuffle (bounded by users × calendar, not event
+    // count); the ×7 explode and second distinct run on that bounded
+    // frame; the final day-keyed join is calendar-sized and broadcast.
+    QuerySpec("q92_rolling_active")(
+      """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |dau AS (SELECT day, count(*) AS dau FROM ud GROUP BY day),
+        |c AS (SELECT DISTINCT user_id, day + CAST(o AS INTEGER) AS wday
+        |      FROM ud, (SELECT unnest(generate_series(0, 6)) AS o)),
+        |wau AS (SELECT wday, count(*) AS wau7 FROM c GROUP BY wday)
+        |SELECT d.day, d.dau, w.wau7
+        |FROM dau d JOIN wau w ON d.day = w.wday
+        |ORDER BY d.day""".stripMargin) { (s, dir) =>
+      val ud = Tables.load(s, dir, "events")
+        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      val dau = ud.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+      val wau = ud
+        .select(col("user_id"),
+          explode(sequence(lit(0), lit(6))).as("o"), col("day"))
+        .select(col("user_id"), date_add(col("day"), col("o")).as("wday"))
+        .distinct()
+        .groupBy(col("wday")).agg(count(lit(1)).as("wau7"))
+      dau.join(broadcast(wau), dau("day") === wau("wday"))
+        .select(col("day"), col("dau"), col("wau7"))
+        .orderBy(col("day"))
+    },
+
+    // ----- event-type transition matrix (Markov bigram profile) -----------
+    // Per-user consecutive event-type bigrams — the session-shape /
+    // Markov-chain profile (ClickHouse users reach it with neighbor() or
+    // groupArray + arrayZip). One user-keyed window pass ordered by the
+    // (t, event_id) TOTAL order (same determinism argument as q90: with
+    // ties on t alone the two engines could pick different predecessors),
+    // then a types²-bounded hash-agg. The heavy object — the per-user
+    // ordered scan — is the same single shuffle as q84/q90; the output is
+    // dimension-sized at any corpus size.
+    QuerySpec("q93_type_transitions")(
+      """WITH o AS (SELECT user_id, event_type,
+        |             lag(event_type) OVER (PARTITION BY user_id
+        |               ORDER BY epoch_us(ts), event_id) AS from_type
+        |           FROM events)
+        |SELECT from_type, event_type AS to_type, count(*) AS n
+        |FROM o WHERE from_type IS NOT NULL
+        |GROUP BY from_type, to_type
+        |ORDER BY from_type, to_type""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(unix_micros(col("ts")), col("event_id"))
+      Tables.load(s, dir, "events")
+        .select(col("event_type").as("to_type"),
+          lag(col("event_type"), 1).over(w).as("from_type"))
+        .filter(col("from_type").isNotNull)
+        .groupBy(col("from_type"), col("to_type"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("from_type"), col("to_type"))
     }
   )
 }

@@ -208,6 +208,41 @@ class BehavioralSpec extends SparkSpec {
     }
   }
 
+  test("q92: rolling 7-day actives equal the driver-side window recount") {
+    val rows = SparkEntry.queries("q92_rolling_active")(spark, dir).collect()
+    val pairs = Tables.load(spark, dir, "events")
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      .collect().map(r => (r.getLong(0), r.getDate(1).toLocalDate.toEpochDay))
+    val byDay = pairs.groupBy(_._2)
+    rows.foreach { r =>
+      val d = r.getDate(0).toLocalDate.toEpochDay
+      assert(r.getLong(1) == byDay(d).size, s"dau mismatch on day $d")
+      val expectedWau = pairs.filter(p => p._2 >= d - 6 && p._2 <= d)
+        .map(_._1).distinct.size
+      assert(r.getLong(2) == expectedWau, s"wau7 mismatch on day $d")
+    }
+    assert(rows.map(_.getDate(0).toLocalDate.toEpochDay).toSet == byDay.keySet,
+      "q92 must cover exactly the active days")
+  }
+
+  test("q93: transition counts equal a per-user sequential bigram scan") {
+    val rows = SparkEntry.queries("q93_type_transitions")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val evs = Tables.load(spark, dir, "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("t"), col("event_id"),
+        col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .groupBy(_._1)
+    val expected = scala.collection.mutable.Map.empty[(String, String), Long]
+    evs.values.foreach { rs =>
+      rs.sortBy(r => (r._2, r._3)).map(_._4).toList.sliding(2).foreach {
+        case a :: b :: Nil => expected((a, b)) = expected.getOrElse((a, b), 0L) + 1
+        case _ =>
+      }
+    }
+    assert(rows == expected.toMap, "bigram counts diverge from the sequential scan")
+  }
+
   test("q83: every distinct corpus shingle is novel for exactly one doc") {
     val out = SparkEntry.queries("q83_shingle_novelty")(spark, dir)
     val novelSum = out.agg(sum(col("n_novel"))).collect()(0).getLong(0)

@@ -25,7 +25,12 @@ class DeterminismSpec extends SparkSpec {
     "q16_window_rank", "q26_route_roundrobin", "q36a_jaccard_capped",
     "q37_minhash_lsh", "q56_dataset_split", "q65_pack_sequences",
     "q66_stratified_sample", "q68_semdedup", "q69_export_shards",
-    "q71_mixture_upsample", "q73_dedup_clusters", "q74_incremental_neardup")
+    "q71_mixture_upsample", "q73_dedup_clusters", "q74_incremental_neardup",
+    // tie-sensitive window families added in round 7: session/bigram
+    // assignment under equal timestamps, the two-phase weighted-quantile
+    // running sums, and the q92 contribution-trick double distinct
+    "q90_sessionize", "q91_weighted_quantile", "q92_rolling_active",
+    "q93_type_transitions")
 
   test("sensitive queries are byte-identical under different shuffle partitioning") {
     val saved = spark.conf.get("spark.sql.shuffle.partitions")

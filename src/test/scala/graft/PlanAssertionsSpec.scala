@@ -371,6 +371,31 @@ class PlanAssertionsSpec extends SparkSpec {
       s"q90 windows must be user-keyed, got partition sizes $windows")
   }
 
+  test("q92: rolling actives never self-join the fact table; day join broadcasts") {
+    val qe = SparkEntry.queries("q92_rolling_active")(spark, dir).queryExecution
+    val p = qe.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), "q92 day-keyed join must broadcast")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+    assert(!p.contains("WindowExec"), "q92 must use the contribution trick, not a window")
+    val joins = qe.sparkPlan.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    }
+    assert(joins.size == 1, s"q92 plans ${joins.size} joins; expected only dau⋈wau")
+  }
+
+  test("q93: transition matrix is one user-keyed window pass — no join") {
+    val qe = SparkEntry.queries("q93_type_transitions")(spark, dir).queryExecution
+    val joins = qe.sparkPlan.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    }
+    assert(joins.isEmpty, s"q93 plans a join; the lag needs none")
+    val windows = qe.sparkPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w.partitionSpec.size
+    }
+    assert(windows.nonEmpty && windows.forall(_ >= 1),
+      s"q93 windows must be user-keyed, got partition sizes $windows")
+  }
+
   test("q91: weighted quantile plans no single-partition window") {
     val qe = SparkEntry.queries("q91_weighted_quantile")(spark, dir).queryExecution
     val global = qe.sparkPlan.collect {
