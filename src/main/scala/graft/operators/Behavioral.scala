@@ -309,6 +309,43 @@ object Behavioral {
         .groupBy(col("from_type"), col("to_type"))
         .agg(count(lit(1)).as("n"))
         .orderBy(col("from_type"), col("to_type"))
+    },
+
+    // ----- cumulative distinct users (running uniq) -----------------------
+    // ClickHouse `runningAccumulate(uniqState(user_id))` per day: total
+    // distinct users seen up to each day. Exact, WITHOUT per-day distinct
+    // state: cumulative-distinct = running sum of FIRST-SEEN counts, so
+    // the fact table collapses to one (user → first day) aggregate (the
+    // only corpus-sized shuffle), then per-day new-user counts and the
+    // running sum ride the q89 calendar spine — all calendar-sized, with
+    // the running sum on the two-phase native form (no global window
+    // anywhere, tiny as the frame may be: posture is uniform, and the
+    // same operator serves an unbounded day domain unchanged).
+    QuerySpec("q94_cumulative_uniques")(
+      """WITH u AS (SELECT user_id, min(CAST(ts AS DATE)) AS d0 FROM events GROUP BY user_id),
+        |n AS (SELECT d0 AS day, count(*) AS new_users FROM u GROUP BY d0),
+        |b AS (SELECT min(day) AS mn, max(day) AS mx FROM n),
+        |cal AS (SELECT CAST(unnest(generate_series(CAST(mn AS TIMESTAMP),
+        |          CAST(mx AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day FROM b),
+        |j AS (SELECT c.day, coalesce(n.new_users, 0) AS new_users
+        |      FROM cal c LEFT JOIN n ON c.day = n.day)
+        |SELECT day, new_users,
+        |  CAST(sum(new_users) OVER (ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_users
+        |FROM j ORDER BY day""".stripMargin) { (s, dir) =>
+      val n = Tables.load(s, dir, "events")
+        .groupBy(col("user_id")).agg(min(to_date(col("ts"))).as("d0"))
+        .groupBy(col("d0").as("day")).agg(count(lit(1)).as("new_users"))
+      val cal = n.agg(min(col("day")).as("mn"), max(col("day")).as("mx"))
+        .select(col("mn"),
+          explode(sequence(lit(0), datediff(col("mx"), col("mn")))).as("i"))
+        .select(date_add(col("mn"), col("i")).as("day"))
+      val j = cal.join(broadcast(n), Seq("day"), "left")
+        .select(col("day"), coalesce(col("new_users"), lit(0L)).as("new_users"),
+          datediff(col("day"), to_date(lit("1970-01-01"))).cast(LongType).as("d"))
+      Ordinals.globalRunningSumNative(j, "cum_users", "d", col("new_users"))
+        .select(col("day"), col("new_users"), col("cum_users"))
+        .orderBy(col("day"))
     }
   )
 }

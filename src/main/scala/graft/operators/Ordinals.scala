@@ -109,8 +109,15 @@ object Ordinals {
       .select(col(sortCol)).orderBy(col(sortCol))
       .collect().map(_.get(0))
     val step = math.max(1, samp.length / buckets)
-    val boundaries = samp.indices.collect { case i if i > 0 && i % step == 0 => samp(i) }
+    val cuts = samp.indices.collect { case i if i > 0 && i % step == 0 => samp(i) }
       .distinct.toSeq
+    // A ≤1-key sample yields no cuts, which would make `bucket` a FOLDABLE
+    // constant — Catalyst then eliminates the partition key and plans the
+    // one thing this operator exists to avoid, a global window. Keep the
+    // partitioning real on degenerate inputs by cutting at the mid sample
+    // (two honest buckets; offsets handle either being empty).
+    val boundaries =
+      if (cuts.nonEmpty || samp.isEmpty) cuts else Seq(samp(samp.length / 2))
     val bucket = boundaries
       .map(b => when(col(sortCol) >= lit(b), 1).otherwise(0))
       .reduceOption[Column](_ + _).getOrElse(lit(0))

@@ -243,6 +243,25 @@ class BehavioralSpec extends SparkSpec {
     assert(rows == expected.toMap, "bigram counts diverge from the sequential scan")
   }
 
+  test("q94: cumulative uniques equal the driver-side first-seen recount") {
+    val rows = SparkEntry.queries("q94_cumulative_uniques")(spark, dir).collect()
+    val firstSeen = Tables.load(spark, dir, "events")
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .collect().map(r => (r.getLong(0), r.getDate(1).toLocalDate.toEpochDay))
+      .groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    val perDay = firstSeen.values.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    var cum = 0L
+    val days = rows.map(_.getDate(0).toLocalDate.toEpochDay)
+    assert(days.zip(days.tail).forall { case (a, b) => b == a + 1 }, "spine has gaps")
+    rows.foreach { r =>
+      val d = r.getDate(0).toLocalDate.toEpochDay
+      val nu = perDay.getOrElse(d, 0L)
+      cum += nu
+      assert(r.getLong(1) == nu && r.getLong(2) == cum, s"day $d mismatch")
+    }
+    assert(cum == firstSeen.size, "final cumulative must equal total distinct users")
+  }
+
   test("q83: every distinct corpus shingle is novel for exactly one doc") {
     val out = SparkEntry.queries("q83_shingle_novelty")(spark, dir)
     val novelSum = out.agg(sum(col("n_novel"))).collect()(0).getLong(0)

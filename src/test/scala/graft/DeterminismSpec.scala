@@ -30,7 +30,7 @@ class DeterminismSpec extends SparkSpec {
     // assignment under equal timestamps, the two-phase weighted-quantile
     // running sums, and the q92 contribution-trick double distinct
     "q90_sessionize", "q91_weighted_quantile", "q92_rolling_active",
-    "q93_type_transitions")
+    "q93_type_transitions", "q94_cumulative_uniques")
 
   test("sensitive queries are byte-identical under different shuffle partitioning") {
     val saved = spark.conf.get("spark.sql.shuffle.partitions")

@@ -396,6 +396,17 @@ class PlanAssertionsSpec extends SparkSpec {
       s"q93 windows must be user-keyed, got partition sizes $windows")
   }
 
+  test("q94: cumulative uniques plan no single-partition window; spine join broadcasts") {
+    val qe = SparkEntry.queries("q94_cumulative_uniques")(spark, dir).queryExecution
+    val p = qe.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), "q94 new-user counts must broadcast onto the spine")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+    val global = qe.sparkPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec if w.partitionSpec.isEmpty => w
+    }
+    assert(global.isEmpty, "q94 running sum must ride the two-phase form")
+  }
+
   test("q91: weighted quantile plans no single-partition window") {
     val qe = SparkEntry.queries("q91_weighted_quantile")(spark, dir).queryExecution
     val global = qe.sparkPlan.collect {
