@@ -267,8 +267,12 @@ object Behavioral {
         |SELECT d.day, d.dau, w.wau7
         |FROM dau d JOIN wau w ON d.day = w.wday
         |ORDER BY d.day""".stripMargin) { (s, dir) =>
+      // localCheckpoint: dau and the window contributions both read the
+      // distinct (user, day) frame — materialize it once so the fact scan
+      // and the distinct shuffle run once, not per branch.
       val ud = Tables.load(s, dir, "events")
         .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+        .localCheckpoint()
       val dau = ud.groupBy(col("day")).agg(count(lit(1)).as("dau"))
       val wau = ud
         .select(col("user_id"),
@@ -333,9 +337,14 @@ object Behavioral {
         |  CAST(sum(new_users) OVER (ORDER BY day
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_users
         |FROM j ORDER BY day""".stripMargin) { (s, dir) =>
+      // localCheckpoint: the spine bounds and the broadcast side both read
+      // `n`, whose lineage contains the corpus-sized user-keyed aggregate —
+      // materialize the calendar-sized result once so that shuffle (and the
+      // fact scan under it) never runs twice.
       val n = Tables.load(s, dir, "events")
         .groupBy(col("user_id")).agg(min(to_date(col("ts"))).as("d0"))
         .groupBy(col("d0").as("day")).agg(count(lit(1)).as("new_users"))
+        .localCheckpoint()
       val cal = n.agg(min(col("day")).as("mn"), max(col("day")).as("mx"))
         .select(col("mn"),
           explode(sequence(lit(0), datediff(col("mx"), col("mn")))).as("i"))

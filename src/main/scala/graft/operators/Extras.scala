@@ -166,9 +166,13 @@ object Extras {
         |FROM j ASOF LEFT JOIN d f
         |  ON j.event_type = f.event_type AND f.day <= j.day
         |ORDER BY j.event_type, j.day""".stripMargin) { (s, dir) =>
+      // localCheckpoint (the q65/q69 pattern): both the spine bounds and
+      // the broadcast join side read `d` — materializing the calendar-sized
+      // agg once keeps the 100 TB fact scan from running twice.
       val d = Tables.load(s, dir, "events")
         .groupBy(col("event_type"), to_date(col("ts")).as("day"))
         .agg(count(lit(1)).as("n"))
+        .localCheckpoint()
       val cal = d.groupBy(col("event_type"))
         .agg(min(col("day")).as("mn"), max(col("day")).as("mx"))
         .select(col("event_type"), col("mn"),
