@@ -25,9 +25,21 @@ def main(sfdir, outdir):
     for t in TABLES:
         p = f"{sfdir}/{t}.parquet"
         if os.path.isdir(p):  # Spark-written table (DataGen dirs): glob the parts
-            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}/*.parquet')")
+            src = f"read_parquet('{p}/*.parquet')"
         elif os.path.exists(p):
-            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+            src = f"read_parquet('{p}')"
+        else:
+            continue
+        sel = "SELECT *"
+        if t == "events":
+            # DataGen writes ts as raw BIGINT nanos (the driver fixtures'
+            # physical type); mirror Tables.load's nanos -> floor-us decode
+            # so the ts-based oracles run unchanged on scale fixtures.
+            types = {c[0]: c[1] for c in
+                     con.execute(f"DESCRIBE SELECT * FROM {src}").fetchall()}
+            if types.get("ts") == "BIGINT":
+                sel = "SELECT * REPLACE (make_timestamp(ts // 1000) AS ts)"
+        con.execute(f"CREATE VIEW {t} AS {sel} FROM {src}")
     sqls = json.load(open(f"{outdir}/oracle_sql.json"))
     npass = nfail = 0
     for name in sorted(sqls):
