@@ -45,6 +45,33 @@ object Behavioral {
   /** q90 session gap: a >30 min silence starts a new session. */
   private val SessionGapMicros = 30L * 60L * 1000000L
 
+  /** Gap-based sessionization as a library operator — q90's body. Input
+    * needs (user_id, event_id, t µs); output is one row per (user,
+    * session ordinal) with count/bounds/duration. Both windows (the
+    * boundary-flag lag and the ordinal running sum) share one
+    * (t, event_id)-sorted pass; the tiebreak makes the order TOTAL, so
+    * equal-timestamp events get identical session ids on any engine and
+    * any partitioning (OperatorPropSpec drives this with dense random
+    * ties; with `ORDER BY t` alone two window passes could order a tie
+    * differently and split it across sessions).
+    */
+  private[graft] def sessionize(e: org.apache.spark.sql.DataFrame,
+      gapMicros: Long): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("t"), col("event_id"))
+    val lagT = lag(col("t"), 1).over(w)
+    e.select(col("user_id"), col("t"), col("event_id"),
+        when(lagT.isNull || col("t") - lagT > gapMicros, 1L)
+          .otherwise(0L).as("nf"))
+      .select(col("user_id"), col("t"),
+        sum(col("nf")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("sid"))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(count(lit(1)).as("n_events"), min(col("t")).as("t_start"),
+        max(col("t")).as("t_end"), (max(col("t")) - min(col("t"))).as("dur_us"))
+      .orderBy(col("user_id"), col("sid"))
+  }
+
   private val nullL = lit(null).cast(LongType)
 
   /** Max funnel depth over a time-sorted array of struct(t µs, k step).
@@ -230,21 +257,10 @@ object Behavioral {
         |SELECT user_id, sid, count(*) AS n_events, min(t) AS t_start,
         |  max(t) AS t_end, max(t) - min(t) AS dur_us
         |FROM g GROUP BY user_id, sid ORDER BY user_id, sid""".stripMargin) { (s, dir) =>
-      import org.apache.spark.sql.expressions.Window
-      val e = Tables.load(s, dir, "events")
-        .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("t"))
-      val w = Window.partitionBy(col("user_id")).orderBy(col("t"), col("event_id"))
-      val lagT = lag(col("t"), 1).over(w)
-      e.select(col("user_id"), col("t"), col("event_id"),
-          when(lagT.isNull || col("t") - lagT > SessionGapMicros, 1L)
-            .otherwise(0L).as("nf"))
-        .select(col("user_id"), col("t"),
-          sum(col("nf")).over(
-            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("sid"))
-        .groupBy(col("user_id"), col("sid"))
-        .agg(count(lit(1)).as("n_events"), min(col("t")).as("t_start"),
-          max(col("t")).as("t_end"), (max(col("t")) - min(col("t"))).as("dur_us"))
-        .orderBy(col("user_id"), col("sid"))
+      sessionize(
+        Tables.load(s, dir, "events")
+          .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("t")),
+        SessionGapMicros)
     },
 
     // ----- rolling 7-day distinct actives (DAU / trailing-WAU) ------------

@@ -164,6 +164,32 @@ class OperatorPropSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("sessionize matches the greedy automaton on dense random ties, any partitioning") {
+    import spark.implicits._
+    val gap = 3L * 1000000L // 3 s
+    val gen = for {
+      u <- Gen.chooseNum(1L, 5L)
+      t <- Gen.chooseNum(0L, 30L)
+    } yield (u, t * 1000000L) // 5 users × 31 instants → heavy ties
+    val rows = sample(gen, 300, seed = 11L).zipWithIndex
+      .map { case ((u, t), i) => (u, i.toLong, t) }
+    val df = rows.toDF("user_id", "event_id", "t").repartition(7)
+    val got = operators.Behavioral.sessionize(df, gap).collect()
+      .groupBy(_.getLong(0))
+    rows.groupBy(_._1).foreach { case (u, rs) =>
+      val ts = rs.map(_._3).sorted
+      val expected = ts.foldLeft(List.empty[(Long, Long, Int)]) {
+        case ((st, en, n) :: rest, t) if t - en <= gap => (st, t, n + 1) :: rest
+        case (acc, t) => (t, t, 1) :: acc
+      }.reverse
+      val gu = got(u).sortBy(_.getLong(1))
+      assert(gu.map(_.getLong(1)).toList == (1L to expected.size).toList,
+        s"user $u: sids not 1..k")
+      assert(gu.map(r => (r.getLong(3), r.getLong(4), r.getLong(2).toInt)).toList ==
+        expected, s"user $u sessions diverge")
+    }
+  }
+
   test("q91 weighted quantile equals the driver-side brute force on the fixture") {
     val dir = "/root/testdata/sf0.001"
     val row = SparkEntry.queries("q91_weighted_quantile")(spark, dir).collect()(0)
