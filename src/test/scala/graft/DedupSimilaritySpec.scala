@@ -227,4 +227,21 @@ class DedupSimilaritySpec extends SparkSpec {
       assert(r.getAs[Long]("q_id") != r.getAs[Long]("neighbor_id"))
     }
   }
+
+  test("q95: hard negatives never share the anchor's label; ranks dense, sims ordered") {
+    import org.apache.spark.sql.functions.col
+    val labels = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), col("label"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val byQ = run("q95_hard_negatives").collect().groupBy(_.getAs[Long]("q_id"))
+    assert(byQ.nonEmpty)
+    byQ.foreach { case (q, rs) =>
+      val sorted = rs.sortBy(_.getAs[Int]("rk"))
+      assert(sorted.map(_.getAs[Int]("rk")).toList == (1 to sorted.length).toList)
+      assert(sorted.forall(r => labels(r.getAs[Long]("neighbor_id")) != labels(q)),
+        s"anchor $q was served a same-label negative")
+      val sims = sorted.map(_.getAs[Double]("sim"))
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b }, s"anchor $q sims unsorted")
+    }
+  }
 }

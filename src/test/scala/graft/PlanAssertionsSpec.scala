@@ -40,6 +40,17 @@ class PlanAssertionsSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
   }
 
+  test("q95: hard negatives broadcast the query set; top-k windows are salted") {
+    val qe = SparkEntry.queries("q95_hard_negatives")(spark, dir).queryExecution
+    val p = qe.executedPlan.toString
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
+    val windows = qe.sparkPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w.partitionSpec.size
+    }
+    assert(windows.nonEmpty && windows.forall(_ >= 1),
+      s"q95 windows must be keyed (salted local + per-query final), got $windows")
+  }
+
   test("q37: no cartesian product anywhere in the LSH pipeline") {
     val p = plan("q37_minhash_lsh")
     assert(!p.contains("CartesianProduct"))
