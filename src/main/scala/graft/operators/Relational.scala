@@ -477,16 +477,19 @@ object Relational {
       """SELECT c_custkey, c_name,
         |  concat('weather_topic_', CAST((rn - 1) % 3 + 1 AS VARCHAR)) AS topic
         |FROM (SELECT c_custkey, c_name,
-        |        row_number() OVER (ORDER BY c_name) AS rn
+        |        row_number() OVER (ORDER BY c_name, c_custkey) AS rn
         |      FROM customer) t
         |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
       // Two-phase numbering (Ordinals.globalRowNumberNative) instead of a
       // global Window.orderBy: no single-partition exchange and no RDD
-      // round-trip; same deterministic sorted-by-name i%3+1 routing
-      // (c_name is unique in customer).
+      // round-trip; same deterministic sorted-by-name i%3+1 routing. The
+      // c_custkey tiebreak makes the order TOTAL: c_name is unique in the
+      // driver fixtures, but replicated keys (the sf1 DataGen set — or any
+      // real-world city list with colliding names) would otherwise leave
+      // round-robin assignment order-dependent under ties.
       Ordinals.globalRowNumberNative(
           Tables.load(s, dir, "customer").select(col("c_custkey"), col("c_name")),
-          "rn", "c_name")
+          "rn", "c_name", tieCols = Seq("c_custkey"))
         .select(col("c_custkey"), col("c_name"),
           concat(lit("weather_topic_"), ((col("rn") - 1) % 3 + 1).cast(StringType)).as("topic"))
         .orderBy(col("c_custkey"))
