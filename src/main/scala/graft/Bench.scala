@@ -58,8 +58,20 @@ object Bench {
     val warmJson =
       if (warm.isEmpty) ""
       else s""""queries_warm":${toJson(warm)},"value_warm":${fmt(warm.map(_._2).filter(_ >= 0).sum)},"""
-    println(s"""{"unit":"sec","sf":"$sfDir","queries":${toJson(results)},""" +
-      warmJson + s""""errors":$errJson,"value":${fmt(total)},"metric":"total"}""")
+    val line = s"""{"unit":"sec","sf":"$sfDir","queries":${toJson(results)},""" +
+      warmJson + s""""errors":$errJson,"value":${fmt(total)},"metric":"total"}"""
+    println(line)
+    // The driver's tail capture has truncated this line mid-JSON before
+    // (ADVICE r7: BENCH_r06/r07 lost the cold per-query map, "parsed":null),
+    // so ALSO persist the full JSON to a file for reproducible adjudication.
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out/bench_last.json")
+    try {
+      val p = java.nio.file.Paths.get(outFile)
+      Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
+      java.nio.file.Files.write(p, (line + "\n").getBytes("UTF-8"))
+    } catch { case e: Exception =>
+      System.err.println(s"bench: could not persist $outFile: $e")
+    }
     spark.stop()
   }
 }

@@ -43,24 +43,53 @@ object Tables {
       spark.conf.set(key, "true")
       try {
         val raw = spark.read.parquet(s"$dir/$name.parquet")
-        raw.schema("ts").dataType match {
-          case LongType =>
-            raw.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
-          case TimestampNTZType =>
-            raw.withColumn("ts", col("ts").cast(TimestampType))
-          case TimestampType => raw
-          case other =>
-            throw new IllegalStateException(
-              s"fixture drift: events.ts read as $other from $dir/$name.parquet" +
-                " — expected LongType (nanosAsLong), TIMESTAMP_NTZ, or TIMESTAMP;" +
-                " update Tables.load for the new fixture schema")
-        }
+        normalizeTs(raw, s"$dir/$name.parquet")
       } finally prev match {
         case Some(v) => spark.conf.set(key, v)
         case None => spark.conf.unset(key)
       }
     } else {
       spark.read.parquet(s"$dir/$name.parquet")
+    }
+  }
+
+  private def normalizeTs(df: DataFrame, src: String): DataFrame =
+    df.schema("ts").dataType match {
+      case LongType =>
+        df.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      case TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType => df
+      case other =>
+        throw new IllegalStateException(
+          s"fixture drift: events.ts read as $other from $src" +
+            " — expected LongType (nanosAsLong), TIMESTAMP_NTZ, or TIMESTAMP;" +
+            " update Tables.load for the new fixture schema")
+    }
+
+  /** `events` as a file-source STREAM with the same ts normalization as
+    * [[load]]. A file stream needs an explicit schema, and `withWatermark`
+    * needs an event-time-capable column — so the NTZ→TIMESTAMP boundary cast
+    * has to happen here, before any EventStreams builder sees the frame.
+    * Downstream, streaming and batch consumers see the identical
+    * `ts: TimestampType` contract.
+    */
+  def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "true")
+    try {
+      val path = s"$dir/events.parquet"
+      val rawSchema = spark.read.parquet(path).schema
+      // Glob, not the bare file path: for a non-glob path FileStreamSource
+      // force-sets basePath to the path itself, which must be a directory —
+      // a glob leaves basePath alone and streams the matching file(s).
+      normalizeTs(
+        spark.readStream.schema(rawSchema).parquet(s"$dir/events.parque[t]"),
+        path)
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
     }
   }
 
