@@ -23,7 +23,8 @@ object SparkEntry {
       operators.SqlSurface.specs ++
       operators.Extras.specs ++
       operators.TrainPipe.specs ++
-      operators.CorpusClean.specs
+      operators.CorpusClean.specs ++
+      operators.CorpusOps.specs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

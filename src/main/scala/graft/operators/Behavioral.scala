@@ -371,6 +371,80 @@ object Behavioral {
       Ordinals.globalRunningSumNative(j, "cum_users", "d", col("new_users"))
         .select(col("day"), col("new_users"), col("cum_users"))
         .orderBy(col("day"))
+    },
+
+    // ----- daily volume anomaly flags (integer-exact 2σ rule) -------------
+    // Per event_type, flag days whose count deviates from that type's mean
+    // by more than 2 standard deviations — the ingest-monitoring report a
+    // warehouse raises alerts from. The z-score test is algebraically
+    // cleared of divisions: |x − S/n| > 2·√((nQ − S²)/n²)  ⟺
+    // (n·x − S)² > 4·(nQ − S²), so the whole predicate is integer
+    // arithmetic — no float division or sqrt to diverge cross-engine.
+    // Spark runs it in DECIMAL(38,0) (exact up to 10³⁸ — room for 10¹²
+    // daily events over decades), the oracle in HUGEINT (int128; DuckDB
+    // decimals cap multiplication width at 38 combined digits).
+    // Scale: the corpus collapses to (type × day) in one hash-agg; the
+    // moment sums and the broadcast join back are dimension-sized.
+    QuerySpec("q99_daily_anomaly")(
+      """WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |             CAST(count(*) AS HUGEINT) AS x
+        |           FROM events GROUP BY 1, 2),
+        |m AS (SELECT event_type, CAST(count(*) AS HUGEINT) AS n,
+        |        CAST(sum(x) AS HUGEINT) AS s, CAST(sum(x * x) AS HUGEINT) AS q
+        |      FROM d GROUP BY event_type)
+        |SELECT d.event_type, d.day, CAST(d.x AS BIGINT) AS n_events,
+        |  CAST((m.n * d.x - m.s) * (m.n * d.x - m.s) > 4 * (m.n * m.q - m.s * m.s)
+        |       AS INTEGER) AS anomaly
+        |FROM d JOIN m USING (event_type)
+        |ORDER BY event_type, day""".stripMargin) { (s, dir) =>
+      val dv = DecimalType(38, 0)
+      // localCheckpoint: the daily frame feeds both the output rows and the
+      // per-type moment sums — materialize the (type × day) result once so
+      // the corpus scan and its shuffle never run twice.
+      val d = Tables.load(s, dir, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).cast(dv).as("x"))
+        .localCheckpoint()
+      val m = d.groupBy(col("event_type"))
+        .agg(count(lit(1)).cast(dv).as("n"),
+          sum(col("x")).cast(dv).as("s"),
+          sum(col("x") * col("x")).cast(dv).as("q"))
+      val dev = col("n") * col("x") - col("s")
+      d.join(broadcast(m), "event_type")
+        .select(col("event_type"), col("day"), col("x").cast(LongType).as("n_events"),
+          (dev * dev > lit(4) * (col("n") * col("q") - col("s") * col("s")))
+            .cast(IntegerType).as("anomaly"))
+        .orderBy(col("event_type"), col("day"))
+    },
+
+    // ----- per-user event-type map (sumMap / CountMap analog) -------------
+    // ClickHouse's map-valued aggregates (sumMap, countMap) keyed by user:
+    // one (user, type) hash-agg, then the per-user MAP is assembled with
+    // map_from_entries over the SORTED entry list and serialized
+    // deterministically ("type:count,…") — a real MapType flows through
+    // the plan (the Spark map surface under test), while the output stays
+    // a flat string both engines can hash-compare. Per-user state is
+    // bounded by the event-type dimension, never by event count.
+    QuerySpec("q100_user_event_map")(
+      """WITH c AS (SELECT user_id, event_type, count(*) AS n
+        |           FROM events GROUP BY 1, 2)
+        |SELECT user_id, count(*) AS n_types, CAST(sum(n) AS BIGINT) AS total_events,
+        |  string_agg(event_type || ':' || n, ',' ORDER BY event_type) AS type_counts
+        |FROM c GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, dir) =>
+      val cnt = Tables.load(s, dir, "events")
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      cnt.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_types"),
+          sum(col("n")).cast(LongType).as("total_events"),
+          map_from_entries(array_sort(
+            collect_list(struct(col("event_type").as("k"), col("n").as("v")))))
+            .as("m"))
+        .select(col("user_id"), col("n_types"), col("total_events"),
+          array_join(transform(map_entries(col("m")),
+            e => concat_ws(":", e.getField("key"), e.getField("value"))), ",")
+            .as("type_counts"))
+        .orderBy(col("user_id"))
     }
   )
 }

@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Properties of the round-8 corpus ops (q96–q100) that the DuckDB oracle
+  * can't express directly: chunk coverage (every token in ≥1 chunk, stride
+  * geometry), mixture-weight normalization, and a cross-derivation of the
+  * integer-exact anomaly rule against the naive float z-score.
+  */
+class CorpusOpsSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+  private def q(name: String) = SparkEntry.queries(name)(spark, dir)
+
+  test("q96: chunks cover every token, respect size and stride") {
+    import graft.functions.TextFunctions._
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), size(tokens(col("text"))).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val chunks = q("q96_chunk_windows").collect()
+    assert(chunks.nonEmpty)
+    val byDoc = chunks.groupBy(_.getLong(0))
+    assert(byDoc.keySet == docs.keySet, "every document must produce chunks")
+    byDoc.foreach { case (docId, rows) =>
+      val n = docs(docId)
+      val sorted = rows.sortBy(_.getInt(1))
+      // stride geometry: chunk k starts at 1 + 24k
+      sorted.foreach { r =>
+        assert(r.getInt(2) == 1 + 24 * r.getInt(1), s"doc $docId start_pos")
+        assert(r.getInt(3) <= 32 && r.getInt(3) >= 1, s"doc $docId chunk size")
+      }
+      // coverage: last chunk reaches the last token
+      val last = sorted.last
+      assert(last.getInt(2) + last.getInt(3) - 1 == n,
+        s"doc $docId: final chunk must end at token $n")
+      // chunk count: exactly floor((n-1)/stride)+1
+      assert(sorted.length == (n - 1) / 24 + 1, s"doc $docId chunk count")
+    }
+  }
+
+  test("q97: terms ranked within doc; rank 1 has the doc's max tf") {
+    val rows = q("q97_distinctive_terms").collect()
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val byRank = rs.sortBy(_.getInt(1))
+      assert(byRank.map(_.getInt(1)).toSeq == (1 to byRank.length))
+      // tf must be non-increasing with rank (df/term break ties)
+      byRank.sliding(2).foreach {
+        case Array(a, b) => assert(a.getLong(3) >= b.getLong(3))
+        case _ => ()
+      }
+    }
+  }
+
+  test("q98: alpha shares are a probability distribution flatter than raw") {
+    val rows = q("q98_mixture_temperature").collect()
+    val raw = rows.map(_.getDouble(3))
+    val alpha = rows.map(_.getDouble(4))
+    assert(math.abs(alpha.sum - 1.0) < 1e-9, s"alpha sums to ${alpha.sum}")
+    assert(math.abs(raw.sum - 1.0) < 1e-9)
+    // temperature α=0.5 flattens: max share shrinks, min share grows
+    assert(alpha.max <= raw.max + 1e-12)
+    assert(alpha.min >= raw.min - 1e-12)
+  }
+
+  test("q99: integer rule equals the naive float 2-sigma z-score") {
+    val rows = q("q99_daily_anomaly").collect()
+    rows.groupBy(_.getString(0)).foreach { case (_, rs) =>
+      val xs = rs.map(_.getLong(2).toDouble)
+      val n = xs.length.toDouble
+      val mean = xs.sum / n
+      val varp = xs.map(x => (x - mean) * (x - mean)).sum / n
+      rs.foreach { r =>
+        val naive = math.abs(r.getLong(2) - mean) > 2.0 * math.sqrt(varp)
+        assert(r.getInt(3) == (if (naive) 1 else 0),
+          s"${r.getString(0)} ${r.get(1)}: integer rule disagrees with float z-score")
+      }
+    }
+  }
+
+  test("q100: map string round-trips the per-user type counts") {
+    val rows = q("q100_user_event_map").collect()
+    val direct = Tables.load(spark, dir, "events")
+      .groupBy(col("user_id"), col("event_type")).count()
+      .collect()
+      .groupBy(_.getLong(0))
+      .map { case (u, rs) =>
+        u -> rs.map(r => r.getString(1) -> r.getLong(2)).sortBy(_._1)
+          .map { case (k, v) => s"$k:$v" }.mkString(",")
+      }
+    assert(rows.length == direct.size)
+    rows.foreach { r =>
+      assert(r.getString(3) == direct(r.getLong(0)), s"user ${r.getLong(0)}")
+      assert(r.getLong(1) == r.getString(3).split(",").length, "n_types")
+    }
+  }
+}
