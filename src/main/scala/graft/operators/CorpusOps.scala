@@ -50,6 +50,19 @@ object CorpusOps {
 
   private val hex60Sql = "CAST('0x' || substr(md5(%s), 1, 15) AS BIGINT)"
 
+  /** (doc_id, term, tf) as a per-(session, corpus) shared index — the same
+    * built-once/served-many posture as TextAnalysis.shingleIndex /
+    * qualityIndex: q97 and q102 both serve off one tokenize+count pass.
+    */
+  private val tfIndexCache = new graft.SessionCache[org.apache.spark.sql.DataFrame]
+
+  private def tfIndex(s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame =
+    tfIndexCache.getOrElseUpdate(s, dir)(
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
   val specs: Seq[QuerySpec] = Seq(
 
     // ----- overlapping token-window chunking (RAG preprocessing) ----------
@@ -105,13 +118,9 @@ object CorpusOps {
         |      FROM tf JOIN df USING (term))
         |SELECT doc_id, rk, term, tf, df FROM r WHERE rk <= $TermK
         |ORDER BY doc_id, rk""".stripMargin) { (s, dir) =>
-      // localCheckpoint: tf feeds both the join's probe side and the df
-      // aggregate — materialize it once so the corpus scan and the
-      // (doc, term) shuffle run once, not per branch.
-      val tf = Tables.load(s, dir, "documents")
-        .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
-        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-        .localCheckpoint()
+      // shared tf index: feeds both the join's probe side and the df
+      // aggregate (and q102) — one corpus scan + (doc, term) shuffle.
+      val tf = tfIndex(s, dir)
       val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
       val w = Window.partitionBy(col("doc_id"))
         .orderBy(col("tf").desc, col("df").asc, col("term").asc)
@@ -161,6 +170,89 @@ object CorpusOps {
         .select(col("source"), col("n_docs"), col("mass"), col("raw_share"),
           (col("wdec").cast(DoubleType) / col("wsum").cast(DoubleType)).as("alpha_share"))
         .orderBy(col("source"))
+    },
+
+    // ----- token-rarity score (integer-exact surprisal proxy) -------------
+    // Per-document mean corpus document-frequency of its tokens, weighted
+    // by in-doc term frequency: Σ(tf·df)/Σtf. The rank-free cousin of
+    // unigram surprisal (−Σ log p): LOW mean df = doc made of rare
+    // vocabulary, HIGH = boilerplate — the same quality/diversity signal
+    // without a cross-engine float log (ln is not required to be
+    // correctly rounded; sums of BIGINT products are exact, and the final
+    // mean is ONE IEEE division). Same tf/df frames as q97.
+    QuerySpec("q102_token_rarity")(
+      """WITH tf AS (
+        |  SELECT doc_id, t AS term, count(*) AS tf
+        |  FROM (SELECT doc_id,
+        |          unnest(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS t
+        |        FROM documents)
+        |  GROUP BY doc_id, t),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
+        |SELECT tf.doc_id,
+        |  CAST(sum(tf.tf) AS BIGINT) AS n_tokens,
+        |  CAST(sum(tf.tf * df.df) AS BIGINT) AS sum_tfdf,
+        |  CAST(sum(tf.tf * df.df) AS DOUBLE) / sum(tf.tf) AS mean_df
+        |FROM tf JOIN df USING (term)
+        |GROUP BY tf.doc_id ORDER BY tf.doc_id""".stripMargin) { (s, dir) =>
+      val tf = tfIndex(s, dir)
+      val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      tf.join(df, "term")
+        .groupBy(col("doc_id"))
+        .agg(sum(col("tf")).cast(LongType).as("n_tokens"),
+          sum(col("tf") * col("df")).cast(LongType).as("sum_tfdf"))
+        .select(col("doc_id"), col("n_tokens"), col("sum_tfdf"),
+          (col("sum_tfdf").cast(DoubleType) / col("n_tokens")).as("mean_df"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ----- per-source quality percentile (cross-source normalization) -----
+    // A doc's quality percentile WITHIN ITS SOURCE — the normalization a
+    // mixture pipeline applies before comparing quality across sources
+    // with different scoring baselines (a p90 doc from a noisy crawl and
+    // a p90 doc from a curated source are both "top decile of their
+    // stratum"). Integer-exact: pct_micro = ⌊(docs strictly below) · 10⁶
+    // / (n_source − 1)⌋, strict-below counted on the (quality, doc_id)
+    // total order. Scale posture = q91's: the corpus collapses to
+    // (source, quality_micro) counts — bounded by sources × the 1.4M
+    // micro-unit quality domain, NOT by corpus size — and the per-source
+    // running sum runs on that bounded frame (same domain-bounded window
+    // the gap-fill/LOCF family uses); docs then join back on the
+    // (source, quality) pair. Rides the shared quality index.
+    QuerySpec("q103_quality_percentile")(
+      s"""WITH ${TextAnalysis.qualityCteSql},
+        |q AS (SELECT d.doc_id, d.source, s.quality_micro
+        |      FROM documents d JOIN qscore s USING (doc_id)),
+        |g AS (SELECT source, quality_micro, count(*) AS n
+        |      FROM q GROUP BY source, quality_micro),
+        |c AS (SELECT source, quality_micro, n,
+        |        CAST(coalesce(sum(n) OVER (PARTITION BY source ORDER BY quality_micro
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS below,
+        |        CAST(sum(n) OVER (PARTITION BY source) AS BIGINT) AS n_src
+        |      FROM g)
+        |SELECT q.doc_id, q.source, q.quality_micro,
+        |  (c.below * 1000000) // greatest(c.n_src - 1, 1) AS pct_micro
+        |FROM q JOIN c USING (source, quality_micro)
+        |ORDER BY q.doc_id""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val q = Tables.load(s, dir, "documents").select(col("doc_id"), col("source"))
+        .join(TextAnalysis.qualityIndex(s, dir).select(col("doc_id"), col("quality_micro")),
+          "doc_id")
+      val g = q.groupBy(col("source"), col("quality_micro"))
+        .agg(count(lit(1)).as("n"))
+      // windows over the DOMAIN-BOUNDED (source × quality) frame, never
+      // the corpus rows
+      val wBelow = Window.partitionBy(col("source")).orderBy(col("quality_micro"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wSrc = Window.partitionBy(col("source"))
+      val c = g
+        .withColumn("below", coalesce(sum(col("n")).over(wBelow), lit(0L)).cast(LongType))
+        .withColumn("n_src", sum(col("n")).over(wSrc).cast(LongType))
+      q.join(c.select(col("source"), col("quality_micro"), col("below"), col("n_src")),
+          Seq("source", "quality_micro"))
+        .select(col("doc_id"), col("source"), col("quality_micro"),
+          expr("(below * CAST(1000000 AS BIGINT)) div greatest(n_src - 1, CAST(1 AS BIGINT))")
+            .as("pct_micro"))
+        .orderBy(col("doc_id"))
     }
   )
 }
