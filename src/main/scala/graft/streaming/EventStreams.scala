@@ -123,6 +123,53 @@ object EventStreams {
       }
   }
 
+  /** Streaming per-user event-type counts via `transformWithState` — the
+    * Spark-4 stateful-processing API (StatefulProcessor + typed MapState;
+    * requires the RocksDB state store provider) carrying q100's sumMap
+    * semantics into a stream: state per user is a MAP keyed by event type
+    * (bounded by the type dimension, never by event count), and each
+    * micro-batch emits the UPDATED (user, type, running count) rows —
+    * OutputMode.Update over map entries, where the older
+    * mapGroupsWithState API would re-emit a whole per-user row. TTLConfig
+    * is surfaced so long-running deployments can bound state by idle time;
+    * the default keeps counts forever (exact running totals).
+    */
+  case class TypeCount(user_id: Long, event_type: String, n: Long)
+
+  class UserTypeCountProcessor(ttl: org.apache.spark.sql.streaming.TTLConfig)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, (Long, String), TypeCount] {
+    import org.apache.spark.sql.{Encoders, streaming => ss}
+    @transient private var counts: ss.MapState[String, Long] = _
+
+    override def init(outputMode: ss.OutputMode, timeMode: ss.TimeMode): Unit =
+      counts = getHandle.getMapState[String, Long](
+        "counts", Encoders.STRING, Encoders.scalaLong, ttl)
+
+    override def handleInputRows(user: Long, rows: Iterator[(Long, String)],
+        timers: ss.TimerValues): Iterator[TypeCount] = {
+      // LinkedHashSet: emit each touched type once, in first-touch order
+      // (deterministic within the batch), with its post-batch total.
+      val touched = scala.collection.mutable.LinkedHashSet.empty[String]
+      rows.foreach { case (_, t) =>
+        val cur = if (counts.containsKey(t)) counts.getValue(t) else 0L
+        counts.updateValue(t, cur + 1L)
+        touched += t
+      }
+      touched.iterator.map(t => TypeCount(user, t, counts.getValue(t)))
+    }
+  }
+
+  /** (user_id, event_type) stream → running per-user type counts. */
+  def userTypeCounts(events: Dataset[(Long, String)],
+      ttl: org.apache.spark.sql.streaming.TTLConfig =
+        org.apache.spark.sql.streaming.TTLConfig.NONE): Dataset[TypeCount] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    events.groupByKey(_._1)
+      .transformWithState(new UserTypeCountProcessor(ttl),
+        TimeMode.None(), OutputMode.Update())
+  }
+
   /** Closed-session emitter via flatMapGroupsWithState (the 0-or-N-rows
     * stateful API): sessions are buffered per user and EMITTED ONLY when
     * closed by a processing-time gap timeout — the push-style complement

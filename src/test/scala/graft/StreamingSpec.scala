@@ -261,6 +261,43 @@ class StreamingSpec extends SparkSpec {
     assert(perDoc.getOrElse(3L, 0L) == 4L, s"novel doc keeps all bands: $perDoc")
   }
 
+  test("transformWithState: per-user type counts accumulate across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // transformWithState requires the RocksDB state store provider; scope
+    // the conf to this query and restore after (other streaming specs run
+    // on the default HDFS-backed provider).
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[(Long, String)]
+      val q = EventStreams.userTypeCounts(input.toDS())
+        .writeStream.format("memory").queryName("user_type_counts")
+        .outputMode("update")
+        .option("checkpointLocation",
+          Files.createTempDirectory("tws_counts").toString)
+        .start()
+      input.addData((1L, "view"), (1L, "view"), (2L, "click"))
+      q.processAllAvailable()
+      input.addData((1L, "view"), (1L, "click"), (2L, "click"))
+      q.processAllAvailable()
+      q.stop()
+      // Update mode: keep the LAST emission per (user, type) — the running
+      // totals must reflect both batches' state.
+      val out = spark.table("user_type_counts").groupBy("user_id", "event_type")
+        .agg(max("n").as("n"))
+        .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+      assert(out((1L, "view")) == 3L, s"user 1 views: $out")
+      assert(out((1L, "click")) == 1L, s"user 1 clicks: $out")
+      assert(out((2L, "click")) == 2L, s"user 2 clicks: $out")
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("streaming decontamination flags benchmark-overlapping docs at arrival") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
