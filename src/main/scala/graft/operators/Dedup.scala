@@ -629,6 +629,53 @@ object Dedup {
         .filter(col("hamming") <= HammingMax)
         .select(col("a_doc"), col("b_doc"), col("hamming"))
         .orderBy(col("a_doc"), col("b_doc"))
+    },
+
+    // ----- cross-source overlap matrix (corpus-provenance health) ---------
+    // EXACT pairwise shingle Jaccard between data SOURCES — the report
+    // that catches one crawl mirroring another (motivating cross-source
+    // dedup) before any doc-level pass. Never doc×doc: the corpus
+    // collapses to distinct (source, shingle) in one shuffle, and the
+    // pair explosion is bounded by the SOURCE dimension (a shingle in k
+    // sources yields C(k,2) ≤ C(|sources|,2) pairs — ~190 at 20 sources —
+    // independent of how many documents share it). Output is
+    // sources²-sized. Rides the shared shingle index; jaccard is one IEEE
+    // division on exact longs.
+    QuerySpec("q105_source_overlap")(
+      s"""WITH $shingleBaseCtes,
+        |ssrc AS (SELECT DISTINCT dd.source, sh.s
+        |         FROM sh JOIN documents dd USING (doc_id)),
+        |ns AS (SELECT source, count(*) AS ns FROM ssrc GROUP BY source),
+        |inter AS (SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_inter
+        |          FROM ssrc a JOIN ssrc b ON a.s = b.s AND a.source < b.source
+        |          GROUP BY 1, 2)
+        |SELECT i.src_a, i.src_b, na.ns AS n_a, nb.ns AS n_b, i.n_inter,
+        |  CAST(i.n_inter AS DOUBLE) / CAST(na.ns + nb.ns - i.n_inter AS DOUBLE) AS jaccard
+        |FROM inter i
+        |JOIN ns na ON na.source = i.src_a
+        |JOIN ns nb ON nb.source = i.src_b
+        |ORDER BY src_a, src_b""".stripMargin) { (s, dir) =>
+      // localCheckpoint: the distinct (source, shingle) frame feeds the
+      // per-source sizes AND both sides of the pair join — one corpus
+      // collapse, served three times.
+      val ssrc = Tables.load(s, dir, "documents").select(col("doc_id"), col("source"))
+        .join(TextAnalysis.shingleIndex(s, dir), "doc_id")
+        .select(col("source"), explode(col("ss")).as("s"))
+        .distinct()
+        .localCheckpoint()
+      val ns = ssrc.groupBy(col("source")).agg(count(lit(1)).cast(LongType).as("ns"))
+      val inter = ssrc.as("a")
+        .join(ssrc.as("b"),
+          col("a.s") === col("b.s") && col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+        .agg(count(lit(1)).as("n_inter"))
+      inter
+        .join(broadcast(ns.select(col("source").as("src_a"), col("ns").as("n_a"))), "src_a")
+        .join(broadcast(ns.select(col("source").as("src_b"), col("ns").as("n_b"))), "src_b")
+        .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"), col("n_inter"),
+          (col("n_inter").cast(DoubleType) /
+            (col("n_a") + col("n_b") - col("n_inter")).cast(DoubleType)).as("jaccard"))
+        .orderBy(col("src_a"), col("src_b"))
     }
   )
 

@@ -77,6 +77,30 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("q103: percentiles bounded, monotone in quality within source, max hits 1e6") {
+    val rows = q("q103_quality_percentile").collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, _, pct) => assert(pct >= 0L && pct <= 1000000L) }
+    rows.groupBy(_._1).foreach { case (src, rs) =>
+      // same quality → same percentile; higher quality → ≥ percentile
+      val byQ = rs.groupBy(_._2).view.mapValues(_.map(_._3).distinct).toMap
+      byQ.foreach { case (qv, ps) =>
+        assert(ps.size == 1, s"$src quality $qv maps to several percentiles: $ps")
+      }
+      val sorted = byQ.toSeq.sortBy(_._1).map(_._2.head)
+      sorted.sliding(2).foreach {
+        case Seq(a, b) => assert(a <= b, s"$src: percentile not monotone")
+        case _ => ()
+      }
+      // a UNIQUE top quality sits exactly at p100; the minimum at p0
+      val maxQ = rs.map(_._2).max
+      if (rs.length > 1 && rs.count(_._2 == maxQ) == 1)
+        assert(sorted.last == 1000000L, s"$src: unique top quality must be p100")
+      assert(sorted.head == 0L, s"$src: lowest quality must sit at p0")
+    }
+  }
+
   test("q100: map string round-trips the per-user type counts") {
     val rows = q("q100_user_event_map").collect()
     val direct = Tables.load(spark, dir, "events")
