@@ -12,6 +12,23 @@ import org.apache.spark.sql.types._
   */
 object Extras {
 
+  /** q106 irregular price tiers in integer cents ([lo, hi)): deliberately
+    * NOT granule-aligned, so the bucket equi-join alone over-matches and
+    * the exact range filter is doing real work (the spec asserts tier
+    * totals partition the table).
+    */
+  private[operators] val RangeTiers: Seq[(String, Long, Long)] = Seq(
+    ("t1_budget", 0L, 123_400L),
+    ("t2_mid", 123_400L, 1_777_700L),
+    ("t3_premium", 1_777_700L, 5_250_000L),
+    ("t4_luxury", 5_250_000L, 8_000_001L),
+    ("t5_ultra", 8_000_001L, 20_000_000L))
+
+  /** Bucket granule (cents). ~160 exploded (tier, bucket) rows over the
+    * 0–2e7 cent domain — dimension-sized at any fact scale.
+    */
+  private[operators] val RangeGranule = 125_000L
+
   val specs: Seq[QuerySpec] = Seq(
 
     // ----- UNION ALL (multiset semantics, duplicates preserved) -----------
@@ -331,6 +348,52 @@ object Extras {
           (abs(col("est").cast(DoubleType) - col("n_exact"))
             / col("n_exact") < 0.05).as("within_5pct"))
         .orderBy(col("grp"))
+    },
+
+    // ----- bucketized range join (interval join without a theta join) -----
+    // Facts joined to IRREGULAR value intervals (price tiers). The naive
+    // plan is a nested-loop theta join (every fact row against every
+    // tier); the scale technique is BUCKETIZATION: pick a granule G,
+    // explode each tier into the coarse buckets it overlaps (bounded,
+    // dimension-sized), equi-join facts on `price div G`, then apply the
+    // exact lo ≤ x < hi filter on the few bucket-collision rows. The plan
+    // becomes a broadcast HASH join — per-row work is O(tiers overlapping
+    // its bucket), not O(all tiers) — and survives any fact-table scale.
+    // The oracle runs DuckDB's native range join (IEJoin) over the SAME
+    // tier table: a genuine cross-derivation of interval semantics.
+    // Money in integer cents; sums through DECIMAL for exactness.
+    QuerySpec("q106_range_join_tiers") {
+      val tiersSql = RangeTiers.map { case (t, lo, hi) => s"SELECT '$t' AS tier, CAST($lo AS BIGINT) AS lo, CAST($hi AS BIGINT) AS hi" }
+        .mkString("\n        |  UNION ALL ")
+      s"""WITH tiers AS (
+        |  $tiersSql),
+        |f AS (SELECT CAST(floor(l_extendedprice * 100) AS BIGINT) AS price_c, l_quantity
+        |      FROM lineitem)
+        |SELECT t.tier, count(*) AS n,
+        |  CAST(sum(CAST(f.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  min(f.price_c) AS min_price_c, max(f.price_c) AS max_price_c
+        |FROM f JOIN tiers t ON f.price_c >= t.lo AND f.price_c < t.hi
+        |GROUP BY t.tier ORDER BY t.tier""".stripMargin
+    } { (s, dir) =>
+      import s.implicits._
+      val g = RangeGranule
+      // tier → overlapped buckets (dimension-sized explode, broadcast)
+      val tiers = RangeTiers.toDF("tier", "lo", "hi")
+        .select(col("tier"), col("lo"), col("hi"),
+          explode(sequence(floor(col("lo") / g).cast(LongType),
+            floor((col("hi") - 1) / g).cast(LongType))).as("bucket"))
+      val f = Tables.load(s, dir, "lineitem")
+        .select(floor(col("l_extendedprice") * 100).cast(LongType).as("price_c"),
+          col("l_quantity"))
+        .withColumn("bucket", expr(s"price_c div $g"))
+      f.join(broadcast(tiers), Seq("bucket"))
+        .filter(col("price_c") >= col("lo") && col("price_c") < col("hi"))
+        .groupBy(col("tier"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_qty"),
+          min(col("price_c")).as("min_price_c"),
+          max(col("price_c")).as("max_price_c"))
+        .orderBy(col("tier"))
     }
   )
 }

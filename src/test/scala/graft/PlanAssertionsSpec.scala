@@ -425,4 +425,19 @@ class PlanAssertionsSpec extends SparkSpec {
     }
     assert(global.isEmpty, "q91 running sums must ride the two-phase form")
   }
+
+  test("q106: bucketized range join plans a HASH join, never a theta nested loop") {
+    val p = plan("q106_range_join_tiers")
+    assert(p.contains("BroadcastHashJoin"),
+      "tier join must be the bucket equi-join (broadcast hash)")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "the lo<=x<hi predicate must ride the bucket join as a filter, not a theta join")
+  }
+
+  test("q106: tiers partition the fact table exactly (bucket filter loses no rows)") {
+    val total = SparkEntry.queries("q106_range_join_tiers")(spark, dir)
+      .agg(org.apache.spark.sql.functions.sum("n")).head().getLong(0)
+    val facts = Tables.load(spark, dir, "lineitem").count()
+    assert(total == facts, s"tier row totals $total != lineitem rows $facts")
+  }
 }
