@@ -253,6 +253,34 @@ object CorpusOps {
           expr("(below * CAST(1000000 AS BIGINT)) div greatest(n_src - 1, CAST(1 AS BIGINT))")
             .as("pct_micro"))
         .orderBy(col("doc_id"))
+    },
+
+    // ----- bounded-memory frequent items (native MG aggregate) ------------
+    // Global top-10 corpus tokens through `freq_items_mg` — the engine's
+    // Misra–Gries TypedImperativeAggregate (ClickHouse `topK` analog;
+    // functions/expressions/FreqItemsMG.scala documents the bounds).
+    // Unlike the exact vocab top-k (q57: full (term, count) hash-agg
+    // shuffle), this pass carries ≤ capacity counters per partition and
+    // merges associatively — the sketch path for unbounded vocabularies.
+    // Capacity 512 ≫ every fixture vocabulary (31 at driver scales, ~341
+    // in DataGen's sf1 replicas), so no MG decrement fires and the
+    // counters are EXACT — which is what lets the DuckDB oracle check the
+    // sketch operator with plain GROUP BY counts. Total order
+    // (cnt DESC, term ASC) on both sides.
+    QuerySpec("q107_freq_items")(
+      """WITH tok AS (SELECT unnest(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS term
+        |            FROM documents),
+        |c AS (SELECT term, count(*) AS cnt FROM tok GROUP BY term),
+        |r AS (SELECT term, cnt, row_number() OVER (ORDER BY cnt DESC, term ASC) AS rk FROM c)
+        |SELECT rk, term, cnt FROM r WHERE rk <= 10 ORDER BY rk""".stripMargin) { (s, dir) =>
+      graft.plans.GraftExtensions.register(s)
+      Tables.load(s, dir, "documents")
+        .select(explode(tokens(col("text"))).as("term"))
+        .agg(expr("freq_items_mg(term, 512, 10)").as("top"))
+        .select(posexplode(col("top")))
+        .select((col("pos") + 1).cast(LongType).as("rk"),
+          col("col.item").as("term"), col("col.cnt").as("cnt"))
+        .orderBy(col("rk"))
     }
   )
 }

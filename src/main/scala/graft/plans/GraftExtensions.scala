@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.expressions.{LongVecDot, MinHashSigs}
+import graft.functions.expressions.{FreqItemsMG, LongVecDot, MinHashSigs}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -30,7 +30,13 @@ object GraftExtensions {
     (FunctionIdentifier("minhash_sigs"),
       new ExpressionInfo(classOf[MinHashSigs].getName, "minhash_sigs"),
       (children: Seq[Expression]) =>
-        MinHashSigs(children(0), children(1), children(2), children(3))))
+        MinHashSigs(children(0), children(1), children(2), children(3))),
+    (FunctionIdentifier("freq_items_mg"),
+      new ExpressionInfo(classOf[FreqItemsMG].getName, "freq_items_mg"),
+      // capacity/outK must be foldable literals — evaluated at plan time
+      (children: Seq[Expression]) => FreqItemsMG(children(0),
+        children(1).eval().asInstanceOf[Number].intValue(),
+        children(2).eval().asInstanceOf[Number].intValue())))
 
   /** Idempotent per-session registration. */
   def register(spark: SparkSession): Unit =

@@ -101,6 +101,38 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("freq_items_mg honors Misra-Gries bounds when capacity overflows") {
+    import spark.implicits._
+    plans.GraftExtensions.register(spark)
+    // Skewed stream over 12 distinct items with capacity 4: decrements
+    // MUST fire, so this exercises exactly the regime the q107 oracle
+    // can't (there the fixture vocab sits under capacity and counts are
+    // exact). Zipf-ish truth: item i repeated (13-i)*i? keep it simple:
+    // heavy items h1=400, h2=200, tail t1..t10 x 20 each. N = 800.
+    val rows =
+      Seq.fill(400)("h1") ++ Seq.fill(200)("h2") ++
+        (1 to 10).flatMap(i => Seq.fill(20)(s"t$i"))
+    val n = rows.length
+    val cap = 4
+    // parallelism 8 forces real partial-aggregate merges
+    val out = spark.sparkContext.parallelize(rows, 8).toDF("item")
+      .agg(org.apache.spark.sql.functions.expr(s"freq_items_mg(item, $cap, $cap)").as("top"))
+      .select(org.apache.spark.sql.functions.explode(col("top")).as("e"))
+      .select(col("e.item"), col("e.cnt"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val truth = rows.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val err = n.toLong / (cap + 1)
+    out.foreach { case (item, cnt) =>
+      assert(cnt <= truth(item), s"$item: MG counter $cnt exceeds true ${truth(item)}")
+      assert(cnt >= truth(item) - err, s"$item: counter $cnt below lower bound")
+    }
+    // heavy-hitter containment: every item with true count > N/(cap+1)
+    // must survive in the sketch
+    truth.filter(_._2 > err).keys.foreach { h =>
+      assert(out.contains(h), s"heavy item $h missing from sketch: $out")
+    }
+  }
+
   test("q100: map string round-trips the per-user type counts") {
     val rows = q("q100_user_event_map").collect()
     val direct = Tables.load(spark, dir, "events")
