@@ -30,7 +30,15 @@ class DeterminismSpec extends SparkSpec {
     // assignment under equal timestamps, the two-phase weighted-quantile
     // running sums, and the q92 contribution-trick double distinct
     "q90_sessionize", "q91_weighted_quantile", "q92_rolling_active",
-    "q93_type_transitions", "q94_cumulative_uniques")
+    "q93_type_transitions", "q94_cumulative_uniques",
+    // round 8: per-doc term-rank ties (q97), map assembly from a sorted
+    // collect_list — UNSORTED collect_list is the canonical
+    // partition-order leak this spec exists for (q100), bounded-frame
+    // percentile join-back (q103), salted same-label top-k ties (q104),
+    // and the MG sketch, whose merge order must not matter in the exact
+    // regime (q107)
+    "q97_distinctive_terms", "q100_user_event_map",
+    "q103_quality_percentile", "q104_positive_pairs", "q107_freq_items")
 
   test("sensitive queries are byte-identical under different shuffle partitioning") {
     val saved = spark.conf.get("spark.sql.shuffle.partitions")

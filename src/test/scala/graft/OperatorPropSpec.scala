@@ -214,4 +214,38 @@ class OperatorPropSpec extends SparkSpec {
     // below it stays under 10%
     assert((dw - byQ.toMap.apply(q)._1) * 10 < tot)
   }
+
+  test("bucketized range join equals the naive theta join on random tiers") {
+    import spark.implicits._
+    // random irregular [lo, hi) tiers (contiguous partition of the value
+    // domain so membership is unique) + random values + random granule:
+    // the bucketize-equi-join-filter plan must match the direct range
+    // predicate row for row.
+    val caseGen = for {
+      nTiers <- Gen.chooseNum(2, 6)
+      cuts <- Gen.listOfN(nTiers - 1, Gen.chooseNum(1L, 9999L))
+      granule <- Gen.chooseNum(1L, 2000L)
+      nVals <- Gen.chooseNum(1, 120)
+      vals <- Gen.listOfN(nVals, Gen.chooseNum(0L, 9999L))
+    } yield (cuts.distinct.sorted, granule, vals)
+    sample(caseGen, 25, seed = 4242L).foreach { case (cuts, g, vals) =>
+      val bounds = (0L +: cuts) :+ 10000L
+      val tiers = bounds.init.zip(bounds.tail).zipWithIndex.map {
+        case ((lo, hi), i) => (s"t$i", lo, hi)
+      }
+      val tiersExp = tiers.toDF("tier", "lo", "hi")
+        .select(col("tier"), col("lo"), col("hi"),
+          explode(sequence(floor(col("lo") / g).cast("long"),
+            floor((col("hi") - 1) / g).cast("long"))).as("bucket"))
+      val f = vals.toDF("v").withColumn("bucket", expr(s"v div $g"))
+      val bucketized = f.join(broadcast(tiersExp), Seq("bucket"))
+        .filter(col("v") >= col("lo") && col("v") < col("hi"))
+        .groupBy(col("tier")).count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val naive = vals.groupBy(v => tiers.find(t => v >= t._2 && v < t._3).get._1)
+        .view.mapValues(_.size.toLong).toMap
+      assert(bucketized == naive,
+        s"granule $g tiers $tiers: bucketized $bucketized != naive $naive")
+    }
+  }
 }
