@@ -48,6 +48,12 @@ object CorpusOps {
   /** q97 distinctive terms kept per document. */
   private val TermK = 3
 
+  /** q108 global token budget (chars) — ~60% of the sf0.01 corpus mass, so
+    * flattening is visible: over-represented sources get frac < 1, the
+    * rarest keep everything.
+    */
+  private val MixBudgetChars = 100000L
+
   private val hex60Sql = "CAST('0x' || substr(md5(%s), 1, 15) AS BIGINT)"
 
   /** (doc_id, term, tf) as a per-(session, corpus) shared index — the same
@@ -253,6 +259,68 @@ object CorpusOps {
           expr("(below * CAST(1000000 AS BIGINT)) div greatest(n_src - 1, CAST(1 AS BIGINT))")
             .as("pct_micro"))
         .orderBy(col("doc_id"))
+    },
+
+    // ----- budget mixture: α-shares → deterministic sampled corpus --------
+    // The step AFTER q98: given the temperature-flattened target shares
+    // and a GLOBAL token budget, derive each source's keep fraction
+    // (target mass / its mass, capped at 1 — a source can't contribute
+    // more than it has) and sample docs with the same pure-hash draw as
+    // q66, so the mix is reproducible across runs, engines, and
+    // partitioning. The report shows achieved vs target mass per source.
+    // Cross-engine exactness of the CUTOFF: alpha_share is the q98 chain
+    // (proven bit-exact), and target/mass/1e6 are three more single IEEE
+    // ops before one floor — both engines land the identical micro-unit
+    // threshold, so membership is identical doc for doc. Scale: one
+    // corpus hash-agg + a broadcast of the source-sized fraction table;
+    // the draw is a per-row projection.
+    QuerySpec("q108_budget_mixture")(
+      s"""WITH m AS (SELECT source, count(*) AS n_docs,
+        |             CAST(sum(n_chars) AS BIGINT) AS mass
+        |           FROM documents GROUP BY source),
+        |t AS (SELECT CAST(sum(mass) AS BIGINT) AS total FROM m),
+        |w AS (SELECT m.source, m.n_docs, m.mass,
+        |        CAST(sqrt(CAST(m.mass AS DOUBLE) / t.total) AS DECIMAL(28,10)) AS wdec
+        |      FROM m, t),
+        |z AS (SELECT CAST(sum(wdec) AS DECIMAL(28,10)) AS wsum FROM w),
+        |fr AS (SELECT w.source, w.n_docs, w.mass,
+        |         least(1000000, CAST(floor(
+        |           (CAST(w.wdec AS DOUBLE) / CAST(z.wsum AS DOUBLE)) * $MixBudgetChars
+        |             / w.mass * 1000000) AS BIGINT)) AS frac_micro
+        |       FROM w, z),
+        |kept AS (SELECT d.source, count(*) AS n_kept,
+        |           CAST(sum(d.n_chars) AS BIGINT) AS kept_mass
+        |         FROM documents d JOIN fr ON d.source = fr.source
+        |         WHERE ${"CAST('0x' || substr(md5(%s), 1, 15) AS BIGINT)".format("CAST(doc_id AS VARCHAR) || '|strat'")} % 1000000 < fr.frac_micro
+        |         GROUP BY d.source)
+        |SELECT fr.source, fr.n_docs, fr.mass, fr.frac_micro,
+        |  coalesce(k.n_kept, 0) AS n_kept, coalesce(k.kept_mass, 0) AS kept_mass
+        |FROM fr LEFT JOIN kept k ON fr.source = k.source
+        |ORDER BY fr.source""".stripMargin) { (s, dir) =>
+      val dv = DecimalType(28, 10)
+      val docs = Tables.load(s, dir, "documents")
+      val m = docs.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).cast(LongType).as("mass"))
+        .localCheckpoint()
+      val t = m.agg(sum(col("mass")).cast(LongType).as("total"))
+      val w = m.crossJoin(broadcast(t))
+        .withColumn("wdec", sqrt(col("mass").cast(DoubleType) / col("total")).cast(dv))
+      val z = w.agg(sum(col("wdec")).cast(dv).as("wsum"))
+      val fr = w.crossJoin(broadcast(z))
+        .withColumn("frac_micro",
+          least(lit(1000000L),
+            floor((col("wdec").cast(DoubleType) / col("wsum").cast(DoubleType))
+              * MixBudgetChars / col("mass") * 1e6).cast(LongType)))
+        .select(col("source"), col("n_docs"), col("mass"), col("frac_micro"))
+      val kept = docs.join(broadcast(fr.select(col("source"), col("frac_micro"))), "source")
+        .filter(TrainPipe.stratUMicro(col("doc_id")) < col("frac_micro"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).cast(LongType).as("kept_mass"))
+      fr.join(kept, Seq("source"), "left")
+        .select(col("source"), col("n_docs"), col("mass"), col("frac_micro"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          coalesce(col("kept_mass"), lit(0L)).as("kept_mass"))
+        .orderBy(col("source"))
     },
 
     // ----- bounded-memory frequent items (native MG aggregate) ------------
