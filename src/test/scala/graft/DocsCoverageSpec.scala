@@ -1,0 +1,56 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Docs/coverage tripwire: SURVEY.md §2 is the judged inventory and README's
+  * coverage map is its index — every query registered in [[SparkEntry]] must
+  * be referenced in BOTH, and every oracle entry must correspond to a
+  * registered query. A new operator that lands without its inventory line
+  * (or a doc row pointing at a renamed/removed query) fails here, naming
+  * the drifted id.
+  */
+class DocsCoverageSpec extends AnyFunSuite {
+
+  private def read(p: String): String =
+    new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)), "UTF-8")
+
+  private val qid = "q[0-9]+[a-z]?".r
+  private val qrange = "q([0-9]+)[–-]q([0-9]+)".r
+
+  /** All ids in a doc, expanding "q19–q21"-style ranges. */
+  private def idsIn(text: String): Set[String] = {
+    val ranges = qrange.findAllMatchIn(text).flatMap { m =>
+      (m.group(1).toInt to m.group(2).toInt).map(i => f"q$i%02d")
+    }.toSet
+    qid.findAllIn(text).toSet ++ ranges
+  }
+
+  test("every registered query id is documented in the coverage docs") {
+    // README's coverage map carries every q-id; SURVEY §2's base-family
+    // rows (R/D/S operators) describe components without per-query ids,
+    // so the id requirement is README ∪ SURVEY — an op documented in
+    // neither is undocumented.
+    val documented = idsIn(read("SURVEY.md")) ++ idsIn(read("README.md"))
+    val registered = SparkEntry.specs.map(_.name.takeWhile(_ != '_')).toSet
+    val missing = registered -- documented
+    assert(missing.isEmpty,
+      s"queries registered but absent from SURVEY.md and README.md: ${missing.toSeq.sorted.mkString(", ")}")
+  }
+
+  test("oracle map keys exactly mirror the registered query names") {
+    val names = SparkEntry.specs.map(_.name).toSet
+    val oracleKeys = SparkEntry.oracleSql.keySet
+    assert((oracleKeys -- names).isEmpty,
+      s"oracle entries without a query: ${(oracleKeys -- names).mkString(", ")}")
+    // every query currently ships an oracle; a deliberate rows-only op
+    // would relax this — list it explicitly here when that happens
+    assert((names -- oracleKeys).isEmpty,
+      s"queries without an oracle entry: ${(names -- oracleKeys).mkString(", ")}")
+  }
+
+  test("no duplicate query names across module registries") {
+    val all = SparkEntry.specs.map(_.name)
+    val dups = all.groupBy(identity).collect { case (n, g) if g.size > 1 => n }
+    assert(dups.isEmpty, s"duplicate query registrations: ${dups.mkString(", ")}")
+  }
+}
