@@ -98,6 +98,58 @@ object Warehouse {
     * cluster, point `spark.sparkContext.setCheckpointDir` at reliable
     * storage first; `localCheckpoint` is the single-JVM fallback.
     */
+  /** Targeted row delete (the right-to-be-forgotten / bad-batch retraction
+    * path): remove every row matching `pred`, rewriting ONLY the month
+    * partitions that contain matches — at 100 TB a delete touching one
+    * entity rewrites that entity's months, not the warehouse. Returns the
+    * number of rows removed.
+    *
+    * Mechanics: one pruned scan finds the affected months (bounded
+    * collect — one row per month); the keep-side of those months is
+    * checkpointed (same overwrite-vs-read rule as [[compact]]) and
+    * dynamic-partition-overwritten in sorted form. A month whose rows ALL
+    * matched leaves no keep-rows for the dynamic overwrite to replace, so
+    * its directory is removed explicitly — otherwise the delete would
+    * silently resurrect it.
+    */
+  def deleteRows(spark: SparkSession, path: String,
+      pred: org.apache.spark.sql.Column): Long = {
+    // keep the read-back partition type as inferred (Hive partition
+    // inference reads yyyyMM as INT) so the isInCollection filter prunes
+    // natively; stringify only for directory names
+    val affected = readFact(spark, path).filter(pred)
+      .select(col(PartitionCol)).distinct()
+      .collect().map(_.get(0)).toSet
+    if (affected.isEmpty) return 0L
+    val scoped = readFact(spark, path)
+      .filter(col(PartitionCol).isInCollection(affected))
+    val deleted = scoped.filter(pred).count()
+    val keepFrame = scoped.filter(!pred)
+    val keep =
+      if (spark.sparkContext.getCheckpointDir.isDefined) keepFrame.checkpoint(eager = true)
+      else keepFrame.localCheckpoint(eager = true)
+    val keepMonths = keep.select(col(PartitionCol)).distinct()
+      .collect().map(_.get(0)).toSet
+    if (keepMonths.nonEmpty) {
+      keep
+        .repartition(col(PartitionCol))
+        .sortWithinPartitions(col(PartitionCol) +: SortCols.map(col): _*)
+        .write
+        .mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(PartitionCol)
+        .parquet(path)
+    }
+    // fully-deleted months: no keep rows → dynamic overwrite leaves the
+    // old directory in place; drop it explicitly
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    (affected -- keepMonths).foreach { m =>
+      fs.delete(new org.apache.hadoop.fs.Path(path, s"$PartitionCol=$m"), true)
+    }
+    deleted
+  }
+
   def compact(spark: SparkSession, path: String): Unit = {
     val snapshot =
       if (spark.sparkContext.getCheckpointDir.isDefined)

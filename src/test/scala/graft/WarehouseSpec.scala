@@ -33,6 +33,36 @@ class WarehouseSpec extends SparkSpec {
     assert(files.nonEmpty && files.forall(_.contains("event_month=202401")))
   }
 
+  test("deleteRows removes matches, rewrites only affected months, drops emptied ones") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_wh_delete").toFile.getAbsolutePath
+    val raw = Seq(
+      ("""{"name":"KeepA","main":{"temp":1.0}}""", "2024-01-15 00:00:00"),
+      ("""{"name":"Target","main":{"temp":2.0}}""", "2024-01-20 00:00:00"),
+      ("""{"name":"KeepB","main":{"temp":3.0}}""", "2024-02-10 00:00:00"),
+      ("""{"name":"Target","main":{"temp":4.0}}""", "2024-03-05 00:00:00"))
+      .toDF("value", "ing")
+    Warehouse.writeFact(WeatherFlatten(raw, ingestTime = col("ing").cast(TimestampType)), dir)
+    def fileOf(month: String): Set[String] =
+      new java.io.File(s"$dir/event_month=$month").list().filter(_.endsWith(".parquet")).toSet
+    val febBefore = fileOf("202402")
+
+    // March holds ONLY the target → its directory must vanish; January
+    // must be rewritten without the target; February must be untouched.
+    val n = Warehouse.deleteRows(spark, dir, col("city_name") === "Target")
+    assert(n == 2L, s"deleted $n rows")
+    val back = Warehouse.readFact(spark, dir)
+    assert(back.filter(col("city_name") === "Target").count() == 0)
+    assert(back.count() == 2)
+    assert(!new java.io.File(s"$dir/event_month=202403").exists(),
+      "fully-deleted month directory must be dropped")
+    assert(fileOf("202402") == febBefore, "unaffected month must not be rewritten")
+
+    // no-match delete is a no-op returning 0
+    assert(Warehouse.deleteRows(spark, dir, col("city_name") === "Nobody") == 0L)
+    assert(Warehouse.readFact(spark, dir).count() == 2)
+  }
+
   test("compact rewrites accumulated small files to one per month, data intact") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_wh_compact").toFile.getAbsolutePath
