@@ -131,6 +131,17 @@ class SqlGatewaySpec extends SparkSpec {
       val r = post(port, "SELECT vec_dot_long(array(1L, 2L, 3L), array(4L, 5L, 6L)) AS d")
       assert(r.statusCode() == 200 && r.body().trim == "{\"d\":32}",
         s"${r.statusCode()}: ${r.body()}")
+      // the native MG aggregate is an ad-hoc surface too: top event type
+      // over the registered events view, exact regime (5 distinct types)
+      val a = post(port,
+        "SELECT top[0].item AS t, top[0].cnt AS c FROM " +
+          "(SELECT freq_items_mg(event_type, 64, 1) AS top FROM events)")
+      assert(a.statusCode() == 200, s"${a.statusCode()}: ${a.body()}")
+      val direct = spark.sql(
+        "SELECT event_type, count(*) AS c FROM events GROUP BY 1 ORDER BY c DESC, event_type LIMIT 1")
+        .head()
+      assert(a.body().trim == s"""{"t":"${direct.getString(0)}","c":${direct.getLong(1)}}""",
+        s"gateway ${a.body()} vs direct $direct")
     }
   }
 
