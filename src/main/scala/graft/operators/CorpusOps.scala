@@ -261,6 +261,51 @@ object CorpusOps {
         .orderBy(col("doc_id"))
     },
 
+    // ----- curriculum phases (quality-quantile binning) -------------------
+    // Docs binned into 4 training phases by within-source quality
+    // percentile (q103's normalization, so every source contributes to
+    // every phase — curriculum ordering without source bias): phase =
+    // ⌊pct·4/10⁶⌋ capped at 3. Output is the per-phase manifest a
+    // curriculum schedule consumes (doc counts + token mass, phase 0 =
+    // lowest quality … 3 = highest). Integer-exact end to end.
+    QuerySpec("q109_curriculum_phases")(
+      s"""WITH ${TextAnalysis.qualityCteSql},
+        |q AS (SELECT d.doc_id, d.source, d.n_chars, s.quality_micro
+        |      FROM documents d JOIN qscore s USING (doc_id)),
+        |g AS (SELECT source, quality_micro, count(*) AS n
+        |      FROM q GROUP BY source, quality_micro),
+        |c AS (SELECT source, quality_micro,
+        |        CAST(coalesce(sum(n) OVER (PARTITION BY source ORDER BY quality_micro
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS below,
+        |        CAST(sum(n) OVER (PARTITION BY source) AS BIGINT) AS n_src
+        |      FROM g),
+        |p AS (SELECT q.doc_id, q.n_chars,
+        |        least(3, ((c.below * 1000000) // greatest(c.n_src - 1, 1)) * 4 // 1000000) AS phase
+        |      FROM q JOIN c USING (source, quality_micro))
+        |SELECT phase, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS mass
+        |FROM p GROUP BY phase ORDER BY phase""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val q = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .join(TextAnalysis.qualityIndex(s, dir).select(col("doc_id"), col("quality_micro")),
+          "doc_id")
+      val g = q.groupBy(col("source"), col("quality_micro")).agg(count(lit(1)).as("n"))
+      val wBelow = Window.partitionBy(col("source")).orderBy(col("quality_micro"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wSrc = Window.partitionBy(col("source"))
+      val c = g
+        .withColumn("below", coalesce(sum(col("n")).over(wBelow), lit(0L)).cast(LongType))
+        .withColumn("n_src", sum(col("n")).over(wSrc).cast(LongType))
+        .select(col("source"), col("quality_micro"), col("below"), col("n_src"))
+      q.join(c, Seq("source", "quality_micro"))
+        .withColumn("phase",
+          least(lit(3L), expr(
+            "((below * CAST(1000000 AS BIGINT)) div greatest(n_src - 1, CAST(1 AS BIGINT))) * 4 div 1000000")))
+        .groupBy(col("phase"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).cast(LongType).as("mass"))
+        .orderBy(col("phase"))
+    },
+
     // ----- budget mixture: α-shares → deterministic sampled corpus --------
     // The step AFTER q98: given the temperature-flattened target shares
     // and a GLOBAL token budget, derive each source's keep fraction
