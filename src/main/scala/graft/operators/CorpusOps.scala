@@ -69,6 +69,40 @@ object CorpusOps {
         .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
+  /** q96's chunk projection as a library transform over any
+    * (doc_id, text) frame — a PURE per-row expression, so the identical
+    * chunking runs unchanged over a stream (StreamingSpec pins
+    * batch/stream agreement, the same parity contract as the stratified
+    * sampler's).
+    */
+  private[graft] def chunkRows(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val tok = tokens(col("text"))
+    docs
+      .select(col("doc_id"), tok.as("tok"), size(tok).as("n"))
+      .select(col("doc_id"), col("tok"), col("n"),
+        explode(sequence(lit(0),
+          floor((col("n") - 1) / ChunkStride).cast(IntegerType))).as("k"))
+      .select(col("doc_id"), col("k").as("chunk_id"),
+        (col("k") * ChunkStride + 1).as("start_pos"),
+        least(lit(ChunkSize), col("n") - col("k") * ChunkStride).as("n_tokens"),
+        hex60(array_join(
+          slice(col("tok"), col("k") * ChunkStride + 1, lit(ChunkSize)), " "))
+          .as("chunk_fp"))
+  }
+
+  private val chunkOracleSql: String =
+    s"""WITH t AS (SELECT doc_id,
+      |  string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS tok
+      |  FROM documents),
+      |c AS (SELECT doc_id, tok, len(tok) AS n,
+      |        unnest(generate_series(0, (len(tok) - 1) // $ChunkStride)) AS k
+      |      FROM t)
+      |SELECT doc_id, k AS chunk_id,
+      |  1 + k * $ChunkStride AS start_pos,
+      |  least($ChunkSize, n - k * $ChunkStride) AS n_tokens,
+      |  ${hex60Sql.format(s"array_to_string(list_slice(tok, 1 + k * $ChunkStride, k * $ChunkStride + $ChunkSize), ' ')")} AS chunk_fp
+      |FROM c ORDER BY doc_id, chunk_id""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
 
     // ----- overlapping token-window chunking (RAG preprocessing) ----------
@@ -77,30 +111,8 @@ object CorpusOps {
     // dropped tail tokens — every token lands in ≥1 chunk). Emits a stable
     // 60-bit fingerprint per chunk (the retrieval index key), not the text:
     // chunk rows stay narrow however large the documents get.
-    QuerySpec("q96_chunk_windows")(
-      s"""WITH t AS (SELECT doc_id,
-        |  string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS tok
-        |  FROM documents),
-        |c AS (SELECT doc_id, tok, len(tok) AS n,
-        |        unnest(generate_series(0, (len(tok) - 1) // $ChunkStride)) AS k
-        |      FROM t)
-        |SELECT doc_id, k AS chunk_id,
-        |  1 + k * $ChunkStride AS start_pos,
-        |  least($ChunkSize, n - k * $ChunkStride) AS n_tokens,
-        |  ${hex60Sql.format(s"array_to_string(list_slice(tok, 1 + k * $ChunkStride, k * $ChunkStride + $ChunkSize), ' ')")} AS chunk_fp
-        |FROM c ORDER BY doc_id, chunk_id""".stripMargin) { (s, dir) =>
-      val tok = tokens(col("text"))
-      Tables.load(s, dir, "documents")
-        .select(col("doc_id"), tok.as("tok"), size(tok).as("n"))
-        .select(col("doc_id"), col("tok"), col("n"),
-          explode(sequence(lit(0),
-            floor((col("n") - 1) / ChunkStride).cast(IntegerType))).as("k"))
-        .select(col("doc_id"), col("k").as("chunk_id"),
-          (col("k") * ChunkStride + 1).as("start_pos"),
-          least(lit(ChunkSize), col("n") - col("k") * ChunkStride).as("n_tokens"),
-          hex60(array_join(
-            slice(col("tok"), col("k") * ChunkStride + 1, lit(ChunkSize)), " "))
-            .as("chunk_fp"))
+    QuerySpec("q96_chunk_windows")(chunkOracleSql) { (s, dir) =>
+      chunkRows(Tables.load(s, dir, "documents"))
         .orderBy(col("doc_id"), col("chunk_id"))
     },
 

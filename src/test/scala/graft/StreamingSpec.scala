@@ -327,6 +327,28 @@ class StreamingSpec extends SparkSpec {
     assert(out.toSeq == Seq((1L, 1000L, 10L)), out.mkString(","))
   }
 
+  test("RAG chunking emits identical chunks on a stream as in batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Seq(
+      (1L, ("alpha " * 40).trim),              // 40 tokens → 2 chunks
+      (2L, "short doc only five tokens here"), // 1 chunk
+      (3L, ("beta gamma " * 30).trim))         // 60 tokens → 3 chunks
+    val batch = operators.CorpusOps.chunkRows(docs.toDF("doc_id", "text"))
+      .collect().map(_.toString).sorted
+    val input = MemoryStream[(Long, String)]
+    val q = operators.CorpusOps.chunkRows(input.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("chunk_stream").outputMode("append").start()
+    input.addData(docs.take(2): _*)
+    q.processAllAvailable()
+    input.addData(docs.drop(2): _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("chunk_stream").collect().map(_.toString).sorted
+    assert(batch.nonEmpty && streamed.toSeq == batch.toSeq)
+    assert(batch.length == 6, s"expected 2+1+3 chunks, got ${batch.length}")
+  }
+
   test("stratified sampler keeps the same rows on a stream as in batch") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
