@@ -54,6 +54,9 @@ object CorpusOps {
     */
   private val MixBudgetChars = 100000L
 
+  /** q110 docs sampled per language group. */
+  private val GroupSampleK = 20
+
   private val hex60Sql = "CAST('0x' || substr(md5(%s), 1, 15) AS BIGINT)"
 
   /** (doc_id, term, tf) as a per-(session, corpus) shared index — the same
@@ -378,6 +381,34 @@ object CorpusOps {
           coalesce(col("n_kept"), lit(0L)).as("n_kept"),
           coalesce(col("kept_mass"), lit(0L)).as("kept_mass"))
         .orderBy(col("source"))
+    },
+
+    // ----- deterministic per-group k-sample (eval-set construction) -------
+    // Exactly k docs per language, sampled UNIFORMLY and reproducibly:
+    // rank within group on (salted 60-bit hash of the doc key, doc_id) —
+    // a pure function of row content, so the same sample comes back on
+    // any engine, run, or partitioning (vs rand()-based sampling, which
+    // is none of those). Unlike the rate-based stratified sampler (q66,
+    // which keeps a FRACTION), this pins an exact per-group count — the
+    // eval/holdout-set shape. lang is low-cardinality, so the ranking
+    // runs through the salted two-phase top-k, never a global per-key
+    // window funnel.
+    QuerySpec("q110_group_sample")(
+      s"""SELECT lang, rk, doc_id FROM (
+        |  SELECT lang, doc_id,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY ${hex60Sql.format("CAST(doc_id AS VARCHAR) || '|gsample'")}, doc_id) AS rk
+        |  FROM documents)
+        |WHERE rk <= $GroupSampleK
+        |ORDER BY lang, rk""".stripMargin) { (s, dir) =>
+      val draw = hex60(concat(col("doc_id").cast(StringType), lit("|gsample")))
+      TopK.perKeyTopK(
+        Tables.load(s, dir, "documents").select(col("doc_id"), col("lang")),
+        keys = Seq(col("lang")),
+        order = Seq(draw.asc, col("doc_id").asc),
+        k = GroupSampleK, saltFrom = col("doc_id"))
+        .select(col("lang"), col("rk"), col("doc_id"))
+        .orderBy(col("lang"), col("rk"))
     },
 
     // ----- bounded-memory frequent items (native MG aggregate) ------------

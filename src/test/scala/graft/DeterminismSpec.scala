@@ -38,7 +38,8 @@ class DeterminismSpec extends SparkSpec {
     // and the MG sketch, whose merge order must not matter in the exact
     // regime (q107)
     "q97_distinctive_terms", "q100_user_event_map",
-    "q103_quality_percentile", "q104_positive_pairs", "q107_freq_items")
+    "q103_quality_percentile", "q104_positive_pairs", "q107_freq_items",
+    "q110_group_sample")
 
   test("sensitive queries are byte-identical under different shuffle partitioning") {
     val saved = spark.conf.get("spark.sql.shuffle.partitions")
