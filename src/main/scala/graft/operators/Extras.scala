@@ -350,6 +350,34 @@ object Extras {
         .orderBy(col("grp"))
     },
 
+    // ----- dense_rank + lead (W2/W3's remaining functions) ----------------
+    // The two window functions the rank/lag queries (q16/q17) don't touch,
+    // run where they belong at scale: over the AGGREGATED (type × day)
+    // daily-totals frame — calendar-bounded, so the per-type windows never
+    // see corpus-sized partitions (same posture as the gap-fill/LOCF
+    // family; contrast q16, whose per-type top-k over raw events needs the
+    // salted two-phase path). dense_rank ties are real (integer counts
+    // collide) — exactly what distinguishes it from rank — and the total
+    // output order comes from (event_type, day), not the ranking.
+    QuerySpec("q112_dense_rank_lead")(
+      """WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+        |           FROM events GROUP BY 1, 2)
+        |SELECT event_type, day, n,
+        |  dense_rank() OVER (PARTITION BY event_type ORDER BY n DESC) AS volume_rank,
+        |  lead(n) OVER (PARTITION BY event_type ORDER BY day) AS next_day_n
+        |FROM d ORDER BY event_type, day""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val d = Tables.load(s, dir, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      val byVol = Window.partitionBy(col("event_type")).orderBy(col("n").desc)
+      val byDay = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      d.select(col("event_type"), col("day"), col("n"),
+          dense_rank().over(byVol).as("volume_rank"),
+          lead(col("n"), 1).over(byDay).as("next_day_n"))
+        .orderBy(col("event_type"), col("day"))
+    },
+
     // ----- bucketized range join (interval join without a theta join) -----
     // Facts joined to IRREGULAR value intervals (price tiers). The naive
     // plan is a nested-loop theta join (every fact row against every
