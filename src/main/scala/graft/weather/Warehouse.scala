@@ -81,9 +81,68 @@ object Warehouse {
       .parquet(path)
   }
 
-  /** Read the fact table back; filters on `event_month` prune directories. */
-  def readFact(spark: SparkSession, path: String): DataFrame =
+  /** Sidecar naming months doomed by an in-flight [[deleteRows]] — same
+    * torn-write posture as the index store's rows tripwire
+    * (graft.IndexStore): written BEFORE the destructive steps, cleared
+    * after the last one, so a crash in between leaves loud evidence
+    * instead of silently resurrected rows.
+    */
+  val DeletingSidecar = "_DELETING"
+
+  private def fsFor(spark: SparkSession, path: String) =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def sidecarPath(path: String) =
+    new org.apache.hadoop.fs.Path(path, DeletingSidecar)
+
+  private[weather] def writeDeleteSidecar(spark: SparkSession, path: String,
+      doomed: Set[Any]): Unit = {
+    val out = fsFor(spark, path).create(sidecarPath(path), true)
+    try out.write(doomed.map(_.toString).toSeq.sorted.mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  private[weather] def readDeleteSidecar(spark: SparkSession, path: String): Option[Seq[String]] = {
+    val fs = fsFor(spark, path)
+    if (!fs.exists(sidecarPath(path))) None
+    else {
+      val in = fs.open(sidecarPath(path))
+      try {
+        val bytes = org.apache.hadoop.io.IOUtils.readFullyToByteArray(in)
+        Some(new String(bytes, "UTF-8").split("\n").toSeq.filter(_.nonEmpty))
+      } finally in.close()
+    }
+  }
+
+  /** Read the fact table back; filters on `event_month` prune directories.
+    * Refuses (loudly) while a [[DeletingSidecar]] exists: a crash between
+    * a delete's partition overwrite and its emptied-directory drop would
+    * otherwise silently serve the resurrected months.
+    */
+  def readFact(spark: SparkSession, path: String): DataFrame = {
+    readDeleteSidecar(spark, path).foreach { doomed =>
+      throw new IllegalStateException(
+        s"warehouse at $path has an interrupted delete ($DeletingSidecar names " +
+        s"months ${doomed.mkString(", ")}); run Warehouse.completeDelete to " +
+        "finish dropping them before reading")
+    }
     spark.read.parquet(path)
+  }
+
+  /** Finish an interrupted [[deleteRows]]: re-drop the months the sidecar
+    * names (idempotent — dropping an already-dropped directory is a no-op)
+    * and clear the sidecar. Returns the months dropped.
+    */
+  def completeDelete(spark: SparkSession, path: String): Seq[String] = {
+    val doomed = readDeleteSidecar(spark, path).getOrElse(Seq.empty)
+    val fs = fsFor(spark, path)
+    doomed.foreach { m =>
+      fs.delete(new org.apache.hadoop.fs.Path(path, s"$PartitionCol=$m"), true)
+    }
+    fs.delete(sidecarPath(path), false)
+    doomed
+  }
 
   /** Compact a month-partitioned warehouse in place: every streamed
     * micro-batch append leaves one file per touched month, so a
@@ -113,7 +172,16 @@ object Warehouse {
     * silently resurrect it.
     */
   def deleteRows(spark: SparkSession, path: String,
-      pred: org.apache.spark.sql.Column): Long = {
+      pred: org.apache.spark.sql.Column): Long =
+    deleteRows(spark, path, pred, crashBeforeDirDrop = false)
+
+  /** `crashBeforeDirDrop` is a test-only failpoint simulating a crash in
+    * the window between the dynamic partition overwrite and the explicit
+    * drop of fully-emptied month directories — the two non-atomic steps
+    * the [[DeletingSidecar]] guards.
+    */
+  private[graft] def deleteRows(spark: SparkSession, path: String,
+      pred: org.apache.spark.sql.Column, crashBeforeDirDrop: Boolean): Long = {
     // keep the read-back partition type as inferred (Hive partition
     // inference reads yyyyMM as INT) so the isInCollection filter prunes
     // natively; stringify only for directory names
@@ -123,13 +191,25 @@ object Warehouse {
     if (affected.isEmpty) return 0L
     val scoped = readFact(spark, path)
       .filter(col(PartitionCol).isInCollection(affected))
-    val deleted = scoped.filter(pred).count()
-    val keepFrame = scoped.filter(!pred)
+    // DELETE semantics: remove where pred is TRUE; a NULL predicate result
+    // KEEPS the row. The keep side must be the exact complement — a plain
+    // filter(!pred) would drop NULL-pred rows from BOTH the deleted count
+    // and the rewrite, silently destroying them.
+    val predTrue = coalesce(pred, lit(false))
+    val deleted = scoped.filter(predTrue).count()
+    val keepFrame = scoped.filter(!predTrue)
     val keep =
       if (spark.sparkContext.getCheckpointDir.isDefined) keepFrame.checkpoint(eager = true)
       else keepFrame.localCheckpoint(eager = true)
     val keepMonths = keep.select(col(PartitionCol)).distinct()
       .collect().map(_.get(0)).toSet
+    // fully-deleted months: no keep rows → dynamic overwrite leaves the
+    // old directory in place; they need an explicit drop AFTER the
+    // overwrite. The overwrite and the drop are two non-atomic steps, so
+    // name the doomed months in a sidecar FIRST — a crash between the
+    // steps then makes readFact refuse instead of resurrecting the rows.
+    val doomed = affected -- keepMonths
+    if (doomed.nonEmpty) writeDeleteSidecar(spark, path, doomed)
     if (keepMonths.nonEmpty) {
       keep
         .repartition(col(PartitionCol))
@@ -140,13 +220,12 @@ object Warehouse {
         .partitionBy(PartitionCol)
         .parquet(path)
     }
-    // fully-deleted months: no keep rows → dynamic overwrite leaves the
-    // old directory in place; drop it explicitly
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    (affected -- keepMonths).foreach { m =>
+    if (crashBeforeDirDrop) return deleted
+    val fs = fsFor(spark, path)
+    doomed.foreach { m =>
       fs.delete(new org.apache.hadoop.fs.Path(path, s"$PartitionCol=$m"), true)
     }
+    if (doomed.nonEmpty) fs.delete(sidecarPath(path), false)
     deleted
   }
 

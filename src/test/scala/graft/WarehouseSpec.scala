@@ -63,6 +63,58 @@ class WarehouseSpec extends SparkSpec {
     assert(Warehouse.readFact(spark, dir).count() == 2)
   }
 
+  test("deleteRows keeps rows whose predicate evaluates to NULL") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_wh_delnull").toFile.getAbsolutePath
+    val raw = Seq(
+      ("""{"name":"Hot","main":{"temp":30.0}}""", "2024-01-15 00:00:00"),
+      ("""{"name":"Cold","main":{"temp":1.0}}""", "2024-01-16 00:00:00"),
+      ("""{"name":"NoTemp","main":{}}""", "2024-01-17 00:00:00"))
+      .toDF("value", "ing")
+    Warehouse.writeFact(WeatherFlatten(raw, ingestTime = col("ing").cast(TimestampType)), dir)
+    // temp > 20 is NULL for NoTemp: DELETE semantics keep that row — it is
+    // neither counted as deleted nor dropped from the rewrite.
+    val n = Warehouse.deleteRows(spark, dir, col("temperature") > 20.0)
+    assert(n == 1L, s"deleted $n rows, expected exactly the TRUE-predicate row")
+    val names = Warehouse.readFact(spark, dir)
+      .select("city_name").collect().map(_.getString(0)).toSet
+    assert(names == Set("Cold", "NoTemp"),
+      s"NULL-predicate row must survive the delete; got $names")
+  }
+
+  test("crash between overwrite and dir drop: reader refuses, completeDelete recovers") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_wh_delcrash").toFile.getAbsolutePath
+    val raw = Seq(
+      ("""{"name":"Keep","main":{"temp":1.0}}""", "2024-01-15 00:00:00"),
+      ("""{"name":"Doomed","main":{"temp":2.0}}""", "2024-03-05 00:00:00"))
+      .toDF("value", "ing")
+    Warehouse.writeFact(WeatherFlatten(raw, ingestTime = col("ing").cast(TimestampType)), dir)
+
+    // Simulated kill in the non-atomic window: sidecar written, dynamic
+    // overwrite done, but the emptied 202403 directory NOT yet dropped.
+    val n = Warehouse.deleteRows(spark, dir, col("city_name") === "Doomed",
+      crashBeforeDirDrop = true)
+    assert(n == 1L)
+    assert(new java.io.File(s"$dir/event_month=202403").exists(),
+      "precondition: crash left the doomed month directory behind")
+
+    // The reader must refuse loudly instead of resurrecting Doomed's rows.
+    val ex = intercept[IllegalStateException] { Warehouse.readFact(spark, dir) }
+    assert(ex.getMessage.contains("interrupted delete") &&
+      ex.getMessage.contains("202403"), ex.getMessage)
+
+    // Recovery finishes the drop, clears the sidecar, and reads are clean.
+    val dropped = Warehouse.completeDelete(spark, dir)
+    assert(dropped == Seq("202403"), s"dropped $dropped")
+    assert(!new java.io.File(s"$dir/event_month=202403").exists())
+    val back = Warehouse.readFact(spark, dir)
+    assert(back.count() == 1 &&
+      back.select("city_name").head().getString(0) == "Keep")
+    // completeDelete is idempotent when there is nothing to finish
+    assert(Warehouse.completeDelete(spark, dir).isEmpty)
+  }
+
   test("compact rewrites accumulated small files to one per month, data intact") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_wh_compact").toFile.getAbsolutePath
