@@ -81,6 +81,18 @@ object Tables {
     try {
       val path = s"$dir/events.parquet"
       val rawSchema = spark.read.parquet(path).schema
+      // Fail fast on a legacy TIMESTAMP(NANOS) fixture: unlike batch load
+      // (schema captured once in the plan), FileStreamSource re-reads
+      // parquet footers per micro-batch AFTER this method restores the
+      // nanosAsLong flag, so the LongType decode would die mid-stream with
+      // an illegal-parquet-type error. Streaming supports the NTZ/TIMESTAMP
+      // fixture shapes only; nanos fixtures must go through batch [[load]].
+      if (rawSchema("ts").dataType == LongType)
+        throw new UnsupportedOperationException(
+          s"events fixture at $path has raw nanos ts (LongType): unsupported" +
+            " for streaming — FileStreamSource re-infers the parquet schema" +
+            " per micro-batch without the nanosAsLong session flag. Use" +
+            " Tables.load (batch) or rewrite the fixture with a TIMESTAMP ts.")
       // Glob, not the bare file path: for a non-glob path FileStreamSource
       // force-sets basePath to the path itself, which must be a directory —
       // a glob leaves basePath alone and streams the matching file(s).

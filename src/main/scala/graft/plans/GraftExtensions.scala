@@ -33,10 +33,32 @@ object GraftExtensions {
         MinHashSigs(children(0), children(1), children(2), children(3))),
     (FunctionIdentifier("freq_items_mg"),
       new ExpressionInfo(classOf[FreqItemsMG].getName, "freq_items_mg"),
-      // capacity/outK must be foldable literals — evaluated at plan time
-      (children: Seq[Expression]) => FreqItemsMG(children(0),
-        children(1).eval().asInstanceOf[Number].intValue(),
-        children(2).eval().asInstanceOf[Number].intValue())))
+      // capacity/outK must be foldable integral literals — evaluated at
+      // plan time; anything else gets a clean AnalysisException, not a
+      // ClassCast/NPE out of the builder
+      (children: Seq[Expression]) => {
+        def bad(detail: String): Nothing =
+          throw new org.apache.spark.sql.AnalysisException(
+            errorClass = "INTERNAL_ERROR",
+            messageParameters = Map("message" ->
+              (s"freq_items_mg(item, capacity, k) $detail — capacity and k" +
+                " must be foldable integral literals")))
+        if (children.length != 3)
+          bad(s"expects 3 arguments, got ${children.length}")
+        def intArg(pos: Int, name: String): Int = {
+          val c = children(pos)
+          if (!c.foldable) bad(s"argument '$name' is not foldable")
+          c.eval() match {
+            case n: java.lang.Integer => n.intValue()
+            case n: java.lang.Long if n.longValue() == n.intValue() => n.intValue()
+            case n: java.lang.Short => n.intValue()
+            case n: java.lang.Byte => n.intValue()
+            case other => bad(s"argument '$name' is ${
+              if (other == null) "NULL" else other.getClass.getSimpleName}")
+          }
+        }
+        FreqItemsMG(children(0), intArg(1, "capacity"), intArg(2, "k"))
+      }))
 
   /** Idempotent per-session registration. */
   def register(spark: SparkSession): Unit =

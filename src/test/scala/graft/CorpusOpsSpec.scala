@@ -133,6 +133,26 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("freq_items_mg rejects malformed calls with a clean AnalysisException") {
+    import spark.implicits._
+    plans.GraftExtensions.register(spark)
+    val df = Seq("a", "b", "a").toDF("item")
+    df.createOrReplaceTempView("fim_args")
+    def bad(sql: String, fragment: String): Unit = {
+      val ex = intercept[org.apache.spark.sql.AnalysisException] {
+        spark.sql(sql).collect()
+      }
+      assert(ex.getMessage.contains(fragment),
+        s"for [$sql]: got ${ex.getMessage}")
+    }
+    // wrong arity, non-foldable arg, and non-integral literal each surface
+    // as AnalysisException naming the signature — not ClassCast/NPE
+    bad("SELECT freq_items_mg(item, 4) FROM fim_args", "expects 3 arguments")
+    bad("SELECT freq_items_mg(item, length(item), 4) FROM fim_args", "not foldable")
+    bad("SELECT freq_items_mg(item, 'four', 4) FROM fim_args", "capacity")
+    bad("SELECT freq_items_mg(item, CAST(NULL AS INT), 4) FROM fim_args", "NULL")
+  }
+
   test("q100: map string round-trips the per-user type counts") {
     val rows = q("q100_user_event_map").collect()
     val direct = Tables.load(spark, dir, "events")

@@ -19,8 +19,12 @@ class DocsCoverageSpec extends AnyFunSuite {
 
   /** All ids in a doc, expanding "q19–q21"-style ranges. */
   private def idsIn(text: String): Set[String] = {
+    // Emit both padded and bare forms for each expanded id: registered
+    // names zero-pad below 10 ("q05") but a doc range may be written
+    // either way ("q5–q9" vs "q05–q09"), and padding-only expansion would
+    // mint ids that can never match a bare registered name.
     val ranges = qrange.findAllMatchIn(text).flatMap { m =>
-      (m.group(1).toInt to m.group(2).toInt).map(i => f"q$i%02d")
+      (m.group(1).toInt to m.group(2).toInt).flatMap(i => Seq(f"q$i%02d", s"q$i"))
     }.toSet
     qid.findAllIn(text).toSet ++ ranges
   }

@@ -15,6 +15,24 @@ class EventsFixtureStreamSpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.001"
 
+  test("eventsStream fails fast on a raw-nanos (LongType ts) fixture") {
+    import spark.implicits._
+    // Batch load supports the raw-long decode; streaming cannot (the
+    // FileStreamSource re-infers parquet footers per micro-batch after the
+    // session flag is restored), so the stream boundary must refuse up
+    // front instead of dying mid-stream.
+    val d = java.nio.file.Files.createTempDirectory("graft_nanos_fixture")
+      .toFile.getAbsolutePath
+    Seq((1L, 1700000000000000000L, "click", 1L))
+      .toDF("event_id", "ts", "event_type", "user_id")
+      .coalesce(1).write.parquet(s"$d/events.parquet")
+    val ex = intercept[UnsupportedOperationException] {
+      Tables.eventsStream(spark, d)
+    }
+    assert(ex.getMessage.contains("unsupported") &&
+      ex.getMessage.contains("streaming"), ex.getMessage)
+  }
+
   test("eventsStream yields ts: TimestampType (watermark-capable)") {
     val st = Tables.eventsStream(spark, dir)
     assert(st.isStreaming)
