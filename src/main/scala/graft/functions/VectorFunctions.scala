@@ -10,12 +10,22 @@ import org.apache.spark.sql.types._
 /** Vector primitives for the similarity-search north-star ops over
   * `embeddings` (64-dim unit-normalized float vectors — cosine ≡ dot).
   *
-  * Dot products are folded into DECIMAL(20,12): each elementwise product is
-  * one exact IEEE double multiply (identical in any engine), rounded once to
-  * 12 decimal places, then summed exactly (decimal addition is associative,
-  * order-independent). That makes similarity scores bit-identical between
-  * Spark and DuckDB — float summation order would otherwise differ — so
-  * top-k results are oracle-checkable with no tolerance band.
+  * Dot products are computed in QUANTIZED-INTEGER space and rendered as
+  * DECIMAL(20,12): each element is floored to a 1e-6 grid (`⌊x·1e6⌋` — one
+  * exact IEEE multiply + floor, bit-identical in any engine), products and
+  * the sum are exact BIGINT arithmetic, and the final ·1e-12 rescale is an
+  * exact decimal multiply. That makes similarity scores bit-identical
+  * between Spark and DuckDB at ANY corpus scale, so top-k results are
+  * oracle-checkable with no tolerance band.
+  *
+  * Why not round each double product to 12 decimal places instead (the
+  * pre-round-9 definition)? The double→decimal rounding itself is the one
+  * step engines disagree on: a product whose exact binary expansion sits at
+  * a 1e-12 rounding boundary rounds differently in Spark (exact BigDecimal
+  * HALF_UP) vs DuckDB (double-space scaling), observed as a 1-ulp
+  * anchor_sim diff at sf1 (~1 element in 1e8). Integer quantization removes
+  * the boundary entirely; the ≤1e-6 per-element grid error is orders below
+  * any τ/k decision margin.
   *
   * Built on `zip_with`/`aggregate` higher-order functions (codegen-adjacent,
   * no UDF boxing — SURVEY.md §7.4 risk 6); for a pure-Spark hot path the
@@ -25,12 +35,29 @@ object VectorFunctions {
 
   val SimDec: DecimalType = DecimalType(20, 12)
 
-  /** Exact decimal dot product of two array<numeric> columns. */
-  def dotDec(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => (x.cast(DoubleType) * y.cast(DoubleType)).cast(SimDec)),
-      lit(0).cast(SimDec),
-      (acc, x) => (acc + x).cast(SimDec))
+  /** Element quantization grid shared with the DuckDB oracle SQL
+    * (operators/Similarity.simSqlList): ⌊x·1e6⌋ as BIGINT.
+    */
+  val SimQuantScale = 1e6
+
+  /** Exact decimal dot product of two array<numeric> columns (quantized-
+    * integer core — see the object scaladoc for why). |q| < 1e6 per
+    * element, so a 64-dim dot sums 64 products < 1e12 each: the BIGINT
+    * accumulator and the DECIMAL(20,0) sum are overflow-free by 6 orders.
+    */
+  def dotDec(a: Column, b: Column): Column = {
+    def q(c: Column): Column =
+      floor(c.cast(DoubleType) * lit(SimQuantScale)).cast(LongType)
+    val sumLong = aggregate(
+      zip_with(a, b, (x, y) => q(x) * q(y)),
+      lit(0L),
+      (acc, x) => acc + x)
+    // ·1e-12 as an exact decimal multiply (scale-12 literal), never a
+    // double division: (20,0)×(12,12) → DECIMAL(33,12), lossless, then the
+    // final cast to (20,12) only narrows unused integer headroom.
+    (sumLong.cast(DecimalType(20, 0)) *
+      lit(java.math.BigDecimal.valueOf(1L, 12))).cast(SimDec)
+  }
 
   /** Plain double dot product (fast path; not oracle-exact across engines). */
   def dotDouble(a: Column, b: Column): Column =
