@@ -28,10 +28,11 @@ import org.apache.spark.sql.types.LongType
 object DataGen {
 
   def main(args: Array[String]): Unit = {
-    require(args.length >= 2, "usage: DataGen <srcDir> <outDir> [factor]")
+    require(args.length >= 2, "usage: DataGen <srcDir> <outDir> [factor] [userMode: uniform|zipf]")
     val src = args(0)
     val out = args(1)
     val factor = if (args.length > 2) args(2).toInt else 10
+    val userMode = if (args.length > 3) args(3) else "uniform"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -40,14 +41,27 @@ object DataGen {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    generate(spark, src, out, factor)
+    generate(spark, src, out, factor, userMode)
     spark.stop()
   }
 
   private def keySpan(df: DataFrame, key: String): Long =
     df.agg(max(col(key)).cast(LongType)).head().getLong(0) + 1
 
-  def generate(spark: SparkSession, src: String, out: String, factor: Int): Unit = {
+  /** `userMode = "zipf"` remaps events.user_id to a deterministic Zipf(1)
+    * distribution over the replicated user span — the heavy-hitter shape a
+    * production events table has (a 100-TB clickstream is never uniform).
+    * Inverse-CDF sampling of p(r) ∝ 1/r over [1, U): r = ⌊exp(v·ln U)⌋ with
+    * v a pure hash of event_id, so the fixture is reproducible and engine-
+    * independent. The rank-1 user absorbs ≈ ln(2)/ln(U) of ALL events
+    * (~5% at U≈2M) — the single-task window/grouping partition the skew
+    * rehearsal exists to exercise. Every per-user query contract is
+    * unchanged (same schema, same semantics — only the key distribution
+    * moves), and the DuckDB oracle runs on the same parquet, so the
+    * behavioral family stays oracle-checkable at skew.
+    */
+  def generate(spark: SparkSession, src: String, out: String, factor: Int,
+      userMode: String = "uniform"): Unit = {
     def shift(c: String, span: Long, i: Int): Column = col(c) + lit(span * i)
     def write(name: String, df: DataFrame, parts: Int): Unit =
       df.repartition(parts).write.mode("overwrite").parquet(s"$out/$name.parquet")
@@ -80,9 +94,19 @@ object DataGen {
       .withColumn("l_partkey", shift("l_partkey", pSpan, i))
       .withColumn("l_suppkey", shift("l_suppkey", sSpan, i))), 16)
     // back to the fixtures' physical type: raw long nanos
+    val totalUsers = uSpan * factor
+    def userCol(i: Int): Column = userMode match {
+      case "zipf" =>
+        // v uniform in [0,1) from a pure event_id hash; r = ⌊exp(v·ln U)⌋
+        // inverts the Zipf(1) CDF (≈ ln r / ln U) over [1, U)
+        val v = pmod(xxhash64(col("event_id"), lit("zipf_users")), lit(1000000L))
+          .cast(org.apache.spark.sql.types.DoubleType) / 1e6
+        floor(exp(v * math.log(totalUsers.toDouble))).cast(LongType)
+      case _ => shift("user_id", uSpan, i)
+    }
     write("events", reps(i => ev
       .withColumn("event_id", shift("event_id", eSpan, i))
-      .withColumn("user_id", shift("user_id", uSpan, i))
+      .withColumn("user_id", userCol(i))
       .withColumn("ts", unix_micros(col("ts")) * 1000L)), 8)
     write("documents", reps { i =>
       val d = docs.withColumn("doc_id", shift("doc_id", dSpan, i))
