@@ -159,15 +159,21 @@ object EventStreams {
     }
   }
 
-  /** (user_id, event_type) stream → running per-user type counts. */
+  /** (user_id, event_type) stream → running per-user type counts. A real
+    * TTL requires the ProcessingTime time mode (state expiry is stamped
+    * against each batch's processing time); the no-TTL default keeps the
+    * timer-free TimeMode.None plan.
+    */
   def userTypeCounts(events: Dataset[(Long, String)],
       ttl: org.apache.spark.sql.streaming.TTLConfig =
         org.apache.spark.sql.streaming.TTLConfig.NONE): Dataset[TypeCount] = {
     import events.sparkSession.implicits._
-    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TTLConfig}
+    val timeMode =
+      if (ttl == TTLConfig.NONE) TimeMode.None() else TimeMode.ProcessingTime()
     events.groupByKey(_._1)
       .transformWithState(new UserTypeCountProcessor(ttl),
-        TimeMode.None(), OutputMode.Update())
+        timeMode, OutputMode.Update())
   }
 
   /** Closed-session emitter via flatMapGroupsWithState (the 0-or-N-rows

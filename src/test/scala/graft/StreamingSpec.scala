@@ -298,6 +298,115 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("transformWithState: counts continue exactly across a checkpoint restart") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ckpt = Files.createTempDirectory("tws_restart").toString
+      val outDir = Files.createTempDirectory("tws_restart_out").toString
+      val input = MemoryStream[(Long, String)]
+      // foreachBatch parquet sink, NOT format("memory"): the memory sink
+      // rejects recovery from an existing checkpoint, and checkpoint
+      // recovery is exactly what this test exercises.
+      def start() = EventStreams.userTypeCounts(input.toDS())
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[EventStreams.TypeCount],
+            id: Long) =>
+          b.withColumn("batch_id", org.apache.spark.sql.functions.lit(id))
+            .write.mode("append").parquet(outDir)
+          ()
+        }
+        .start()
+
+      val q1 = start()
+      input.addData((1L, "view"), (1L, "view"), (2L, "click"))
+      q1.processAllAvailable()
+      q1.stop() // simulated kill: the RocksDB state lives in the checkpoint
+
+      // Fresh query object, SAME checkpoint: the restored MapState must
+      // continue the totals exactly — no reset, no double count.
+      val q2 = start()
+      input.addData((1L, "view"), (2L, "click"), (2L, "purchase"))
+      q2.processAllAvailable()
+      q2.stop()
+      // update-mode emissions: the latest n per (user, type) is the total
+      val out = spark.read.parquet(outDir)
+        .groupBy("user_id", "event_type")
+        .agg(org.apache.spark.sql.functions.max("n").as("n"))
+        .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+      assert(out((1L, "view")) == 3L, s"restored count must continue: $out")
+      assert(out((2L, "click")) == 2L, s"restored count must continue: $out")
+      assert(out((2L, "purchase")) == 1L, s"new type starts fresh: $out")
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  test("transformWithState: TTL evicts idle per-user state between batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[(Long, String)]
+      val ttl = org.apache.spark.sql.streaming.TTLConfig(
+        java.time.Duration.ofMillis(200))
+      val ckpt = Files.createTempDirectory("tws_ttl").toString
+      val outDir = Files.createTempDirectory("tws_ttl_out").toString
+      // AvailableNow incarnations, NOT processAllAvailable: in
+      // ProcessingTime time mode the TTL machinery schedules timer
+      // batches, so a continuous query never quiesces for
+      // processAllAvailable. Each incarnation drains what is queued and
+      // terminates; the TTL expiry timestamps live in the checkpointed
+      // state and the second incarnation's batch time is > expiry.
+      // foreachBatch parquet sink: restartable from the checkpoint (the
+      // memory sink is not), with the batch id kept for per-incarnation
+      // assertions.
+      def drain(): Unit = {
+        val q = EventStreams.userTypeCounts(input.toDS(), ttl)
+          .writeStream
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .foreachBatch { (b: org.apache.spark.sql.Dataset[EventStreams.TypeCount],
+              id: Long) =>
+            b.withColumn("batch_id", org.apache.spark.sql.functions.lit(id))
+              .write.mode("append").parquet(outDir)
+            ()
+          }
+          .start()
+        q.awaitTermination(120000)
+        q.stop()
+      }
+      input.addData((1L, "view"), (1L, "view"))
+      drain()
+      Thread.sleep(1000) // > TTL: user 1's map entries expire
+      input.addData((1L, "view"))
+      drain()
+      val byBatch = spark.read.parquet(outDir)
+        .select("batch_id", "n")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // the first incarnation's batch emitted n=2; the post-TTL batch must
+      // restart at n=1 (state evicted), NOT continue to 3
+      assert(byBatch.size == 2, s"expected one emission per batch: $byBatch")
+      val (firstBatch, lastBatch) = (byBatch.keys.min, byBatch.keys.max)
+      assert(byBatch(firstBatch) == 2L,
+        s"pre-TTL batch must count both events; got $byBatch")
+      assert(byBatch(lastBatch) == 1L,
+        s"TTL must evict the idle count between batches; got $byBatch")
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("streaming decontamination flags benchmark-overlapping docs at arrival") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
