@@ -159,6 +159,61 @@ class SqlGatewaySpec extends SparkSpec {
     }
   }
 
+  test("concurrency probe: 12 parallel clients stay isolated, caps hold under load") {
+    withGateway { (_, port) =>
+      import java.util.concurrent.{CompletableFuture, Executors, TimeUnit}
+      // The /play analog is multi-user by nature: mix the native MG
+      // aggregate, a heavy join, per-region lookups with DISTINCT answers
+      // (so a swapped response is detectable), an oversized body, and a
+      // bad query — all in flight at once on a dedicated client pool.
+      val mgExpect = {
+        val d = spark.sql("SELECT event_type, count(*) AS c FROM events " +
+          "GROUP BY 1 ORDER BY c DESC, event_type LIMIT 1").head()
+        s"""{"t":"${d.getString(0)}","c":${d.getLong(1)}}"""
+      }
+      val joinExpect = {
+        val n = spark.sql("SELECT count(*) AS n FROM lineitem l " +
+          "JOIN orders o ON l.l_orderkey = o.o_orderkey").head().getLong(0)
+        s"""{"n":$n}"""
+      }
+      val mgSql = "SELECT top[0].item AS t, top[0].cnt AS c FROM " +
+        "(SELECT freq_items_mg(event_type, 64, 1) AS top FROM events)"
+      val joinSql = "SELECT count(*) AS n FROM lineitem l " +
+        "JOIN orders o ON l.l_orderkey = o.o_orderkey"
+      def regionSql(k: Int) =
+        s"SELECT r_name FROM region WHERE r_regionkey = $k"
+      val oversized = "-- " + "x" * SqlGateway.MaxBodyBytes
+
+      // (request body, expected status, expected body-trim or null)
+      val plan: Seq[(String, Int, String)] =
+        Seq((mgSql, 200, mgExpect), (mgSql, 200, mgExpect), (mgSql, 200, mgExpect),
+          (joinSql, 200, joinExpect), (joinSql, 200, joinExpect),
+          (oversized, 413, null), (oversized, 413, null),
+          ("SELECT definitely wrong(", 400, null)) ++
+          (0 to 3).map { k =>
+            val names = Seq("AFRICA", "AMERICA", "ASIA", "EUROPE")
+            (regionSql(k), 200, s"""{"r_name":"${names(k)}"}""")
+          }
+      assert(plan.size == 12)
+
+      val pool = Executors.newFixedThreadPool(plan.size)
+      try {
+        val futures = plan.map { case (body, _, _) =>
+          CompletableFuture.supplyAsync(() => post(port, body), pool)
+        }
+        val responses = futures.map(_.get(120, TimeUnit.SECONDS))
+        plan.zip(responses).zipWithIndex.foreach {
+          case (((body, status, expect), r), i) =>
+            assert(r.statusCode() == status,
+              s"req $i [${body.take(40)}]: got ${r.statusCode()} ${r.body().take(120)}")
+            if (expect != null)
+              assert(r.body().trim == expect,
+                s"req $i: isolation violated — got ${r.body().take(120)}, want $expect")
+        }
+      } finally pool.shutdownNow()
+    }
+  }
+
   test("execution deadline: a pathological query is cancelled; a concurrent fast query answers") {
     withGateway { (_, port) =>
       // Rows are bounded by the limit wrap, but COMPUTE is not: a triple
