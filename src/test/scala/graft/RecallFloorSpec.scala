@@ -1,0 +1,36 @@
+package graft
+
+/** Index-quality acceptance bands for the two ANN recall reports (q80
+  * SRP-LSH, q101 IVF). The reports themselves are oracle-exact — but a
+  * collapsed index that returns recall 0 everywhere would still
+  * hash-match its oracle, so index QUALITY needs its own tripwire: mean
+  * recall at sf0.1 must clear a measured floor, and the index must
+  * actually hit (not report all-zero). Floors sit safely under the
+  * round-9 measurements (SCALE.md "recall acceptance bands"): q80 mean
+  * 0.667 → floor 0.60; q101 mean 0.583 → floor 0.50. A sizing or
+  * hashing regression that degrades either family now trips a test, not
+  * a human reading the report.
+  */
+class RecallFloorSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.1"
+
+  private def meanRecall(name: String): (Double, Long) = {
+    val rows = SparkEntry.queries(name)(spark, dir)
+      .select("recall_micro").collect().map(_.getLong(0))
+    assert(rows.nonEmpty, s"$name returned no per-query rows")
+    (rows.map(_.toDouble / 1e6).sum / rows.length, rows.count(_ > 0))
+  }
+
+  test("q80 SRP-LSH recall clears its measured floor at sf0.1") {
+    val (mean, nonZero) = meanRecall("q80_ann_recall")
+    assert(mean >= 0.60, f"SRP mean recall $mean%.3f fell below the 0.60 floor")
+    assert(nonZero > 0, "SRP index reports zero hits everywhere — collapsed index")
+  }
+
+  test("q101 IVF recall clears its measured floor at sf0.1") {
+    val (mean, nonZero) = meanRecall("q101_ivf_recall")
+    assert(mean >= 0.50, f"IVF mean recall $mean%.3f fell below the 0.50 floor")
+    assert(nonZero > 0, "IVF index reports zero hits everywhere — collapsed index")
+  }
+}
