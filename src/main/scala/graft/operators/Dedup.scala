@@ -218,6 +218,21 @@ object Dedup {
       .filter(col("jac_raw") >= JaccardThreshold)
   }
 
+  /** q74's incremental pair set over an EXPLICIT shingle frame: verified
+    * near-dup pairs whose higher end satisfies `newSide`, rendered in the
+    * q74 output shape (a_doc, b_doc, jac_micro). The streaming
+    * decontamination maintainer ([[graft.streaming.IndexMaintenance]])
+    * calls this per micro-batch with store∪batch shingles and
+    * `doc_id >= batchMinId` as the probe side, so each batch pays
+    * new×all band-join cost, never all×all.
+    */
+  private[graft] def incrementalPairsDss(spark: org.apache.spark.sql.SparkSession,
+      dss: DataFrame, newSide: Column): DataFrame =
+    minhashVerifiedDss(spark, dss, newSide)
+      .select(col("a_doc"), col("b_doc"),
+        floor(col("jac_raw") * 1000000).cast(LongType).as("jac_micro"))
+      .distinct()
+
   /** Distinct verified near-dup pairs from a shingle-set frame (the full
     * [[TextAnalysis.shingleIndex]] or a filtered slice of it) — the
     * removal set the corpus-clean composition consumes.

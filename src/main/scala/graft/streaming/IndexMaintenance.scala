@@ -125,6 +125,81 @@ object IndexMaintenance {
       .start()
   }
 
+  /** One micro-batch of the streaming decontamination pipeline
+    * ([[maintainDecontaminatingIndex]]); false = replay, nothing ran.
+    *
+    * Order of the two effects is the crash-safety argument:
+    *  1. the batch's near-dup pairs (vs store∪batch, q74's new×all probe)
+    *     land in `pairsDir/batch_id=N` with mode=overwrite — idempotent:
+    *     a replay recomputes against the SAME store state (the append
+    *     below hasn't happened yet on any path that replays) and
+    *     overwrites byte-identical content;
+    *  2. the batch appends to the durable shingle store behind the
+    *     exactly-once batch marker ([[applyDocsBatch]]).
+    * A crash between 1 and 2 replays the batch: step 1 rewrites the same
+    * pairs, step 2 applies once. A crash after 2 replays into the marker
+    * skip. Either way every pair is emitted exactly once and the store
+    * grows exactly once.
+    *
+    * Append-only contract (same as q74): batch doc_ids exceed every
+    * stored id, so "pair involves a batch doc" ≡ "higher end ≥ the
+    * batch's min id" — the probe side is the batch alone.
+    */
+  private[graft] def decontaminateBatch(s: SparkSession, corpusDir: String,
+      pairsDir: String, stream: String, batchId: Long, batch: DataFrame): Boolean = {
+    import org.apache.spark.sql.functions.{col, min}
+    val storeName = graft.operators.TextAnalysis.ShingleStoreName
+    shouldApply(batchId, lastApplied(s, corpusDir, storeName, stream),
+      stream, corpusDir) && {
+      val root = graft.IndexStore.configuredDir(s).getOrElse(throw
+        new IllegalStateException("maintainDecontaminatingIndex requires " +
+          s"a configured index store (${graft.IndexStore.DirConf})"))
+      val storePath = graft.IndexStore.storePath(root, corpusDir, storeName)
+      require(graft.IndexStore.committed(s, storePath),
+        s"bootstrap the shingle store at $storePath (batch build over the " +
+          "existing corpus) before attaching a decontaminating maintainer")
+      val minId = batch.agg(min(col("doc_id"))).head().get(0) // bounded: 1 row
+      if (minId != null) {
+        val stored = s.read.parquet(storePath).select("doc_id", "ss")
+        val batchDss = graft.operators.TextAnalysis.docShingleSets(batch)
+          .select("doc_id", "ss")
+        graft.operators.Dedup.incrementalPairsDss(s,
+            stored.unionByName(batchDss),
+            col("doc_id") >= minId.asInstanceOf[Long])
+          .write.mode("overwrite").parquet(s"$pairsDir/batch_id=$batchId")
+      }
+      graft.operators.TextAnalysis.appendToShingleIndex(s, corpusDir, batch,
+        Map(markerKey(stream) -> batchId.toString))
+      true
+    }
+  }
+
+  /** Streaming near-dup decontamination end-to-end: compose the shingle
+    * store's incremental appends with q74's new-batch-vs-corpus near-dup
+    * check as ONE continuous pipeline over a `(doc_id, text, …)` document
+    * stream. Each micro-batch emits its verified near-dup pairs (the
+    * documents to quarantine/drop before training) into
+    * `pairsDir/batch_id=N` and then joins the corpus index — so the union
+    * of all batch outputs over an append-only id stream equals the q74
+    * batch answer on the same data (each pair lands in exactly the batch
+    * carrying its higher id; spec-pinned batch parity). Exactly-once
+    * across crashes via the marker + per-batch-overwrite argument on
+    * [[decontaminateBatch]].
+    */
+  def maintainDecontaminatingIndex(docs: DataFrame, corpusDir: String,
+      pairsDir: String, checkpoint: String,
+      stream: String = "neardup_maintenance"): StreamingQuery = {
+    val owner = docs.sparkSession
+    docs.writeStream
+      .queryName(stream)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        decontaminateBatch(owner, corpusDir, pairsDir, stream, batchId, batch)
+        ()
+      }
+      .start()
+  }
+
   /** Attach an SRP-index maintainer to a `(vec_id, embedding)` stream. */
   def maintainSrpIndex(embeddings: DataFrame, corpusDir: String,
       checkpoint: String, stream: String = "srp_maintenance"): StreamingQuery = {

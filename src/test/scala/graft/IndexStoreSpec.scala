@@ -337,6 +337,73 @@ class IndexStoreSpec extends SparkSpec {
       s"derived-planes build ran $derived jobs vs $explicit explicit — an extra count() leaked in")
   }
 
+  test("streaming decontamination: per-batch pairs across a simulated crash equal q74 batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val root = tmp("graft_idx_decon")
+    val pairsDir = tmp("graft_idx_decon_pairs")
+    val docs = Tables.load(spark, dir, "documents")
+    val t = docs.selectExpr("(max(doc_id) * 8) div 10 AS t").collect()(0).getLong(0)
+
+    // bootstrap: the batch build covers the pre-stream corpus slice
+    val sA = spark.newSession()
+    sA.conf.set(IndexStore.DirConf, root)
+    operators.TextAnalysis.buildShingleIndex(sA, dir,
+      Tables.load(sA, dir, "documents").filter(col("doc_id") < t))
+
+    // today's increment streams in TWO doc_id-ordered micro-batches
+    import sA.implicits._
+    implicit val sqlCtx = sA.sqlContext
+    val inc = docs.filter(col("doc_id") >= t).select("doc_id", "text")
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val (b1, b2) = inc.splitAt(inc.length / 2)
+    val input = MemoryStream[(Long, String)]
+    val ckpt = tmp("graft_idx_decon_ck")
+    val stream = "decon_spec"
+    input.addData(b1.toSeq)
+    val q1 = streaming.IndexMaintenance.maintainDecontaminatingIndex(
+      input.toDF().toDF("doc_id", "text"), dir, pairsDir, ckpt, stream)
+    q1.processAllAvailable()
+    q1.stop() // simulated crash between batches
+
+    // crash replay IN the exactly-once window: re-invoking the applied
+    // batch id must skip both effects (pairs dir untouched, store
+    // unchanged) — the marker guards the composition, not just the append
+    def pairsSnapshot(): Set[(Long, Long, Long)] =
+      spark.read.parquet(s"$pairsDir/batch_id=0")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val before = pairsSnapshot()
+    val replayed = streaming.IndexMaintenance.decontaminateBatch(
+      sA, dir, pairsDir, stream, 0L,
+      Tables.load(sA, dir, "documents").filter(col("doc_id") >= t).limit(3)
+        .select("doc_id", "text"))
+    assert(!replayed, "an applied batch id must be skipped on replay")
+    assert(pairsSnapshot() == before, "a skipped replay must not rewrite pairs")
+
+    // restart from the SAME checkpoint with the rest of the stream
+    input.addData(b2.toSeq)
+    val q2 = streaming.IndexMaintenance.maintainDecontaminatingIndex(
+      input.toDF().toDF("doc_id", "text"), dir, pairsDir, ckpt, stream)
+    q2.processAllAvailable()
+    q2.stop()
+
+    // batch parity: the union of per-batch pair outputs equals q74's
+    // whole-corpus incremental answer on the same fixtures
+    val streamed = spark.read.parquet(s"$pairsDir/batch_id=*")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val batch = SparkEntry.queries("q74_incremental_neardup")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(batch.nonEmpty, "fixture should contain incremental near-dup pairs")
+    assert(streamed == batch,
+      s"stream/batch divergence: missing=${batch -- streamed} extra=${streamed -- batch}")
+
+    // and the store ended exactly once: served shingles == full corpus
+    val sB = spark.newSession()
+    sB.conf.set(IndexStore.DirConf, root)
+    assert(shingleContent(operators.TextAnalysis.shingleIndex(sB, dir)) ==
+      shingleContent(operators.TextAnalysis.docShingleSets(docs)))
+  }
+
   test("streaming maintenance: doc micro-batches keep the shingle store fresh; replays skip") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val root = tmp("graft_idx_maint_sh")
