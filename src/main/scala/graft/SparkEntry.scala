@@ -24,7 +24,8 @@ object SparkEntry {
       operators.Extras.specs ++
       operators.TrainPipe.specs ++
       operators.CorpusClean.specs ++
-      operators.CorpusOps.specs
+      operators.CorpusOps.specs ++
+      operators.Analytics.specs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

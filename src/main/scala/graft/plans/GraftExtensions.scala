@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.expressions.{FreqItemsMG, LongVecDot, MinHashSigs}
+import graft.functions.expressions.{BloomMightContainLong, FreqItemsMG, LongVecDot, MinHashSigs}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -58,6 +58,26 @@ object GraftExtensions {
           }
         }
         FreqItemsMG(children(0), intArg(1, "capacity"), intArg(2, "k"))
+      }),
+    (FunctionIdentifier("bloom_might_contain_long"),
+      new ExpressionInfo(classOf[BloomMightContainLong].getName, "bloom_might_contain_long"),
+      // the filter bytes must be a foldable BINARY literal (built
+      // driver-side from the dimension key set) — evaluated at plan time
+      (children: Seq[Expression]) => {
+        def bad(detail: String): Nothing =
+          throw new org.apache.spark.sql.AnalysisException(
+            errorClass = "INTERNAL_ERROR",
+            messageParameters = Map("message" ->
+              (s"bloom_might_contain_long(key, filter_bytes) $detail —" +
+                " filter_bytes must be a foldable BINARY literal")))
+        if (children.length != 2)
+          bad(s"expects 2 arguments, got ${children.length}")
+        if (!children(1).foldable) bad("argument 'filter_bytes' is not foldable")
+        children(1).eval() match {
+          case b: Array[Byte] => BloomMightContainLong(children(0), b)
+          case other => bad(s"argument 'filter_bytes' is ${
+            if (other == null) "NULL" else other.getClass.getSimpleName}")
+        }
       }))
 
   /** Idempotent per-session registration. */

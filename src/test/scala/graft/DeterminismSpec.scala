@@ -39,7 +39,12 @@ class DeterminismSpec extends SparkSpec {
     // regime (q107)
     "q97_distinctive_terms", "q100_user_event_map",
     "q103_quality_percentile", "q104_positive_pairs", "q107_freq_items",
-    "q110_group_sample")
+    "q110_group_sample",
+    // round 9: ntile bucketing on the tie-broken total order (q113), ROWS
+    // frames over (ts, event_id) — equal timestamps must not reshuffle the
+    // frame (q115), and the bloom-prefiltered semi join — the filter build
+    // merges per-partition bit sets, which must be order-independent (q118)
+    "q113_ntile_buckets", "q115_frame_values", "q118_bloom_semi")
 
   test("sensitive queries are byte-identical under different shuffle partitioning") {
     val saved = spark.conf.get("spark.sql.shuffle.partitions")
