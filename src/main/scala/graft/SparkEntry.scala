@@ -25,7 +25,8 @@ object SparkEntry {
       operators.TrainPipe.specs ++
       operators.CorpusClean.specs ++
       operators.CorpusOps.specs ++
-      operators.Analytics.specs
+      operators.Analytics.specs ++
+      operators.Fuzzy.specs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,111 @@
+package graft.operators
+
+import graft.{QuerySpec, Tables}
+import graft.functions.TextFunctions.{hex60, shingles, tokens}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Fuzzy-matching operators: SymSpell-style edit-distance blocking for
+  * entity resolution (q121) and the duplicated-span profile — the
+  * suffix-dedup-style structural signal (q122). SURVEY.md §2.11 dedup /
+  * text-analysis families.
+  *
+  * Reference behavior mirrored: the reference's dedup surface is
+  * fingerprint/Jaccard-based (SURVEY §2.11); these extend it with the two
+  * standard corpus-cleaning signals it lacks — typo-level entity
+  * collapse and intra-corpus repeated-span structure — both Spark-first
+  * and oracle-exact.
+  */
+object Fuzzy {
+
+  val specs: Seq[QuerySpec] = Seq(
+
+    // ----- SymSpell-style edit-distance-1 blocking ------------------------
+    // All customer-name pairs within Levenshtein distance 1, WITHOUT the
+    // all-pairs join the oracle runs: every name emits itself plus its
+    // |name| single-deletion variants as blocking keys, candidates come
+    // from an equi-join on the key, and the exact distance filter removes
+    // the (distance-2) collisions. The blocking is COMPLETE for d ≤ 1:
+    //   - substitution at i  → del_i(a) = del_i(b) (shared deletion key);
+    //   - insertion/deletion → the shorter name IS a deletion variant of
+    //     the longer, and every name also posts itself as a key.
+    // Scale: the shuffle carries (len+1)·n key rows, buckets are bounded
+    // by alphabet×positions of the shared stem — never n² (plan-guarded:
+    // no cartesian/BNL). The oracle's quadratic ON-clause join is exactly
+    // what this avoids; at an 100-TB entity table the blocking join is
+    // the only formulation that finishes.
+    QuerySpec("q121_fuzzy_blocking")(
+      """SELECT a.c_name AS name_a, b.c_name AS name_b,
+        |  a.c_custkey AS key_a, b.c_custkey AS key_b,
+        |  CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+        |FROM customer a JOIN customer b
+        |  ON a.c_name < b.c_name AND levenshtein(a.c_name, b.c_name) <= 1
+        |ORDER BY name_a, name_b""".stripMargin) { (s, dir) =>
+      val v = Tables.load(s, dir, "customer")
+        .select(col("c_custkey").as("ckey"), col("c_name").as("name"))
+      val keyed = v.select(col("ckey"), col("name"),
+        explode(array_union(
+          array(col("name")),
+          expr("transform(sequence(1, length(name))," +
+            " i -> concat(substr(name, 1, i-1), substr(name, i+1)))"))).as("blk"))
+      val cand = keyed.as("a")
+        .join(keyed.as("b"),
+          col("a.blk") === col("b.blk") && col("a.name") < col("b.name"))
+        .select(col("a.name").as("name_a"), col("b.name").as("name_b"),
+          col("a.ckey").as("key_a"), col("b.ckey").as("key_b"))
+        .distinct() // substitution pairs share one key; repeated chars can share several
+      cand.filter(levenshtein(col("name_a"), col("name_b")) <= 1)
+        .withColumn("dist", levenshtein(col("name_a"), col("name_b")).cast(LongType))
+        .orderBy("name_a", "name_b")
+    },
+
+    // ----- duplicated-span profile (suffix-dedup signal) ------------------
+    // Per document: of its POSITIONAL 3-gram shingles, how many occur in
+    // at least one other document (n_dup), and the longest CONSECUTIVE
+    // run of such shingles (max_run) — the structural signal substring
+    // dedup (suffix-array style) keys on, which the set-based q83/q86
+    // profiles cannot see: a doc quoting one long passage and a doc
+    // sprinkled with common phrases have the same dup fraction but very
+    // different max_run. Positions matter, so this walks the raw
+    // positional shingle stream (the DISTINCT shared shingle index
+    // doesn't apply). One corpus-keyed shuffle for the doc-frequency
+    // join, then doc-bounded windows — each doc's run scan is linear and
+    // local, the heavy-hitter bound is the longest single document.
+    QuerySpec("q122_dup_span")(
+      """WITH d AS (SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS t FROM documents),
+        |tok AS (SELECT doc_id, regexp_split_to_array(t, '\s+') AS w FROM d),
+        |pos AS (SELECT doc_id, i,
+        |          CAST('0x' || substr(md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2]), 1, 15) AS BIGINT) AS s
+        |        FROM (SELECT doc_id, w, unnest(generate_series(1, greatest(len(w) - 2, 0))) AS i FROM tok)),
+        |df AS (SELECT s, count(DISTINCT doc_id) AS nd FROM pos GROUP BY s),
+        |fl AS (SELECT p.doc_id, p.i, f.nd >= 2 AS dup FROM pos p JOIN df f USING (s)),
+        |runs AS (SELECT doc_id, i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS grp
+        |         FROM fl WHERE dup),
+        |rl AS (SELECT doc_id, count(*) AS run_len FROM runs GROUP BY doc_id, grp),
+        |mx AS (SELECT doc_id, max(run_len) AS max_run FROM rl GROUP BY doc_id),
+        |tot AS (SELECT doc_id, count(*) AS n_pos,
+        |          sum(CASE WHEN dup THEN 1 ELSE 0 END) AS n_dup FROM fl GROUP BY doc_id)
+        |SELECT t.doc_id, t.n_pos, CAST(t.n_dup AS BIGINT) AS n_dup,
+        |  coalesce(m.max_run, 0) AS max_run
+        |FROM tot t LEFT JOIN mx m USING (doc_id) ORDER BY t.doc_id""".stripMargin) { (s, dir) =>
+      val pos = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), posexplode(shingles(tokens(col("text")))).as(Seq("p", "sh")))
+        .select(col("doc_id"), (col("p") + 1).as("i"), hex60(col("sh")).as("s"))
+      val df = pos.groupBy("s").agg(countDistinct("doc_id").as("nd"))
+      val fl = pos.join(df, "s")
+        .select(col("doc_id"), col("i"), (col("nd") >= 2).as("dup"))
+      val w = Window.partitionBy("doc_id").orderBy("i")
+      val rl = fl.filter(col("dup"))
+        .withColumn("grp", col("i") - row_number().over(w))
+        .groupBy("doc_id", "grp").agg(count(lit(1)).as("run_len"))
+      val mx = rl.groupBy("doc_id").agg(max("run_len").as("max_run"))
+      val tot = fl.groupBy("doc_id").agg(
+        count(lit(1)).as("n_pos"),
+        sum(when(col("dup"), 1L).otherwise(0L)).as("n_dup"))
+      tot.join(mx, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_pos"), col("n_dup"),
+          coalesce(col("max_run"), lit(0L)).as("max_run"))
+        .orderBy("doc_id")
+    })
+}

@@ -44,7 +44,11 @@ class DeterminismSpec extends SparkSpec {
     // frames over (ts, event_id) — equal timestamps must not reshuffle the
     // frame (q115), and the bloom-prefiltered semi join — the filter build
     // merges per-partition bit sets, which must be order-independent (q118)
-    "q113_ntile_buckets", "q115_frame_values", "q118_bloom_semi")
+    "q113_ntile_buckets", "q115_frame_values", "q118_bloom_semi",
+    // blocking candidates arrive once per shared key — the distinct must
+    // erase multiplicity wherever the pair lands (q121); run grouping
+    // rides a per-doc row_number over the unique (doc, pos) order (q122)
+    "q121_fuzzy_blocking", "q122_dup_span")
 
   test("sensitive queries are byte-identical under different shuffle partitioning") {
     val saved = spark.conf.get("spark.sql.shuffle.partitions")
