@@ -119,6 +119,41 @@ object CorpusOps {
         .orderBy(col("doc_id"), col("chunk_id"))
     },
 
+    // ----- chunk-level exact dedup (RAG index hygiene) --------------------
+    // The dedup step a retrieval-index build runs BETWEEN q96's chunking
+    // and embedding: groups of chunks with identical fingerprints, with
+    // the representative (min doc) and the removable count — every
+    // removable chunk is an embedding + index entry saved, and duplicate
+    // chunks are exactly how near-duplicate docs poison retrieval (the
+    // same passage crowds the top-k). Doc-level dedup (q35) cannot see
+    // these: two distinct docs sharing one quoted passage collide only at
+    // chunk granularity. One fp-keyed hash aggregate over the chunk
+    // stream (map-side combined, linear in chunk volume at any scale).
+    QuerySpec("q123_chunk_dedup")(
+      s"""WITH t AS (SELECT doc_id,
+        |  string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS tok
+        |  FROM documents),
+        |c AS (SELECT doc_id, tok, len(tok) AS n,
+        |        unnest(generate_series(0, (len(tok) - 1) // $ChunkStride)) AS k
+        |      FROM t),
+        |ch AS (SELECT doc_id,
+        |         ${hex60Sql.format(s"array_to_string(list_slice(tok, 1 + k * $ChunkStride, k * $ChunkStride + $ChunkSize), ' ')")} AS chunk_fp
+        |       FROM c)
+        |SELECT chunk_fp, count(*) AS n_chunks,
+        |  count(DISTINCT doc_id) AS n_docs,
+        |  min(doc_id) AS rep_doc, count(*) - 1 AS removable
+        |FROM ch GROUP BY chunk_fp HAVING count(*) >= 2
+        |ORDER BY chunk_fp""".stripMargin) { (s, dir) =>
+      chunkRows(Tables.load(s, dir, "documents"))
+        .groupBy(col("chunk_fp"))
+        .agg(count(lit(1)).as("n_chunks"),
+          countDistinct(col("doc_id")).as("n_docs"),
+          min(col("doc_id")).as("rep_doc"))
+        .filter(col("n_chunks") >= 2)
+        .withColumn("removable", col("n_chunks") - 1)
+        .orderBy(col("chunk_fp"))
+    },
+
     // ----- per-document distinctive terms (integer-exact tf-idf rank) -----
     // tf from one (doc, term) hash-agg; df from the (already-distinct)
     // pairs in a term-keyed second agg. The df side is vocabulary-sized —

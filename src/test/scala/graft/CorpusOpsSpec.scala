@@ -169,4 +169,23 @@ class CorpusOpsSpec extends SparkSpec {
       assert(r.getLong(1) == r.getString(3).split(",").length, "n_types")
     }
   }
+
+  test("q123: dedup groups recount exactly from the q96 chunk stream") {
+    val chunks = q("q96_chunk_windows").collect()
+      .map(r => (r.getLong(0), r.getLong(4))) // (doc_id, chunk_fp)
+    val expected = chunks.groupBy(_._2)
+      .filter(_._2.length >= 2)
+      .map { case (fp, rows) =>
+        fp -> ((rows.length.toLong, rows.map(_._1).distinct.length.toLong,
+          rows.map(_._1).min, rows.length.toLong - 1))
+      }
+    val got = q("q123_chunk_dedup").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(expected.nonEmpty, "fixture should contain duplicate chunks at sf0.001")
+    assert(got == expected)
+    // dedup must be invisible to singleton chunks: group total == dup chunks
+    assert(got.values.map(_._1).sum ==
+      chunks.groupBy(_._2).filter(_._2.length >= 2).values.map(_.length.toLong).sum)
+  }
 }
