@@ -40,6 +40,26 @@ object Fuzzy {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
 
+  /** q122's flagged positional-shingle frame (doc_id, i, dup) — consumed
+    * by the run-grouping window AND the per-doc totals (and its own df
+    * aggregate reads the raw positions): without materialization the
+    * corpus tokenize/shingle/hash pipeline runs three times. Same
+    * built-once posture as the shingle/SRP indexes; MEMORY_AND_DISK so a
+    * corpus that outgrows executor memory spills instead of failing.
+    */
+  private val dupFlags = new graft.SessionCache[org.apache.spark.sql.DataFrame]
+
+  private def dupFlagFrame(s: org.apache.spark.sql.SparkSession, dir: String) =
+    dupFlags.getOrElseUpdate(s, dir) {
+      val pos = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), posexplode(shingles(tokens(col("text")))).as(Seq("p", "sh")))
+        .select(col("doc_id"), (col("p") + 1).as("i"), hex60(col("sh")).as("s"))
+      val df = pos.groupBy("s").agg(countDistinct("doc_id").as("nd"))
+      pos.join(df, "s")
+        .select(col("doc_id"), col("i"), (col("nd") >= 2).as("dup"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+
   val specs: Seq[QuerySpec] = Seq(
 
     // ----- SymSpell-style edit-distance-1 blocking ------------------------
@@ -116,12 +136,7 @@ object Fuzzy {
         |SELECT t.doc_id, t.n_pos, CAST(t.n_dup AS BIGINT) AS n_dup,
         |  coalesce(m.max_run, 0) AS max_run
         |FROM tot t LEFT JOIN mx m USING (doc_id) ORDER BY t.doc_id""".stripMargin) { (s, dir) =>
-      val pos = Tables.load(s, dir, "documents")
-        .select(col("doc_id"), posexplode(shingles(tokens(col("text")))).as(Seq("p", "sh")))
-        .select(col("doc_id"), (col("p") + 1).as("i"), hex60(col("sh")).as("s"))
-      val df = pos.groupBy("s").agg(countDistinct("doc_id").as("nd"))
-      val fl = pos.join(df, "s")
-        .select(col("doc_id"), col("i"), (col("nd") >= 2).as("dup"))
+      val fl = dupFlagFrame(s, dir)
       val w = Window.partitionBy("doc_id").orderBy("i")
       val rl = fl.filter(col("dup"))
         .withColumn("grp", col("i") - row_number().over(w))
