@@ -17,8 +17,10 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *    the driver builds without the config.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach(e.injectFunction)
+    e.injectOptimizerRule(_ => BandedLevenshteinRewrite)
+  }
 }
 
 object GraftExtensions {
@@ -81,8 +83,15 @@ object GraftExtensions {
       }))
 
   /** Idempotent per-session registration. */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     functions.foreach { case (ident, info, builder) =>
       spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
     }
+    // the experimental hook is the imperative counterpart of
+    // injectOptimizerRule for sessions built without the extensions config
+    if (!spark.experimental.extraOptimizations.contains(BandedLevenshteinRewrite)) {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ BandedLevenshteinRewrite
+    }
+  }
 }
