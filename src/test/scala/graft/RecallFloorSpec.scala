@@ -33,4 +33,13 @@ class RecallFloorSpec extends SparkSpec {
     assert(mean >= 0.50, f"IVF mean recall $mean%.3f fell below the 0.50 floor")
     assert(nonZero > 0, "IVF index reports zero hits everywhere — collapsed index")
   }
+
+  test("q124 int8-quantization recall clears its measured floor at sf0.1") {
+    // measured mean 0.917 (min 0.667) — quantization loses far less than
+    // the indexes, which is the point of the report; a broken calibration
+    // (zero/overflowed scale) collapses toward 0 and trips this
+    val (mean, nonZero) = meanRecall("q124_sq8_recall")
+    assert(mean >= 0.80, f"int8 mean recall $mean%.3f fell below the 0.80 floor")
+    assert(nonZero > 0, "quantized dots report zero hits everywhere — broken calibration")
+  }
 }
