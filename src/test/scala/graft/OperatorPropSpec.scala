@@ -248,4 +248,52 @@ class OperatorPropSpec extends SparkSpec {
         s"granule $g tiers $tiers: bucketized $bucketized != naive $naive")
     }
   }
+
+  test("bloom probe admits every inserted key for random key sets (no false negatives)") {
+    import graft.functions.expressions.BloomMightContainLong
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.types.LongType
+    import org.apache.spark.util.sketch.BloomFilter
+    val gen = for {
+      n <- Gen.chooseNum(1, 2000)
+      keys <- Gen.listOfN(n, Gen.chooseNum(Long.MinValue, Long.MaxValue))
+    } yield keys
+    sample(gen, 30, seed = 131L).foreach { keys =>
+      val bf = BloomFilter.create(math.max(keys.size, 1).toLong, 0.01)
+      keys.foreach(bf.putLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos)
+      val e = BloomMightContainLong(BoundReference(0, LongType, nullable = false), bos.toByteArray)
+      keys.foreach { k =>
+        assert(e.eval(InternalRow(k)) == true, s"false negative for inserted key $k")
+      }
+    }
+  }
+
+  test("banded levenshtein(k) agrees with the classic DP for random string pairs") {
+    graft.plans.GraftExtensions.register(spark)
+    import spark.implicits._
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val strGen = for {
+      n <- Gen.chooseNum(0, 12)
+      cs <- Gen.listOfN(n, Gen.oneOf('a', 'b', 'c'))
+    } yield cs.mkString
+    val pairGen = for { a <- strGen; b <- strGen } yield (a, b)
+    val pairs = sample(pairGen, 300, seed = 151L)
+    for (k <- 0 to 3) {
+      // the rewritten predicate (rule fires on <=) vs the reference DP
+      val got = pairs.toDF("a", "b")
+        .select(expr(s"levenshtein(a, b) <= $k").as("p")).collect().map(_.getBoolean(0))
+      val want = pairs.map { case (a, b) => lev(a, b) <= k }
+      assert(got.toSeq == want, s"banded k=$k diverges from the DP")
+    }
+  }
 }
