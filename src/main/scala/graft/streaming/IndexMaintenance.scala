@@ -200,6 +200,85 @@ object IndexMaintenance {
       .start()
   }
 
+  /** The durable chunk-fingerprint store behind [[maintainChunkDedup]]. */
+  private[graft] val ChunkStoreName = "chunk_fps"
+
+  /** Bootstrap the chunk store from an existing corpus frame (possibly
+    * empty) — the batch build the streaming maintainer requires before
+    * attaching, mirroring the shingle/SRP bootstrap contract.
+    */
+  private[graft] def bootstrapChunkStore(s: SparkSession, corpusDir: String,
+      docs: DataFrame): Unit = {
+    graft.IndexStore.servedFrom(s, corpusDir, ChunkStoreName)(
+      graft.operators.CorpusOps.chunkRows(docs)
+        .select("chunk_fp", "doc_id", "chunk_id"))
+    ()
+  }
+
+  /** One micro-batch of the streaming chunk-dedup pipeline
+    * ([[maintainChunkDedup]]); false = replay, nothing ran.
+    *
+    * Crash-safety order as in [[decontaminateBatch]]: (1) the batch's
+    * duplicate chunks — batch occurrences whose fingerprint already
+    * exists in the store, plus within-batch repeats beyond the first in
+    * (doc_id, chunk_id) order — land in `dupDir/batch_id=N` with
+    * mode=overwrite (idempotent: a replay recomputes against the same
+    * store state); (2) ALL batch chunk rows append to the store behind
+    * the exactly-once batch marker. Over an append-only doc-id stream the
+    * union of batch outputs is exactly "every chunk occurrence except the
+    * globally first per fingerprint" — the removable multiset of the
+    * q123 batch report (spec-pinned parity).
+    */
+  private[graft] def chunkDedupBatch(s: SparkSession, corpusDir: String,
+      dupDir: String, stream: String, batchId: Long, batch: DataFrame): Boolean = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{col, row_number}
+    shouldApply(batchId, lastApplied(s, corpusDir, ChunkStoreName, stream),
+      stream, corpusDir) && {
+      val root = graft.IndexStore.configuredDir(s).getOrElse(throw
+        new IllegalStateException("maintainChunkDedup requires a configured " +
+          s"index store (${graft.IndexStore.DirConf})"))
+      val path = graft.IndexStore.storePath(root, corpusDir, ChunkStoreName)
+      require(graft.IndexStore.committed(s, path),
+        s"bootstrap the chunk store at $path (bootstrapChunkStore over the " +
+          "existing corpus) before attaching a chunk-dedup maintainer")
+      val chunks = graft.operators.CorpusOps.chunkRows(batch)
+        .select("chunk_fp", "doc_id", "chunk_id")
+      val storedFps = s.read.parquet(path).select("chunk_fp").distinct()
+      val vsStore = chunks.join(storedFps, Seq("chunk_fp"), "left_semi")
+      val w = Window.partitionBy("chunk_fp").orderBy("doc_id", "chunk_id")
+      val withinBatch = chunks.join(storedFps, Seq("chunk_fp"), "left_anti")
+        .withColumn("rn", row_number().over(w)).filter(col("rn") > 1).drop("rn")
+      vsStore.unionByName(withinBatch)
+        .write.mode("overwrite").parquet(s"$dupDir/batch_id=$batchId")
+      graft.IndexStore.append(s, corpusDir, ChunkStoreName, chunks,
+        extraMeta = Map(markerKey(stream) -> batchId.toString))
+      true
+    }
+  }
+
+  /** Streaming chunk-level dedup end-to-end: q123's report as a continuous
+    * pipeline over a `(doc_id, text, …)` document stream — each
+    * micro-batch emits the chunk occurrences a RAG index build should
+    * SKIP (already embedded under the same fingerprint) and then grows
+    * the durable fingerprint store at O(batch) cost. Exactly-once across
+    * crashes via the marker + per-batch-overwrite argument on
+    * [[chunkDedupBatch]].
+    */
+  def maintainChunkDedup(docs: DataFrame, corpusDir: String,
+      dupDir: String, checkpoint: String,
+      stream: String = "chunk_dedup"): StreamingQuery = {
+    val owner = docs.sparkSession
+    docs.writeStream
+      .queryName(stream)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        chunkDedupBatch(owner, corpusDir, dupDir, stream, batchId, batch)
+        ()
+      }
+      .start()
+  }
+
   /** Attach an SRP-index maintainer to a `(vec_id, embedding)` stream. */
   def maintainSrpIndex(embeddings: DataFrame, corpusDir: String,
       checkpoint: String, stream: String = "srp_maintenance"): StreamingQuery = {

@@ -655,4 +655,82 @@ class IndexStoreSpec extends SparkSpec {
     assert(m2.cents.map { case (c, a) => (c, a.toSeq) }
       == m1.cents.map { case (c, a) => (c, a.toSeq) })
   }
+
+  test("streaming chunk dedup: per-batch dups across a simulated crash equal the batch removable set") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val root = tmp("graft_idx_chunkdedup")
+    val dupDir = tmp("graft_idx_chunkdedup_dups")
+    val docs = Tables.load(spark, dir, "documents")
+    val t = docs.selectExpr("(max(doc_id) * 8) div 10 AS t").collect()(0).getLong(0)
+
+    // bootstrap: the batch build covers the pre-stream corpus slice
+    val sA = spark.newSession()
+    sA.conf.set(IndexStore.DirConf, root)
+    streaming.IndexMaintenance.bootstrapChunkStore(sA, dir,
+      Tables.load(sA, dir, "documents").filter(col("doc_id") < t))
+
+    // today's increment streams in TWO doc_id-ordered micro-batches
+    import sA.implicits._
+    implicit val sqlCtx = sA.sqlContext
+    val inc = docs.filter(col("doc_id") >= t).select("doc_id", "text")
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val (b1, b2) = inc.splitAt(inc.length / 2)
+    val input = MemoryStream[(Long, String)]
+    val ckpt = tmp("graft_idx_chunkdedup_ck")
+    val stream = "chunk_dedup_spec"
+    input.addData(b1.toSeq)
+    val q1 = streaming.IndexMaintenance.maintainChunkDedup(
+      input.toDF().toDF("doc_id", "text"), dir, dupDir, ckpt, stream)
+    q1.processAllAvailable()
+    q1.stop() // simulated crash between batches
+
+    // replay in the exactly-once window: skipped, dup dir untouched
+    def dupSnapshot(batch: Int): Set[(Long, Long, Long)] =
+      spark.read.parquet(s"$dupDir/batch_id=$batch")
+        .select("chunk_fp", "doc_id", "chunk_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2).toLong)).toSet
+    val before = dupSnapshot(0)
+    val replayed = streaming.IndexMaintenance.chunkDedupBatch(
+      sA, dir, dupDir, stream, 0L,
+      Tables.load(sA, dir, "documents").filter(col("doc_id") >= t).limit(3)
+        .select("doc_id", "text"))
+    assert(!replayed, "an applied batch id must be skipped on replay")
+    assert(dupSnapshot(0) == before, "a skipped replay must not rewrite dups")
+
+    // restart from the SAME checkpoint with the rest of the stream
+    input.addData(b2.toSeq)
+    val q2 = streaming.IndexMaintenance.maintainChunkDedup(
+      input.toDF().toDF("doc_id", "text"), dir, dupDir, ckpt, stream)
+    q2.processAllAvailable()
+    q2.stop()
+
+    // batch parity: the union of per-batch dup outputs equals "every chunk
+    // occurrence except the globally first per fingerprint" over the full
+    // corpus, first defined on the (doc_id, chunk_id) order the
+    // append-only stream realizes
+    val streamed = spark.read.parquet(s"$dupDir/batch_id=*")
+      .select("chunk_fp", "doc_id", "chunk_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2).toLong)).toSet
+    val all = graft.operators.CorpusOps.chunkRows(docs)
+      .select("chunk_fp", "doc_id", "chunk_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2).toLong))
+    // every non-first occurrence per fp, split by where it lives: the
+    // stream reports exactly the increment's share (dups wholly inside
+    // the bootstrapped corpus were indexed, not streamed)
+    val nonFirst = all.groupBy(_._1).values.flatMap { occ =>
+      occ.sortBy(o => (o._2, o._3)).drop(1)
+    }.toSet
+    val expected = nonFirst.filter(_._2 >= t)
+    assert(expected.nonEmpty, "fixture should contain duplicate chunks in the increment")
+    assert(streamed == expected,
+      s"stream/batch divergence: missing=${(expected -- streamed).take(3)} extra=${(streamed -- expected).take(3)}")
+
+    // and the composition reconciles with q123: the batch report's total
+    // removable = bootstrap-internal dups + every streamed dup
+    val q123Removable = SparkEntry.queries("q123_chunk_dedup")(spark, dir)
+      .collect().map(_.getLong(4)).sum
+    assert(q123Removable == (nonFirst.size - expected.size) + streamed.size,
+      "q123 removable must equal bootstrap dups + streamed dups")
+  }
 }
