@@ -26,6 +26,15 @@ object Warehouse {
   val HotMonthRows = 5000000L
   val HotMonthBuckets = 16
 
+  /** Default columnar codec. Every warehouse entry point also accepts
+    * `format = "orc"` — ORC ships in spark-sql and carries the same
+    * row-group min/max statistics, so the sorted-write sparse-index story
+    * (scaladoc above) is codec-portable; the month-partition layout, the
+    * hot-month fan-out, the delete sidecar, and compaction are all
+    * format-agnostic (spec-pinned by the ORC round-trip in WarehouseSpec).
+    */
+  val FactFormat = "parquet"
+
   /** Append fact rows, month-partitioned and sorted within partitions.
     *
     * `repartition(PartitionCol)` co-locates each month before the write so
@@ -46,7 +55,8 @@ object Warehouse {
     */
   def writeFact(fact: DataFrame, path: String, mode: String = "append",
                 hotMonthRows: Long = HotMonthRows,
-                hotBuckets: Int = HotMonthBuckets): Unit = {
+                hotBuckets: Int = HotMonthBuckets,
+                format: String = FactFormat): Unit = {
     val withMonth = fact.withColumn(PartitionCol, date_format(col("event_date"), "yyyyMM"))
     val hotMonths: Set[String] =
       if (hotMonthRows <= 0) Set.empty
@@ -78,7 +88,8 @@ object Warehouse {
       .write
       .mode(mode)
       .partitionBy(PartitionCol)
-      .parquet(path)
+      .format(format)
+      .save(path)
   }
 
   /** Sidecar naming months doomed by an in-flight [[deleteRows]] — same
@@ -120,14 +131,17 @@ object Warehouse {
     * a delete's partition overwrite and its emptied-directory drop would
     * otherwise silently serve the resurrected months.
     */
-  def readFact(spark: SparkSession, path: String): DataFrame = {
+  def readFact(spark: SparkSession, path: String): DataFrame =
+    readFact(spark, path, FactFormat)
+
+  def readFact(spark: SparkSession, path: String, format: String): DataFrame = {
     readDeleteSidecar(spark, path).foreach { doomed =>
       throw new IllegalStateException(
         s"warehouse at $path has an interrupted delete ($DeletingSidecar names " +
         s"months ${doomed.mkString(", ")}); run Warehouse.completeDelete to " +
         "finish dropping them before reading")
     }
-    spark.read.parquet(path)
+    spark.read.format(format).load(path)
   }
 
   /** Finish an interrupted [[deleteRows]]: re-drop the months the sidecar
@@ -175,21 +189,26 @@ object Warehouse {
       pred: org.apache.spark.sql.Column): Long =
     deleteRows(spark, path, pred, crashBeforeDirDrop = false)
 
+  def deleteRows(spark: SparkSession, path: String,
+      pred: org.apache.spark.sql.Column, format: String): Long =
+    deleteRows(spark, path, pred, crashBeforeDirDrop = false, format)
+
   /** `crashBeforeDirDrop` is a test-only failpoint simulating a crash in
     * the window between the dynamic partition overwrite and the explicit
     * drop of fully-emptied month directories — the two non-atomic steps
     * the [[DeletingSidecar]] guards.
     */
   private[graft] def deleteRows(spark: SparkSession, path: String,
-      pred: org.apache.spark.sql.Column, crashBeforeDirDrop: Boolean): Long = {
+      pred: org.apache.spark.sql.Column, crashBeforeDirDrop: Boolean,
+      format: String = FactFormat): Long = {
     // keep the read-back partition type as inferred (Hive partition
     // inference reads yyyyMM as INT) so the isInCollection filter prunes
     // natively; stringify only for directory names
-    val affected = readFact(spark, path).filter(pred)
+    val affected = readFact(spark, path, format).filter(pred)
       .select(col(PartitionCol)).distinct()
       .collect().map(_.get(0)).toSet
     if (affected.isEmpty) return 0L
-    val scoped = readFact(spark, path)
+    val scoped = readFact(spark, path, format)
       .filter(col(PartitionCol).isInCollection(affected))
     // DELETE semantics: remove where pred is TRUE; a NULL predicate result
     // KEEPS the row. The keep side must be the exact complement — a plain
@@ -218,7 +237,8 @@ object Warehouse {
         .mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy(PartitionCol)
-        .parquet(path)
+        .format(format)
+        .save(path)
     }
     if (crashBeforeDirDrop) return deleted
     val fs = fsFor(spark, path)
@@ -229,11 +249,11 @@ object Warehouse {
     deleted
   }
 
-  def compact(spark: SparkSession, path: String): Unit = {
+  def compact(spark: SparkSession, path: String, format: String = FactFormat): Unit = {
     val snapshot =
       if (spark.sparkContext.getCheckpointDir.isDefined)
-        readFact(spark, path).checkpoint(eager = true)
-      else readFact(spark, path).localCheckpoint(eager = true)
+        readFact(spark, path, format).checkpoint(eager = true)
+      else readFact(spark, path, format).localCheckpoint(eager = true)
     snapshot
       .repartition(col(PartitionCol))
       // lead with the partition col — see writeFact
@@ -242,6 +262,7 @@ object Warehouse {
       .mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy(PartitionCol)
-      .parquet(path)
+      .format(format)
+      .save(path)
   }
 }

@@ -173,4 +173,43 @@ class WarehouseSpec extends SparkSpec {
       assert(a.intersect(b).isEmpty, "a city leaked into two bucket files")
     assert(Warehouse.readFact(spark, dir).count() == 2005)
   }
+
+  test("ORC round trip: same layout, pruning, sortedness, and delete semantics") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_wh_orc").toFile.getAbsolutePath
+    val raw = Seq(
+      ("""{"name":"Jan","main":{"temp":1.0}}""", "2024-01-15 00:00:00"),
+      ("""{"name":"AlsoJan","main":{"temp":2.0}}""", "2024-01-20 00:00:00"),
+      ("""{"name":"Target","main":{"temp":3.0}}""", "2024-02-10 00:00:00"))
+      .toDF("value", "ing")
+    val fact = WeatherFlatten(raw, ingestTime = col("ing").cast(TimestampType))
+    Warehouse.writeFact(fact, dir, format = "orc")
+
+    // month layout + files are ORC, not parquet
+    val dirs = new java.io.File(dir).list().filter(_.startsWith("event_month=")).sorted
+    assert(dirs.toSeq == Seq("event_month=202401", "event_month=202402"))
+    val janFiles = new java.io.File(s"$dir/event_month=202401").list()
+      .filter(_.endsWith(".orc"))
+    assert(janFiles.nonEmpty, "expected ORC data files")
+
+    // pruned read through the same entry point
+    val pruned = Warehouse.readFact(spark, dir, "orc")
+      .filter(col("event_month") === "202401")
+    assert(pruned.count() == 2)
+    val touched = pruned.select(input_file_name()).distinct().collect().map(_.getString(0))
+    assert(touched.forall(_.contains("event_month=202401")), "ORC read must partition-prune")
+
+    // within-file sort order (the row-group min/max story is codec-portable)
+    val content = spark.read.orc(s"$dir/event_month=202401")
+      .select("event_date", "city_name", "event_time").collect()
+      .map(r => (r.getDate(0).toString, r.getString(1), r.getTimestamp(2).toString))
+    assert(content.toSeq == content.toSeq.sorted, "ORC file not sorted by the warehouse key")
+
+    // delete path: emptied-month drop + sidecar behavior are format-agnostic
+    val n = Warehouse.deleteRows(spark, dir, col("city_name") === "Target", "orc")
+    assert(n == 1L)
+    assert(!new java.io.File(s"$dir/event_month=202402").exists(),
+      "fully-deleted ORC month directory must be dropped")
+    assert(Warehouse.readFact(spark, dir, "orc").count() == 2)
+  }
 }
