@@ -197,4 +197,45 @@ object CorpusClean {
         .orderBy(col("shard"))
     }
   )
+
+  /** Physical JSONL shard export — the trainer-facing artifact behind
+    * q69's manifest: the cleaned TRAIN split, shard-assigned by the same
+    * token-budget rule, written as `shard=N/` text partitions with one
+    * JSON object per line ({doc_id, text, lang, source, quality_micro,
+    * n_tokens}) — the interchange format corpus consumers actually read.
+    * One task per shard (repartition on the shard key) with rows sorted
+    * by doc_id inside each file, so the export is byte-deterministic and
+    * a shard never splinters across files. Returns the shard manifest
+    * frame (identical content to q69) for the caller to persist next to
+    * the data.
+    */
+  def exportJsonlShards(s: org.apache.spark.sql.SparkSession, dir: String,
+      outDir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+    val cleaned = clean(docs, TextAnalysis.shingleIndex(s, dir),
+      TextAnalysis.qualityIndex(s, dir))
+    val train = cleaned.filter(col("split") === "train")
+      .join(TextAnalysis.qualityIndex(s, dir)
+        .select(col("doc_id"), col("n_tokens").cast(LongType).as("tok")), "doc_id")
+      .select(col("doc_id"), col("quality_micro"), col("tok"))
+      .localCheckpoint()
+    val sharded = Ordinals.globalRunningSumNative(train, "cum", "doc_id", col("tok"))
+      .withColumn("shard",
+        floor((col("cum") - col("tok")).cast(DoubleType) / 2048).cast(LongType))
+    sharded
+      .join(docs.select(col("doc_id"), col("text"), col("lang"), col("source")), "doc_id")
+      .select(col("shard"),
+        to_json(struct(col("doc_id"), col("text"), col("lang"), col("source"),
+          col("quality_micro"), col("tok").as("n_tokens"))).as("value"),
+        col("doc_id"))
+      .repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), col("doc_id"))
+      .select(col("shard"), col("value"))
+      .write.mode("overwrite").partitionBy("shard").text(outDir)
+    sharded.groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("n_tokens"),
+        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"),
+        sum(col("quality_micro")).as("sum_quality_micro"))
+      .orderBy(col("shard"))
+  }
 }
