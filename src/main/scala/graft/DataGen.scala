@@ -98,9 +98,14 @@ object DataGen {
     def userCol(i: Int): Column = userMode match {
       case "zipf" =>
         // v uniform in [0,1) from a pure event_id hash; r = ⌊exp(v·ln U)⌋
-        // inverts the Zipf(1) CDF (≈ ln r / ln U) over [1, U)
-        val v = pmod(xxhash64(col("event_id"), lit("zipf_users")), lit(1000000L))
-          .cast(org.apache.spark.sql.types.DoubleType) / 1e6
+        // inverts the Zipf(1) CDF (≈ ln r / ln U) over [1, U). Full
+        // 63-bit hash width (no coarse modulus grid: a 1e6 grid would cap
+        // distinct v values — and so distinct users — at 1e6 regardless
+        // of factor, silently flattening per-user cardinality growth at
+        // large scale-ups).
+        val v = pmod(xxhash64(col("event_id"), lit("zipf_users")),
+            lit(Long.MaxValue))
+          .cast(org.apache.spark.sql.types.DoubleType) / Long.MaxValue.toDouble
         floor(exp(v * math.log(totalUsers.toDouble))).cast(LongType)
       case _ => shift("user_id", uSpan, i)
     }

@@ -176,13 +176,18 @@ object Analytics {
     // aggregate (same class as a broadcast build).
     QuerySpec("q118_bloom_semi")(
       """SELECT l_returnflag, count(*) AS n,
-        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS qty
         |FROM lineitem
         |WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size <= 5)
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
       graft.plans.GraftExtensions.register(s)
+      // localCheckpoint: the filtered dimension feeds THREE consumers
+      // (count for sizing, the filter build, the exact join's broadcast
+      // build) — materialize the dimension scan once instead of paying it
+      // per consumer.
       val dim = Tables.load(s, dir, "part")
         .filter(col("p_size") <= 5).select(col("p_partkey"))
+        .localCheckpoint()
       // Dimension-sized driver jobs (count + filter build) — the same cost
       // class as the broadcast that follows. 2× headroom on the expected
       // count keeps the realized fpp at/below the 1% target.
@@ -198,8 +203,11 @@ object Analytics {
         .filter(call_function("bloom_might_contain_long", col("l_partkey"), lit(bytes)))
       fact.join(broadcast(dim), fact("l_partkey") === dim("p_partkey"), "left_semi")
         .groupBy("l_returnflag")
+        // matched-scale DECIMAL render (not DOUBLE) — the q01 rule: at
+        // 100-TB magnitudes the decimal→double step is where engines
+        // legitimately differ by an ulp; DECIMAL(38,2) is bit-comparable
         .agg(count(lit(1)).as("n"),
-          sum(col("l_quantity").cast(DecimalType(18, 2))).cast(DoubleType).as("qty"))
+          sum(col("l_quantity").cast(DecimalType(18, 2))).cast(DecimalType(38, 2)).as("qty"))
         .orderBy("l_returnflag")
     },
 
@@ -288,12 +296,16 @@ object Analytics {
     // second to one row per user — then a single identically-shaped IEEE
     // expression. Σc² accumulates in DECIMAL(38,0) / HUGEINT: at 100 TB a
     // heavy user's c² exceeds 2^63 long before n does.
+    // Oracle note: the Σc² and Σc casts route through VARCHAR for the
+    // same reason as q119 — DuckDB's direct HUGEINT→DOUBLE double-rounds
+    // once a heavy user pushes c² past the 64-bit word, the string parse
+    // is correctly rounded like the JVM's Decimal→Double.
     QuerySpec("q120_gini_diversity")(
       """WITH c AS (SELECT user_id, event_type, count(*) AS c
         |           FROM events GROUP BY 1, 2)
         |SELECT user_id, CAST(sum(c) AS BIGINT) AS n, count(*) AS k,
-        |  1 - CAST(sum(CAST(c AS HUGEINT) * c) AS DOUBLE)
-        |    / (CAST(sum(c) AS DOUBLE) * CAST(sum(c) AS DOUBLE)) AS gini
+        |  1 - CAST(CAST(sum(CAST(c AS HUGEINT) * c) AS VARCHAR) AS DOUBLE)
+        |    / (CAST(CAST(sum(c) AS VARCHAR) AS DOUBLE) * CAST(CAST(sum(c) AS VARCHAR) AS DOUBLE)) AS gini
         |FROM c GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, dir) =>
       val d38 = DecimalType(38, 0)
       val c = Tables.load(s, dir, "events")

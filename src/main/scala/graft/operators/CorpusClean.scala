@@ -140,6 +140,35 @@ object CorpusClean {
       |          CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|split'), 1, 15) AS BIGINT) % 100 AS b
       |        FROM keep4))""".stripMargin
 
+  /** The cleaned TRAIN split with its token-budget shard assignment —
+    * the single source of the q69 shard rule, shared by the q69 manifest
+    * query and [[exportJsonlShards]] (JsonlExportSpec pins their
+    * agreement, which this sharing makes structural rather than
+    * coincidental). localCheckpoint materializes the (tiny, 3-longs/doc)
+    * train manifest ONCE and truncates the lineage; blocks are dropped by
+    * the ContextCleaner when the frame goes out of scope.
+    */
+  private def trainShardFrame(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val cleaned = clean(Tables.load(s, dir, "documents"),
+      TextAnalysis.shingleIndex(s, dir), TextAnalysis.qualityIndex(s, dir))
+    val train = cleaned.filter(col("split") === "train")
+      .join(TextAnalysis.qualityIndex(s, dir)
+        .select(col("doc_id"), col("n_tokens").cast(LongType).as("tok")), "doc_id")
+      .select(col("doc_id"), col("quality_micro"), col("tok"))
+      .localCheckpoint()
+    Ordinals.globalRunningSumNative(train, "cum", "doc_id", col("tok"))
+      .withColumn("shard",
+        floor((col("cum") - col("tok")).cast(DoubleType) / 2048).cast(LongType))
+  }
+
+  /** The per-shard manifest over [[trainShardFrame]] — q69's output shape. */
+  private def shardManifest(sharded: DataFrame): DataFrame =
+    sharded.groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("n_tokens"),
+        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"),
+        sum(col("quality_micro")).as("sum_quality_micro"))
+      .orderBy(col("shard"))
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("q64_corpus_clean")(
       s"""WITH $cleanedCtes
@@ -174,27 +203,7 @@ object CorpusClean {
         |        CAST(floor((cum - tok) / 2048.0) AS BIGINT) AS shard
         |      FROM tr)
         |GROUP BY shard ORDER BY shard""".stripMargin) { (s, dir) =>
-      val cleaned = clean(Tables.load(s, dir, "documents"),
-        TextAnalysis.shingleIndex(s, dir), TextAnalysis.qualityIndex(s, dir))
-      // The two-phase running sum makes two bounded driver passes (key
-      // sample, bucket totals) before the final plan — against the full
-      // composition that would execute the clean pipeline three times.
-      // localCheckpoint materializes the (tiny, 3-longs/doc) train
-      // manifest ONCE and truncates the lineage; blocks are dropped by
-      // the ContextCleaner when the frame goes out of scope.
-      val train = cleaned.filter(col("split") === "train")
-        .join(TextAnalysis.qualityIndex(s, dir)
-          .select(col("doc_id"), col("n_tokens").cast(LongType).as("tok")), "doc_id")
-        .select(col("doc_id"), col("quality_micro"), col("tok"))
-        .localCheckpoint()
-      Ordinals.globalRunningSumNative(train, "cum", "doc_id", col("tok"))
-        .withColumn("shard",
-          floor((col("cum") - col("tok")).cast(DoubleType) / 2048).cast(LongType))
-        .groupBy(col("shard"))
-        .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("n_tokens"),
-          min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"),
-          sum(col("quality_micro")).as("sum_quality_micro"))
-        .orderBy(col("shard"))
+      shardManifest(trainShardFrame(s, dir))
     }
   )
 
@@ -212,16 +221,7 @@ object CorpusClean {
   def exportJsonlShards(s: org.apache.spark.sql.SparkSession, dir: String,
       outDir: String): DataFrame = {
     val docs = Tables.load(s, dir, "documents")
-    val cleaned = clean(docs, TextAnalysis.shingleIndex(s, dir),
-      TextAnalysis.qualityIndex(s, dir))
-    val train = cleaned.filter(col("split") === "train")
-      .join(TextAnalysis.qualityIndex(s, dir)
-        .select(col("doc_id"), col("n_tokens").cast(LongType).as("tok")), "doc_id")
-      .select(col("doc_id"), col("quality_micro"), col("tok"))
-      .localCheckpoint()
-    val sharded = Ordinals.globalRunningSumNative(train, "cum", "doc_id", col("tok"))
-      .withColumn("shard",
-        floor((col("cum") - col("tok")).cast(DoubleType) / 2048).cast(LongType))
+    val sharded = trainShardFrame(s, dir)
     sharded
       .join(docs.select(col("doc_id"), col("text"), col("lang"), col("source")), "doc_id")
       .select(col("shard"),
@@ -232,10 +232,6 @@ object CorpusClean {
       .sortWithinPartitions(col("shard"), col("doc_id"))
       .select(col("shard"), col("value"))
       .write.mode("overwrite").partitionBy("shard").text(outDir)
-    sharded.groupBy(col("shard"))
-      .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("n_tokens"),
-        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"),
-        sum(col("quality_micro")).as("sum_quality_micro"))
-      .orderBy(col("shard"))
+    shardManifest(sharded)
   }
 }

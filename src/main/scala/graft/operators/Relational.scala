@@ -29,6 +29,10 @@ object Relational {
   // (not DOUBLE): at sf1+ magnitudes the scaled integer exceeds 2^53 and
   // the decimal->double correct-rounding step is the one place engines
   // legitimately differ by an ulp. DECIMAL(38,s) is bit-comparable forever.
+  // Where a DOUBLE is required downstream (the avg columns' division), the
+  // ORACLE routes its decimal→double cast through VARCHAR — DuckDB's
+  // direct HUGEINT-backed cast double-rounds, its string parse is
+  // correctly rounded like the JVM's (see q119 / the verify skill note).
   private def sumMoneyDec(c: Column): Column = sum(dec(c)).cast(DecimalType(38, 2))
 
   val specs: Seq[QuerySpec] = Seq(
@@ -40,8 +44,8 @@ object Relational {
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base_price,
         |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_disc_price,
         |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,2)) + CAST(l_tax AS DECIMAL(18,2)))) AS DECIMAL(38,6)) AS sum_charge,
-        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_qty,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_price,
+        |  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_qty,
+        |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_price,
         |  count(*) AS count_order
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'

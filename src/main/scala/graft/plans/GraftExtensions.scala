@@ -25,6 +25,38 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
 object GraftExtensions {
 
+  /** Plan-time argument validation shared by the builders below: raise a
+    * clean AnalysisException naming the function signature instead of a
+    * ClassCast/NPE/IndexOutOfBounds out of the builder.
+    */
+  private def bad(signature: String, detail: String, expectation: String): Nothing =
+    throw new org.apache.spark.sql.AnalysisException(
+      errorClass = "INTERNAL_ERROR",
+      messageParameters = Map("message" -> s"$signature $detail — $expectation"))
+
+  private def requireArity(signature: String, expectation: String,
+      children: Seq[Expression], n: Int): Unit =
+    if (children.length != n)
+      bad(signature, s"expects $n arguments, got ${children.length}", expectation)
+
+  /** Evaluate a foldable argument at plan time, classifying the failure. */
+  private def foldableArg[A](signature: String, expectation: String,
+      children: Seq[Expression], pos: Int, name: String)(
+      extract: PartialFunction[Any, A]): A = {
+    val c = children(pos)
+    if (!c.foldable) bad(signature, s"argument '$name' is not foldable", expectation)
+    val v = c.eval()
+    extract.lift(v).getOrElse(bad(signature, s"argument '$name' is ${
+      if (v == null) "NULL" else v.getClass.getSimpleName}", expectation))
+  }
+
+  private val intLike: PartialFunction[Any, Int] = {
+    case n: java.lang.Integer => n.intValue()
+    case n: java.lang.Long if n.longValue() == n.intValue() => n.intValue()
+    case n: java.lang.Short => n.intValue()
+    case n: java.lang.Byte => n.intValue()
+  }
+
   private val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("vec_dot_long"),
       new ExpressionInfo(classOf[LongVecDot].getName, "vec_dot_long"),
@@ -36,50 +68,27 @@ object GraftExtensions {
     (FunctionIdentifier("freq_items_mg"),
       new ExpressionInfo(classOf[FreqItemsMG].getName, "freq_items_mg"),
       // capacity/outK must be foldable integral literals — evaluated at
-      // plan time; anything else gets a clean AnalysisException, not a
-      // ClassCast/NPE out of the builder
+      // plan time via the shared validators above
       (children: Seq[Expression]) => {
-        def bad(detail: String): Nothing =
-          throw new org.apache.spark.sql.AnalysisException(
-            errorClass = "INTERNAL_ERROR",
-            messageParameters = Map("message" ->
-              (s"freq_items_mg(item, capacity, k) $detail — capacity and k" +
-                " must be foldable integral literals")))
-        if (children.length != 3)
-          bad(s"expects 3 arguments, got ${children.length}")
-        def intArg(pos: Int, name: String): Int = {
-          val c = children(pos)
-          if (!c.foldable) bad(s"argument '$name' is not foldable")
-          c.eval() match {
-            case n: java.lang.Integer => n.intValue()
-            case n: java.lang.Long if n.longValue() == n.intValue() => n.intValue()
-            case n: java.lang.Short => n.intValue()
-            case n: java.lang.Byte => n.intValue()
-            case other => bad(s"argument '$name' is ${
-              if (other == null) "NULL" else other.getClass.getSimpleName}")
-          }
-        }
-        FreqItemsMG(children(0), intArg(1, "capacity"), intArg(2, "k"))
+        val sig = "freq_items_mg(item, capacity, k)"
+        val expect = "capacity and k must be foldable integral literals"
+        requireArity(sig, expect, children, 3)
+        FreqItemsMG(children(0),
+          foldableArg(sig, expect, children, 1, "capacity")(intLike),
+          foldableArg(sig, expect, children, 2, "k")(intLike))
       }),
     (FunctionIdentifier("bloom_might_contain_long"),
       new ExpressionInfo(classOf[BloomMightContainLong].getName, "bloom_might_contain_long"),
       // the filter bytes must be a foldable BINARY literal (built
       // driver-side from the dimension key set) — evaluated at plan time
       (children: Seq[Expression]) => {
-        def bad(detail: String): Nothing =
-          throw new org.apache.spark.sql.AnalysisException(
-            errorClass = "INTERNAL_ERROR",
-            messageParameters = Map("message" ->
-              (s"bloom_might_contain_long(key, filter_bytes) $detail —" +
-                " filter_bytes must be a foldable BINARY literal")))
-        if (children.length != 2)
-          bad(s"expects 2 arguments, got ${children.length}")
-        if (!children(1).foldable) bad("argument 'filter_bytes' is not foldable")
-        children(1).eval() match {
-          case b: Array[Byte] => BloomMightContainLong(children(0), b)
-          case other => bad(s"argument 'filter_bytes' is ${
-            if (other == null) "NULL" else other.getClass.getSimpleName}")
-        }
+        val sig = "bloom_might_contain_long(key, filter_bytes)"
+        val expect = "filter_bytes must be a foldable BINARY literal"
+        requireArity(sig, expect, children, 2)
+        BloomMightContainLong(children(0),
+          foldableArg(sig, expect, children, 1, "filter_bytes") {
+            case b: Array[Byte] => b
+          })
       }))
 
   /** Idempotent per-session registration. */

@@ -139,7 +139,9 @@ object Warehouse {
       throw new IllegalStateException(
         s"warehouse at $path has an interrupted delete ($DeletingSidecar names " +
         s"months ${doomed.mkString(", ")}); run Warehouse.completeDelete to " +
-        "finish dropping them before reading")
+        "finish dropping them, then RE-RUN deleteRows with the original " +
+        "predicate (the interruption may predate the kept-months overwrite, " +
+        "leaving matches in mixed months) before reading")
     }
     spark.read.format(format).load(path)
   }
@@ -147,6 +149,17 @@ object Warehouse {
   /** Finish an interrupted [[deleteRows]]: re-drop the months the sidecar
     * names (idempotent — dropping an already-dropped directory is a no-op)
     * and clear the sidecar. Returns the months dropped.
+    *
+    * RECOVERY CONTRACT: this finishes only the DROP step. The sidecar is
+    * written BEFORE the kept-months partition overwrite, so an
+    * interruption may also have landed before that overwrite committed —
+    * in which case pred-matching rows in the mixed (partially-kept)
+    * months are still present and this method cannot know the predicate
+    * to remove them. After completeDelete, RE-RUN
+    * `deleteRows(spark, path, pred)` with the original predicate: it is
+    * idempotent (a month with no remaining matches is untouched) and
+    * removes any matches the interrupted overwrite left behind. The
+    * readFact refusal message carries the same two-step recipe.
     */
   def completeDelete(spark: SparkSession, path: String): Seq[String] = {
     val doomed = readDeleteSidecar(spark, path).getOrElse(Seq.empty)
@@ -200,7 +213,7 @@ object Warehouse {
     */
   private[graft] def deleteRows(spark: SparkSession, path: String,
       pred: org.apache.spark.sql.Column, crashBeforeDirDrop: Boolean,
-      format: String = FactFormat): Long = {
+      format: String = FactFormat, crashBeforeOverwrite: Boolean = false): Long = {
     // keep the read-back partition type as inferred (Hive partition
     // inference reads yyyyMM as INT) so the isInCollection filter prunes
     // natively; stringify only for directory names
@@ -229,6 +242,7 @@ object Warehouse {
     // steps then makes readFact refuse instead of resurrecting the rows.
     val doomed = affected -- keepMonths
     if (doomed.nonEmpty) writeDeleteSidecar(spark, path, doomed)
+    if (crashBeforeOverwrite) return deleted // test-only failpoint
     if (keepMonths.nonEmpty) {
       keep
         .repartition(col(PartitionCol))

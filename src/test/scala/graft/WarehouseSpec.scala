@@ -174,6 +174,36 @@ class WarehouseSpec extends SparkSpec {
     assert(Warehouse.readFact(spark, dir).count() == 2005)
   }
 
+  test("crash BEFORE the kept-months overwrite: completeDelete + re-run deleteRows fully recovers") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_wh_precrash").toFile.getAbsolutePath
+    val raw = Seq(
+      ("""{"name":"KeepA","main":{"temp":1.0}}""", "2024-01-15 00:00:00"),
+      ("""{"name":"Target","main":{"temp":2.0}}""", "2024-01-20 00:00:00"), // mixed month
+      ("""{"name":"Target","main":{"temp":3.0}}""", "2024-03-05 00:00:00")) // doomed month
+      .toDF("value", "ing")
+    Warehouse.writeFact(WeatherFlatten(raw, ingestTime = col("ing").cast(TimestampType)), dir)
+
+    // interruption lands after the sidecar write, before the overwrite:
+    // the mixed month still holds its Target row
+    Warehouse.deleteRows(spark, dir, col("city_name") === "Target",
+      crashBeforeDirDrop = false, format = Warehouse.FactFormat, crashBeforeOverwrite = true)
+    val refusal = intercept[IllegalStateException](Warehouse.readFact(spark, dir))
+    assert(refusal.getMessage.contains("RE-RUN deleteRows"),
+      "refusal must carry the two-step recovery recipe")
+
+    // the documented recipe: completeDelete (drop step), then re-run the
+    // delete with the original predicate (idempotent overwrite step)
+    val dropped = Warehouse.completeDelete(spark, dir)
+    assert(dropped == Seq("202403"), s"dropped $dropped")
+    val n = Warehouse.deleteRows(spark, dir, col("city_name") === "Target")
+    assert(n == 1L, s"re-run must remove the mixed month's surviving match, removed $n")
+    val back = Warehouse.readFact(spark, dir)
+    assert(back.filter(col("city_name") === "Target").count() == 0,
+      "recovery must leave no pred-matching rows anywhere")
+    assert(back.count() == 1L)
+  }
+
   test("ORC round trip: same layout, pruning, sortedness, and delete semantics") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_wh_orc").toFile.getAbsolutePath
