@@ -154,6 +154,53 @@ object CorpusOps {
         .orderBy(col("chunk_fp"))
     },
 
+    // ----- collocation mining (bigram lift, integer-exact) ----------------
+    // Top corpus collocations: adjacent token pairs ranked by pointwise
+    // lift P(xy)/(P(x)P(y)) = n_xy·U²/(B·n_x·n_y) — the log-free PMI
+    // surrogate (same ordering as PMI; no cross-engine ln), computed as
+    // ONE exact integer division in micro-units. Unigram instance counts
+    // ride the shared (doc, term, tf) index (Σtf — one more aggregate on
+    // the q97/q102 scan); bigram counts are a fresh adjacency pass (the
+    // tf index is order-free by construction). The pair space is bounded
+    // by vocabulary², not corpus size, and the n_xy ≥ 5 noise floor plus
+    // the total-ordered top-50 keep the output fixed-size at any scale.
+    // Magnitude note: n_xy·U²·10⁶ stays inside DECIMAL(38,0)/HUGEINT up
+    // to ~10¹⁴ token instances; past that, rescale U to millions before
+    // squaring (same quotient).
+    QuerySpec("q125_collocations")(
+      """WITH d AS (SELECT doc_id, regexp_split_to_array(lower(trim(regexp_replace(text,'\s+',' ','g'))), '\s+') AS w FROM documents),
+        |bgr AS (SELECT w[i] AS a, w[i+1] AS b FROM
+        |          (SELECT w, unnest(generate_series(1, greatest(len(w)-1,0))) AS i FROM d)),
+        |bg AS (SELECT a, b, count(*) AS n_xy FROM bgr GROUP BY a, b),
+        |uni AS (SELECT t AS term, count(*) AS n FROM (SELECT unnest(w) AS t FROM d) GROUP BY t),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS u FROM uni),
+        |btot AS (SELECT CAST(sum(n_xy) AS BIGINT) AS bt FROM bg)
+        |SELECT a, b, n_xy, ua.n AS n_x, ub.n AS n_y,
+        |  CAST((CAST(n_xy AS HUGEINT) * u * u * 1000000)
+        |       // (CAST(bt AS HUGEINT) * ua.n * ub.n) AS BIGINT) AS lift_micro
+        |FROM bg JOIN uni ua ON bg.a = ua.term JOIN uni ub ON bg.b = ub.term, tot, btot
+        |WHERE n_xy >= 5
+        |ORDER BY lift_micro DESC, a, b LIMIT 50""".stripMargin) { (s, dir) =>
+      val uni = tfIndex(s, dir).groupBy(col("term")).agg(sum(col("tf")).as("n"))
+      val u = uni.agg(sum(col("n")).cast(LongType).as("u"))
+      val bg = Tables.load(s, dir, "documents")
+        .select(explode(shingles(tokens(col("text")), 2)).as("sh"))
+        .select(substring_index(col("sh"), " ", 1).as("a"),
+          substring_index(col("sh"), " ", -1).as("b"))
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_xy"))
+      val bt = bg.agg(sum(col("n_xy")).cast(LongType).as("bt"))
+      bg.join(uni.select(col("term").as("a"), col("n").as("n_x")), "a")
+        .join(uni.select(col("term").as("b"), col("n").as("n_y")), "b")
+        .crossJoin(broadcast(u)).crossJoin(broadcast(bt))
+        .filter(col("n_xy") >= 5)
+        .withColumn("lift_micro",
+          expr("CAST((CAST(n_xy AS DECIMAL(38,0)) * u * u * 1000000)" +
+            " div (CAST(bt AS DECIMAL(38,0)) * n_x * n_y) AS BIGINT)"))
+        .select(col("a"), col("b"), col("n_xy"), col("n_x"), col("n_y"), col("lift_micro"))
+        .orderBy(col("lift_micro").desc, col("a"), col("b"))
+        .limit(50)
+    },
+
     // ----- per-document distinctive terms (integer-exact tf-idf rank) -----
     // tf from one (doc, term) hash-agg; df from the (already-distinct)
     // pairs in a term-keyed second agg. The df side is vocabulary-sized —

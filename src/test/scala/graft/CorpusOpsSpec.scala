@@ -170,6 +170,29 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("q125: collocation lift matches a sequential-scan recomputation") {
+    val got = q("q125_collocations").collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+    assert(got.nonEmpty)
+    val docs = Tables.load(spark, dir, "documents")
+      .select("text").collect().map(_.getString(0))
+      .map(_.toLowerCase.trim.replaceAll("\\s+", " ").split(" ").toSeq)
+    val uni = docs.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val bi = docs.flatMap(w => w.zip(w.drop(1)))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val u = BigInt(uni.values.sum); val b = BigInt(bi.values.sum)
+    val expected = bi.filter(_._2 >= 5).map { case ((a, bb), nxy) =>
+      (a, bb) -> ((nxy, uni(a), uni(bb),
+        (BigInt(nxy) * u * u * 1000000 / (b * uni(a) * uni(bb))).toLong))
+    }
+    // the returned rows are the global top-50 on (lift desc, a, b)
+    val topExpected = expected.toSeq
+      .sortBy { case ((a, bb), (_, _, _, l)) => (-l, a, bb) }.take(50)
+    assert(got.toSeq == topExpected.map { case (k, v) => (k, v) },
+      "collocation top-50 diverges from the sequential recomputation")
+  }
+
   test("q123: dedup groups recount exactly from the q96 chunk stream") {
     val chunks = q("q96_chunk_windows").collect()
       .map(r => (r.getLong(0), r.getLong(4))) // (doc_id, chunk_fp)

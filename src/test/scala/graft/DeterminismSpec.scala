@@ -50,7 +50,10 @@ class DeterminismSpec extends SparkSpec {
     // rides a per-doc row_number over the unique (doc, pos) order (q122)
     "q121_fuzzy_blocking", "q122_dup_span",
     // int8 recall: quantized-dot ties in the salted top-k break on vec_id
-    "q124_sq8_recall")
+    "q124_sq8_recall",
+    // global top-50 at a tie boundary — the (lift, a, b) total order must
+    // pick the same 50 under any partitioning
+    "q125_collocations")
 
   test("sensitive queries are byte-identical under different shuffle partitioning") {
     val saved = spark.conf.get("spark.sql.shuffle.partitions")
