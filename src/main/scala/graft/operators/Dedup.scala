@@ -328,6 +328,47 @@ object Dedup {
         .orderBy(col("a_doc"), col("b_doc"))
     },
 
+    // ----- minhash sketch-accuracy report ---------------------------------
+    // The dedup-side sibling of the recall reports (q80/q101 index loss,
+    // q124 quantization loss): for every VERIFIED near-dup pair, the
+    // Jaccard the 16-permutation signature ESTIMATES (matching-minima
+    // share) next to the exact value — the parameterization evidence
+    // behind the banding design, as exact integers (match counts and one
+    // integer division; no float estimate drifts cross-engine). Signature
+    // rows ride the same native minhash_sigs pass and shared shingle
+    // index as q37; the join is pair-sized.
+    QuerySpec("q126_minhash_accuracy") {
+      val matchSum = (1 to NumPerms)
+        .map(j => s"CASE WHEN sa.m$j = sb.m$j THEN 1 ELSE 0 END").mkString(" + ")
+      s"""WITH $shingleCtes,
+        |$minhashPairCtes,
+        |est AS (SELECT p.a_doc, p.b_doc, p.jac_micro, ($matchSum) AS n_match
+        |        FROM ndpairs p JOIN sig sa ON sa.doc_id = p.a_doc
+        |        JOIN sig sb ON sb.doc_id = p.b_doc)
+        |SELECT a_doc, b_doc, jac_micro,
+        |  CAST((n_match * 1000000) // $NumPerms AS BIGINT) AS est_micro,
+        |  CAST((n_match * 1000000) // $NumPerms AS BIGINT) - jac_micro AS err_micro
+        |FROM est ORDER BY a_doc, b_doc""".stripMargin
+    } { (s, dir) =>
+      graft.plans.GraftExtensions.register(s)
+      val sig = TextAnalysis.shingleIndex(s, dir)
+        .withColumn("sigs", call_function("minhash_sigs", col("ss"),
+          typedLit(permA), typedLit(permB), lit(MersenneP)))
+        .filter(col("sigs").isNotNull)
+        .select(col("doc_id"), col("sigs"))
+      verifiedPairs(s, dir)
+        .join(sig.select(col("doc_id").as("a_doc"), col("sigs").as("sa")), "a_doc")
+        .join(sig.select(col("doc_id").as("b_doc"), col("sigs").as("sb")), "b_doc")
+        .withColumn("n_match",
+          aggregate(zip_with(col("sa"), col("sb"),
+            (x, y) => when(x === y, 1L).otherwise(0L)), lit(0L), (acc, v) => acc + v))
+        .withColumn("est_micro",
+          expr(s"CAST((n_match * 1000000) div $NumPerms AS BIGINT)"))
+        .select(col("a_doc"), col("b_doc"), col("jac_micro"),
+          col("est_micro"), (col("est_micro") - col("jac_micro")).as("err_micro"))
+        .orderBy(col("a_doc"), col("b_doc"))
+    },
+
     // ----- incremental near-dup: new batch vs existing corpus -------------
     // The daily production dedup job: check an APPEND-ONLY increment (here
     // the top-20%-of-doc_id slice, threshold = floor(0.8·max(doc_id)) so

@@ -244,4 +244,22 @@ class DedupSimilaritySpec extends SparkSpec {
       assert(sims.zip(sims.tail).forall { case (a, b) => a >= b }, s"anchor $q sims unsorted")
     }
   }
+
+  test("q126: the 16-perm sketch estimate stays inside its accuracy band") {
+    // the report is oracle-exact; this pins that the SKETCH is GOOD — a
+    // broken permutation family (collapsed minima → est 1.0 everywhere, or
+    // decorrelated minima → est ~0) blows the band long before it breaks
+    // the hash compare. Floors sit far above the measured sf0.01 values
+    // (mean |err| 0.032, max 0.111 at jac ≥ 0.8) and far below failure.
+    val rows = run("q126_minhash_accuracy").collect()
+      .map(r => (r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty, "fixture should contain verified near-dup pairs")
+    rows.foreach { case (jac, est, err) =>
+      assert(err == est - jac, "err must be the exact integer difference")
+      assert(est >= 0 && est <= 1000000)
+    }
+    val meanAbs = rows.map(r => math.abs(r._3)).sum.toDouble / rows.length
+    assert(meanAbs <= 150000, f"mean |err| $meanAbs%.0f exceeds the 0.15 band")
+    assert(rows.map(r => math.abs(r._3)).max <= 400000, "a pair's estimate left the 0.4 band")
+  }
 }
