@@ -164,9 +164,15 @@ object CorpusOps {
     // tf index is order-free by construction). The pair space is bounded
     // by vocabulary², not corpus size, and the n_xy ≥ 5 noise floor plus
     // the total-ordered top-50 keep the output fixed-size at any scale.
-    // Magnitude note: n_xy·U²·10⁶ stays inside DECIMAL(38,0)/HUGEINT up
-    // to ~10¹⁴ token instances; past that, rescale U to millions before
-    // squaring (same quotient).
+    // Magnitude note: the numerator n_xy·U²·10⁶ must fit
+    // DECIMAL(38,0)/HUGEINT. For natural text the top bigram runs at
+    // n_xy ≈ U/10³, making the numerator ≈ U³·10³ — inside 10³⁸ up to
+    // U ≈ 5·10¹¹ token instances (≈ a 2-TB corpus), NOT unbounded: past
+    // it DuckDB raises a HUGEINT overflow while non-ANSI Spark NULLs the
+    // highest-n_xy rows (which then silently drop from the desc top-50 —
+    // a divergence, not just an error). Deploying beyond that bound,
+    // rescale U (and B) to thousands on BOTH sides before squaring; the
+    // micro-unit quotient loses <0.1% while the magnitudes drop 10⁶×.
     QuerySpec("q125_collocations")(
       """WITH d AS (SELECT doc_id, regexp_split_to_array(lower(trim(regexp_replace(text,'\s+',' ','g'))), '\s+') AS w FROM documents),
         |bgr AS (SELECT w[i] AS a, w[i+1] AS b FROM

@@ -351,12 +351,20 @@ object Dedup {
         |FROM est ORDER BY a_doc, b_doc""".stripMargin
     } { (s, dir) =>
       graft.plans.GraftExtensions.register(s)
+      val pairs = verifiedPairs(s, dir)
+      // signatures only for docs that appear in a pair: the semi join
+      // prunes the corpus BEFORE the 16-permutation pass, so the sig work
+      // is |pair docs|, not 2×|corpus| (the frame feeds both join sides)
+      val pairDocs = pairs.select(col("a_doc").as("doc_id"))
+        .union(pairs.select(col("b_doc").as("doc_id"))).distinct()
       val sig = TextAnalysis.shingleIndex(s, dir)
+        .join(pairDocs, Seq("doc_id"), "left_semi")
         .withColumn("sigs", call_function("minhash_sigs", col("ss"),
           typedLit(permA), typedLit(permB), lit(MersenneP)))
         .filter(col("sigs").isNotNull)
         .select(col("doc_id"), col("sigs"))
-      verifiedPairs(s, dir)
+        .localCheckpoint() // both join sides read it — materialize once
+      pairs
         .join(sig.select(col("doc_id").as("a_doc"), col("sigs").as("sa")), "a_doc")
         .join(sig.select(col("doc_id").as("b_doc"), col("sigs").as("sb")), "b_doc")
         .withColumn("n_match",

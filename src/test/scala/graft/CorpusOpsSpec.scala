@@ -175,9 +175,15 @@ class CorpusOpsSpec extends SparkSpec {
       .map(r => ((r.getString(0), r.getString(1)),
         (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
     assert(got.nonEmpty)
+    // replicate normText exactly: Locale.ROOT lower (Spark's lower() is
+    // locale-independent), \s+ collapse, then trim of SPACE only (Java's
+    // String.trim strips all chars <= 0x20 — not what Spark's trim does)
+    def norm(t: String): Seq[String] = t.toLowerCase(java.util.Locale.ROOT)
+      .replaceAll("\\s+", " ")
+      .dropWhile(_ == ' ').reverse.dropWhile(_ == ' ').reverse
+      .split(" ").toSeq
     val docs = Tables.load(spark, dir, "documents")
-      .select("text").collect().map(_.getString(0))
-      .map(_.toLowerCase.trim.replaceAll("\\s+", " ").split(" ").toSeq)
+      .select("text").collect().map(r => norm(r.getString(0)))
     val uni = docs.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
     val bi = docs.flatMap(w => w.zip(w.drop(1)))
       .groupBy(identity).view.mapValues(_.size.toLong).toMap
@@ -186,9 +192,24 @@ class CorpusOpsSpec extends SparkSpec {
       (a, bb) -> ((nxy, uni(a), uni(bb),
         (BigInt(nxy) * u * u * 1000000 / (b * uni(a) * uni(bb))).toLong))
     }
-    // the returned rows are the global top-50 on (lift desc, a, b)
-    val topExpected = expected.toSeq
-      .sortBy { case ((a, bb), (_, _, _, l)) => (-l, a, bb) }.take(50)
+    // the returned rows are the global top-50 on (lift desc, a, b) under
+    // Spark's BINARY string order — compare UTF-8 bytes, not Java chars
+    // (UTF-16 code-unit order diverges for supplementary-plane text)
+    def utf8Lt(x: String, y: String): Boolean = {
+      val a = x.getBytes("UTF-8"); val c = y.getBytes("UTF-8")
+      var i = 0
+      while (i < a.length && i < c.length) {
+        val d = (a(i) & 0xff) - (c(i) & 0xff)
+        if (d != 0) return d < 0
+        i += 1
+      }
+      a.length < c.length
+    }
+    val topExpected = expected.toSeq.sortWith { case (((a1, b1), (_, _, _, l1)), ((a2, b2), (_, _, _, l2))) =>
+      if (l1 != l2) l1 > l2
+      else if (a1 != a2) utf8Lt(a1, a2)
+      else utf8Lt(b1, b2)
+    }.take(50)
     assert(got.toSeq == topExpected.map { case (k, v) => (k, v) },
       "collocation top-50 diverges from the sequential recomputation")
   }
