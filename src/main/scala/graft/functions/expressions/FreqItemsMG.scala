@@ -40,54 +40,40 @@ import org.apache.spark.unsafe.types.UTF8String
   * (cnt DESC, item ASC) total order — deterministic output for the
   * hash-compare.
   */
-case class FreqItemsMG(child: Expression, capacity: Int, outK: Int,
-    override val mutableAggBufferOffset: Int = 0,
-    override val inputAggBufferOffset: Int = 0)
+/** Shared Misra–Gries buffer machinery for the (unweighted, weighted)
+  * frequent-items aggregates: the mergeable-summaries merge, the
+  * deterministic top-k eval, and the compact binary buffer codec live
+  * here once; subclasses supply only their update step.
+  */
+abstract class MGAggregateBase
     extends TypedImperativeAggregate[mutable.HashMap[String, Long]] {
 
-  override def children: Seq[Expression] = Seq(child)
+  def capacity: Int
+  def outK: Int
+
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(
     StructType(Seq(StructField("item", StringType, nullable = false),
       StructField("cnt", LongType, nullable = false))), containsNull = false)
-  override def prettyName: String = "freq_items_mg"
-
-  override def checkInputDataTypes(): TypeCheckResult =
-    if (child.dataType == StringType && capacity > 0 && outK > 0)
-      TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(
-      s"$prettyName requires (string, capacity > 0, outK > 0), got ${child.dataType.sql}")
 
   override def createAggregationBuffer(): mutable.HashMap[String, Long] =
     mutable.HashMap.empty
 
-  override def update(buf: mutable.HashMap[String, Long], row: InternalRow): mutable.HashMap[String, Long] = {
-    val v = child.eval(row)
-    if (v == null) return buf
-    val item = v.asInstanceOf[UTF8String].toString
-    buf.get(item) match {
-      case Some(c) => buf.update(item, c + 1L)
-      case None if buf.size < capacity => buf.update(item, 1L)
-      case None =>
-        // MG decrement step: all counters pay one for the unseen item.
-        val dead = mutable.ArrayBuffer.empty[String]
-        buf.mapValuesInPlace((_, c) => c - 1L)
-        buf.foreach { case (k, c) => if (c <= 0L) dead += k }
-        dead.foreach(buf.remove)
-    }
-    buf
-  }
-
-  override def merge(a: mutable.HashMap[String, Long], b: mutable.HashMap[String, Long]): mutable.HashMap[String, Long] = {
-    b.foreach { case (k, c) => a.update(k, a.getOrElse(k, 0L) + c) }
+  /** Cut step shared by merge and the weighted update: subtract the
+    * (capacity+1)-th largest counter from all, dropping non-positives.
+    */
+  protected final def cutToCapacity(a: mutable.HashMap[String, Long]): Unit =
     if (a.size > capacity) {
-      // subtract the (capacity+1)-th largest counter; drop non-positives
       val cut = a.values.toArray.sortBy(-_).apply(capacity)
       val dead = mutable.ArrayBuffer.empty[String]
       a.mapValuesInPlace((_, c) => c - cut)
       a.foreach { case (k, c) => if (c <= 0L) dead += k }
       dead.foreach(a.remove)
     }
+
+  override def merge(a: mutable.HashMap[String, Long], b: mutable.HashMap[String, Long]): mutable.HashMap[String, Long] = {
+    b.foreach { case (k, c) => a.update(k, a.getOrElse(k, 0L) + c) }
+    cutToCapacity(a)
     a
   }
 
@@ -121,6 +107,38 @@ case class FreqItemsMG(child: Expression, capacity: Int, outK: Int,
     }
     buf
   }
+}
+
+case class FreqItemsMG(child: Expression, capacity: Int, outK: Int,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+    extends MGAggregateBase {
+
+  override def children: Seq[Expression] = Seq(child)
+  override def prettyName: String = "freq_items_mg"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType && capacity > 0 && outK > 0)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (string, capacity > 0, outK > 0), got ${child.dataType.sql}")
+
+  override def update(buf: mutable.HashMap[String, Long], row: InternalRow): mutable.HashMap[String, Long] = {
+    val v = child.eval(row)
+    if (v == null) return buf
+    val item = v.asInstanceOf[UTF8String].toString
+    buf.get(item) match {
+      case Some(c) => buf.update(item, c + 1L)
+      case None if buf.size < capacity => buf.update(item, 1L)
+      case None =>
+        // MG decrement step: all counters pay one for the unseen item.
+        val dead = mutable.ArrayBuffer.empty[String]
+        buf.mapValuesInPlace((_, c) => c - 1L)
+        buf.foreach { case (k, c) => if (c <= 0L) dead += k }
+        dead.foreach(buf.remove)
+    }
+    buf
+  }
 
   override def withNewMutableAggBufferOffset(newOffset: Int): FreqItemsMG =
     copy(mutableAggBufferOffset = newOffset)
@@ -128,4 +146,50 @@ case class FreqItemsMG(child: Expression, capacity: Int, outK: Int,
     copy(inputAggBufferOffset = newOffset)
   override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): FreqItemsMG =
     copy(child = newChildren.head)
+}
+
+/** Weighted Misra–Gries (ClickHouse `topKWeighted` analog): each row
+  * contributes `weight` mass to its item instead of 1. Update is the
+  * insert-then-cut formulation (Berinde et al. / mergeable summaries —
+  * identical to the merge step with a singleton summary), which keeps
+  * the same guarantees under arbitrary non-negative weights: counters
+  * are LOWER bounds, error ≤ W/(capacity+1) for total mass W, and EXACT
+  * when distinct items ≤ capacity (the oracle regime, q127). Negative or
+  * null weights contribute nothing (a weight is a mass, not a delta).
+  */
+case class FreqItemsMGWeighted(child: Expression, weight: Expression,
+    capacity: Int, outK: Int,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+    extends MGAggregateBase {
+
+  override def children: Seq[Expression] = Seq(child, weight)
+  override def prettyName: String = "freq_items_mg_weighted"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType && weight.dataType == LongType &&
+        capacity > 0 && outK > 0)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (string, bigint weight, capacity > 0, outK > 0)," +
+        s" got (${child.dataType.sql}, ${weight.dataType.sql})")
+
+  override def update(buf: mutable.HashMap[String, Long], row: InternalRow): mutable.HashMap[String, Long] = {
+    val v = child.eval(row)
+    val w = weight.eval(row)
+    if (v == null || w == null) return buf
+    val mass = w.asInstanceOf[Long]
+    if (mass <= 0L) return buf
+    val item = v.asInstanceOf[UTF8String].toString
+    buf.update(item, buf.getOrElse(item, 0L) + mass)
+    cutToCapacity(buf)
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): FreqItemsMGWeighted =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): FreqItemsMGWeighted =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): FreqItemsMGWeighted =
+    copy(child = newChildren(0), weight = newChildren(1))
 }

@@ -154,6 +154,32 @@ object CorpusOps {
         .orderBy(col("chunk_fp"))
     },
 
+    // ----- weighted frequent items (ClickHouse topKWeighted analog) -------
+    // Which sources dominate each language's BYTE mass — `topK` weighted
+    // by contribution instead of row count, via the native weighted MG
+    // aggregate (insert-then-cut update; ≤ capacity counters per
+    // partition however many sources exist). Exact in the oracle regime
+    // (distinct sources ≪ capacity), error ≤ W/(capacity+1) above it —
+    // the same contract as q107, now under arbitrary non-negative mass.
+    QuerySpec("q127_freq_items_weighted")(
+      """WITH w AS (SELECT lang, source, CAST(sum(n_chars) AS BIGINT) AS wt
+        |           FROM documents GROUP BY 1, 2),
+        |r AS (SELECT lang, source, wt,
+        |        row_number() OVER (PARTITION BY lang ORDER BY wt DESC, source) AS rk
+        |      FROM w)
+        |SELECT lang, rk, source, wt FROM r WHERE rk <= 3
+        |ORDER BY lang, rk""".stripMargin) { (s, dir) =>
+      graft.plans.GraftExtensions.register(s)
+      Tables.load(s, dir, "documents")
+        .groupBy(col("lang"))
+        .agg(call_function("freq_items_mg_weighted",
+          col("source"), col("n_chars").cast(LongType), lit(32), lit(3)).as("top"))
+        .select(col("lang"), posexplode(col("top")).as(Seq("p", "t")))
+        .select(col("lang"), (col("p") + 1).cast(LongType).as("rk"),
+          col("t.item").as("source"), col("t.cnt").as("wt"))
+        .orderBy(col("lang"), col("rk"))
+    },
+
     // ----- collocation mining (bigram lift, integer-exact) ----------------
     // Top corpus collocations: adjacent token pairs ranked by pointwise
     // lift P(xy)/(P(x)P(y)) = n_xy·U²/(B·n_x·n_y) — the log-free PMI

@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.expressions.{BloomMightContainLong, FreqItemsMG, LongVecDot, MinHashSigs}
+import graft.functions.expressions.{BloomMightContainLong, FreqItemsMG, FreqItemsMGWeighted, LongVecDot, MinHashSigs}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -76,6 +76,16 @@ object GraftExtensions {
         FreqItemsMG(children(0),
           foldableArg(sig, expect, children, 1, "capacity")(intLike),
           foldableArg(sig, expect, children, 2, "k")(intLike))
+      }),
+    (FunctionIdentifier("freq_items_mg_weighted"),
+      new ExpressionInfo(classOf[FreqItemsMGWeighted].getName, "freq_items_mg_weighted"),
+      (children: Seq[Expression]) => {
+        val sig = "freq_items_mg_weighted(item, weight, capacity, k)"
+        val expect = "capacity and k must be foldable integral literals"
+        requireArity(sig, expect, children, 4)
+        FreqItemsMGWeighted(children(0), children(1),
+          foldableArg(sig, expect, children, 2, "capacity")(intLike),
+          foldableArg(sig, expect, children, 3, "k")(intLike))
       }),
     (FunctionIdentifier("bloom_might_contain_long"),
       new ExpressionInfo(classOf[BloomMightContainLong].getName, "bloom_might_contain_long"),

@@ -133,6 +133,34 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("freq_items_mg_weighted honors the weighted MG bounds when capacity overflows") {
+    import spark.implicits._
+    plans.GraftExtensions.register(spark)
+    // 12 distinct items, capacity 4, WEIGHTED mass: cuts must fire. Error
+    // bound is W/(cap+1) for total MASS W (not row count). Negative and
+    // null-ish weights contribute nothing.
+    val rows = Seq(("h1", 400L), ("h2", 200L)) ++
+      (1 to 10).map(i => (s"t$i", 20L)) ++ Seq(("junk", -5L), ("junk", 0L))
+    val df = spark.sparkContext.parallelize(rows, 6).toDF("item", "w")
+    val cap = 4
+    val out = df
+      .agg(org.apache.spark.sql.functions.expr(s"freq_items_mg_weighted(item, w, $cap, $cap)").as("top"))
+      .select(org.apache.spark.sql.functions.explode(col("top")).as("e"))
+      .select(col("e.item"), col("e.cnt"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val truth = rows.filter(_._2 > 0).groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val w = truth.values.sum
+    val err = w / (cap + 1)
+    out.foreach { case (item, cnt) =>
+      assert(truth.contains(item) && cnt <= truth(item), s"$item: $cnt exceeds true ${truth.get(item)}")
+      assert(cnt >= truth(item) - err, s"$item: counter $cnt below lower bound")
+    }
+    truth.filter(_._2 > err).keys.foreach { h =>
+      assert(out.contains(h), s"heavy item $h missing from sketch: $out")
+    }
+    assert(!out.contains("junk"), "non-positive weights must contribute nothing")
+  }
+
   test("freq_items_mg rejects malformed calls with a clean AnalysisException") {
     import spark.implicits._
     plans.GraftExtensions.register(spark)
