@@ -176,7 +176,7 @@ object Analytics {
     // aggregate (same class as a broadcast build).
     QuerySpec("q118_bloom_semi")(
       """SELECT l_returnflag, count(*) AS n,
-        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS qty
+        |  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS qty
         |FROM lineitem
         |WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size <= 5)
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
@@ -203,11 +203,13 @@ object Analytics {
         .filter(call_function("bloom_might_contain_long", col("l_partkey"), lit(bytes)))
       fact.join(broadcast(dim), fact("l_partkey") === dim("p_partkey"), "left_semi")
         .groupBy("l_returnflag")
-        // matched-scale DECIMAL render (not DOUBLE) — the q01 rule: at
-        // 100-TB magnitudes the decimal→double step is where engines
-        // legitimately differ by an ulp; DECIMAL(38,2) is bit-comparable
+        // DECIMAL accumulation, DOUBLE render — the q01/q119 boundary rule:
+        // the sum is exact in decimal at any magnitude, and the single
+        // final decimal→double cast is correctly rounded on both engines
+        // (oracle VARCHAR-routed). No DECIMAL(p>18) may reach a compared
+        // output column (driver hash canonicalization diverges on them).
         .agg(count(lit(1)).as("n"),
-          sum(col("l_quantity").cast(DecimalType(18, 2))).cast(DecimalType(38, 2)).as("qty"))
+          sum(col("l_quantity").cast(DecimalType(18, 2))).cast(DoubleType).as("qty"))
         .orderBy("l_returnflag")
     },
 

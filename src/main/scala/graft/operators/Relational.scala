@@ -25,25 +25,30 @@ object Relational {
   private val D4 = DecimalType(18, 4)
   private def dec(c: Column): Column = c.cast(D2)
   private def sumMoney(c: Column): Column = sum(dec(c)).cast(DoubleType)
-  // Oracle-compared money sums render as DECIMAL at a pinned matched scale
-  // (not DOUBLE): at sf1+ magnitudes the scaled integer exceeds 2^53 and
-  // the decimal->double correct-rounding step is the one place engines
-  // legitimately differ by an ulp. DECIMAL(38,s) is bit-comparable forever.
-  // Where a DOUBLE is required downstream (the avg columns' division), the
-  // ORACLE routes its decimal→double cast through VARCHAR — DuckDB's
-  // direct HUGEINT-backed cast double-rounds, its string parse is
-  // correctly rounded like the JVM's (see q119 / the verify skill note).
-  private def sumMoneyDec(c: Column): Column = sum(dec(c)).cast(DecimalType(38, 2))
+  // Output-boundary rule for money sums (the q119 recipe, r10): ACCUMULATE
+  // in DECIMAL (exact at any scale — at sf1+ the scaled integer exceeds
+  // 2^53, so summing in DOUBLE would round), but RENDER the compared
+  // column as DOUBLE via one correctly-rounded final decimal→double cast.
+  // Both engines round the SAME exact decimal: the JVM's Decimal→Double
+  // (BigDecimal.doubleValue — correctly rounded on every JDK path) and
+  // DuckDB's string→double parse agree bit-for-bit, so the oracle routes
+  // its cast through VARCHAR (DuckDB's direct HUGEINT-backed cast
+  // double-rounds — see the verify skill note). Wide DECIMAL(p>18) must
+  // never appear in a compared output column: the driver's hash
+  // canonicalization diverges on them even when values are bit-identical
+  // (r9: q01/q118/q68 were the only wide-decimal outputs and the only
+  // hash fails).
+  private def sumMoneyD(c: Column): Column = sum(dec(c)).cast(DoubleType)
 
   val specs: Seq[QuerySpec] = Seq(
 
     // ----- A2/A1: hash aggregate with partial/final combine (flagship) ----
     QuerySpec("q01_pricing_summary")(
       """SELECT l_returnflag, l_linestatus,
-        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base_price,
-        |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_disc_price,
-        |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,2)) + CAST(l_tax AS DECIMAL(18,2)))) AS DECIMAL(38,6)) AS sum_charge,
+        |  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_qty,
+        |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_base_price,
+        |  CAST(CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_disc_price,
+        |  CAST(CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,2)) + CAST(l_tax AS DECIMAL(18,2)))) AS VARCHAR) AS DOUBLE) AS sum_charge,
         |  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_qty,
         |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_price,
         |  count(*) AS count_order
@@ -56,10 +61,10 @@ object Relational {
       li.filter(col("l_shipdate") <= lit("1998-09-01 00:00:00").cast(TimestampType))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          sumMoneyDec(col("l_quantity")).as("sum_qty"),
-          sumMoneyDec(col("l_extendedprice")).as("sum_base_price"),
-          sum(discPrice).cast(DecimalType(38, 4)).as("sum_disc_price"),
-          sum(discPrice * (lit(1).cast(D2) + dec(col("l_tax")))).cast(DecimalType(38, 6)).as("sum_charge"),
+          sumMoneyD(col("l_quantity")).as("sum_qty"),
+          sumMoneyD(col("l_extendedprice")).as("sum_base_price"),
+          sum(discPrice).cast(DoubleType).as("sum_disc_price"),
+          sum(discPrice * (lit(1).cast(D2) + dec(col("l_tax")))).cast(DoubleType).as("sum_charge"),
           (sum(dec(col("l_quantity"))).cast(DoubleType) / count(lit(1)).cast(DoubleType)).as("avg_qty"),
           (sum(dec(col("l_extendedprice"))).cast(DoubleType) / count(lit(1)).cast(DoubleType)).as("avg_price"),
           count(lit(1)).as("count_order"))
