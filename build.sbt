@@ -26,5 +26,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 16g default (was 8g): the measured sweet spot for the full-suite
+  // bench — 97.6 s warm at 16g vs 102+ at 32g and a warm-pass collapse
+  // at 8g once the suite hit 129 queries × cold+warm in one JVM
+  // (BASELINE.md bench-hygiene notes). Oversized G1 heaps measurably
+  // slow the shuffle-heavy dedup family — do not raise past 16g.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )

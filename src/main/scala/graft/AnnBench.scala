@@ -89,7 +89,7 @@ object AnnBench {
     var srpIdx: DataFrame = null
     val tSrpBuild = time {
       srpIdx = Similarity.srpRows(e, planes)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
       noop(srpIdx)
     }
     var model: Ivf.Model = null

@@ -46,6 +46,58 @@ object Analytics {
       df.withColumn(t, coalesce(col(t), lit(0L))))
   }
 
+  /** Bloom-prefiltered semi join `fact ⋉ dim` on a BIGINT key: a
+    * BloomFilter over the dimension keys is probed IN THE SCAN STAGE via
+    * the codegen'd `bloom_might_contain_long` expression (cutting
+    * non-matching fact rows before any join machinery), then an exact
+    * semi join removes the filter's false positives — result ≡ the plain
+    * semi join.
+    *
+    * The exact join SWITCHES on dimension size (`maxBroadcastRows`):
+    *  - within broadcast scale → broadcast-hash semi (no fact shuffle at
+    *    all — the prefilter is belt-and-braces here);
+    *  - past it → sort-merge semi, where the prefilter earns its keep: at
+    *    a ~1% fpp it cuts ~all non-matching fact rows BEFORE the
+    *    fact-side shuffle the SMJ needs — the 100-TB posture for a
+    *    dimension too large to broadcast.
+    *
+    * Build cost: `df.stat.bloomFilter` is a distributed partial-filter
+    * aggregate whose MERGED filter lands on the driver (same driver-memory
+    * class as a broadcast build — fine at broadcast scale, and past it
+    * the filter is sized by `expectedDim`, not by dimension rows). At a
+    * dimension where even the merged filter strains the driver, the
+    * scale-out path is Spark's runtime bloom filter
+    * (`spark.sql.optimizer.runtime.bloomFilter.enabled`) or a
+    * `bloom_filter_agg`-style exchange that keeps the filter on
+    * executors; this operator deliberately keeps the explicit build so
+    * the probe stays a scan-stage codegen'd literal.
+    */
+  private[graft] def bloomSemiJoin(fact: org.apache.spark.sql.DataFrame,
+      dim: org.apache.spark.sql.DataFrame, factKey: String, dimKey: String,
+      maxBroadcastRows: Long = 4000000L): org.apache.spark.sql.DataFrame = {
+    graft.plans.GraftExtensions.register(fact.sparkSession)
+    // the dimension feeds three consumers (count for sizing, the filter
+    // build, the exact join's build side) — materialize the scan once
+    val d = graft.Materialize.ephemeral(dim.select(col(dimKey)))
+    // Dimension-sized driver jobs (count + filter build). 2× headroom on
+    // the expected count keeps the realized fpp at/below the 1% target.
+    val nDim = math.max(d.count(), 1L)
+    val bloom = d.stat.bloomFilter(dimKey, nDim * 2, 0.01)
+    val bytes = {
+      val bos = new ByteArrayOutputStream()
+      bloom.writeTo(bos)
+      bos.toByteArray
+    }
+    val pre = fact.filter(
+      call_function("bloom_might_contain_long", col(factKey), lit(bytes)))
+    if (nDim <= maxBroadcastRows)
+      pre.join(broadcast(d), pre(factKey) === d(dimKey), "left_semi")
+    else
+      // explicit merge hint: past broadcast scale the planner must not
+      // fall back to broadcasting an over-threshold build side
+      pre.join(d.hint("merge"), pre(factKey) === d(dimKey), "left_semi")
+  }
+
   val specs: Seq[QuerySpec] = Seq(
 
     // ----- W-family: ntile bucketing --------------------------------------
@@ -165,43 +217,22 @@ object Analytics {
 
     // ----- bloom-prefiltered semi join ------------------------------------
     // Lineitems restricted to small parts (p_size ≤ 5, ~2% of the part
-    // dimension, ~10% of the fact): a BloomFilter over the dimension keys
-    // is probed IN THE SCAN STAGE via the codegen'd
-    // bloom_might_contain_long expression, then the exact semi join
-    // removes the filter's false positives — so the result is exactly the
-    // oracle's IN-subquery. Here the dimension broadcasts anyway; the
-    // prefilter is the 100-TB posture for when it doesn't: a ~1%-fpp
-    // probe cuts ~90% of fact rows BEFORE the shuffle a sort-merge semi
-    // join would need, at the cost of one dimension-sized driver
-    // aggregate (same class as a broadcast build).
+    // dimension, ~10% of the fact) via [[bloomSemiJoin]] — result ≡ the
+    // oracle's IN-subquery. This dimension sits within broadcast scale,
+    // so the exact join broadcasts; past the gate the operator switches
+    // to the sort-merge semi where the scan-stage probe pays for itself
+    // (plan-pinned in PlanAssertionsSpec).
     QuerySpec("q118_bloom_semi")(
       """SELECT l_returnflag, count(*) AS n,
         |  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS qty
         |FROM lineitem
         |WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size <= 5)
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
-      graft.plans.GraftExtensions.register(s)
-      // localCheckpoint: the filtered dimension feeds THREE consumers
-      // (count for sizing, the filter build, the exact join's broadcast
-      // build) — materialize the dimension scan once instead of paying it
-      // per consumer.
       val dim = Tables.load(s, dir, "part")
         .filter(col("p_size") <= 5).select(col("p_partkey"))
-        .localCheckpoint()
-      // Dimension-sized driver jobs (count + filter build) — the same cost
-      // class as the broadcast that follows. 2× headroom on the expected
-      // count keeps the realized fpp at/below the 1% target.
-      val nDim = math.max(dim.count(), 1L)
-      val bloom = dim.stat.bloomFilter("p_partkey", nDim * 2, 0.01)
-      val bytes = {
-        val bos = new ByteArrayOutputStream()
-        bloom.writeTo(bos)
-        bos.toByteArray
-      }
       val fact = Tables.load(s, dir, "lineitem")
         .select(col("l_partkey"), col("l_returnflag"), col("l_quantity"))
-        .filter(call_function("bloom_might_contain_long", col("l_partkey"), lit(bytes)))
-      fact.join(broadcast(dim), fact("l_partkey") === dim("p_partkey"), "left_semi")
+      bloomSemiJoin(fact, dim, "l_partkey", "p_partkey")
         .groupBy("l_returnflag")
         // DECIMAL accumulation, DOUBLE render — the q01/q119 boundary rule:
         // the sum is exact in decimal at any magnitude, and the single

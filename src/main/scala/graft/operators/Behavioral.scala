@@ -288,7 +288,7 @@ object Behavioral {
       // and the distinct shuffle run once, not per branch.
       val ud = Tables.load(s, dir, "events")
         .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
-        .localCheckpoint()
+        .transform(graft.Materialize.ephemeral)
       val dau = ud.groupBy(col("day")).agg(count(lit(1)).as("dau"))
       val wau = ud
         .select(col("user_id"),
@@ -360,7 +360,7 @@ object Behavioral {
       val n = Tables.load(s, dir, "events")
         .groupBy(col("user_id")).agg(min(to_date(col("ts"))).as("d0"))
         .groupBy(col("d0").as("day")).agg(count(lit(1)).as("new_users"))
-        .localCheckpoint()
+        .transform(graft.Materialize.ephemeral)
       val cal = n.agg(min(col("day")).as("mn"), max(col("day")).as("mx"))
         .select(col("mn"),
           explode(sequence(lit(0), datediff(col("mx"), col("mn")))).as("i"))
@@ -404,7 +404,7 @@ object Behavioral {
       val d = Tables.load(s, dir, "events")
         .groupBy(col("event_type"), to_date(col("ts")).as("day"))
         .agg(count(lit(1)).cast(dv).as("x"))
-        .localCheckpoint()
+        .transform(graft.Materialize.ephemeral)
       val m = d.groupBy(col("event_type"))
         .agg(count(lit(1)).cast(dv).as("n"),
           sum(col("x")).cast(dv).as("s"),

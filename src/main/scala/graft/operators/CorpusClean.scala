@@ -155,7 +155,7 @@ object CorpusClean {
       .join(TextAnalysis.qualityIndex(s, dir)
         .select(col("doc_id"), col("n_tokens").cast(LongType).as("tok")), "doc_id")
       .select(col("doc_id"), col("quality_micro"), col("tok"))
-      .localCheckpoint()
+      .transform(graft.Materialize.ephemeral)
     Ordinals.globalRunningSumNative(train, "cum", "doc_id", col("tok"))
       .withColumn("shard",
         floor((col("cum") - col("tok")).cast(DoubleType) / 2048).cast(LongType))

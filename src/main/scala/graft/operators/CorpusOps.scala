@@ -70,7 +70,7 @@ object CorpusOps {
       Tables.load(s, dir, "documents")
         .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
         .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER))
 
   /** q96's chunk projection as a library transform over any
     * (doc_id, text) frame — a PURE per-row expression, so the identical
@@ -295,7 +295,7 @@ object CorpusOps {
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_chars")).cast(LongType).as("mass"))
-        .localCheckpoint()
+        .transform(graft.Materialize.ephemeral)
       val t = m.agg(sum(col("mass")).cast(LongType).as("total"))
       val w = m.crossJoin(broadcast(t))
         .withColumn("raw_share", col("mass").cast(DoubleType) / col("total"))
@@ -475,7 +475,7 @@ object CorpusOps {
       val docs = Tables.load(s, dir, "documents")
       val m = docs.groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).cast(LongType).as("mass"))
-        .localCheckpoint()
+        .transform(graft.Materialize.ephemeral)
       val t = m.agg(sum(col("mass")).cast(LongType).as("total"))
       val w = m.crossJoin(broadcast(t))
         .withColumn("wdec", sqrt(col("mass").cast(DoubleType) / col("total")).cast(dv))

@@ -154,13 +154,13 @@ object Dedup {
         .select(col("a_doc"), col("b_doc"),
           floor(col("jac_raw") * 1000000).cast(LongType).as("jac_micro"))
         .distinct()
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER))
 
   private[operators] def components(s: org.apache.spark.sql.SparkSession,
       dir: String): DataFrame =
     componentsCache.getOrElseUpdate(s, dir)(
       connectedComponentsStar(verifiedPairs(s, dir).select(col("a_doc"), col("b_doc")))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER))
 
   /** Invalidation hook for shingle-index appends: every frame derived
     * from the pre-append index is a different frame for the grown corpus.
@@ -363,7 +363,8 @@ object Dedup {
           typedLit(permA), typedLit(permB), lit(MersenneP)))
         .filter(col("sigs").isNotNull)
         .select(col("doc_id"), col("sigs"))
-        .localCheckpoint() // both join sides read it — materialize once
+        // both join sides read it — materialize once, released post-query
+        .transform(graft.Materialize.ephemeral)
       pairs
         .join(sig.select(col("doc_id").as("a_doc"), col("sigs").as("sa")), "a_doc")
         .join(sig.select(col("doc_id").as("b_doc"), col("sigs").as("sb")), "b_doc")
@@ -726,7 +727,7 @@ object Dedup {
         .join(TextAnalysis.shingleIndex(s, dir), "doc_id")
         .select(col("source"), explode(col("ss")).as("s"))
         .distinct()
-        .localCheckpoint()
+        .transform(graft.Materialize.ephemeral)
       val ns = ssrc.groupBy(col("source")).agg(count(lit(1)).cast(LongType).as("ns"))
       val inter = ssrc.as("a")
         .join(ssrc.as("b"),
@@ -860,6 +861,10 @@ object Dedup {
         .localCheckpoint()
       changed = next.join(labels.select(col("id"), col("root").as("old")), "id")
         .filter(col("root") =!= col("old")).count()
+      // round N's blocks are dead once round N+1 is materialized and the
+      // convergence check above has consumed both — free them so a long
+      // propagation doesn't accumulate one label-frame per round
+      graft.Materialize.free(labels)
       labels = next
       it += 1
     }
@@ -925,6 +930,9 @@ object Dedup {
       // (distinct), so empty symmetric difference ⟺ set equality — no
       // separate count() job needed to rule out ss ⊊ e.
       stable = ss.exceptAll(e).union(e.exceptAll(ss)).isEmpty
+      // previous round's edge blocks are dead once ss is materialized and
+      // the set-equality check has consumed both
+      graft.Materialize.free(e)
       e = ss
       round += 1
     }

@@ -189,7 +189,7 @@ object Extras {
       val d = Tables.load(s, dir, "events")
         .groupBy(col("event_type"), to_date(col("ts")).as("day"))
         .agg(count(lit(1)).as("n"))
-        .localCheckpoint()
+        .transform(graft.Materialize.ephemeral)
       val cal = d.groupBy(col("event_type"))
         .agg(min(col("day")).as("mn"), max(col("day")).as("mx"))
         .select(col("event_type"), col("mn"),

@@ -37,7 +37,7 @@ object Fuzzy {
             array(col("name")),
             expr("transform(sequence(1, length(name))," +
               " i -> concat(substr(name, 1, i-1), substr(name, i+1)))"))).as("blk"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     }
 
   /** q122's flagged positional-shingle frame (doc_id, i, dup) — consumed
@@ -57,7 +57,7 @@ object Fuzzy {
       val df = pos.groupBy("s").agg(countDistinct("doc_id").as("nd"))
       pos.join(df, "s")
         .select(col("doc_id"), col("i"), (col("nd") >= 2).as("dup"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     }
 
   val specs: Seq[QuerySpec] = Seq(

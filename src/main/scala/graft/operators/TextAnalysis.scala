@@ -92,7 +92,7 @@ object TextAnalysis {
   private[graft] def qualityIndex(s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame =
     qualityIndexCache.getOrElseUpdate(s, dir)(
       qualityScored(graft.Tables.load(s, dir, "documents"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER))
 
   val specs: Seq[QuerySpec] = Seq(
 
@@ -359,7 +359,7 @@ object TextAnalysis {
   private[graft] def shingleIndex(s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame =
     shingleIndexCache.getOrElseUpdate(s, dir)(
       buildShingleIndex(s, dir, graft.Tables.load(s, dir, "documents"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER))
 
   /** Incremental-index append: shingle ONLY the new doc batch, land it in
     * the durable store (advancing the sidecar's corpus count so the next

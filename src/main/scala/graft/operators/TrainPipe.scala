@@ -200,7 +200,7 @@ object TrainPipe {
       // keeps the regex tokenization from running 4×.
       val toks = Tables.load(s, dir, "documents")
         .select(col("doc_id"), size(tokens(col("text"))).cast(LongType).as("tok"))
-        .localCheckpoint()
+        .transform(graft.Materialize.ephemeral)
       Ordinals.globalRunningSumNative(toks, "cum", "doc_id", col("tok"))
         .withColumn("shard",
           floor((col("cum") - col("tok")).cast(DoubleType) / PackBudget).cast(LongType))
@@ -426,7 +426,7 @@ object TrainPipe {
       val g = toks.join(q, Seq("doc_id"))
         .groupBy(col("quality_micro"))
         .agg(sum(col("tok")).as("w"), count(lit(1)).as("nd"))
-        .localCheckpoint() // running sums drive several jobs over this tiny frame
+        .transform(graft.Materialize.ephemeral) // several jobs read this tiny frame
       val cum = Ordinals.globalRunningSumNative(
         Ordinals.globalRunningSumNative(g, "cum_w", "quality_micro", col("w")),
         "cum_d", "quality_micro", col("nd"))

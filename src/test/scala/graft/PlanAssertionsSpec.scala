@@ -440,4 +440,32 @@ class PlanAssertionsSpec extends SparkSpec {
     val facts = Tables.load(spark, dir, "lineitem").count()
     assert(total == facts, s"tier row totals $total != lineitem rows $facts")
   }
+
+  test("bloomSemiJoin: past the broadcast gate the plan is Filter(bloom) -> sort-merge semi") {
+    import org.apache.spark.sql.functions._
+    val dim = Tables.load(spark, dir, "part")
+      .filter(col("p_size") <= 5).select(col("p_partkey"))
+    val fact = Tables.load(spark, dir, "lineitem")
+      .select(col("l_partkey"), col("l_returnflag"))
+    // gate forced below the fixture dimension: the operator must switch
+    // the exact join to sort-merge (a dimension past broadcast scale must
+    // never be broadcast) while keeping the scan-stage bloom probe
+    val over = operators.Analytics.bloomSemiJoin(fact, dim, "l_partkey", "p_partkey",
+      maxBroadcastRows = 1L)
+    val pOver = over.queryExecution.executedPlan.toString
+    assert(pOver.contains("SortMergeJoin") && pOver.contains("LeftSemi"),
+      pOver.take(2000))
+    assert(!pOver.contains("BroadcastHashJoin"), pOver.take(2000))
+    assert(pOver.contains("bloom_might_contain_long"),
+      "the scan-stage probe must survive the join-strategy switch")
+    // under the default gate: broadcast semi, same probe
+    val under = operators.Analytics.bloomSemiJoin(fact, dim, "l_partkey", "p_partkey")
+    val pUnder = under.queryExecution.executedPlan.toString
+    assert(pUnder.contains("BroadcastHashJoin") && pUnder.contains("LeftSemi"))
+    assert(pUnder.contains("bloom_might_contain_long"))
+    // the gate changes the plan, never the result
+    val a = over.groupBy("l_returnflag").count().orderBy("l_returnflag").collect().toSeq
+    val b = under.groupBy("l_returnflag").count().orderBy("l_returnflag").collect().toSeq
+    assert(a == b)
+  }
 }
