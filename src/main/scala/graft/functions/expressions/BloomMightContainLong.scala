@@ -58,4 +58,22 @@ case class BloomMightContainLong(child: Expression, bloomBytes: Array[Byte])
 
   override protected def withNewChildInternal(newChild: Expression): BloomMightContainLong =
     copy(child = newChild)
+
+  // Case-class equality over Array[Byte] is reference identity, which
+  // would defeat expression canonicalization / common-subexpression reuse
+  // for structurally identical probes — compare the payload by value.
+  override def equals(other: Any): Boolean = other match {
+    case b: BloomMightContainLong =>
+      child == b.child && java.util.Arrays.equals(bloomBytes, b.bloomBytes)
+    case _ => false
+  }
+  override def hashCode(): Int =
+    31 * child.hashCode() + java.util.Arrays.hashCode(bloomBytes)
+
+  // Keep the (potentially megabyte-scale) filter payload out of plan
+  // strings: render as bloom_might_contain_long(key, <N filter bytes>).
+  override def stringArgs: Iterator[Any] =
+    Iterator(child, s"<${bloomBytes.length} filter bytes>")
+  override def toString: String =
+    s"$prettyName($child, <${bloomBytes.length} filter bytes>)"
 }

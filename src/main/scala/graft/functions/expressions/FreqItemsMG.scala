@@ -39,11 +39,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * eval returns the top `outK` as array&lt;struct&lt;item, cnt&gt;&gt; on the
   * (cnt DESC, item ASC) total order — deterministic output for the
   * hash-compare.
-  */
-/** Shared Misra–Gries buffer machinery for the (unweighted, weighted)
-  * frequent-items aggregates: the mergeable-summaries merge, the
-  * deterministic top-k eval, and the compact binary buffer codec live
-  * here once; subclasses supply only their update step.
+  *
+  * This base class holds the machinery SHARED by the unweighted
+  * ([[FreqItemsMG]]) and weighted ([[FreqItemsMGWeighted]]) variants —
+  * the mergeable-summaries merge, the deterministic top-k eval, and the
+  * compact binary buffer codec; subclasses supply only their update step.
   */
 abstract class MGAggregateBase
     extends TypedImperativeAggregate[mutable.HashMap[String, Long]] {
@@ -109,6 +109,11 @@ abstract class MGAggregateBase
   }
 }
 
+/** Unweighted Misra–Gries: each input row is one occurrence. Update is
+  * the classic MG step — present → +1; room → insert at 1; full →
+  * decrement ALL counters by 1, dropping zeros (see [[MGAggregateBase]]
+  * for the shared merge/eval/bounds).
+  */
 case class FreqItemsMG(child: Expression, capacity: Int, outK: Int,
     override val mutableAggBufferOffset: Int = 0,
     override val inputAggBufferOffset: Int = 0)

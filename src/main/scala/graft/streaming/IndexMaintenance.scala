@@ -209,9 +209,17 @@ object IndexMaintenance {
     */
   private[graft] def bootstrapChunkStore(s: SparkSession, corpusDir: String,
       docs: DataFrame): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{col, row_number}
+    // ONE row per fingerprint (its first occurrence in (doc_id, chunk_id)
+    // order): the store answers "is this fp already indexed, and where
+    // was it first seen" — keeping every occurrence would grow it with
+    // the corpus's duplication factor for no additional answer.
+    val w = Window.partitionBy("chunk_fp").orderBy("doc_id", "chunk_id")
     graft.IndexStore.servedFrom(s, corpusDir, ChunkStoreName)(
       graft.operators.CorpusOps.chunkRows(docs)
-        .select("chunk_fp", "doc_id", "chunk_id"))
+        .select("chunk_fp", "doc_id", "chunk_id")
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn"))
     ()
   }
 
@@ -223,11 +231,22 @@ object IndexMaintenance {
     * exists in the store, plus within-batch repeats beyond the first in
     * (doc_id, chunk_id) order — land in `dupDir/batch_id=N` with
     * mode=overwrite (idempotent: a replay recomputes against the same
-    * store state); (2) ALL batch chunk rows append to the store behind
-    * the exactly-once batch marker. Over an append-only doc-id stream the
-    * union of batch outputs is exactly "every chunk occurrence except the
-    * globally first per fingerprint" — the removable multiset of the
-    * q123 batch report (spec-pinned parity).
+    * store state); (2) only the batch's NEW fingerprints (first
+    * occurrence each) append to the store behind the exactly-once batch
+    * marker, so the store stays one row per fingerprint. Over an
+    * append-only doc-id stream the union of batch outputs is exactly
+    * "every chunk occurrence except the globally first per fingerprint"
+    * — the removable multiset of the q123 batch report (spec-pinned
+    * parity).
+    *
+    * Cost per batch: O(batch) chunking/window work plus ONE scan of the
+    * fp-unique store for the membership probe joins — O(distinct corpus
+    * fingerprints), not O(corpus occurrences). At production scale the
+    * store would be bucketed by chunk_fp so the probe is a co-located
+    * join; the scan itself is irreducible for an exact answer (the
+    * approximate path is a bloom filter over stored fps, which this
+    * operator deliberately does not take — a false positive would drop a
+    * chunk that was never indexed).
     */
   private[graft] def chunkDedupBatch(s: SparkSession, corpusDir: String,
       dupDir: String, stream: String, batchId: Long, batch: DataFrame): Boolean = {
@@ -244,15 +263,27 @@ object IndexMaintenance {
           "existing corpus) before attaching a chunk-dedup maintainer")
       val chunks = graft.operators.CorpusOps.chunkRows(batch)
         .select("chunk_fp", "doc_id", "chunk_id")
-      val storedFps = s.read.parquet(path).select("chunk_fp").distinct()
+      // fp-unique by construction (bootstrap dedupes; appends are rn==1
+      // only) — no distinct needed
+      val storedFps = s.read.parquet(path).select("chunk_fp")
       val vsStore = chunks.join(storedFps, Seq("chunk_fp"), "left_semi")
       val w = Window.partitionBy("chunk_fp").orderBy("doc_id", "chunk_id")
-      val withinBatch = chunks.join(storedFps, Seq("chunk_fp"), "left_anti")
-        .withColumn("rn", row_number().over(w)).filter(col("rn") > 1).drop("rn")
+      // localCheckpoint, not just reuse: TWO consumers read the ranked
+      // new-fp frame, and the append below writes INTO the store path its
+      // lineage reads — materializing severs that read-own-write cycle
+      val newFps = chunks.join(storedFps, Seq("chunk_fp"), "left_anti")
+        .withColumn("rn", row_number().over(w))
+        .localCheckpoint()
+      val withinBatch = newFps.filter(col("rn") > 1).drop("rn")
       vsStore.unionByName(withinBatch)
         .write.mode("overwrite").parquet(s"$dupDir/batch_id=$batchId")
-      graft.IndexStore.append(s, corpusDir, ChunkStoreName, chunks,
+      // grow the store by the batch's first-occurrence rows only: the
+      // store stays one row per fingerprint instead of accumulating
+      // every occurrence ever streamed
+      graft.IndexStore.append(s, corpusDir, ChunkStoreName,
+        newFps.filter(col("rn") === 1).drop("rn"),
         extraMeta = Map(markerKey(stream) -> batchId.toString))
+      graft.Materialize.free(newFps) // per-batch scratch, not an index frame
       true
     }
   }

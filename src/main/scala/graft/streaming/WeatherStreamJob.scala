@@ -32,15 +32,25 @@ object WeatherStreamJob {
   /** Kafka source with the reference consumer's subscription
     * (Consumer_clickhouse.py:113–125; offsets move to the checkpoint WAL).
     */
+  /** The exact option set [[kafkaRawStream]] hands KafkaSourceProvider —
+    * exposed as data so the brokerless sandbox can still pin it
+    * (KafkaSeamSpec): subscription and cadence from
+    * Consumer_clickhouse.py:113–125, offsets in the checkpoint WAL.
+    */
+  def kafkaSourceOptions(bootstrapServers: String,
+                         topics: String = DefaultTopics,
+                         maxOffsetsPerTrigger: Long = 90L): Map[String, String] = Map(
+    "kafka.bootstrap.servers" -> bootstrapServers,
+    "subscribe" -> topics,
+    "startingOffsets" -> "earliest",
+    "maxOffsetsPerTrigger" -> maxOffsetsPerTrigger.toString)
+
   def kafkaRawStream(spark: SparkSession, bootstrapServers: String,
                      topics: String = DefaultTopics,
                      maxOffsetsPerTrigger: Long = 90L): DataFrame =
     spark.readStream
       .format("kafka")
-      .option("kafka.bootstrap.servers", bootstrapServers)
-      .option("subscribe", topics)
-      .option("startingOffsets", "earliest")
-      .option("maxOffsetsPerTrigger", maxOffsetsPerTrigger)
+      .options(kafkaSourceOptions(bootstrapServers, topics, maxOffsetsPerTrigger))
       .load()
 
   /** File-source stand-in: a directory of JSON-lines files, one payload per
@@ -49,14 +59,21 @@ object WeatherStreamJob {
   def fileRawStream(spark: SparkSession, path: String): DataFrame =
     spark.readStream.text(path).withColumnRenamed("value", "value")
 
+  /** [[startKafkaSink]]'s option set as data (see [[kafkaSourceOptions]]):
+    * acks=all from Producer_clickhouse.py:45.
+    */
+  def kafkaSinkOptions(bootstrapServers: String,
+                       checkpointDir: String): Map[String, String] = Map(
+    "kafka.bootstrap.servers" -> bootstrapServers,
+    "kafka.acks" -> "all",
+    "checkpointLocation" -> checkpointDir)
+
   /** Kafka sink for the producer path (acks=all — Producer_clickhouse.py:45). */
   def startKafkaSink(kafkaFrame: DataFrame, bootstrapServers: String,
                      checkpointDir: String): StreamingQuery =
     kafkaFrame.writeStream
       .format("kafka")
-      .option("kafka.bootstrap.servers", bootstrapServers)
-      .option("kafka.acks", "all")
-      .option("checkpointLocation", checkpointDir)
+      .options(kafkaSinkOptions(bootstrapServers, checkpointDir))
       .start()
 
   /** Raw-document archive (SURVEY.md §2.1 S5 — the reference writes every

@@ -57,6 +57,18 @@ object Warehouse {
                 hotMonthRows: Long = HotMonthRows,
                 hotBuckets: Int = HotMonthBuckets,
                 format: String = FactFormat): Unit = {
+    // Refuse a codec conflict BEFORE writing anything: appending ORC
+    // files into a parquet warehouse (or vice versa) is silent corruption
+    // discovered only at read time. First write records the codec.
+    val spark = fact.sparkSession
+    readFormatSidecar(spark, path).foreach { recorded =>
+      if (recorded != format) throw new IllegalStateException(
+        s"warehouse at $path is recorded as '$recorded' ($FormatSidecar " +
+          s"sidecar) but writeFact was asked for '$format' — mixed codecs " +
+          "in one warehouse directory are unreadable; write to a new path " +
+          "or pass the recorded format")
+    }
+    writeFormatSidecar(spark, path, format)
     val withMonth = fact.withColumn(PartitionCol, date_format(col("event_date"), "yyyyMM"))
     val hotMonths: Set[String] =
       if (hotMonthRows <= 0) Set.empty
@@ -107,6 +119,44 @@ object Warehouse {
   private def sidecarPath(path: String) =
     new org.apache.hadoop.fs.Path(path, DeletingSidecar)
 
+  /** Sidecar persisting the warehouse's columnar codec, written by
+    * [[writeFact]]: the format is a property of the DIRECTORY, not of the
+    * call — without it, default-format entry points against an
+    * ORC-written warehouse failed at read time with a codec error
+    * instead of resolving. Reads resolve through it ([[resolvedFormat]]);
+    * writes refuse a conflicting codec (mixed-format partitions would
+    * corrupt the warehouse). Legacy directories without the sidecar keep
+    * the old requested-format behavior.
+    */
+  val FormatSidecar = "_FORMAT"
+
+  private def formatSidecarPath(path: String) =
+    new org.apache.hadoop.fs.Path(path, FormatSidecar)
+
+  private[graft] def readFormatSidecar(spark: SparkSession, path: String): Option[String] = {
+    val fs = fsFor(spark, path)
+    if (!fs.exists(formatSidecarPath(path))) None
+    else {
+      val in = fs.open(formatSidecarPath(path))
+      try Some(new String(
+        org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8").trim)
+      finally in.close()
+    }
+  }
+
+  private[graft] def writeFormatSidecar(spark: SparkSession, path: String,
+      format: String): Unit = {
+    val out = fsFor(spark, path).create(formatSidecarPath(path), true)
+    try out.write(format.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** The directory's recorded codec when it has one, else the requested
+    * one — so `readFact(spark, path)` on an ORC warehouse just works.
+    */
+  private[graft] def resolvedFormat(spark: SparkSession, path: String,
+      requested: String): String =
+    readFormatSidecar(spark, path).getOrElse(requested)
+
   private[weather] def writeDeleteSidecar(spark: SparkSession, path: String,
       doomed: Set[Any]): Unit = {
     val out = fsFor(spark, path).create(sidecarPath(path), true)
@@ -143,7 +193,7 @@ object Warehouse {
         "predicate (the interruption may predate the kept-months overwrite, " +
         "leaving matches in mixed months) before reading")
     }
-    spark.read.format(format).load(path)
+    spark.read.format(resolvedFormat(spark, path, format)).load(path)
   }
 
   /** Finish an interrupted [[deleteRows]]: re-drop the months the sidecar
@@ -214,14 +264,15 @@ object Warehouse {
   private[graft] def deleteRows(spark: SparkSession, path: String,
       pred: org.apache.spark.sql.Column, crashBeforeDirDrop: Boolean,
       format: String = FactFormat, crashBeforeOverwrite: Boolean = false): Long = {
+    val fmt = resolvedFormat(spark, path, format) // sidecar wins (see FormatSidecar)
     // keep the read-back partition type as inferred (Hive partition
     // inference reads yyyyMM as INT) so the isInCollection filter prunes
     // natively; stringify only for directory names
-    val affected = readFact(spark, path, format).filter(pred)
+    val affected = readFact(spark, path, fmt).filter(pred)
       .select(col(PartitionCol)).distinct()
       .collect().map(_.get(0)).toSet
     if (affected.isEmpty) return 0L
-    val scoped = readFact(spark, path, format)
+    val scoped = readFact(spark, path, fmt)
       .filter(col(PartitionCol).isInCollection(affected))
     // DELETE semantics: remove where pred is TRUE; a NULL predicate result
     // KEEPS the row. The keep side must be the exact complement — a plain
@@ -251,7 +302,7 @@ object Warehouse {
         .mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy(PartitionCol)
-        .format(format)
+        .format(fmt)
         .save(path)
     }
     if (crashBeforeDirDrop) return deleted
@@ -264,10 +315,11 @@ object Warehouse {
   }
 
   def compact(spark: SparkSession, path: String, format: String = FactFormat): Unit = {
+    val fmt = resolvedFormat(spark, path, format) // sidecar wins (see FormatSidecar)
     val snapshot =
       if (spark.sparkContext.getCheckpointDir.isDefined)
-        readFact(spark, path, format).checkpoint(eager = true)
-      else readFact(spark, path, format).localCheckpoint(eager = true)
+        readFact(spark, path, fmt).checkpoint(eager = true)
+      else readFact(spark, path, fmt).localCheckpoint(eager = true)
     snapshot
       .repartition(col(PartitionCol))
       // lead with the partition col — see writeFact
@@ -276,7 +328,7 @@ object Warehouse {
       .mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy(PartitionCol)
-      .format(format)
+      .format(fmt)
       .save(path)
   }
 }

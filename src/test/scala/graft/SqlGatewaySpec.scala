@@ -142,6 +142,19 @@ class SqlGatewaySpec extends SparkSpec {
         .head()
       assert(a.body().trim == s"""{"t":"${direct.getString(0)}","c":${direct.getLong(1)}}""",
         s"gateway ${a.body()} vs direct $direct")
+      // the WEIGHTED MG aggregate (q127's topKWeighted analog) gets the
+      // same ad-hoc surface: heaviest return flag by quantity mass over
+      // lineitem, exact regime (3 distinct flags ≪ capacity)
+      val wq = "SELECT top[0].item AS t, top[0].cnt AS c FROM " +
+        "(SELECT freq_items_mg_weighted(l_returnflag, " +
+        "CAST(l_quantity AS BIGINT), 64, 1) AS top FROM lineitem)"
+      val b = post(port, wq)
+      assert(b.statusCode() == 200, s"${b.statusCode()}: ${b.body()}")
+      val wdirect = spark.sql(
+        "SELECT l_returnflag, sum(CAST(l_quantity AS BIGINT)) AS c FROM lineitem " +
+          "GROUP BY 1 ORDER BY c DESC, l_returnflag LIMIT 1").head()
+      assert(b.body().trim == s"""{"t":"${wdirect.getString(0)}","c":${wdirect.getLong(1)}}""",
+        s"gateway ${b.body()} vs direct $wdirect")
     }
   }
 

@@ -242,4 +242,32 @@ class WarehouseSpec extends SparkSpec {
       "fully-deleted ORC month directory must be dropped")
     assert(Warehouse.readFact(spark, dir, "orc").count() == 2)
   }
+
+  test("format sidecar: default-format entry points resolve an ORC warehouse; codec conflicts refuse") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_wh_fmt").toFile.getAbsolutePath
+    val raw = Seq(
+      ("""{"name":"Jan","main":{"temp":1.0}}""", "2024-01-15 00:00:00"),
+      ("""{"name":"Feb","main":{"temp":2.0}}""", "2024-02-10 00:00:00"))
+      .toDF("value", "ing")
+    val fact = WeatherFlatten(raw, ingestTime = col("ing").cast(TimestampType))
+    Warehouse.writeFact(fact, dir, format = "orc")
+
+    // the directory records its codec, and the DEFAULT-format entry
+    // points (readFact/compact/3-arg deleteRows) resolve through it
+    // instead of failing with a parquet read error
+    assert(Warehouse.readFormatSidecar(spark, dir).contains("orc"))
+    assert(Warehouse.readFact(spark, dir).count() == 2)
+    Warehouse.compact(spark, dir)
+    assert(new java.io.File(s"$dir/event_month=202401").list()
+      .exists(_.endsWith(".orc")), "default-format compact must keep ORC")
+    assert(Warehouse.deleteRows(spark, dir, col("city_name") === "Feb") == 1L)
+    assert(Warehouse.readFact(spark, dir).count() == 1)
+
+    // appending the other codec into the same directory refuses loudly
+    val e = intercept[IllegalStateException] {
+      Warehouse.writeFact(fact, dir) // parquet default vs recorded orc
+    }
+    assert(e.getMessage.contains("mixed codecs"))
+  }
 }
