@@ -48,6 +48,15 @@ object CorpusOps {
   /** q97 distinctive terms kept per document. */
   private val TermK = 3
 
+  /** q128 candidate blocking: only terms in ≤ this many docs generate
+    * pairs (the q36a posting-list cap — bounds per-term pair fan-out to
+    * cap²/2 and total candidate work to Σ min(df,cap)²).
+    */
+  private val CosDfCap = 64L
+
+  /** q128 report threshold. */
+  private val CosTau = 0.5
+
   /** q108 global token budget (chars) — ~60% of the sf0.01 corpus mass, so
     * flattening is visible: over-represented sources get frac < 1, the
     * rarest keep everything.
@@ -106,7 +115,113 @@ object CorpusOps {
       |  ${hex60Sql.format(s"array_to_string(list_slice(tok, 1 + k * $ChunkStride, k * $ChunkStride + $ChunkSize), ' ')")} AS chunk_fp
       |FROM c ORDER BY doc_id, chunk_id""".stripMargin
 
+  /** TF-IDF cosine similarity over df-capped candidate pairs — q128's
+    * body as a library operator (the spec sweeps `dfCap` for blocked-vs-
+    * brute parity).
+    *
+    * The LEXICAL cosine leg of the near-dup family: Jaccard (q36) sees
+    * set overlap, containment (q79) sees doc-inside-doc, SemDedup (q68)
+    * sees embedding geometry — tf-idf cosine sees weighted term-profile
+    * alignment, the classic retrieval similarity. Candidates come from
+    * df-capped posting lists (the q36a rule); the cosine is then EXACT
+    * over the candidates' full tf vectors.
+    *
+    * Cross-engine exactness (the q119 discipline): idf is a RATIONAL
+    * quantization — `idf_micro = (1e6·N) div df`, one BIGINT integer
+    * division, no float log (ln is not correctly-rounded-guaranteed
+    * cross-engine). Weights `w = tf·idf_micro` are BIGINT; the cosine's
+    * numerator and both norms accumulate as DECIMAL(38,0)/HUGEINT sums of
+    * exact products; the final value is the identical IEEE sequence on
+    * both sides (two VARCHAR-routed decimal→double casts, one multiply,
+    * one sqrt, one divide) — bit-equal, so even the τ filter agrees.
+    *
+    * Overflow bound (the q125 discipline): |w| < 2⁶³ needs
+    * tf·1e6·(N/df) < 9.2e18 — worst case df=1, so tf·N ≲ 9.2e12 (e.g.
+    * 10⁹ docs × tf 10³). Past that, the rescale recipe: idf in KILO
+    * units and weights accumulated as DECIMAL instead of BIGINT — plan
+    * shape unchanged.
+    *
+    * Scale: one shared tf-index pass feeds df, norms, and weights; the
+    * candidate join is posting-list-bounded (never all-pairs, plan-
+    * guarded with the q36/q121 family); numerator work is
+    * |candidates| × doc length, all shuffles keyed by doc or term.
+    */
+  private[graft] def tfidfCosinePairs(s: org.apache.spark.sql.SparkSession,
+      dir: String, dfCap: Long, tau: Double): org.apache.spark.sql.DataFrame = {
+    val d38 = DecimalType(38, 0)
+    val tf = tfIndex(s, dir)
+    val dfF = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nT = Tables.load(s, dir, "documents").agg(count(lit(1)).as("n"))
+    val w = tf.join(dfF, "term").crossJoin(broadcast(nT))
+      .select(col("doc_id"), col("term"),
+        expr("tf * ((1000000L * n) div df)").as("w"), col("df"))
+    val n2 = w.groupBy(col("doc_id"))
+      .agg(sum((col("w").cast(d38) * col("w").cast(d38)).cast(d38)).as("n2"))
+    val low = w.filter(col("df") <= dfCap).select(col("doc_id"), col("term"))
+    val cand = low.as("a")
+      .join(low.as("b"), col("a.term") === col("b.term") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_doc"), col("b.doc_id").as("b_doc"))
+      .distinct()
+    val wa = w.select(col("doc_id").as("a_doc"), col("term"), col("w").as("wa"))
+    val wb = w.select(col("doc_id").as("b_doc"), col("term"), col("w").as("wb"))
+    val num = cand
+      .join(wa, "a_doc")
+      .join(wb, Seq("b_doc", "term"))
+      .groupBy(col("a_doc"), col("b_doc"))
+      .agg(count(lit(1)).as("n_shared"),
+        sum((col("wa").cast(d38) * col("wb").cast(d38)).cast(d38)).as("num"))
+    num
+      .join(n2.select(col("doc_id").as("a_doc"), col("n2").as("na2")), "a_doc")
+      .join(n2.select(col("doc_id").as("b_doc"), col("n2").as("nb2")), "b_doc")
+      .select(col("a_doc"), col("b_doc"), col("n_shared"),
+        (col("num").cast(DoubleType)
+          / sqrt(col("na2").cast(DoubleType) * col("nb2").cast(DoubleType)))
+          .as("cos_sim"))
+      .filter(col("cos_sim") >= tau)
+      .orderBy(col("a_doc"), col("b_doc"))
+  }
+
   val specs: Seq[QuerySpec] = Seq(
+
+    // ----- tf-idf cosine near-dup pairs (lexical retrieval similarity) ----
+    // See [[tfidfCosinePairs]]: df-capped candidate blocking, exact
+    // integer-quantized weights, bit-equal IEEE finish on both engines.
+    QuerySpec("q128_tfidf_cosine")(
+      s"""WITH tf AS (
+        |  SELECT doc_id, t AS term, count(*) AS tf
+        |  FROM (SELECT doc_id,
+        |          unnest(string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')) AS t
+        |        FROM documents)
+        |  GROUP BY doc_id, t),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |nt AS (SELECT count(*) AS n FROM documents),
+        |w AS (SELECT tf.doc_id, tf.term, df.df,
+        |        tf.tf * ((1000000 * nt.n) // df.df) AS w
+        |      FROM tf JOIN df USING (term), nt),
+        |n2 AS (SELECT doc_id, sum(CAST(w AS HUGEINT) * w) AS n2
+        |       FROM w GROUP BY doc_id),
+        |cand AS (SELECT DISTINCT a.doc_id AS a_doc, b.doc_id AS b_doc
+        |         FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
+        |         WHERE a.df <= $CosDfCap),
+        |num AS (SELECT c.a_doc, c.b_doc, count(*) AS n_shared,
+        |          sum(CAST(wa.w AS HUGEINT) * wb.w) AS num
+        |        FROM cand c
+        |        JOIN w wa ON wa.doc_id = c.a_doc
+        |        JOIN w wb ON wb.doc_id = c.b_doc AND wb.term = wa.term
+        |        GROUP BY c.a_doc, c.b_doc),
+        |r AS (SELECT n.a_doc, n.b_doc, n.n_shared,
+        |        CAST(CAST(n.num AS VARCHAR) AS DOUBLE)
+        |          / sqrt(CAST(CAST(x.n2 AS VARCHAR) AS DOUBLE)
+        |               * CAST(CAST(y.n2 AS VARCHAR) AS DOUBLE)) AS cos_sim
+        |      FROM num n
+        |      JOIN n2 x ON x.doc_id = n.a_doc
+        |      JOIN n2 y ON y.doc_id = n.b_doc)
+        |SELECT a_doc, b_doc, n_shared, cos_sim FROM r
+        |WHERE cos_sim >= $CosTau
+        |ORDER BY a_doc, b_doc""".stripMargin) { (s, dir) =>
+      tfidfCosinePairs(s, dir, CosDfCap, CosTau)
+    },
 
     // ----- overlapping token-window chunking (RAG preprocessing) ----------
     // One chunk per stride step: starts p = 1 + k·S for k = 0..⌊(n−1)/S⌋,
