@@ -262,4 +262,29 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(meanAbs <= 150000, f"mean |err| $meanAbs%.0f exceeds the 0.15 band")
     assert(rows.map(r => math.abs(r._3)).max <= 400000, "a pair's estimate left the 0.4 band")
   }
+
+  test("q129: cluster-balanced sample — full assignment, exact per-cell quotas, dense ranks") {
+    val out = run("q129_cluster_sample").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.nonEmpty)
+    val corpus = Tables.load(spark, dir, "embeddings").count()
+    // the cell sizes are a partition of the corpus (every vector assigned
+    // to exactly one cell; empty cells absent by construction)
+    val sizes = out.map(r => r._1 -> r._2).toMap
+    assert(sizes.values.sum == corpus, s"cell sizes ${sizes.values.sum} != corpus $corpus")
+    // balance contract: each cell contributes exactly min(cell_size, k)
+    // rows with dense ranks 1..that
+    out.groupBy(_._1).foreach { case (cell, rows) =>
+      val want = math.min(sizes(cell), 25L)
+      assert(rows.length == want, s"cell $cell: ${rows.length} rows, want $want")
+      assert(rows.map(_._3).sorted.toSeq == (1L to want), s"cell $cell ranks not dense")
+    }
+    // sampled ids are distinct corpus members
+    val ids = out.map(_._4)
+    assert(ids.distinct.length == ids.length)
+    // determinism: a second run draws the identical sample (md5 rank, no RNG)
+    val again = run("q129_cluster_sample").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(again.toSeq == out.toSeq)
+  }
 }
