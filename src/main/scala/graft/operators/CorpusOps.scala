@@ -48,14 +48,23 @@ object CorpusOps {
   /** q97 distinctive terms kept per document. */
   private val TermK = 3
 
-  /** q128 candidate blocking: only terms in ≤ this many docs generate
-    * pairs (the q36a posting-list cap — bounds per-term pair fan-out to
-    * cap²/2 and total candidate work to Σ min(df,cap)²).
+  /** q128 candidate blocking: only SHINGLES in ≤ this many docs generate
+    * pairs (q36a's posting-list cap — bounds per-key pair fan-out to
+    * cap²/2 and total candidate work to Σ min(df,cap)²). Blocking keys
+    * are shingles, NOT unigram terms: a unigram's df grows with the
+    * corpus (at sf1 the fixture's every unigram exceeds any fixed cap —
+    * zero candidates), while n-gram shingles stay distinctive, which is
+    * the same reason the whole dedup family blocks on them.
     */
-  private val CosDfCap = 64L
+  private val CosDfCap = Dedup.DfCap.toLong
 
-  /** q128 report threshold. */
-  private val CosTau = 0.5
+  /** q128 report threshold. 0.9, not the Jaccard family's 0.5–0.6: on a
+    * vocabulary-compressed corpus most document pairs share the bulk of
+    * their unigram profile, so a permissive cosine threshold reports
+    * O(candidates) pairs (measured: τ=0.5 kept 10.3M of the 10× replica
+    * fixture's candidate pairs; τ=0.9 keeps the ~7k genuine near-dups).
+    */
+  private val CosTau = 0.9
 
   /** q108 global token budget (chars) — ~60% of the sf0.01 corpus mass, so
     * flattening is visible: over-represented sources get frac < 1, the
@@ -123,8 +132,9 @@ object CorpusOps {
     * set overlap, containment (q79) sees doc-inside-doc, SemDedup (q68)
     * sees embedding geometry — tf-idf cosine sees weighted term-profile
     * alignment, the classic retrieval similarity. Candidates come from
-    * df-capped posting lists (the q36a rule); the cosine is then EXACT
-    * over the candidates' full tf vectors.
+    * df-capped SHINGLE posting lists (the q36a blocking, off the shared
+    * [[TextAnalysis.shingleIndex]]); the cosine is then EXACT over the
+    * candidates' full unigram tf-idf vectors.
     *
     * Cross-engine exactness (the q119 discipline): idf is a RATIONAL
     * quantization — `idf_micro = (1e6·N) div df`, one BIGINT integer
@@ -154,12 +164,16 @@ object CorpusOps {
     val nT = Tables.load(s, dir, "documents").agg(count(lit(1)).as("n"))
     val w = tf.join(dfF, "term").crossJoin(broadcast(nT))
       .select(col("doc_id"), col("term"),
-        expr("tf * ((1000000L * n) div df)").as("w"), col("df"))
+        expr("tf * ((1000000L * n) div df)").as("w"))
     val n2 = w.groupBy(col("doc_id"))
       .agg(sum((col("w").cast(d38) * col("w").cast(d38)).cast(d38)).as("n2"))
-    val low = w.filter(col("df") <= dfCap).select(col("doc_id"), col("term"))
+    val sh = TextAnalysis.shingleIndex(s, dir)
+      .select(col("doc_id"), explode(col("ss")).as("sg"))
+    val sdf = sh.groupBy(col("sg")).agg(count(lit(1)).as("sdf"))
+    val low = sh.join(sdf.filter(col("sdf") <= dfCap), "sg")
+      .select(col("doc_id"), col("sg"))
     val cand = low.as("a")
-      .join(low.as("b"), col("a.term") === col("b.term") &&
+      .join(low.as("b"), col("a.sg") === col("b.sg") &&
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("a_doc"), col("b.doc_id").as("b_doc"))
       .distinct()
@@ -188,7 +202,13 @@ object CorpusOps {
     // See [[tfidfCosinePairs]]: df-capped candidate blocking, exact
     // integer-quantized weights, bit-equal IEEE finish on both engines.
     QuerySpec("q128_tfidf_cosine")(
-      s"""WITH tf AS (
+      s"""WITH ${Dedup.shingleBaseCtes},
+        |sdf AS (SELECT s, count(*) AS df FROM sh GROUP BY s),
+        |cand AS (SELECT DISTINCT a.doc_id AS a_doc, b.doc_id AS b_doc
+        |         FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |         JOIN sdf ON sdf.s = a.s
+        |         WHERE sdf.df <= $CosDfCap),
+        |tf AS (
         |  SELECT doc_id, t AS term, count(*) AS tf
         |  FROM (SELECT doc_id,
         |          unnest(string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')) AS t
@@ -196,14 +216,11 @@ object CorpusOps {
         |  GROUP BY doc_id, t),
         |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
         |nt AS (SELECT count(*) AS n FROM documents),
-        |w AS (SELECT tf.doc_id, tf.term, df.df,
+        |w AS (SELECT tf.doc_id, tf.term,
         |        tf.tf * ((1000000 * nt.n) // df.df) AS w
         |      FROM tf JOIN df USING (term), nt),
         |n2 AS (SELECT doc_id, sum(CAST(w AS HUGEINT) * w) AS n2
         |       FROM w GROUP BY doc_id),
-        |cand AS (SELECT DISTINCT a.doc_id AS a_doc, b.doc_id AS b_doc
-        |         FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
-        |         WHERE a.df <= $CosDfCap),
         |num AS (SELECT c.a_doc, c.b_doc, count(*) AS n_shared,
         |          sum(CAST(wa.w AS HUGEINT) * wb.w) AS num
         |        FROM cand c

@@ -262,33 +262,30 @@ class CorpusOpsSpec extends SparkSpec {
   }
 
   test("q128: df-capped blocking loses nothing it promises to keep, values brute-exact") {
-    // brute force = the SAME operator with the cap at corpus size (every
-    // term generates candidates → all pairs sharing ANY term, cosine over
-    // full tf vectors). The capped report must (1) agree exactly on every
-    // pair it emits, and (2) contain EVERY brute pair above τ that shares
-    // at least one low-df term — the blocking contract (pairs linked only
-    // through >cap-df boilerplate terms are deliberately out of scope,
-    // same as q36a's rule).
+    // brute force = the SAME operator with the shingle-df cap at corpus
+    // size (every shingle generates candidates → all pairs sharing ANY
+    // shingle, cosine over full tf-idf vectors). The capped report must
+    // (1) agree exactly on every pair it emits, and (2) contain EVERY
+    // brute pair above τ that shares at least one low-df shingle — the
+    // blocking contract (pairs linked only through >cap-df boilerplate
+    // shingles are deliberately out of scope, same as q36a's rule).
     def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getLong(1))
     val nDocs = Tables.load(spark, dir, "documents").count()
     val capped = q("q128_tfidf_cosine").collect()
     assert(capped.nonEmpty, "fixture must contain tf-idf cosine near-dups")
-    val brute = operators.CorpusOps.tfidfCosinePairs(spark, dir, nDocs, 0.5)
+    val brute = operators.CorpusOps.tfidfCosinePairs(spark, dir, nDocs, 0.9)
       .collect().map(r => key(r) -> (r.getLong(2), r.getDouble(3))).toMap
     capped.foreach { r =>
       assert(brute(key(r)) == ((r.getLong(2), r.getDouble(3))),
         s"pair ${key(r)}: capped report disagrees with brute cosine")
     }
-    // recompute the promise set: brute pairs above τ sharing a low-df term
-    import graft.functions.TextFunctions._
-    val tf = Tables.load(spark, dir, "documents")
-      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
-      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val lowTerms = tf.groupBy("term").agg(count(lit(1)).as("df"))
-      .filter(col("df") <= 64).select("term")
-    val lowDocs = tf.join(lowTerms, "term")
-    val promised = lowDocs.as("a").join(lowDocs.as("b"),
-        col("a.term") === col("b.term") && col("a.doc_id") < col("b.doc_id"))
+    // recompute the promise set: brute pairs above τ sharing a low-df shingle
+    val sh = operators.TextAnalysis.shingleIndex(spark, dir)
+      .select(col("doc_id"), explode(col("ss")).as("sg"))
+    val lowSh = sh.join(
+      sh.groupBy("sg").agg(count(lit(1)).as("sdf")).filter(col("sdf") <= 64), "sg")
+    val promised = lowSh.as("a").join(lowSh.as("b"),
+        col("a.sg") === col("b.sg") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("a_doc"), col("b.doc_id").as("b_doc"))
       .distinct().collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val cappedKeys = capped.map(key).toSet
@@ -297,7 +294,7 @@ class CorpusOpsSpec extends SparkSpec {
       s"blocking dropped promised pairs: ${(owed -- cappedKeys).take(3)}")
     // sanity on the similarity itself: bounded and symmetric-free (a<b)
     capped.foreach { r =>
-      assert(r.getDouble(3) >= 0.5 && r.getDouble(3) <= 1.0 + 1e-12)
+      assert(r.getDouble(3) >= 0.9 && r.getDouble(3) <= 1.0 + 1e-12)
       assert(r.getLong(0) < r.getLong(1))
     }
   }
