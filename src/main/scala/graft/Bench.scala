@@ -14,6 +14,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    Materialize.quietReleaseWarnings()
     // noop sink, not count(): count() lets Catalyst prune the computed
     // columns, so projection-heavy queries would benchmark as bare scans.
     // noop forces every output column through the full plan.

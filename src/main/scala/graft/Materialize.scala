@@ -27,6 +27,17 @@ object Materialize {
   private val registry =
     scala.collection.concurrent.TrieMap.empty[String, List[RDD[_]]]
 
+  /** Unpersisting a locally-checkpointed RDD is EXPECTED here (released
+    * frames are never recomputed — that's the contract), but Spark logs a
+    * WARN per release; at 131 queries × 2 bench passes that is hundreds
+    * of noise lines. Harness mains call this once to drop that one
+    * logger to ERROR without touching any other logging.
+    */
+  def quietReleaseWarnings(): Unit =
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.rdd.MapPartitionsRDD",
+      org.apache.logging.log4j.Level.ERROR)
+
   private def key(s: SparkSession): String = s.sparkContext.applicationId
 
   /** The RDDs in `r`'s dependency DAG that hold storage (the walk stops at

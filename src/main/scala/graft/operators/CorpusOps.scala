@@ -66,6 +66,19 @@ object CorpusOps {
     */
   private val CosTau = 0.9
 
+  /** q128 candidate floor: a pair must share at least this many DISTINCT
+    * low-df shingles to reach the cosine verify. A single shared rare
+    * shingle is coincidence-shaped, and every candidate pays a
+    * term-vector join — measured at sf1 (10× replica fixture): floor 1 =
+    * 11.3M candidates and a 55.8 s query; floor 2 = 1.1M and the q36a
+    * cost class. The trade is explicit: pairs whose ONLY link is one
+    * sub-cap shingle leave the contract (sf1 report 7,260 → 1,130; the
+    * dropped mass is single-rare-shingle cosine similars, while every
+    * pair the Jaccard family verifies shares ≥2). The spec's promise
+    * contract carries the same floor.
+    */
+  private val CosMinShared = 2L
+
   /** q108 global token budget (chars) — ~60% of the sf0.01 corpus mass, so
     * flattening is visible: over-represented sources get frac < 1, the
     * rarest keep everything.
@@ -157,7 +170,8 @@ object CorpusOps {
     * |candidates| × doc length, all shuffles keyed by doc or term.
     */
   private[graft] def tfidfCosinePairs(s: org.apache.spark.sql.SparkSession,
-      dir: String, dfCap: Long, tau: Double): org.apache.spark.sql.DataFrame = {
+      dir: String, dfCap: Long, tau: Double,
+      minShared: Long = CosMinShared): org.apache.spark.sql.DataFrame = {
     val d38 = DecimalType(38, 0)
     val tf = tfIndex(s, dir)
     val dfF = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
@@ -172,11 +186,16 @@ object CorpusOps {
     val sdf = sh.groupBy(col("sg")).agg(count(lit(1)).as("sdf"))
     val low = sh.join(sdf.filter(col("sdf") <= dfCap), "sg")
       .select(col("doc_id"), col("sg"))
+    // ≥ minShared distinct low-df shingles per pair (rows are distinct
+    // (doc, shingle) pairs, so count(*) IS the shared-shingle count) —
+    // prunes coincidence pairs before the expensive term-vector join
     val cand = low.as("a")
       .join(low.as("b"), col("a.sg") === col("b.sg") &&
         col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("a_doc"), col("b.doc_id").as("b_doc"))
-      .distinct()
+      .groupBy(col("a.doc_id").as("a_doc"), col("b.doc_id").as("b_doc"))
+      .agg(count(lit(1)).as("n_blk"))
+      .filter(col("n_blk") >= minShared)
+      .select(col("a_doc"), col("b_doc"))
     val wa = w.select(col("doc_id").as("a_doc"), col("term"), col("w").as("wa"))
     val wb = w.select(col("doc_id").as("b_doc"), col("term"), col("w").as("wb"))
     val num = cand
@@ -204,10 +223,11 @@ object CorpusOps {
     QuerySpec("q128_tfidf_cosine")(
       s"""WITH ${Dedup.shingleBaseCtes},
         |sdf AS (SELECT s, count(*) AS df FROM sh GROUP BY s),
-        |cand AS (SELECT DISTINCT a.doc_id AS a_doc, b.doc_id AS b_doc
+        |cand AS (SELECT a.doc_id AS a_doc, b.doc_id AS b_doc
         |         FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
         |         JOIN sdf ON sdf.s = a.s
-        |         WHERE sdf.df <= $CosDfCap),
+        |         WHERE sdf.df <= $CosDfCap
+        |         GROUP BY 1, 2 HAVING count(*) >= $CosMinShared),
         |tf AS (
         |  SELECT doc_id, t AS term, count(*) AS tf
         |  FROM (SELECT doc_id,

@@ -279,15 +279,17 @@ class CorpusOpsSpec extends SparkSpec {
       assert(brute(key(r)) == ((r.getLong(2), r.getDouble(3))),
         s"pair ${key(r)}: capped report disagrees with brute cosine")
     }
-    // recompute the promise set: brute pairs above τ sharing a low-df shingle
+    // recompute the promise set: brute pairs above τ sharing ≥2 low-df
+    // shingles (the operator's blocking floor)
     val sh = operators.TextAnalysis.shingleIndex(spark, dir)
       .select(col("doc_id"), explode(col("ss")).as("sg"))
     val lowSh = sh.join(
       sh.groupBy("sg").agg(count(lit(1)).as("sdf")).filter(col("sdf") <= 64), "sg")
     val promised = lowSh.as("a").join(lowSh.as("b"),
         col("a.sg") === col("b.sg") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("a_doc"), col("b.doc_id").as("b_doc"))
-      .distinct().collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      .groupBy(col("a.doc_id").as("a_doc"), col("b.doc_id").as("b_doc"))
+      .agg(count(lit(1)).as("n_blk")).filter(col("n_blk") >= 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val cappedKeys = capped.map(key).toSet
     val owed = brute.keySet.filter(promised)
     assert(owed.subsetOf(cappedKeys),
