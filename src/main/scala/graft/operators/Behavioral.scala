@@ -417,6 +417,75 @@ object Behavioral {
         .orderBy(col("event_type"), col("day"))
     },
 
+    // ----- event-mix drift between time halves (χ² homogeneity) ----------
+    // Data-drift monitoring: did the event-TYPE distribution shift between
+    // the first and second half of the time range? Per type, the two
+    // cells' χ² contribution under the 2×K homogeneity table — with the
+    // expected count e = r·c/T cleared of divisions:
+    //   (o − e)²/e  =  (o·T − r·c)² / (r·c·T)
+    // so each cell is ONE integer division in micro-units (the q119/q125
+    // discipline — no float subtraction of near-equal means, no
+    // cross-engine rounding), and a type's drift flag compares its
+    // contribution against the χ²₀.₀₅,₁ critical value 3.841 (micro
+    // 3 841 000). The split point is integer epoch arithmetic:
+    // mid = (min_us + max_us) div 2.
+    // Magnitude bound: (o·T − r·c)²·10⁶ must fit DECIMAL(38,0)/HUGEINT →
+    // |o·T − r·c| < 10¹⁶, safe to ~10⁸ events at full imbalance; past
+    // that, quantize counts to thousands on both sides first (the q125
+    // rescale recipe). Scale: the corpus collapses to (type × half) in
+    // one hash-agg; everything after is type-dimension-sized.
+    QuerySpec("q132_distribution_drift")(
+      """WITH e AS (SELECT event_type, epoch_us(ts) AS us FROM events),
+        |mm AS (SELECT (CAST(min(us) AS BIGINT) + max(us)) // 2 AS mid FROM e),
+        |g AS (SELECT event_type,
+        |        CAST(sum(CASE WHEN us < mm.mid THEN 1 ELSE 0 END) AS BIGINT) AS n_first,
+        |        CAST(sum(CASE WHEN us >= mm.mid THEN 1 ELSE 0 END) AS BIGINT) AS n_second
+        |      FROM e, mm GROUP BY event_type),
+        |t AS (SELECT CAST(sum(n_first) AS BIGINT) AS c1,
+        |        CAST(sum(n_second) AS BIGINT) AS c2 FROM g),
+        |x AS (SELECT g.event_type, g.n_first, g.n_second,
+        |        CAST(((CAST(g.n_first AS HUGEINT) * (t.c1 + t.c2)
+        |                - (g.n_first + g.n_second) * t.c1)
+        |              * (CAST(g.n_first AS HUGEINT) * (t.c1 + t.c2)
+        |                - (g.n_first + g.n_second) * t.c1) * 1000000)
+        |          // (CAST(g.n_first + g.n_second AS HUGEINT)
+        |             * greatest(t.c1, 1) * (t.c1 + t.c2)) AS BIGINT)
+        |        + CAST(((CAST(g.n_second AS HUGEINT) * (t.c1 + t.c2)
+        |                - (g.n_first + g.n_second) * t.c2)
+        |              * (CAST(g.n_second AS HUGEINT) * (t.c1 + t.c2)
+        |                - (g.n_first + g.n_second) * t.c2) * 1000000)
+        |          // (CAST(g.n_first + g.n_second AS HUGEINT)
+        |             * greatest(t.c2, 1) * (t.c1 + t.c2)) AS BIGINT) AS chi2_micro
+        |      FROM g, t)
+        |SELECT event_type, n_first, n_second, chi2_micro,
+        |  CAST(chi2_micro > 3841000 AS INTEGER) AS drift_flag
+        |FROM x ORDER BY event_type""".stripMargin) { (s, dir) =>
+      val ev = Tables.load(s, dir, "events")
+        .select(col("event_type"), unix_micros(col("ts")).as("us"))
+      val mm = ev.agg(min(col("us")).as("mn"), max(col("us")).as("mx"))
+        .select(expr("(mn + mx) div 2").as("mid"))
+      // localCheckpoint: the (type × half) frame feeds both the output rows
+      // and the column totals — materialize once, never rescan events.
+      val g = ev.crossJoin(broadcast(mm))
+        .groupBy(col("event_type"))
+        .agg(sum(when(col("us") < col("mid"), 1L).otherwise(0L)).cast(LongType).as("n_first"),
+          sum(when(col("us") >= col("mid"), 1L).otherwise(0L)).cast(LongType).as("n_second"))
+        .transform(graft.Materialize.ephemeral)
+      val t = g.agg(sum(col("n_first")).cast(LongType).as("c1"),
+        sum(col("n_second")).cast(LongType).as("c2"))
+      def cell(o: String, c: String) =
+        s"CAST(((CAST($o AS DECIMAL(38,0)) * (c1 + c2) - (n_first + n_second) * $c)" +
+          s" * (CAST($o AS DECIMAL(38,0)) * (c1 + c2) - (n_first + n_second) * $c)" +
+          s" * 1000000) div (CAST(n_first + n_second AS DECIMAL(38,0))" +
+          s" * greatest($c, 1) * (c1 + c2)) AS BIGINT)"
+      g.crossJoin(broadcast(t))
+        .withColumn("chi2_micro",
+          expr(cell("n_first", "c1")) + expr(cell("n_second", "c2")))
+        .select(col("event_type"), col("n_first"), col("n_second"), col("chi2_micro"),
+          (col("chi2_micro") > 3841000L).cast(IntegerType).as("drift_flag"))
+        .orderBy(col("event_type"))
+    },
+
     // ----- per-user event-type map (sumMap / CountMap analog) -------------
     // ClickHouse's map-valued aggregates (sumMap, countMap) keyed by user:
     // one (user, type) hash-agg, then the per-user MAP is assembled with

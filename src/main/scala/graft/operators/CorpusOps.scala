@@ -79,6 +79,27 @@ object CorpusOps {
     */
   private val CosMinShared = 2L
 
+  /** q130 query set: doc_id < this — the SAME id slice as the similarity
+    * family's `vec_id < NumQueries` (doc_id and vec_id share the fixture
+    * id domain), so the lexical and vector retrieval legs rank the same
+    * query items and q131 can fuse them.
+    */
+  private val Bm25NumQueries = 8L
+
+  /** q130 query-term budget: each query bag keeps its RAREST `Bm25QTerms`
+    * terms (df ASC, term ASC — the idf direction, deterministic). This is
+    * standard query-term pruning, and it is ALSO the scale bound: candidate
+    * work is Σ_{t∈bag} df(t) per query — a capped number of posting lists,
+    * never the corpus.
+    */
+  private val Bm25QTerms = 16
+
+  /** q130/q131 retrieval depth. */
+  private val Bm25K = 10
+
+  /** q131 reciprocal-rank-fusion constant (the standard RRF k=60). */
+  private val RrfK = 60
+
   /** q108 global token budget (chars) — ~60% of the sf0.01 corpus mass, so
     * flattening is visible: over-represented sources get frac < 1, the
     * rarest keep everything.
@@ -215,7 +236,170 @@ object CorpusOps {
       .orderBy(col("a_doc"), col("b_doc"))
   }
 
+  /** BM25 inverted-index retrieval — q130's body as a library operator
+    * (q131 fuses its rank list with the vector leg).
+    *
+    * "More-like-this" retrieval: each query doc's term bag (pruned to its
+    * `qt` rarest terms) is scored against every doc sharing at least one
+    * query term — the candidate set IS the union of the query terms'
+    * posting lists, the inverted-index shape, never a corpus scan per
+    * query.
+    *
+    * Cross-engine exactness (the q128 discipline, pushed further — BM25's
+    * fraction clears to ONE integer rational): with k1 = 6/5 and b = 3/4,
+    *
+    *   idf_q·tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))
+    *     = idf_q·tf·44·T / (20·tf·T + 6·T + 18·dl·N)      [avgdl = T/N]
+    *
+    * where idf_q = (10⁶·N) div df (the q128 rational idf — no float log),
+    * T = total token instances, N = docs, dl = doc length. Numerator in
+    * DECIMAL(38,0)/HUGEINT, ONE integer division per (term, doc) → BIGINT
+    * micro-score, and the per-doc SUM is an exact BIGINT sum — no
+    * order-dependent float accumulation anywhere, so ranks (and the
+    * driver hash) agree bit-for-bit across engines.
+    *
+    * Overflow bound (the q125 discipline): the numerator is ≤
+    * 10⁶·N·tf·44·T ≈ 4.4·10⁷·N·tf·T — inside 10³⁸ up to N·tf·T ≈ 2·10³⁰
+    * (e.g. 10⁹ docs × tf 10³ × 10¹² tokens, far past 100 TB). The BIGINT
+    * micro-score itself is bounded by 10⁶·N·44/20 per term (df ≥ 1 ⇒
+    * tf·T cancels against the denominator's 20·tf·T), ≈ 2.2·10⁶·N — safe
+    * to N ≈ 10¹¹ docs; past that, quantize idf in KILO units.
+    *
+    * Scale: tf/df/dl all ride the shared [[tfIndex]]; the probe join is
+    * term-keyed and posting-list-bounded; the final per-query top-k runs
+    * through the salted two-phase [[TopK.perKeyTopK]] because q_id is a
+    * low-cardinality key (a query batch), exactly the q39 posture.
+    */
+  private[graft] def bm25TopK(s: org.apache.spark.sql.SparkSession, dir: String,
+      nq: Long = Bm25NumQueries, qt: Int = Bm25QTerms,
+      k: Int = Bm25K): org.apache.spark.sql.DataFrame = {
+    val tf = tfIndex(s, dir)
+    val dfF = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).cast(LongType).as("dl"))
+    val nT = Tables.load(s, dir, "documents").agg(count(lit(1)).cast(LongType).as("n"))
+    val tot = tf.agg(sum(col("tf")).cast(LongType).as("t"))
+    // query bags: rarest-qt pruning; the window partitions by query doc —
+    // a bag is doc-length-bounded, and the query set is a bounded batch
+    val wq = Window.partitionBy(col("doc_id")).orderBy(col("df").asc, col("term").asc)
+    val qterms = tf.filter(col("doc_id") < nq)
+      .join(dfF, "term")
+      .withColumn("qrk", row_number().over(wq))
+      .filter(col("qrk") <= qt)
+      .select(col("doc_id").as("q_id"), col("term"), col("df"))
+    val scored = qterms
+      .join(tf, "term")
+      .filter(col("doc_id") =!= col("q_id"))
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(nT)).crossJoin(broadcast(tot))
+      .withColumn("s_micro", expr(
+        "CAST((CAST((1000000 * n) div df AS DECIMAL(38,0)) * tf * 44 * t) div " +
+          "((CAST(20 AS DECIMAL(38,0)) * tf * t) + (CAST(6 AS DECIMAL(38,0)) * t)" +
+          " + (CAST(18 AS DECIMAL(38,0)) * dl * n)) AS BIGINT)"))
+      .groupBy(col("q_id"), col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"), sum(col("s_micro")).cast(LongType).as("bm25_micro"))
+    TopK.perKeyTopK(scored, keys = Seq(col("q_id")),
+      order = Seq(col("bm25_micro").desc, col("doc_id").asc), k = k,
+      saltFrom = col("doc_id"))
+      .select(col("q_id"), col("rk"), col("doc_id"), col("n_terms"), col("bm25_micro"))
+      .orderBy(col("q_id"), col("rk"))
+  }
+
+  /** Shared DuckDB CTE block for BM25 (q130 and q131's lexical leg). */
+  private def bm25OracleCtes(nq: Long, qt: Int): String =
+    s"""tf AS (
+      |  SELECT doc_id, t AS term, count(*) AS tf
+      |  FROM (SELECT doc_id,
+      |          unnest(string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')) AS t
+      |        FROM documents)
+      |  GROUP BY doc_id, t),
+      |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+      |nt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+      |tot AS (SELECT CAST(sum(tf) AS BIGINT) AS t FROM tf),
+      |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+      |qt AS (SELECT q_id, term, df FROM (
+      |         SELECT tf.doc_id AS q_id, tf.term, df.df,
+      |           row_number() OVER (PARTITION BY tf.doc_id
+      |             ORDER BY df.df ASC, tf.term ASC) AS qrk
+      |         FROM tf JOIN df USING (term) WHERE tf.doc_id < $nq)
+      |       WHERE qrk <= $qt),
+      |sc AS (SELECT qt.q_id, tf.doc_id, count(*) AS n_terms,
+      |         CAST(sum(
+      |           (CAST((1000000 * nt.n) // qt.df AS HUGEINT) * tf.tf * 44 * tot.t)
+      |           // ((CAST(20 AS HUGEINT) * tf.tf * tot.t) + (CAST(6 AS HUGEINT) * tot.t)
+      |              + (CAST(18 AS HUGEINT) * dl.dl * nt.n))
+      |         ) AS BIGINT) AS bm25_micro
+      |       FROM qt JOIN tf ON tf.term = qt.term AND tf.doc_id <> qt.q_id
+      |       JOIN dl ON dl.doc_id = tf.doc_id, nt, tot
+      |       GROUP BY qt.q_id, tf.doc_id),
+      |bmr AS (SELECT q_id, doc_id, n_terms, bm25_micro,
+      |          row_number() OVER (PARTITION BY q_id
+      |            ORDER BY bm25_micro DESC, doc_id ASC) AS rk
+      |        FROM sc)""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
+
+    // ----- BM25 inverted-index retrieval (lexical "more-like-this") -------
+    // See [[bm25TopK]]: rational-cleared BM25 (k1=1.2, b=0.75), integer
+    // micro-scores, posting-list-bounded candidates, salted per-query
+    // top-k.
+    QuerySpec("q130_bm25_topk")(
+      s"""WITH ${bm25OracleCtes(Bm25NumQueries, Bm25QTerms)}
+        |SELECT q_id, rk, doc_id, n_terms, bm25_micro FROM bmr WHERE rk <= $Bm25K
+        |ORDER BY q_id, rk""".stripMargin) { (s, dir) =>
+      bm25TopK(s, dir)
+    },
+
+    // ----- hybrid retrieval: reciprocal-rank fusion of BM25 + cosine ------
+    // The fusion step a production retrieval stack runs over its lexical
+    // and vector legs (RRF, k=60): score = Σ_legs 1/(60+rank), here in
+    // integer micro-units — 10⁶ div (60+rk) per leg, a missing leg
+    // contributes 0 (its rank column stays NULL in the report) — so the
+    // ENTIRE operator is integer-exact: no IEEE op at all, ranks and the
+    // fused order agree across engines by construction. The legs are
+    // [[bm25TopK]] (posting-list-bounded) and [[Similarity.cosineTopK]]
+    // (one corpus scan, broadcast query set, salted top-k) over the SAME
+    // query ids — doc_id and vec_id share the fixture id domain. The
+    // fusion join and final window touch ≤ 2k rows per query (the two
+    // rank lists), so everything after the legs is query-batch-sized.
+    QuerySpec("q131_hybrid_rrf")(
+      s"""WITH ${bm25OracleCtes(Bm25NumQueries, Bm25QTerms)},
+        |q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
+        |      WHERE vec_id < $Bm25NumQueries),
+        |sv AS (SELECT q.q_id, e.vec_id,
+        |         ${Similarity.dotSql("q.q_emb", "e.embedding")} AS sim_dec
+        |       FROM embeddings e, q WHERE e.vec_id <> q.q_id),
+        |vr AS (SELECT q_id, vec_id,
+        |         row_number() OVER (PARTITION BY q_id
+        |           ORDER BY sim_dec DESC, vec_id ASC) AS rk
+        |       FROM sv),
+        |lex AS (SELECT q_id, doc_id AS item, rk AS rk_lex FROM bmr WHERE rk <= $Bm25K),
+        |vec AS (SELECT q_id, vec_id AS item, rk AS rk_vec FROM vr WHERE rk <= $Bm25K),
+        |f AS (SELECT coalesce(lex.q_id, vec.q_id) AS q_id,
+        |        coalesce(lex.item, vec.item) AS item, rk_lex, rk_vec,
+        |        coalesce(1000000 // ($RrfK + rk_lex), 0)
+        |          + coalesce(1000000 // ($RrfK + rk_vec), 0) AS rrf_micro
+        |      FROM lex FULL OUTER JOIN vec
+        |        ON lex.q_id = vec.q_id AND lex.item = vec.item)
+        |SELECT q_id,
+        |  row_number() OVER (PARTITION BY q_id ORDER BY rrf_micro DESC, item ASC) AS rk,
+        |  item, rk_lex, rk_vec, rrf_micro
+        |FROM f ORDER BY q_id, rk""".stripMargin) { (s, dir) =>
+      val e = Tables.load(s, dir, "embeddings")
+      val lex = bm25TopK(s, dir)
+        .select(col("q_id"), col("doc_id").as("item"), col("rk").cast(LongType).as("rk_lex"))
+      val vec = Similarity.cosineTopK(e, e.filter(col("vec_id") < Bm25NumQueries),
+          Bm25K, nQueries = Bm25NumQueries)
+        .select(col("q_id"), col("neighbor_id").as("item"), col("rk").cast(LongType).as("rk_vec"))
+      val w = Window.partitionBy(col("q_id")).orderBy(col("rrf_micro").desc, col("item").asc)
+      lex.join(vec, Seq("q_id", "item"), "full_outer")
+        .withColumn("rrf_micro",
+          coalesce(expr(s"1000000 div ($RrfK + rk_lex)"), lit(0L)) +
+            coalesce(expr(s"1000000 div ($RrfK + rk_vec)"), lit(0L)))
+        .withColumn("rk", row_number().over(w).cast(LongType))
+        .select(col("q_id"), col("rk"), col("item"), col("rk_lex"), col("rk_vec"),
+          col("rrf_micro"))
+        .orderBy(col("q_id"), col("rk"))
+    },
 
     // ----- tf-idf cosine near-dup pairs (lexical retrieval similarity) ----
     // See [[tfidfCosinePairs]]: df-capped candidate blocking, exact

@@ -274,4 +274,32 @@ class BehavioralSpec extends SparkSpec {
     val first = out.orderBy(col("doc_id")).limit(1).collect()(0)
     assert(first.getLong(2) == first.getLong(1) && first.getDouble(3) == 1.0)
   }
+
+  test("q132: integer chi-square agrees with the naive float derivation") {
+    // Cross-derivation: the division-cleared micro-unit cells against the
+    // textbook (o−e)²/e float formula — the same differential pattern as
+    // q99's z-score test. Floor quantization loses < 1 micro-unit per
+    // cell, so the tolerance is 2 absolute micro-units plus float slack.
+    val rows = SparkEntry.queries("q132_distribution_drift")(spark, dir).collect()
+    assert(rows.length >= 2, "fixture should contain multiple event types")
+    val c1 = rows.map(_.getLong(1)).sum.toDouble
+    val c2 = rows.map(_.getLong(2)).sum.toDouble
+    assert(c1 > 0 && c2 > 0, "midpoint split must populate both halves")
+    val tt = c1 + c2
+    rows.foreach { r =>
+      val o1 = r.getLong(1).toDouble; val o2 = r.getLong(2).toDouble
+      val rr = o1 + o2
+      val e1 = rr * c1 / tt; val e2 = rr * c2 / tt
+      val chi = (if (e1 > 0) (o1 - e1) * (o1 - e1) / e1 else 0.0) +
+        (if (e2 > 0) (o2 - e2) * (o2 - e2) / e2 else 0.0)
+      val micro = r.getLong(3)
+      assert(math.abs(chi * 1e6 - micro) <= 2 + chi * 1e6 * 1e-9,
+        s"${r.getString(0)}: float chi2 ${chi * 1e6} vs integer $micro")
+      assert((r.getInt(4) == 1) == (micro > 3841000L))
+    }
+    // the per-type splits must re-sum to the global column totals the
+    // operator derived them from (internal consistency of the one pass)
+    val ev = Tables.load(spark, dir, "events").count()
+    assert(rows.map(r => r.getLong(1) + r.getLong(2)).sum == ev)
+  }
 }

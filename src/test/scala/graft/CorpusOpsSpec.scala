@@ -300,4 +300,80 @@ class CorpusOpsSpec extends SparkSpec {
       assert(r.getLong(0) < r.getLong(1))
     }
   }
+
+  test("q130: BM25 micro-scores equal an independent BigInt recomputation") {
+    // Driver-side re-derivation from raw text: same tokenization, query
+    // bags re-pruned, and the rational-cleared BM25 recomputed with BigInt
+    // arithmetic — a genuinely independent path (no Spark aggregates, no
+    // DuckDB) that must agree row-for-row on scores AND ranking.
+    val rows = q("q130_bm25_topk").collect()
+    assert(rows.nonEmpty)
+    val docs = Tables.load(spark, dir, "documents").select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).trim.replaceAll("\\s+", " ")
+        .toLowerCase.split(" ").toSeq).toMap
+    val tf = docs.toSeq.flatMap { case (d, ts) =>
+      ts.groupBy(identity).map { case (t, g) => ((d, t), BigInt(g.size)) }
+    }.toMap
+    val dfm = tf.keys.groupBy(_._2).map { case (t, g) => t -> BigInt(g.size) }
+    val nDocs = BigInt(docs.size)
+    val totTok = tf.values.sum
+    val dl = docs.map { case (d, ts) => d -> BigInt(ts.size) }
+    val expected = (0L until 8L).flatMap { qd =>
+      val bag = docs(qd).distinct.map(t => (dfm(t), t)).sortBy(p => (p._1, p._2))
+        .take(16).map(_._2).toSet
+      val scored = docs.keys.filter(_ != qd).toSeq.flatMap { d =>
+        val terms = bag.toSeq.filter(t => tf.contains((d, t)))
+        if (terms.isEmpty) None
+        else {
+          val s = terms.map { t =>
+            val idf = (BigInt(1000000) * nDocs) / dfm(t)
+            (idf * tf((d, t)) * 44 * totTok) /
+              (BigInt(20) * tf((d, t)) * totTok + 6 * totTok + 18 * dl(d) * nDocs)
+          }.sum
+          Some((d, terms.size.toLong, s))
+        }
+      }
+      scored.sortBy { case (d, _, s) => (-s, d) }.take(10).zipWithIndex
+        .map { case ((d, nt, s), i) => (qd, i + 1L, d, nt, s.toLong) }
+    }
+    val got = rows.map(r =>
+      (r.getLong(0), r.getInt(1).toLong, r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == expected,
+      s"BM25 disagreement; first diff: ${got.toSeq.zip(expected).find(p => p._1 != p._2)}")
+  }
+
+  test("q131: fusion equals recomputed RRF over its own two legs, complete and ordered") {
+    val fused = q("q131_hybrid_rrf").collect()
+    assert(fused.nonEmpty)
+    val lex = operators.CorpusOps.bm25TopK(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getInt(1).toLong).toMap
+    val e = Tables.load(spark, dir, "embeddings")
+    val vec = operators.Similarity.cosineTopK(
+        e, e.filter(org.apache.spark.sql.functions.col("vec_id") < 8), 10, nQueries = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getInt(1).toLong).toMap
+    // completeness: fused keys = union of the two legs' keys, nothing else
+    val fusedKeys = fused.map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(fusedKeys == lex.keySet ++ vec.keySet)
+    // arithmetic + leg ranks + ordering per query
+    fused.groupBy(_.getLong(0)).foreach { case (_, qr) =>
+      var prev = Long.MaxValue
+      var prevItem = -1L
+      qr.sortBy(_.getLong(1)).foreach { r =>
+        val key = (r.getLong(0), r.getLong(2))
+        val rl = lex.get(key); val rv = vec.get(key)
+        assert((if (r.isNullAt(3)) None else Some(r.getLong(3))) == rl)
+        assert((if (r.isNullAt(4)) None else Some(r.getLong(4))) == rv)
+        val rrf = rl.map(k => 1000000L / (60 + k)).getOrElse(0L) +
+          rv.map(k => 1000000L / (60 + k)).getOrElse(0L)
+        assert(r.getLong(5) == rrf)
+        // rank order: rrf DESC with item ASC tiebreak
+        assert(rrf < prev || (rrf == prev && r.getLong(2) > prevItem))
+        prev = rrf; prevItem = r.getLong(2)
+      }
+    }
+    // the fixture must actually exercise fusion: at least one item present
+    // in BOTH legs for some query (else the operator degenerates to concat)
+    assert((lex.keySet intersect vec.keySet).nonEmpty,
+      "fixture should contain at least one lexically-and-semantically similar pair")
+  }
 }

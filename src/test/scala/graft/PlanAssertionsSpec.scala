@@ -468,4 +468,18 @@ class PlanAssertionsSpec extends SparkSpec {
     val b = under.groupBy("l_returnflag").count().orderBy("l_returnflag").collect().toSeq
     assert(a == b)
   }
+
+  test("q130/q131: retrieval legs plan no cartesian; per-query top-k is salted") {
+    // BM25 candidates must come from the term-keyed posting join (an
+    // inverted index probe), and the final per-query top-k must run the
+    // salted two-phase shape — q_id is a low-cardinality key. The only
+    // nested-loop joins allowed are the 1-row scalar broadcasts (N, T).
+    val p130 = plan("q130_bm25_topk")
+    assert(!p130.contains("CartesianProduct"), p130.take(2000))
+    assert(p130.contains("__lrn"), "BM25 top-k must be the salted two-phase form")
+    val p131 = plan("q131_hybrid_rrf")
+    assert(!p131.contains("CartesianProduct"), p131.take(2000))
+    // the fusion itself joins on (q_id, item) — an equi-join, never a loop
+    assert(p131.contains("FullOuter"), "fusion must be the keyed full-outer join")
+  }
 }
