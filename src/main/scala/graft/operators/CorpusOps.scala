@@ -117,11 +117,18 @@ object CorpusOps {
     */
   private val tfIndexCache = new graft.SessionCache[org.apache.spark.sql.DataFrame]
 
+  /** `(doc_id, term, tf)` rows of any `(doc_id, text, …)` frame — the
+    * per-batch increment the streaming tf-store maintainer appends, and
+    * the build body of the session [[tfIndex]].
+    */
+  private[graft] def tfRows(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+
   private def tfIndex(s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame =
     tfIndexCache.getOrElseUpdate(s, dir)(
-      Tables.load(s, dir, "documents")
-        .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
-        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      tfRows(Tables.load(s, dir, "documents"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER))
 
   /** q96's chunk projection as a library transform over any
@@ -272,11 +279,22 @@ object CorpusOps {
     */
   private[graft] def bm25TopK(s: org.apache.spark.sql.SparkSession, dir: String,
       nq: Long = Bm25NumQueries, qt: Int = Bm25QTerms,
-      k: Int = Bm25K): org.apache.spark.sql.DataFrame = {
-    val tf = tfIndex(s, dir)
+      k: Int = Bm25K): org.apache.spark.sql.DataFrame =
+    bm25TopKOverTf(tfIndex(s, dir),
+      Tables.load(s, dir, "documents").agg(count(lit(1)).cast(LongType).as("n")),
+      nq, qt, k)
+
+  /** [[bm25TopK]]'s scoring body over ANY `(doc_id, term, tf)` frame plus
+    * a 1-row doc-count frame (column `n`) — the seam that lets the
+    * streaming tf-store maintainer ([[graft.streaming.IndexMaintenance]])
+    * serve the identical BM25 off its durable store: same plan, same
+    * integer arithmetic, different tf provenance.
+    */
+  private[graft] def bm25TopKOverTf(tf: org.apache.spark.sql.DataFrame,
+      nT: org.apache.spark.sql.DataFrame, nq: Long, qt: Int,
+      k: Int): org.apache.spark.sql.DataFrame = {
     val dfF = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).cast(LongType).as("dl"))
-    val nT = Tables.load(s, dir, "documents").agg(count(lit(1)).cast(LongType).as("n"))
     val tot = tf.agg(sum(col("tf")).cast(LongType).as("t"))
     // query bags: rarest-qt pruning; the window partitions by query doc —
     // a bag is doc-length-bounded, and the query set is a bounded batch

@@ -310,6 +310,86 @@ object IndexMaintenance {
       .start()
   }
 
+  /** The durable `(doc_id, term, tf)` store behind [[maintainTfIndex]] —
+    * the retrieval-side counterpart of the shingle store: the BM25 leg
+    * (q130) and the tf-derived text profiles serve off it instead of
+    * re-tokenizing the corpus.
+    */
+  private[graft] val TfStoreName = "tf_index"
+
+  /** Bootstrap the tf store from an existing corpus frame (possibly
+    * empty) — required before attaching a maintainer, mirroring the
+    * shingle/SRP/chunk bootstrap contract.
+    */
+  private[graft] def bootstrapTfStore(s: SparkSession, corpusDir: String,
+      docs: DataFrame): Unit = {
+    graft.IndexStore.servedFrom(s, corpusDir, TfStoreName)(
+      graft.operators.CorpusOps.tfRows(docs))
+    ()
+  }
+
+  /** Apply one micro-batch of `(doc_id, text, …)` documents to the tf
+    * store; false = replay, skipped. Unlike the chunk store, the append
+    * needs NO store probe at all: tf rows are keyed by (doc_id, term) and
+    * the stream's doc ids are append-only, so a batch's rows are disjoint
+    * from everything stored — per-batch cost is exactly O(batch)
+    * tokenize+aggregate work.
+    */
+  private[graft] def applyTfBatch(s: SparkSession, corpusDir: String,
+      stream: String, batchId: Long, docs: DataFrame): Boolean =
+    shouldApply(batchId, lastApplied(s, corpusDir, TfStoreName, stream),
+      stream, corpusDir) && {
+      graft.IndexStore.append(s, corpusDir, TfStoreName,
+        graft.operators.CorpusOps.tfRows(docs),
+        extraMeta = Map(markerKey(stream) -> batchId.toString))
+      true
+    }
+
+  /** Attach a tf-index maintainer to a `(doc_id, text, …)` stream: each
+    * micro-batch's `(doc_id, term, tf)` rows land in the durable store at
+    * O(batch) cost, exactly once behind the batch marker, so BM25
+    * retrieval ([[bm25FromStore]]) always serves the corpus as of the
+    * last committed batch instead of re-tokenizing everything ingested
+    * today.
+    */
+  def maintainTfIndex(docs: DataFrame, corpusDir: String,
+      checkpoint: String, stream: String = "tf_maintenance"): StreamingQuery = {
+    val owner = docs.sparkSession
+    docs.writeStream
+      .queryName(stream)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        applyTfBatch(owner, corpusDir, stream, batchId, batch)
+        ()
+      }
+      .start()
+  }
+
+  /** BM25 top-k served off the durable tf store — the identical scoring
+    * body as batch q130 ([[graft.operators.CorpusOps.bm25TopKOverTf]]):
+    * same rational-cleared integer arithmetic, same pruning and salted
+    * top-k, with tf provenance swapped to the maintained store. The doc
+    * count is the store's own distinct doc_id (every ingested doc has
+    * ≥ 1 token row; a hypothetical all-whitespace doc would not retrieve
+    * under ANY tf formulation, so the count difference cannot change a
+    * rank). Spec-pinned equal to the batch answer over the same corpus.
+    */
+  def bm25FromStore(s: SparkSession, corpusDir: String,
+      nq: Long, qt: Int, k: Int): DataFrame = {
+    val root = graft.IndexStore.configuredDir(s).getOrElse(throw
+      new IllegalStateException("bm25FromStore requires a configured index " +
+        s"store (${graft.IndexStore.DirConf})"))
+    val path = graft.IndexStore.storePath(root, corpusDir, TfStoreName)
+    require(graft.IndexStore.committed(s, path),
+      s"bootstrap the tf store at $path before serving BM25 from it")
+    val tf = s.read.parquet(path).select("doc_id", "term", "tf")
+    val nT = tf.select("doc_id").distinct()
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1))
+        .cast(org.apache.spark.sql.types.LongType).as("n"))
+    graft.operators.CorpusOps.bm25TopKOverTf(tf, nT, nq, qt, k)
+  }
+
   /** Attach an SRP-index maintainer to a `(vec_id, embedding)` stream. */
   def maintainSrpIndex(embeddings: DataFrame, corpusDir: String,
       checkpoint: String, stream: String = "srp_maintenance"): StreamingQuery = {

@@ -733,4 +733,68 @@ class IndexStoreSpec extends SparkSpec {
     assert(q123Removable == (nonFirst.size - expected.size) + streamed.size,
       "q123 removable must equal bootstrap dups + streamed dups")
   }
+
+  test("streaming tf maintenance: BM25 off the grown store equals the batch answer") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val root = tmp("graft_idx_tf")
+    val docs = Tables.load(spark, dir, "documents")
+    val t = docs.selectExpr("(max(doc_id) * 8) div 10 AS t").collect()(0).getLong(0)
+
+    // bootstrap on the pre-stream corpus slice (carries the query docs)
+    val sA = spark.newSession()
+    sA.conf.set(IndexStore.DirConf, root)
+    streaming.IndexMaintenance.bootstrapTfStore(sA, dir,
+      Tables.load(sA, dir, "documents").filter(col("doc_id") < t))
+
+    // the increment streams in TWO doc_id-ordered micro-batches with a
+    // simulated crash between them
+    implicit val sqlCtx = sA.sqlContext
+    import sA.implicits._
+    val inc = docs.filter(col("doc_id") >= t).select("doc_id", "text")
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val (b1, b2) = inc.splitAt(inc.length / 2)
+    val input = MemoryStream[(Long, String)]
+    val ckpt = tmp("graft_idx_tf_ck")
+    val stream = "tf_spec"
+    input.addData(b1.toSeq)
+    val q1 = streaming.IndexMaintenance.maintainTfIndex(
+      input.toDF().toDF("doc_id", "text"), dir, ckpt, stream)
+    q1.processAllAvailable()
+    q1.stop()
+
+    // exactly-once: the replayed batch id is skipped, store rows unchanged
+    val path = IndexStore.storePath(root, dir, streaming.IndexMaintenance.TfStoreName)
+    val rowsBefore = sA.read.parquet(path).count()
+    val replayed = streaming.IndexMaintenance.applyTfBatch(sA, dir, stream, 0L,
+      Tables.load(sA, dir, "documents").filter(col("doc_id") >= t).limit(3)
+        .select("doc_id", "text"))
+    assert(!replayed, "an applied batch id must be skipped on replay")
+    assert(sA.read.parquet(path).count() == rowsBefore,
+      "a skipped replay must not grow the store")
+
+    // restart from the SAME checkpoint with the rest of the stream
+    input.addData(b2.toSeq)
+    val q2 = streaming.IndexMaintenance.maintainTfIndex(
+      input.toDF().toDF("doc_id", "text"), dir, ckpt, stream)
+    q2.processAllAvailable()
+    q2.stop()
+
+    // the store now holds exactly the corpus's (doc, term, tf) rows …
+    val stored = sA.read.parquet(path)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val batchTf = operators.CorpusOps.tfRows(docs)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(stored == batchTf, "streamed store must equal the batch tf rows")
+
+    // … and BM25 served off it is row-identical to the batch operator
+    // (same queries, pruning, and integer scores — q130's contract)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    val served = streaming.IndexMaintenance.bm25FromStore(sA, dir, 8L, 16, 10)
+      .collect().map(key).toSeq
+    val batch = operators.CorpusOps.bm25TopK(sA, dir).collect().map(key).toSeq
+    assert(served == batch, "store-served BM25 must equal the batch answer")
+    assert(served.nonEmpty)
+  }
 }
