@@ -152,6 +152,48 @@ object CorpusOps {
           .as("chunk_fp"))
   }
 
+  /** q133 boundary modulus: a token ends a chunk when hex60(token) ≡ 0
+    * (mod 8) → expected chunk length 8 tokens on the fixture's ~56-token
+    * docs. Production tuning changes only this constant.
+    */
+  private val CdcModulus = 8
+
+  /** q133's content-defined chunking as a library transform — the
+    * shift-robust counterpart of [[chunkRows]]: chunk boundaries fall
+    * where a TOKEN's hash (hex60 mod [[CdcModulus]]) hits 0, so they are
+    * a function of CONTENT, not position. Insert one token anywhere and
+    * q96's fixed-stride grid shifts — every downstream chunk fingerprint
+    * changes and the dedup store sees an entirely "new" document; CDC
+    * boundaries re-synchronize at the next content boundary, so every
+    * chunk after the edit keeps its fingerprint (the rsync/LBFS argument,
+    * spec-pinned). Like [[chunkRows]] a PURE per-row expression — scan-
+    * parallel, zero shuffle, and the boundary scan is one zip_with +
+    * filter (array fast path, not per-element indexed access — the
+    * TextFunctions.shingles lesson).
+    */
+  private[graft] def cdcChunkRows(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val tok = tokens(col("text"))
+    docs
+      .select(col("doc_id"), tok.as("tok"), size(tok).as("n"))
+      .withColumn("bpos", concat(
+        array(lit(0)),
+        filter(
+          zip_with(col("tok"), sequence(lit(1), col("n")),
+            (t, p) => when(pmod(hex60(t), lit(CdcModulus)) === 0 && p < col("n"), p)),
+          x => x.isNotNull),
+        array(col("n"))))
+      .select(col("doc_id"), col("tok"), col("bpos"),
+        explode(sequence(lit(1), size(col("bpos")) - 1)).as("k"))
+      .select(col("doc_id"), (col("k") - 1).as("chunk_id"),
+        (element_at(col("bpos"), col("k")) + 1).as("start_pos"),
+        (element_at(col("bpos"), col("k") + 1) - element_at(col("bpos"), col("k")))
+          .as("n_tokens"),
+        hex60(array_join(
+          slice(col("tok"), element_at(col("bpos"), col("k")) + 1,
+            element_at(col("bpos"), col("k") + 1) - element_at(col("bpos"), col("k"))),
+          " ")).as("chunk_fp"))
+  }
+
   private val chunkOracleSql: String =
     s"""WITH t AS (SELECT doc_id,
       |  string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS tok
@@ -470,6 +512,31 @@ object CorpusOps {
     // chunk rows stay narrow however large the documents get.
     QuerySpec("q96_chunk_windows")(chunkOracleSql) { (s, dir) =>
       chunkRows(Tables.load(s, dir, "documents"))
+        .orderBy(col("doc_id"), col("chunk_id"))
+    },
+
+    // ----- content-defined chunking (shift-robust dedup granularity) ------
+    // See [[cdcChunkRows]]: boundaries from token-hash content, chunks
+    // tile the token sequence exactly (partition property spec-pinned),
+    // fingerprints survive edits that shift q96's fixed grid.
+    QuerySpec("q133_cdc_chunks")(
+      s"""WITH t AS (SELECT doc_id,
+        |  string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS tok
+        |  FROM documents),
+        |b AS (SELECT doc_id, tok, len(tok) AS n,
+        |        list_concat(list_concat([0],
+        |          list_filter(generate_series(1, len(tok) - 1),
+        |            i -> ${hex60Sql.format("tok[i]")} % $CdcModulus = 0)),
+        |          [len(tok)]) AS bpos
+        |      FROM t),
+        |c AS (SELECT doc_id, tok, bpos,
+        |        unnest(generate_series(1, len(bpos) - 1)) AS k
+        |      FROM b)
+        |SELECT doc_id, k - 1 AS chunk_id, bpos[k] + 1 AS start_pos,
+        |  bpos[k+1] - bpos[k] AS n_tokens,
+        |  ${hex60Sql.format("array_to_string(list_slice(tok, bpos[k] + 1, bpos[k+1]), ' ')")} AS chunk_fp
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin) { (s, dir) =>
+      cdcChunkRows(Tables.load(s, dir, "documents"))
         .orderBy(col("doc_id"), col("chunk_id"))
     },
 

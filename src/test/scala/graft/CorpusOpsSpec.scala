@@ -301,6 +301,52 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("q133: CDC chunks tile every document exactly") {
+    val rows = q("q133_cdc_chunks").collect()
+    assert(rows.nonEmpty)
+    val nTok = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+        size(graft.functions.TextFunctions.tokens(col("text"))).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    rows.groupBy(_.getLong(0)).foreach { case (d, ch) =>
+      val sorted = ch.sortBy(_.getInt(1))
+      // contiguous starts: each chunk begins where the previous ended
+      var next = 1
+      sorted.foreach { r =>
+        assert(r.getInt(2) == next, s"doc $d: gap at chunk ${r.getInt(1)}")
+        assert(r.getInt(3) >= 1)
+        next += r.getInt(3)
+      }
+      assert(next - 1 == nTok(d), s"doc $d: chunks must cover all tokens")
+    }
+  }
+
+  test("q133: CDC fingerprints survive a prefix edit that shifts the q96 grid") {
+    // The operator's reason to exist: insert ONE token at the front of a
+    // document. Fixed-stride chunking (q96) shifts every window — its
+    // fingerprints almost all die; CDC boundaries re-synchronize at the
+    // first content boundary — every chunk except the first survives.
+    import spark.implicits._
+    val text = Tables.load(spark, dir, "documents")
+      .filter(col("doc_id") === 0).select("text").collect()(0).getString(0)
+    def cdcFps(t: String) = operators.CorpusOps.cdcChunkRows(
+        Seq((0L, t)).toDF("doc_id", "text"))
+      .select("chunk_fp").collect().map(_.getLong(0)).toSet
+    def strideFps(t: String) = operators.CorpusOps.chunkRows(
+        Seq((0L, t)).toDF("doc_id", "text"))
+      .select("chunk_fp").collect().map(_.getLong(0)).toSet
+    val orig = cdcFps(text)
+    assert(orig.size >= 3, "fixture doc 0 should produce several CDC chunks")
+    val edited = "inserted " + text
+    val cdcSurvivors = (orig intersect cdcFps(edited)).size
+    assert(cdcSurvivors >= orig.size - 1,
+      s"CDC must keep every post-resync chunk: $cdcSurvivors of ${orig.size}")
+    val sOrig = strideFps(text)
+    val strideSurvivors = (sOrig intersect strideFps(edited)).size
+    assert(strideSurvivors < cdcSurvivors,
+      s"fixed-stride should lose more chunks ($strideSurvivors) than CDC ($cdcSurvivors)")
+  }
+
   test("q130: BM25 micro-scores equal an independent BigInt recomputation") {
     // Driver-side re-derivation from raw text: same tokenization, query
     // bags re-pruned, and the rational-cleared BM25 recomputed with BigInt
