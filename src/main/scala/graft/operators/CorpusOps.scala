@@ -461,6 +461,56 @@ object CorpusOps {
         .orderBy(col("q_id"), col("rk"))
     },
 
+    // ----- retrieval-leg agreement (overlap@k diagnostic) -----------------
+    // The "is hybrid worth running" report: per query, how much of the
+    // lexical top-k and the vector top-k is the SAME items — overlap
+    // Jaccard in integer micro-units (n_common·10⁶ div (n_lex + n_vec −
+    // n_common)). LOW agreement = the modalities retrieve different
+    // things and fusion (q131) adds real coverage; HIGH = one leg
+    // suffices. Completes the retrieval-quality family: q80/q101 measure
+    // index loss, q124 quantization loss, q134 modality divergence. The
+    // aggregation is query-batch-sized on top of the two legs' own plans.
+    QuerySpec("q134_leg_agreement")(
+      s"""WITH ${bm25OracleCtes(Bm25NumQueries, Bm25QTerms)},
+        |q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
+        |      WHERE vec_id < $Bm25NumQueries),
+        |sv AS (SELECT q.q_id, e.vec_id,
+        |         ${Similarity.dotSql("q.q_emb", "e.embedding")} AS sim_dec
+        |       FROM embeddings e, q WHERE e.vec_id <> q.q_id),
+        |vr AS (SELECT q_id, vec_id,
+        |         row_number() OVER (PARTITION BY q_id
+        |           ORDER BY sim_dec DESC, vec_id ASC) AS rk
+        |       FROM sv),
+        |lex AS (SELECT q_id, doc_id AS item FROM bmr WHERE rk <= $Bm25K),
+        |vec AS (SELECT q_id, vec_id AS item FROM vr WHERE rk <= $Bm25K),
+        |nl AS (SELECT q_id, count(*) AS n_lex FROM lex GROUP BY q_id),
+        |nv AS (SELECT q_id, count(*) AS n_vec FROM vec GROUP BY q_id),
+        |nc AS (SELECT lex.q_id, count(*) AS n_common
+        |       FROM lex JOIN vec ON lex.q_id = vec.q_id AND lex.item = vec.item
+        |       GROUP BY lex.q_id)
+        |SELECT nl.q_id, nl.n_lex, nv.n_vec, coalesce(nc.n_common, 0) AS n_common,
+        |  (coalesce(nc.n_common, 0) * 1000000)
+        |    // (nl.n_lex + nv.n_vec - coalesce(nc.n_common, 0)) AS agree_micro
+        |FROM nl JOIN nv USING (q_id) LEFT JOIN nc ON nc.q_id = nl.q_id
+        |ORDER BY nl.q_id""".stripMargin) { (s, dir) =>
+      val e = Tables.load(s, dir, "embeddings")
+      val lex = bm25TopK(s, dir).select(col("q_id"), col("doc_id").as("item"))
+      val vec = Similarity.cosineTopK(e, e.filter(col("vec_id") < Bm25NumQueries),
+          Bm25K, nQueries = Bm25NumQueries)
+        .select(col("q_id"), col("neighbor_id").as("item"))
+      val nl = lex.groupBy(col("q_id")).agg(count(lit(1)).as("n_lex"))
+      val nv = vec.groupBy(col("q_id")).agg(count(lit(1)).as("n_vec"))
+      val nc = lex.join(vec, Seq("q_id", "item"))
+        .groupBy(col("q_id")).agg(count(lit(1)).as("n_common"))
+      nl.join(nv, "q_id").join(nc, Seq("q_id"), "left")
+        .withColumn("n_common", coalesce(col("n_common"), lit(0L)))
+        .withColumn("agree_micro",
+          expr("(n_common * 1000000) div (n_lex + n_vec - n_common)"))
+        .select(col("q_id"), col("n_lex"), col("n_vec"), col("n_common"),
+          col("agree_micro"))
+        .orderBy(col("q_id"))
+    },
+
     // ----- tf-idf cosine near-dup pairs (lexical retrieval similarity) ----
     // See [[tfidfCosinePairs]]: df-capped candidate blocking, exact
     // integer-quantized weights, bit-equal IEEE finish on both engines.

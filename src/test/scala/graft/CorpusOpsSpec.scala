@@ -347,6 +347,26 @@ class CorpusOpsSpec extends SparkSpec {
       s"fixed-stride should lose more chunks ($strideSurvivors) than CDC ($cdcSurvivors)")
   }
 
+  test("q134: agreement report reconciles with q131's fused rank lists") {
+    // n_lex / n_vec / n_common must equal what the fusion output implies:
+    // rows with a non-null leg rank per query, and rows where BOTH are
+    // non-null — plus the Jaccard arithmetic recomputed.
+    val agree = q("q134_leg_agreement").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    val fused = q("q131_hybrid_rrf").collect()
+    val byQ = fused.groupBy(_.getLong(0))
+    assert(agree.keySet == byQ.keySet)
+    byQ.foreach { case (qid, rows) =>
+      val nLex = rows.count(!_.isNullAt(3)).toLong
+      val nVec = rows.count(!_.isNullAt(4)).toLong
+      val nCommon = rows.count(r => !r.isNullAt(3) && !r.isNullAt(4)).toLong
+      val (al, av, ac, am) = agree(qid)
+      assert((al, av, ac) == ((nLex, nVec, nCommon)), s"query $qid count drift")
+      assert(am == nCommon * 1000000L / (nLex + nVec - nCommon))
+    }
+  }
+
   test("q130: BM25 micro-scores equal an independent BigInt recomputation") {
     // Driver-side re-derivation from raw text: same tokenization, query
     // bags re-pruned, and the rational-cleared BM25 recomputed with BigInt
