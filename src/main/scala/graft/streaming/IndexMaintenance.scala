@@ -203,12 +203,52 @@ object IndexMaintenance {
   /** The durable chunk-fingerprint store behind [[maintainChunkDedup]]. */
   private[graft] val ChunkStoreName = "chunk_fps"
 
+  /** A named chunking strategy for the chunk store. The NAME travels in
+    * the store's metadata sidecar and the maintainer resolves its chunker
+    * FROM the store — mixing strategies across bootstrap and maintenance
+    * would compare fingerprints from different chunk grids (wrong dups,
+    * no error), the same family-mixing hazard the SRP store solves by
+    * recording its plane family.
+    */
+  private[graft] final case class Chunker(name: String,
+      rows: DataFrame => DataFrame)
+
+  /** Fixed-stride chunking (q96) — the default, and what metadata-less
+    * pre-upgrade stores are assumed to hold.
+    */
+  private[graft] val StrideChunker =
+    Chunker("stride", graft.operators.CorpusOps.chunkRows)
+
+  /** Content-defined chunking (q133) — shift-robust fingerprints: edited
+    * re-ingested documents re-share every chunk after the next content
+    * boundary instead of invalidating their whole grid.
+    */
+  private[graft] val CdcChunker =
+    Chunker("cdc", graft.operators.CorpusOps.cdcChunkRows)
+
+  private val Chunkers: Map[String, Chunker] =
+    Seq(StrideChunker, CdcChunker).map(c => c.name -> c).toMap
+
+  /** The chunker a store was built with, from its sidecar (stride for
+    * pre-upgrade sidecars without the key). Unknown names fail loudly —
+    * guessing a chunker silently mis-dedups.
+    */
+  private def storedChunker(s: SparkSession, corpusDir: String): Chunker = {
+    val name = graft.IndexStore.storedMeta(s, corpusDir, ChunkStoreName)
+      .flatMap(_.get("chunker")).getOrElse(StrideChunker.name)
+    Chunkers.getOrElse(name, throw new IllegalStateException(
+      s"chunk store for $corpusDir was built with unknown chunker '$name' — " +
+        s"this build knows ${Chunkers.keys.mkString(", ")}"))
+  }
+
   /** Bootstrap the chunk store from an existing corpus frame (possibly
     * empty) — the batch build the streaming maintainer requires before
-    * attaching, mirroring the shingle/SRP bootstrap contract.
+    * attaching, mirroring the shingle/SRP bootstrap contract. The
+    * chunking strategy is recorded in the sidecar and every later
+    * maintenance batch resolves it from there.
     */
   private[graft] def bootstrapChunkStore(s: SparkSession, corpusDir: String,
-      docs: DataFrame): Unit = {
+      docs: DataFrame, chunker: Chunker = StrideChunker): Unit = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions.{col, row_number}
     // ONE row per fingerprint (its first occurrence in (doc_id, chunk_id)
@@ -216,15 +256,18 @@ object IndexMaintenance {
     // was it first seen" — keeping every occurrence would grow it with
     // the corpus's duplication factor for no additional answer.
     val w = Window.partitionBy("chunk_fp").orderBy("doc_id", "chunk_id")
-    graft.IndexStore.servedFrom(s, corpusDir, ChunkStoreName)(
-      graft.operators.CorpusOps.chunkRows(docs)
+    graft.IndexStore.servedFrom(s, corpusDir, ChunkStoreName,
+      params = Map("chunker" -> chunker.name))(
+      chunker.rows(docs)
         .select("chunk_fp", "doc_id", "chunk_id")
         .withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn"))
     ()
   }
 
   /** One micro-batch of the streaming chunk-dedup pipeline
-    * ([[maintainChunkDedup]]); false = replay, nothing ran.
+    * ([[maintainChunkDedup]]); false = replay, nothing ran. The batch is
+    * chunked under the STORE's recorded strategy ([[storedChunker]] —
+    * stride q96 or CDC q133), never a caller-chosen one.
     *
     * Crash-safety order as in [[decontaminateBatch]]: (1) the batch's
     * duplicate chunks — batch occurrences whose fingerprint already
@@ -261,7 +304,9 @@ object IndexMaintenance {
       require(graft.IndexStore.committed(s, path),
         s"bootstrap the chunk store at $path (bootstrapChunkStore over the " +
           "existing corpus) before attaching a chunk-dedup maintainer")
-      val chunks = graft.operators.CorpusOps.chunkRows(batch)
+      // the batch MUST chunk under the store's own strategy (sidecar-
+      // recorded at bootstrap) — stride and CDC grids are incomparable
+      val chunks = storedChunker(s, corpusDir).rows(batch)
         .select("chunk_fp", "doc_id", "chunk_id")
       // fp-unique by construction (bootstrap dedupes; appends are rn==1
       // only) — no distinct needed

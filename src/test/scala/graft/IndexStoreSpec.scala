@@ -734,6 +734,39 @@ class IndexStoreSpec extends SparkSpec {
       "q123 removable must equal bootstrap dups + streamed dups")
   }
 
+  test("chunk store records its chunker; CDC maintenance dedups on the CDC grid") {
+    val root = tmp("graft_idx_cdcstore")
+    val dupDir = tmp("graft_idx_cdcstore_dups")
+    val sA = spark.newSession()
+    sA.conf.set(IndexStore.DirConf, root)
+    val docs = Tables.load(sA, dir, "documents")
+    val t = docs.selectExpr("(max(doc_id) * 8) div 10 AS t").collect()(0).getLong(0)
+    streaming.IndexMaintenance.bootstrapChunkStore(sA, dir,
+      docs.filter(col("doc_id") < t), streaming.IndexMaintenance.CdcChunker)
+    // the strategy travels in the sidecar — the maintainer resolves it
+    // from the store, so a CDC bootstrap can never be maintained on the
+    // stride grid
+    assert(IndexStore.storedMeta(sA, dir, streaming.IndexMaintenance.ChunkStoreName)
+      .exists(_.get("chunker").contains("cdc")))
+    val applied = streaming.IndexMaintenance.chunkDedupBatch(sA, dir, dupDir,
+      "cdc_chunk_spec", 0L, docs.filter(col("doc_id") >= t).select("doc_id", "text"))
+    assert(applied)
+    val got = sA.read.parquet(s"$dupDir/batch_id=0")
+      .select("chunk_fp", "doc_id", "chunk_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2).toLong)).toSet
+    // expectation on the CDC grid: every occurrence except the globally
+    // first per fingerprint, restricted to the increment
+    val all = operators.CorpusOps.cdcChunkRows(docs)
+      .select("chunk_fp", "doc_id", "chunk_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2).toLong))
+    val expected = all.groupBy(_._1).values.flatMap { occ =>
+      occ.sortBy(o => (o._2, o._3)).drop(1)
+    }.toSet.filter(_._2 >= t)
+    assert(expected.nonEmpty, "fixture should contain duplicate CDC chunks in the increment")
+    assert(got == expected,
+      s"CDC-grid divergence: missing=${(expected -- got).take(3)} extra=${(got -- expected).take(3)}")
+  }
+
   test("streaming tf maintenance: BM25 off the grown store equals the batch answer") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val root = tmp("graft_idx_tf")

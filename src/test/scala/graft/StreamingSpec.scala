@@ -458,6 +458,30 @@ class StreamingSpec extends SparkSpec {
     assert(batch.length == 6, s"expected 2+1+3 chunks, got ${batch.length}")
   }
 
+  test("CDC chunking emits identical chunks on a stream as in batch") {
+    // cdcChunkRows is the same pure-per-row contract as chunkRows — the
+    // identical expression runs over a stream unchanged (no watermark, no
+    // state), so the shift-robust chunker slots into streaming ingest.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Seq(
+      (1L, ("alpha bravo charlie delta echo " * 8).trim),
+      (2L, "short doc only five tokens here"),
+      (3L, ("foxtrot golf hotel india juliet kilo " * 6).trim))
+    val batch = operators.CorpusOps.cdcChunkRows(docs.toDF("doc_id", "text"))
+      .collect().map(_.toString).sorted
+    val input = MemoryStream[(Long, String)]
+    val q = operators.CorpusOps.cdcChunkRows(input.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("cdc_stream").outputMode("append").start()
+    input.addData(docs.take(2): _*)
+    q.processAllAvailable()
+    input.addData(docs.drop(2): _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("cdc_stream").collect().map(_.toString).sorted
+    assert(batch.nonEmpty && streamed.toSeq == batch.toSeq)
+  }
+
   test("stratified sampler keeps the same rows on a stream as in batch") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
