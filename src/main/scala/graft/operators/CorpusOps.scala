@@ -319,12 +319,38 @@ object CorpusOps {
     * through the salted two-phase [[TopK.perKeyTopK]] because q_id is a
     * low-cardinality key (a query batch), exactly the q39 posture.
     */
+  /** The default-parameter BM25 and cosine RANK LISTS as per-(session,
+    * corpus) shared artifacts — the same built-once/served-many posture
+    * as [[tfIndex]], at trivially small state (≤ nq·k rows each): q130
+    * builds the lexical list, q131's fusion and q134's agreement report
+    * serve off it instead of re-running the posting join and corpus scan.
+    */
+  private val bm25LegCache = new graft.SessionCache[org.apache.spark.sql.DataFrame]
+  private val vecLegCache = new graft.SessionCache[org.apache.spark.sql.DataFrame]
+
   private[graft] def bm25TopK(s: org.apache.spark.sql.SparkSession, dir: String,
       nq: Long = Bm25NumQueries, qt: Int = Bm25QTerms,
-      k: Int = Bm25K): org.apache.spark.sql.DataFrame =
-    bm25TopKOverTf(tfIndex(s, dir),
+      k: Int = Bm25K): org.apache.spark.sql.DataFrame = {
+    def build = bm25TopKOverTf(tfIndex(s, dir),
       Tables.load(s, dir, "documents").agg(count(lit(1)).cast(LongType).as("n")),
       nq, qt, k)
+    if (nq == Bm25NumQueries && qt == Bm25QTerms && k == Bm25K)
+      bm25LegCache.getOrElseUpdate(s, dir)(
+        build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER))
+    else build
+  }
+
+  /** The vector leg at the retrieval family's parameters (q131/q134):
+    * [[Similarity.cosineTopK]] over the same query ids, cached like the
+    * lexical leg.
+    */
+  private def vecLeg(s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame =
+    vecLegCache.getOrElseUpdate(s, dir) {
+      val e = Tables.load(s, dir, "embeddings")
+      Similarity.cosineTopK(e, e.filter(col("vec_id") < Bm25NumQueries),
+          Bm25K, nQueries = Bm25NumQueries)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    }
 
   /** [[bm25TopK]]'s scoring body over ANY `(doc_id, term, tf)` frame plus
     * a 1-row doc-count frame (column `n`) — the seam that lets the
@@ -444,11 +470,9 @@ object CorpusOps {
         |  row_number() OVER (PARTITION BY q_id ORDER BY rrf_micro DESC, item ASC) AS rk,
         |  item, rk_lex, rk_vec, rrf_micro
         |FROM f ORDER BY q_id, rk""".stripMargin) { (s, dir) =>
-      val e = Tables.load(s, dir, "embeddings")
       val lex = bm25TopK(s, dir)
         .select(col("q_id"), col("doc_id").as("item"), col("rk").cast(LongType).as("rk_lex"))
-      val vec = Similarity.cosineTopK(e, e.filter(col("vec_id") < Bm25NumQueries),
-          Bm25K, nQueries = Bm25NumQueries)
+      val vec = vecLeg(s, dir)
         .select(col("q_id"), col("neighbor_id").as("item"), col("rk").cast(LongType).as("rk_vec"))
       val w = Window.partitionBy(col("q_id")).orderBy(col("rrf_micro").desc, col("item").asc)
       lex.join(vec, Seq("q_id", "item"), "full_outer")
@@ -493,10 +517,8 @@ object CorpusOps {
         |    // (nl.n_lex + nv.n_vec - coalesce(nc.n_common, 0)) AS agree_micro
         |FROM nl JOIN nv USING (q_id) LEFT JOIN nc ON nc.q_id = nl.q_id
         |ORDER BY nl.q_id""".stripMargin) { (s, dir) =>
-      val e = Tables.load(s, dir, "embeddings")
       val lex = bm25TopK(s, dir).select(col("q_id"), col("doc_id").as("item"))
-      val vec = Similarity.cosineTopK(e, e.filter(col("vec_id") < Bm25NumQueries),
-          Bm25K, nQueries = Bm25NumQueries)
+      val vec = vecLeg(s, dir)
         .select(col("q_id"), col("neighbor_id").as("item"))
       val nl = lex.groupBy(col("q_id")).agg(count(lit(1)).as("n_lex"))
       val nv = vec.groupBy(col("q_id")).agg(count(lit(1)).as("n_vec"))
