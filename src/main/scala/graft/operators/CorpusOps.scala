@@ -576,6 +576,66 @@ object CorpusOps {
       tfidfCosinePairs(s, dir, CosDfCap, CosTau)
     },
 
+    // ----- vocabulary growth curve (Heaps-law report) ---------------------
+    // Distinct UNIGRAM and 3-GRAM-SHINGLE vocabulary seen after each
+    // decile of the corpus in ingest (doc_id) order — the Heaps-law
+    // evidence behind tokenizer/vocab budget sizing: a saturating curve
+    // means a closed vocabulary (the fixture's unigrams flatline in the
+    // first decile), a still-growing one means every new data slice keeps
+    // minting types (the fixture's shingles — visibly sublinear, real
+    // Heaps curvature). Integer-exact: per-type FIRST-SEEN ordinal (min
+    // global doc ordinal over its postings), then vocab(k) = |{types:
+    // first_ord ≤ k·N div 10}|. The doc ordinal comes from the two-phase
+    // content-keyed numbering (Ordinals.globalRowNumberNative — never a
+    // single-partition window); both first-seen frames ride the shared
+    // tf/shingle indexes and are vocabulary-sized; the decile probe is a
+    // 10-row broadcast.
+    QuerySpec("q135_vocab_growth")(
+      s"""WITH tf AS (
+        |  SELECT DISTINCT doc_id, t AS term
+        |  FROM (SELECT doc_id,
+        |          unnest(string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')) AS t
+        |        FROM documents)),
+        |${Dedup.shingleBaseCtes},
+        |ordx AS (SELECT doc_id, row_number() OVER (ORDER BY doc_id) AS ord
+        |         FROM documents),
+        |fsu AS (SELECT term, CAST(min(ord) AS BIGINT) AS first_ord
+        |        FROM tf JOIN ordx USING (doc_id) GROUP BY term),
+        |fss AS (SELECT s, CAST(min(ord) AS BIGINT) AS first_ord
+        |        FROM sh JOIN ordx USING (doc_id) GROUP BY s),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+        |ks AS (SELECT unnest(generate_series(1, 10)) AS k),
+        |u AS (SELECT ks.k, (ks.k * n.n) // 10 AS n_docs,
+        |        CAST(count(*) FILTER (fsu.first_ord <= (ks.k * n.n) // 10) AS BIGINT) AS vocab_uni
+        |      FROM ks, n, fsu GROUP BY ks.k, n.n),
+        |sg AS (SELECT ks.k,
+        |        CAST(count(*) FILTER (fss.first_ord <= (ks.k * n.n) // 10) AS BIGINT) AS vocab_shingle
+        |       FROM ks, n, fss GROUP BY ks.k, n.n)
+        |SELECT u.k, u.n_docs, u.vocab_uni, sg.vocab_shingle
+        |FROM u JOIN sg ON u.k = sg.k ORDER BY u.k""".stripMargin) { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents").select(col("doc_id"))
+      val ord = Ordinals.globalRowNumberNative(docs, "ord", "doc_id")
+        .transform(graft.Materialize.ephemeral) // two first-seen joins read it
+      def firstSeen(types: org.apache.spark.sql.DataFrame, typeCol: String) =
+        types.join(ord, "doc_id")
+          .groupBy(col(typeCol)).agg(min(col("ord")).cast(LongType).as("first_ord"))
+      val fsu = firstSeen(tfIndex(s, dir).select(col("doc_id"), col("term")), "term")
+      val fss = firstSeen(TextAnalysis.shingleIndex(s, dir)
+        .select(col("doc_id"), explode(col("ss")).as("sg")), "sg")
+      val n = docs.agg(count(lit(1)).cast(LongType).as("n"))
+      val ks = n.select(col("n"), explode(sequence(lit(1), lit(10))).as("k"))
+        .select(col("k").cast(LongType).as("k"), expr("(k * n) div 10").as("n_docs"))
+      def growth(fs: org.apache.spark.sql.DataFrame, out: String) =
+        fs.crossJoin(broadcast(ks))
+          .groupBy(col("k"), col("n_docs"))
+          .agg(sum(when(col("first_ord") <= col("n_docs"), 1L).otherwise(0L))
+            .cast(LongType).as(out))
+      growth(fsu, "vocab_uni")
+        .join(growth(fss, "vocab_shingle").drop("n_docs"), "k")
+        .select(col("k"), col("n_docs"), col("vocab_uni"), col("vocab_shingle"))
+        .orderBy(col("k"))
+    },
+
     // ----- overlapping token-window chunking (RAG preprocessing) ----------
     // One chunk per stride step: starts p = 1 + k·S for k = 0..⌊(n−1)/S⌋,
     // chunk = tokens[p, p+C). The LAST chunk may be short (no padding, no

@@ -347,6 +347,28 @@ class CorpusOpsSpec extends SparkSpec {
       s"fixed-stride should lose more chunks ($strideSurvivors) than CDC ($cdcSurvivors)")
   }
 
+  test("q135: growth curves are monotone and end at the full vocabularies") {
+    val rows = q("q135_vocab_growth").collect().sortBy(_.getLong(0))
+    assert(rows.length == 10)
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b.getLong(2) >= a.getLong(2) && b.getLong(3) >= a.getLong(3),
+        "vocabulary curves must be non-decreasing")
+    }
+    // the last decile covers every doc → both curves end at the full count
+    val fullUni = Tables.load(spark, dir, "documents")
+      .select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("t"))
+      .agg(countDistinct(col("t"))).collect()(0).getLong(0)
+    val fullSh = operators.TextAnalysis.shingleIndex(spark, dir)
+      .select(explode(col("ss")).as("sg"))
+      .agg(countDistinct(col("sg"))).collect()(0).getLong(0)
+    assert(rows.last.getLong(2) == fullUni)
+    assert(rows.last.getLong(3) == fullSh)
+    // fixture contrast the operator exists to show: shingles keep growing
+    // after the unigram vocabulary closed
+    assert(rows.last.getLong(3) > rows.head.getLong(3),
+      "shingle vocabulary should still be growing across deciles")
+  }
+
   test("q134: agreement report reconciles with q131's fused rank lists") {
     // n_lex / n_vec / n_common must equal what the fusion output implies:
     // rows with a non-null leg rank per query, and rows where BOTH are
