@@ -246,9 +246,15 @@ object CorpusOps {
     val tf = tfIndex(s, dir)
     val dfF = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val nT = Tables.load(s, dir, "documents").agg(count(lit(1)).as("n"))
+    // localCheckpoint the two fan-out frames: the weight vectors feed
+    // THREE consumers (both norms and both sides of the numerator join)
+    // and the low-df posting rows TWO (the a/b sides of the candidate
+    // self-join) — without materialization each consumer re-runs the
+    // tf/df join resp. the shingle explode + df filter.
     val w = tf.join(dfF, "term").crossJoin(broadcast(nT))
       .select(col("doc_id"), col("term"),
         expr("tf * ((1000000L * n) div df)").as("w"))
+      .transform(graft.Materialize.ephemeral)
     val n2 = w.groupBy(col("doc_id"))
       .agg(sum((col("w").cast(d38) * col("w").cast(d38)).cast(d38)).as("n2"))
     val sh = TextAnalysis.shingleIndex(s, dir)
@@ -256,6 +262,7 @@ object CorpusOps {
     val sdf = sh.groupBy(col("sg")).agg(count(lit(1)).as("sdf"))
     val low = sh.join(sdf.filter(col("sdf") <= dfCap), "sg")
       .select(col("doc_id"), col("sg"))
+      .transform(graft.Materialize.ephemeral)
     // ≥ minShared distinct low-df shingles per pair (rows are distinct
     // (doc, shingle) pairs, so count(*) IS the shared-shingle count) —
     // prunes coincidence pairs before the expensive term-vector join
