@@ -55,7 +55,15 @@ class DeterminismSpec extends SparkSpec {
     // pick the same 50 under any partitioning
     "q125_collocations",
     // weighted MG merge order must not matter in the exact regime
-    "q127_freq_items_weighted")
+    "q127_freq_items_weighted",
+    // round 10: pair-blocking count + decimal moment sums (q128), per-cell
+    // md5-ranked sampling (q129), full-outer fusion + (rrf, item) window
+    // ties (q131), leg-intersection counts (q134), and the two-phase
+    // first-seen ordinal behind the growth curve (q135). q130's own
+    // shuffles sit inside the session-cached rank list (the shared-index
+    // caveat above); the raw-builder test below exercises them.
+    "q128_tfidf_cosine", "q129_cluster_sample", "q131_hybrid_rrf",
+    "q134_leg_agreement", "q135_vocab_growth")
 
   test("sensitive queries are byte-identical under different shuffle partitioning") {
     val saved = spark.conf.get("spark.sql.shuffle.partitions")
@@ -76,6 +84,22 @@ class DeterminismSpec extends SparkSpec {
           s"$name diverges under repartitioning: first diff at index " +
             s"$firstDiff of ${a.size}/${b.size}")
       }
+    } finally spark.conf.set("spark.sql.shuffle.partitions", saved)
+  }
+
+  test("raw BM25 builder is partitioning-invariant (rank-list cache bypassed)") {
+    // Non-default qt bypasses the session cache, so the posting join,
+    // query-bag pruning window, and salted top-k all genuinely re-run
+    // under both partition settings.
+    val saved = spark.conf.get("spark.sql.shuffle.partitions")
+    def rows(parts: String): Seq[String] = {
+      spark.conf.set("spark.sql.shuffle.partitions", parts)
+      operators.CorpusOps.bm25TopK(spark, dir, nq = 8L, qt = 15, k = 10)
+        .collect().map(_.toString).toSeq
+    }
+    try {
+      val a = rows("32"); val b = rows("5")
+      assert(a.nonEmpty && a == b, "BM25 diverges under repartitioning")
     } finally spark.conf.set("spark.sql.shuffle.partitions", saved)
   }
 }
