@@ -65,11 +65,18 @@ object CorpusClean {
     val fp = docs.select(col("doc_id"),
       md5(concat_ws(" ", array_sort(array_distinct(tokens(col("text")))))
         .cast(BinaryType)).as("fp_bag"))
+    // localCheckpoint both fan-out frames (the q128 discipline): the
+    // fingerprinted survivors feed the min-doc aggregate AND its join
+    // back (without it the md5 bag fingerprint over full text runs
+    // twice), and keep2 feeds stages 3, 4, and 5 (its lineage — cutoff,
+    // fp join, dedup — would re-run per consumer).
     val survivorFp = keep1.join(fp, "doc_id")
+      .transform(graft.Materialize.ephemeral)
     val keepDoc = survivorFp.groupBy(col("fp_bag")).agg(min(col("doc_id")).as("keep_doc"))
     val keep2 = survivorFp.join(keepDoc, "fp_bag")
       .filter(col("doc_id") === col("keep_doc"))
       .select(col("doc_id"), col("quality_micro"))
+      .transform(graft.Materialize.ephemeral)
     // 3. near-dup removal: drop the higher-doc_id end of verified pairs
     //    whose both ends are still alive (non-transitive; see object doc).
     //    Minhash runs on the SURVIVORS only — signatures are per-doc and
