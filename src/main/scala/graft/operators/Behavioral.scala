@@ -428,7 +428,9 @@ object Behavioral {
     // cross-engine rounding), and a type's drift flag compares its
     // contribution against the χ²₀.₀₅,₁ critical value 3.841 (micro
     // 3 841 000). The split point is integer epoch arithmetic:
-    // mid = (min_us + max_us) div 2.
+    // mid = min_us + (max_us − min_us) div 2 (span form — truncation and
+    // floor division agree on the non-negative span, so Spark `div` and
+    // DuckDB `//` match even for pre-1970 epochs).
     // Magnitude bound: (o·T − r·c)²·10⁶ must fit DECIMAL(38,0)/HUGEINT →
     // |o·T − r·c| < 10¹⁶, safe to ~10⁸ events at full imbalance; past
     // that, quantize counts to thousands on both sides first (the q125
@@ -436,7 +438,8 @@ object Behavioral {
     // one hash-agg; everything after is type-dimension-sized.
     QuerySpec("q132_distribution_drift")(
       """WITH e AS (SELECT event_type, epoch_us(ts) AS us FROM events),
-        |mm AS (SELECT (CAST(min(us) AS BIGINT) + max(us)) // 2 AS mid FROM e),
+        |mm AS (SELECT CAST(min(us) AS BIGINT)
+        |         + (CAST(max(us) AS BIGINT) - min(us)) // 2 AS mid FROM e),
         |g AS (SELECT event_type,
         |        CAST(sum(CASE WHEN us < mm.mid THEN 1 ELSE 0 END) AS BIGINT) AS n_first,
         |        CAST(sum(CASE WHEN us >= mm.mid THEN 1 ELSE 0 END) AS BIGINT) AS n_second
@@ -462,8 +465,12 @@ object Behavioral {
         |FROM x ORDER BY event_type""".stripMargin) { (s, dir) =>
       val ev = Tables.load(s, dir, "events")
         .select(col("event_type"), unix_micros(col("ts")).as("us"))
+      // mn + (mx−mn) div 2, NOT (mn+mx) div 2: the span is non-negative,
+      // so Spark's truncating `div` and DuckDB's flooring `//` agree even
+      // for pre-1970 (negative) epochs, where the sum form diverges by
+      // 1 µs on negative odd sums — and the span can't overflow
       val mm = ev.agg(min(col("us")).as("mn"), max(col("us")).as("mx"))
-        .select(expr("(mn + mx) div 2").as("mid"))
+        .select(expr("mn + (mx - mn) div 2").as("mid"))
       // localCheckpoint: the (type × half) frame feeds both the output rows
       // and the column totals — materialize once, never rescan events.
       val g = ev.crossJoin(broadcast(mm))

@@ -397,6 +397,21 @@ object CorpusOps {
       .orderBy(col("q_id"), col("rk"))
   }
 
+  /** Shared DuckDB CTE block for the VECTOR leg (q131/q134): cosine ranks
+    * `vr(q_id, vec_id, rk)` over the same query ids as the lexical leg —
+    * one definition so the two oracles can never drift apart.
+    */
+  private def vecLegOracleCtes(nq: Long): String =
+    s"""q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
+      |      WHERE vec_id < $nq),
+      |sv AS (SELECT q.q_id, e.vec_id,
+      |         ${Similarity.dotSql("q.q_emb", "e.embedding")} AS sim_dec
+      |       FROM embeddings e, q WHERE e.vec_id <> q.q_id),
+      |vr AS (SELECT q_id, vec_id,
+      |         row_number() OVER (PARTITION BY q_id
+      |           ORDER BY sim_dec DESC, vec_id ASC) AS rk
+      |       FROM sv)""".stripMargin
+
   /** Shared DuckDB CTE block for BM25 (q130 and q131's lexical leg). */
   private def bm25OracleCtes(nq: Long, qt: Int): String =
     s"""tf AS (
@@ -456,15 +471,7 @@ object CorpusOps {
     // rank lists), so everything after the legs is query-batch-sized.
     QuerySpec("q131_hybrid_rrf")(
       s"""WITH ${bm25OracleCtes(Bm25NumQueries, Bm25QTerms)},
-        |q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
-        |      WHERE vec_id < $Bm25NumQueries),
-        |sv AS (SELECT q.q_id, e.vec_id,
-        |         ${Similarity.dotSql("q.q_emb", "e.embedding")} AS sim_dec
-        |       FROM embeddings e, q WHERE e.vec_id <> q.q_id),
-        |vr AS (SELECT q_id, vec_id,
-        |         row_number() OVER (PARTITION BY q_id
-        |           ORDER BY sim_dec DESC, vec_id ASC) AS rk
-        |       FROM sv),
+        |${vecLegOracleCtes(Bm25NumQueries)},
         |lex AS (SELECT q_id, doc_id AS item, rk AS rk_lex FROM bmr WHERE rk <= $Bm25K),
         |vec AS (SELECT q_id, vec_id AS item, rk AS rk_vec FROM vr WHERE rk <= $Bm25K),
         |f AS (SELECT coalesce(lex.q_id, vec.q_id) AS q_id,
@@ -503,27 +510,28 @@ object CorpusOps {
     // aggregation is query-batch-sized on top of the two legs' own plans.
     QuerySpec("q134_leg_agreement")(
       s"""WITH ${bm25OracleCtes(Bm25NumQueries, Bm25QTerms)},
-        |q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
-        |      WHERE vec_id < $Bm25NumQueries),
-        |sv AS (SELECT q.q_id, e.vec_id,
-        |         ${Similarity.dotSql("q.q_emb", "e.embedding")} AS sim_dec
-        |       FROM embeddings e, q WHERE e.vec_id <> q.q_id),
-        |vr AS (SELECT q_id, vec_id,
-        |         row_number() OVER (PARTITION BY q_id
-        |           ORDER BY sim_dec DESC, vec_id ASC) AS rk
-        |       FROM sv),
+        |${vecLegOracleCtes(Bm25NumQueries)},
         |lex AS (SELECT q_id, doc_id AS item FROM bmr WHERE rk <= $Bm25K),
         |vec AS (SELECT q_id, vec_id AS item FROM vr WHERE rk <= $Bm25K),
+        |qs AS (SELECT vec_id AS q_id FROM embeddings WHERE vec_id < $Bm25NumQueries),
         |nl AS (SELECT q_id, count(*) AS n_lex FROM lex GROUP BY q_id),
         |nv AS (SELECT q_id, count(*) AS n_vec FROM vec GROUP BY q_id),
         |nc AS (SELECT lex.q_id, count(*) AS n_common
         |       FROM lex JOIN vec ON lex.q_id = vec.q_id AND lex.item = vec.item
         |       GROUP BY lex.q_id)
-        |SELECT nl.q_id, nl.n_lex, nv.n_vec, coalesce(nc.n_common, 0) AS n_common,
-        |  (coalesce(nc.n_common, 0) * 1000000)
-        |    // (nl.n_lex + nv.n_vec - coalesce(nc.n_common, 0)) AS agree_micro
-        |FROM nl JOIN nv USING (q_id) LEFT JOIN nc ON nc.q_id = nl.q_id
-        |ORDER BY nl.q_id""".stripMargin) { (s, dir) =>
+        |SELECT qs.q_id, coalesce(nl.n_lex, 0) AS n_lex,
+        |  coalesce(nv.n_vec, 0) AS n_vec, coalesce(nc.n_common, 0) AS n_common,
+        |  coalesce((coalesce(nc.n_common, 0) * 1000000)
+        |    // nullif(coalesce(nl.n_lex, 0) + coalesce(nv.n_vec, 0)
+        |             - coalesce(nc.n_common, 0), 0), 0) AS agree_micro
+        |FROM qs LEFT JOIN nl USING (q_id) LEFT JOIN nv USING (q_id)
+        |  LEFT JOIN nc USING (q_id)
+        |ORDER BY qs.q_id""".stripMargin) { (s, dir) =>
+      // anchored on the QUERY SET, not the legs: a query whose pruned term
+      // bag matches nothing still reports (n_lex = 0) instead of silently
+      // vanishing — the per-query coverage q131's full outer keeps
+      val qs = Tables.load(s, dir, "embeddings")
+        .filter(col("vec_id") < Bm25NumQueries).select(col("vec_id").as("q_id"))
       val lex = bm25TopK(s, dir).select(col("q_id"), col("doc_id").as("item"))
       val vec = vecLeg(s, dir)
         .select(col("q_id"), col("neighbor_id").as("item"))
@@ -531,10 +539,15 @@ object CorpusOps {
       val nv = vec.groupBy(col("q_id")).agg(count(lit(1)).as("n_vec"))
       val nc = lex.join(vec, Seq("q_id", "item"))
         .groupBy(col("q_id")).agg(count(lit(1)).as("n_common"))
-      nl.join(nv, "q_id").join(nc, Seq("q_id"), "left")
+      qs.join(nl, Seq("q_id"), "left").join(nv, Seq("q_id"), "left")
+        .join(nc, Seq("q_id"), "left")
+        .withColumn("n_lex", coalesce(col("n_lex"), lit(0L)))
+        .withColumn("n_vec", coalesce(col("n_vec"), lit(0L)))
         .withColumn("n_common", coalesce(col("n_common"), lit(0L)))
         .withColumn("agree_micro",
-          expr("(n_common * 1000000) div (n_lex + n_vec - n_common)"))
+          coalesce(expr(
+            "(n_common * 1000000) div nullif(n_lex + n_vec - n_common, 0)"),
+            lit(0L)))
         .select(col("q_id"), col("n_lex"), col("n_vec"), col("n_common"),
           col("agree_micro"))
         .orderBy(col("q_id"))

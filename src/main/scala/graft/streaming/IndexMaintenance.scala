@@ -368,7 +368,13 @@ object IndexMaintenance {
     */
   private[graft] def bootstrapTfStore(s: SparkSession, corpusDir: String,
       docs: DataFrame): Unit = {
-    graft.IndexStore.servedFrom(s, corpusDir, TfStoreName)(
+    // corpusCount tracks DOCUMENT rows (not tf rows): BM25's N. Recorded
+    // here and advanced by every append so [[bm25FromStore]] serves the
+    // same N as the batch operator's count(*) over documents — deriving N
+    // from distinct store doc_ids would undercount any doc whose text is
+    // NULL (it produces zero tf rows but still counts as a document).
+    graft.IndexStore.servedFrom(s, corpusDir, TfStoreName,
+      corpusCount = docs.count())(
       graft.operators.CorpusOps.tfRows(docs))
     ()
   }
@@ -386,6 +392,7 @@ object IndexMaintenance {
       stream, corpusDir) && {
       graft.IndexStore.append(s, corpusDir, TfStoreName,
         graft.operators.CorpusOps.tfRows(docs),
+        incrementCount = docs.count(), // advance BM25's N by the batch docs
         extraMeta = Map(markerKey(stream) -> batchId.toString))
       true
     }
@@ -414,10 +421,11 @@ object IndexMaintenance {
     * body as batch q130 ([[graft.operators.CorpusOps.bm25TopKOverTf]]):
     * same rational-cleared integer arithmetic, same pruning and salted
     * top-k, with tf provenance swapped to the maintained store. The doc
-    * count is the store's own distinct doc_id (every ingested doc has
-    * ≥ 1 token row; a hypothetical all-whitespace doc would not retrieve
-    * under ANY tf formulation, so the count difference cannot change a
-    * rank). Spec-pinned equal to the batch answer over the same corpus.
+    * count N is the sidecar's corpus count (bootstrap-recorded, advanced
+    * by every append) — NOT distinct store doc_ids, which would
+    * undercount a NULL-text document (zero tf rows, but the batch
+    * operator's count(*) still counts it, and idf/dl·N shift with N).
+    * Spec-pinned equal to the batch answer over the same corpus.
     */
   def bm25FromStore(s: SparkSession, corpusDir: String,
       nq: Long, qt: Int, k: Int): DataFrame = {
@@ -427,11 +435,15 @@ object IndexMaintenance {
     val path = graft.IndexStore.storePath(root, corpusDir, TfStoreName)
     require(graft.IndexStore.committed(s, path),
       s"bootstrap the tf store at $path before serving BM25 from it")
+    val n = graft.IndexStore.storedMeta(s, corpusDir, TfStoreName)
+      .flatMap(_.get(graft.IndexStore.CorpusCountKey)).flatMap(_.toLongOption)
+      .getOrElse(throw new IllegalStateException(
+        s"tf store at $path has no corpus count in its sidecar — " +
+          "re-bootstrap with bootstrapTfStore before serving BM25"))
     val tf = s.read.parquet(path).select("doc_id", "term", "tf")
-    val nT = tf.select("doc_id").distinct()
-      .agg(org.apache.spark.sql.functions.count(
-        org.apache.spark.sql.functions.lit(1))
-        .cast(org.apache.spark.sql.types.LongType).as("n"))
+    import org.apache.spark.sql.functions.lit
+    val nT = s.range(1).select(
+      lit(n).cast(org.apache.spark.sql.types.LongType).as("n"))
     graft.operators.CorpusOps.bm25TopKOverTf(tf, nT, nq, qt, k)
   }
 
