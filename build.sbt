@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run/runMain stdout passes through RAW: sbt's default strategy
+// routes it through the logger, prefixing every line with "[info] " —
+// which defeats any machine parse of graft.Bench's single JSON line
+// (every BENCH_r1–r10 driver artifact has parsed:null from exactly this).
+outputStrategy := Some(StdoutOutput)
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -76,6 +76,11 @@ object Bench {
       else s""""queries":{},"queries_warm":${toJson(warm, short)},"value_warm":$warmTotal,"""
     val line = s"""{"unit":"sec","sf":"$sfDir",""" + perQuery +
       s""""errors":$errJson,"value":${fmt(total)},"metric":"total"}"""
+    // Sentinel on its own line directly above the JSON: a parser scanning
+    // captured stdout can anchor on it instead of guessing which line is
+    // the payload (build.sbt's StdoutOutput strategy keeps both lines
+    // free of sbt's "[info] " prefix).
+    println("GRAFT_BENCH_JSON")
     println(line)
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out/bench_last.json")
     try {

@@ -38,7 +38,15 @@ object Materialize {
       "org.apache.spark.rdd.MapPartitionsRDD",
       org.apache.logging.log4j.Level.ERROR)
 
-  private def key(s: SparkSession): String = s.sparkContext.applicationId
+  /** Registry key is the SESSION, not the context: every `newSession()`
+    * (tests, the SqlGateway's per-request sessions) shares one
+    * applicationId, and an applicationId-keyed releaseAll from one
+    * session would unpersist checkpoint blocks a concurrently running
+    * query in another session still needs — released checkpoint blocks
+    * are unrecoverable, so that query would die on missing blocks.
+    */
+  private def key(s: SparkSession): String =
+    s"${s.sparkContext.applicationId}#${System.identityHashCode(s)}"
 
   /** The RDDs in `r`'s dependency DAG that hold storage (the walk stops at
     * checkpoint severance, so a released frame never reaches the persisted

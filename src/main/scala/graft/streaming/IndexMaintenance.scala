@@ -203,6 +203,12 @@ object IndexMaintenance {
   /** The durable chunk-fingerprint store behind [[maintainChunkDedup]]. */
   private[graft] val ChunkStoreName = "chunk_fps"
 
+  /** Sidecar `layout` value asserting the chunk store holds exactly one
+    * row per fingerprint. Pre-upgrade stores (no marker) held every chunk
+    * occurrence; consumers must not assume uniqueness for those.
+    */
+  private[graft] val FpUniqueLayout = "fp-unique"
+
   /** A named chunking strategy for the chunk store. The NAME travels in
     * the store's metadata sidecar and the maintainer resolves its chunker
     * FROM the store — mixing strategies across bootstrap and maintenance
@@ -256,8 +262,11 @@ object IndexMaintenance {
     // was it first seen" — keeping every occurrence would grow it with
     // the corpus's duplication factor for no additional answer.
     val w = Window.partitionBy("chunk_fp").orderBy("doc_id", "chunk_id")
+    // "layout" records that this store holds ONE row per fingerprint —
+    // readers assert it instead of assuming (chunkDedupBatch keeps a
+    // distinct() for stores whose sidecar predates the marker).
     graft.IndexStore.servedFrom(s, corpusDir, ChunkStoreName,
-      params = Map("chunker" -> chunker.name))(
+      params = Map("chunker" -> chunker.name, "layout" -> FpUniqueLayout))(
       chunker.rows(docs)
         .select("chunk_fp", "doc_id", "chunk_id")
         .withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn"))
@@ -308,9 +317,15 @@ object IndexMaintenance {
       // recorded at bootstrap) — stride and CDC grids are incomparable
       val chunks = storedChunker(s, corpusDir).rows(batch)
         .select("chunk_fp", "doc_id", "chunk_id")
-      // fp-unique by construction (bootstrap dedupes; appends are rn==1
-      // only) — no distinct needed
-      val storedFps = s.read.parquet(path).select("chunk_fp")
+      // fp-uniqueness is ASSERTED by the sidecar's layout marker, not
+      // assumed: stores bootstrapped by this build dedupe (and appends
+      // are rn==1 only), but explicitly-supported pre-marker stores hold
+      // every chunk occurrence — those keep a cheap distinct so future
+      // non-semi-join consumers of this frame stay correct too.
+      val fpUnique = graft.IndexStore.storedMeta(s, corpusDir, ChunkStoreName)
+        .flatMap(_.get("layout")).contains(FpUniqueLayout)
+      val storedFpsRaw = s.read.parquet(path).select("chunk_fp")
+      val storedFps = if (fpUnique) storedFpsRaw else storedFpsRaw.distinct()
       val vsStore = chunks.join(storedFps, Seq("chunk_fp"), "left_semi")
       val w = Window.partitionBy("chunk_fp").orderBy("doc_id", "chunk_id")
       // localCheckpoint, not just reuse: TWO consumers read the ranked
@@ -390,6 +405,19 @@ object IndexMaintenance {
       stream: String, batchId: Long, docs: DataFrame): Boolean =
     shouldApply(batchId, lastApplied(s, corpusDir, TfStoreName, stream),
       stream, corpusDir) && {
+      // Same bootstrap precondition as chunkDedupBatch, enforced at INGEST
+      // time: without it, a maintainer attached to an un-bootstrapped
+      // store would create the store via append — but append only
+      // advances an EXISTING corpus count, so the sidecar never gains
+      // one, bm25FromStore throws at SERVE time, and the documents
+      // already streamed through are unrecoverable without a rebuild.
+      val root = graft.IndexStore.configuredDir(s).getOrElse(throw
+        new IllegalStateException("maintainTfIndex requires a configured " +
+          s"index store (${graft.IndexStore.DirConf})"))
+      require(graft.IndexStore.committed(s,
+        graft.IndexStore.storePath(root, corpusDir, TfStoreName)),
+        s"bootstrap the tf store for $corpusDir (bootstrapTfStore over the " +
+          "existing corpus) before attaching a tf-index maintainer")
       graft.IndexStore.append(s, corpusDir, TfStoreName,
         graft.operators.CorpusOps.tfRows(docs),
         incrementCount = docs.count(), // advance BM25's N by the batch docs

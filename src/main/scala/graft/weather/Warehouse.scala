@@ -59,16 +59,23 @@ object Warehouse {
                 format: String = FactFormat): Unit = {
     // Refuse a codec conflict BEFORE writing anything: appending ORC
     // files into a parquet warehouse (or vice versa) is silent corruption
-    // discovered only at read time. First write records the codec.
+    // discovered only at read time. The effective codec is the sidecar's,
+    // or — for legacy pre-sidecar directories that already hold data —
+    // the codec INFERRED from the existing files (a default-format append
+    // into a legacy ORC warehouse must refuse, not stamp 'parquet' over
+    // it). The sidecar itself is stamped only AFTER the write succeeds,
+    // so a failed first write cannot leave an empty directory pinned to a
+    // format it never received.
     val spark = fact.sparkSession
-    readFormatSidecar(spark, path).foreach { recorded =>
-      if (recorded != format) throw new IllegalStateException(
-        s"warehouse at $path is recorded as '$recorded' ($FormatSidecar " +
-          s"sidecar) but writeFact was asked for '$format' — mixed codecs " +
-          "in one warehouse directory are unreadable; write to a new path " +
-          "or pass the recorded format")
+    val recorded = readFormatSidecar(spark, path)
+      .orElse(inferredDataFormat(spark, path))
+    recorded.foreach { rec =>
+      if (rec != format) throw new IllegalStateException(
+        s"warehouse at $path holds '$rec' data ($FormatSidecar sidecar or " +
+          s"existing data files) but writeFact was asked for '$format' — " +
+          "mixed codecs in one warehouse directory are unreadable; write " +
+          "to a new path or pass the recorded format")
     }
-    writeFormatSidecar(spark, path, format)
     val withMonth = fact.withColumn(PartitionCol, date_format(col("event_date"), "yyyyMM"))
     val hotMonths: Set[String] =
       if (hotMonthRows <= 0) Set.empty
@@ -102,6 +109,9 @@ object Warehouse {
       .partitionBy(PartitionCol)
       .format(format)
       .save(path)
+    // Stamp (or refresh) the codec sidecar only now that data in that
+    // codec actually exists under the path.
+    writeFormatSidecar(spark, path, format)
   }
 
   /** Sidecar naming months doomed by an in-flight [[deleteRows]] — same
@@ -148,6 +158,31 @@ object Warehouse {
       format: String): Unit = {
     val out = fsFor(spark, path).create(formatSidecarPath(path), true)
     try out.write(format.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Codec inferred from a legacy (pre-sidecar) directory's existing data
+    * files, by extension — parquet and ORC writers both suffix their part
+    * files with the codec name. Early-exits at the first recognized data
+    * file: a pre-sidecar warehouse written by this library is
+    * single-codec unless already corrupt, and a full recursive listing of
+    * a production warehouse is exactly the cost this sidecar exists to
+    * avoid. None for an empty/new directory.
+    */
+  private[weather] def inferredDataFormat(spark: SparkSession,
+      path: String): Option[String] = {
+    val fs = fsFor(spark, path)
+    val root = new org.apache.hadoop.fs.Path(path)
+    if (!fs.exists(root)) None
+    else {
+      val it = fs.listFiles(root, true)
+      var found: Option[String] = None
+      while (found.isEmpty && it.hasNext) {
+        val name = it.next().getPath.getName
+        if (name.endsWith(".parquet")) found = Some("parquet")
+        else if (name.endsWith(".orc")) found = Some("orc")
+      }
+      found
+    }
   }
 
   /** The directory's recorded codec when it has one, else the requested
