@@ -2,54 +2,195 @@ package graft.operators
 
 import graft.{QuerySpec, Tables}
 import graft.multimodal.Multimodal
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
-/** Oracle-checked differential test of the multimodal plumbing: documents →
-  * binary media rows → typed mapPartitions decode (stub codec) → feature
-  * columns. DuckDB recomputes the deterministic fake (md5 digest bytes
-  * scaled into [0,1]) directly, verifying the whole typed-Dataset path —
-  * encoders, binary payload round-trip, per-partition decoder init, feature
-  * array shape.
+/** Oracle-checked differential tests of the multimodal path. The decode is
+  * REAL (javax.imageio PNG / javax.sound WAV — see [[Multimodal]]): each
+  * query synthesizes payloads with a genuine ENCODER, decodes them with
+  * the genuine DECODER, and derives its output from the decoded values
+  * only. The DuckDB oracle re-derives the same values arithmetically from
+  * the deterministic synthesis functions — both codecs are lossless, so
+  * any divergence anywhere in the encode→decode→hash pipeline fails the
+  * hash compare exactly (the q38/q47 exact-differential discipline).
   */
 object MultimodalOps {
 
   /** q111 frames sampled per media payload. */
   private[operators] val Frames = 4
 
+  // ---- q136 perceptual-hash parameters --------------------------------
+  // 56-bit horizontal-gradient dHash over the 8×8 block grid of the
+  // decoded 16×16 luma: bit (by·7+bx) = [blocksum(bx+1,by) > blocksum(bx,by)].
+  // Integer-exact (sums and strict compares, no division) and invariant
+  // under uniform brightness shift (gradients cancel the offset) —
+  // spec-pinned. 4 bands × 14 bits, the q38 SimHash banding pattern.
+  private[graft] val ImgHashBits = 56
+  private[graft] val ImgBands = 4
+  private[graft] val ImgBandBits = 14
+  private[graft] val ImgHammingMax = 8
+  private val Side = Multimodal.ImgSide // 16
+  private val Blocks = 8 // 8×8 block grid of 2×2-pixel blocks
+
+  /** The 64 block sums of a flat row-major `Side`×`Side` luma array, as
+    * one array column (each block summed once; the dHash reads each entry
+    * up to twice).
+    */
+  private def blockSums(luma: Column): Column =
+    array((0 until Blocks * Blocks).map { b =>
+      val (bx, by) = (b % Blocks, b / Blocks)
+      def el(x: Int, y: Int) = element_at(luma, y * Side + x + 1)
+      (el(2 * bx, 2 * by) + el(2 * bx + 1, 2 * by) +
+        el(2 * bx, 2 * by + 1) + el(2 * bx + 1, 2 * by + 1)).cast(LongType)
+    }: _*)
+
+  /** 56-bit dHash from a block-sum array column (unrolled constant-shift
+    * terms, the q38 fingerprint-assembly pattern — stays inside
+    * whole-stage codegen).
+    */
+  private def dhashFromBlocks(bs: Column): Column =
+    (0 until ImgHashBits).map { i =>
+      val (bx, by) = (i % (Blocks - 1), i / (Blocks - 1))
+      when(element_at(bs, by * Blocks + bx + 2) > element_at(bs, by * Blocks + bx + 1),
+        lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** dHash of a flat luma array column — spec surface (brightness/
+    * re-encode robustness checks build on it).
+    */
+  private[graft] def dhash56(luma: Column): Column = dhashFromBlocks(blockSums(luma))
+
+  // ---- DuckDB derivations of the synthesis functions -------------------
+
+  /** [[Multimodal.lumaAt]] in DuckDB SQL (m = media id expr, x/y = pixel
+    * coordinate exprs — all nonnegative integers).
+    */
+  private def lumaSql(m: String, x: String, y: String): String = {
+    val base = s"((($m//8)*37 + $x*(7 + ($m//8)%11) + $y*29 + $x*$y*(($m//8)%5+1)) % 256)"
+    s"(CASE WHEN ($m % 8) // 2 > 0 AND $y = ($m % 8) // 2 THEN ($base + 96) % 256 ELSE $base END)"
+  }
+
+  /** [[Multimodal.pcmAt]] in DuckDB SQL. */
+  private def pcmSql(m: String, i: String): String =
+    s"(($m*31 + $i*17 + ($i*$i % 64) * ($m%7+1)) % 256)"
+
   val specs: Seq[QuerySpec] = Seq(
 
+    // ----- real decode → exact block-sum features -------------------------
+    // documents → REAL PNG/WAV payloads (ImageIO / AudioSystem encode) →
+    // REAL decode (per-partition codec init) → 8 exact block SUMS over
+    // the decoded 256-value grid. The oracle recomputes every decoded
+    // value from the synthesis arithmetic: since both codecs are
+    // lossless, a single wrong decoded sample anywhere shifts a block sum
+    // and fails the hash compare. Integer-exact end to end (no division).
     QuerySpec("q46_multimodal_features") {
+      val n = Multimodal.TotalSamples
+      val block = n / Multimodal.FeatureDim
       val fCols = (0 until Multimodal.FeatureDim)
-        .map(i => s"CAST('0x' || substr(md5(text), ${1 + 2 * i}, 2) AS BIGINT) / 255.0 AS f$i")
+        .map(i => s"CAST(sum(CASE WHEN i // $block = $i THEN v END) AS BIGINT) AS f$i")
         .mkString(",\n        |  ")
-      s"""SELECT doc_id AS media_id,
-        |  CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS media_type,
-        |  strlen(text) AS n_bytes,
+      s"""WITH m AS (SELECT doc_id AS media_id,
+        |             CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS media_type
+        |           FROM documents),
+        |s AS (SELECT media_id, media_type, i,
+        |        CASE WHEN media_type = 'image'
+        |          THEN ${lumaSql("media_id", s"(i % $Side)", s"(i // $Side)")}
+        |          ELSE ${pcmSql("media_id", "i")} END AS v
+        |      FROM m, (SELECT unnest(generate_series(0, ${n - 1})) AS i))
+        |SELECT media_id, media_type, CAST($n AS BIGINT) AS n_samples,
         |  $fCols
-        |FROM documents
+        |FROM s GROUP BY media_id, media_type
         |ORDER BY media_id""".stripMargin
     } { (s, dir) =>
-      import s.implicits._
-      val media = Multimodal
-        .synthesizeFromDocuments(Tables.load(s, dir, "documents"))
-        .as[Multimodal.MediaRow]
+      val media = Multimodal.synthesizeEncodedMedia(Tables.load(s, dir, "documents"))
       val feats = Multimodal.decodeFeatures(media).toDF()
       feats.select(
-          Seq(col("media_id"), col("media_type"), col("n_bytes").cast("bigint").as("n_bytes")) ++
+          Seq(col("media_id"), col("media_type"),
+            col("n_samples").cast(LongType).as("n_samples")) ++
             (0 until Multimodal.FeatureDim).map(i => col("features").getItem(i).as(s"f$i")): _*)
         .orderBy(col("media_id"))
     },
 
+    // ----- image near-dup via perceptual hash + banded Hamming join -------
+    // The missing modality leg of the dedup story: PNG images → REAL
+    // ImageIO decode → 56-bit dHash over the 8×8 block grid → banded LSH
+    // blocking (4×14-bit bands, candidates share ≥1 exact band — the q38
+    // pattern, never all-pairs) → exact Hamming ≤ τ verify. The fixture
+    // synthesis plants genuine near-dup groups (shared base image per
+    // id-group, one perturbed row per variant — a few dHash bits apart)
+    // among unrelated images. The oracle re-derives decoded luma, block
+    // sums, hash, bands, and verify arithmetically — bit-equal because
+    // PNG is lossless. Scale: hash+bands are a narrow scan-parallel pass
+    // (one decode per image, ephemeral — the band self-join reads the
+    // materialized fingerprints, not the codec), pair work is band-
+    // bucket-bounded like every dedup operator in the family.
+    QuerySpec("q136_image_neardup") {
+      val bandRows = (0 until ImgBands)
+        .map(b => s"SELECT media_id, fp, $b AS band, (fp >> ${b * ImgBandBits}) & ${(1 << ImgBandBits) - 1} AS bv FROM fp")
+        .mkString("\n        |    UNION ALL ")
+      s"""WITH img AS (SELECT doc_id AS media_id FROM documents WHERE doc_id % 2 = 0),
+        |px AS (SELECT media_id, i % $Side AS x, i // $Side AS y,
+        |         ${lumaSql("media_id", s"(i % $Side)", s"(i // $Side)")} AS p
+        |       FROM img, (SELECT unnest(generate_series(0, ${Side * Side - 1})) AS i)),
+        |bs AS (SELECT media_id, x // 2 AS bx, y // 2 AS by, CAST(sum(p) AS BIGINT) AS s
+        |       FROM px GROUP BY 1, 2, 3),
+        |bits AS (SELECT a.media_id, a.by * ${Blocks - 1} + a.bx AS i,
+        |           CASE WHEN b.s > a.s THEN 1 ELSE 0 END AS bit
+        |         FROM bs a JOIN bs b ON a.media_id = b.media_id
+        |           AND b.by = a.by AND b.bx = a.bx + 1
+        |         WHERE a.bx < ${Blocks - 1}),
+        |fp AS (SELECT media_id, CAST(sum(bit * (1::BIGINT << i)) AS BIGINT) AS fp
+        |       FROM bits GROUP BY media_id),
+        |bands AS (
+        |    $bandRows),
+        |cand AS (SELECT DISTINCT x.media_id AS a_id, x.fp AS a_fp,
+        |           y.media_id AS b_id, y.fp AS b_fp
+        |         FROM bands x JOIN bands y
+        |           ON x.band = y.band AND x.bv = y.bv AND x.media_id < y.media_id)
+        |SELECT a_id, b_id, bit_count(xor(a_fp, b_fp)) AS hamming
+        |FROM cand
+        |WHERE bit_count(xor(a_fp, b_fp)) <= $ImgHammingMax
+        |ORDER BY a_id, b_id""".stripMargin
+    } { (s, dir) =>
+      val luma = Multimodal.imageLuma(
+        Multimodal.synthesizeImages(Tables.load(s, dir, "documents")))
+      // one decode per image: the fingerprint frame (id, fp) is tiny and
+      // feeds both sides of the band self-join
+      val fp = graft.Materialize.ephemeral(
+        luma.select(col("media_id"), dhash56(col("luma")).as("fp")))
+      val bandStructs = (0 until ImgBands).map { b =>
+        struct(lit(b).as("band"),
+          shiftright(col("fp"), b * ImgBandBits)
+            .bitwiseAND(lit((1L << ImgBandBits) - 1)).as("bv"))
+      }
+      val bands = fp.select(col("media_id"), col("fp"),
+          explode(array(bandStructs: _*)).as("tb"))
+        .select(col("media_id"), col("fp"), col("tb.band").as("band"), col("tb.bv").as("bv"))
+      bands.as("x").join(bands.as("y"),
+          col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
+            col("x.media_id") < col("y.media_id"))
+        .select(col("x.media_id").as("a_id"), col("x.fp").as("a_fp"),
+                col("y.media_id").as("b_id"), col("y.fp").as("b_fp"))
+        .distinct()
+        .withColumn("hamming", bit_count(col("a_fp").bitwiseXOR(col("b_fp"))))
+        .filter(col("hamming") <= ImgHammingMax)
+        .select(col("a_id"), col("b_id"), col("hamming"))
+        .orderBy(col("a_id"), col("b_id"))
+    },
+
     // ----- frame sampling, oracle-checked on the slicing arithmetic -------
     // [[Multimodal.sampleFrames]] run as a query: n evenly spaced payload
-    // slices per media row (the video keyframe-sample shape). The oracle
+    // slices per media row (the video keyframe-sample shape) over the
+    // OPAQUE byte-plumbing media frame — deliberately codec-agnostic
+    // (container streams with no registered decoder). The oracle
     // recomputes the BYTE arithmetic — frame count min(n, len), step
     // max(len/n, 1), per-frame length min(f·step+step, len) − f·step —
     // over octet_length of the UTF-8 payload (integer-exact cross-engine;
     // the BYTES themselves ride the typed spec in MultimodalSpec, since
     // DuckDB's md5 is VARCHAR-only and the zh fixture rows are
-    // multi-byte). Differential on exactly the part a stub can get wrong:
-    // boundary/short-payload slicing.
+    // multi-byte). Differential on exactly the part byte slicing can get
+    // wrong: boundary/short-payload arithmetic.
     QuerySpec("q111_frame_sample")(
       s"""WITH m AS (SELECT doc_id AS media_id,
         |             octet_length(encode(text)) AS len

@@ -5,6 +5,10 @@ import org.apache.spark.sql.functions._
 
 class MultimodalSpec extends SparkSpec {
 
+  private def refLuma(id: Long): Array[Int] =
+    Array.tabulate(Multimodal.TotalSamples)(i =>
+      Multimodal.lumaAt(id, i % Multimodal.ImgSide, i / Multimodal.ImgSide))
+
   test("metadata-only queries prune the binary payload from the media parquet scan") {
     import spark.implicits._
     // The storage posture SCALE.md claims: payloads stay opaque binary, so
@@ -22,20 +26,98 @@ class MultimodalSpec extends SparkSpec {
       plan.take(1500))
   }
 
-  test("decodeFeatures is deterministic and matches a hand-computed digest") {
+  test("decodeFeatures really decodes: PNG/WAV round trip matches the synthesis arithmetic") {
     import spark.implicits._
-    val docs = Seq((1L, "abc", 3L), (2L, "hello world", 11L))
+    val docs = Seq((1L, "x", 1L), (2L, "y", 1L), (8L, "z", 1L))
       .toDF("doc_id", "text", "n_chars")
-    val out = Multimodal.decodeFeatures(
-        Multimodal.synthesizeFromDocuments(docs).as[Multimodal.MediaRow])
+    val out = Multimodal.decodeFeatures(Multimodal.synthesizeEncodedMedia(docs))
       .collect().map(f => f.media_id -> f).toMap
 
-    // md5("abc") = 900150983cd24fb0... → first byte 0x90 = 144
-    assert(out(1L).features(0) == 144 / 255.0)
-    assert(out(1L).n_bytes == 3)
     assert(out(1L).media_type == "audio") // odd id
     assert(out(2L).media_type == "image")
-    assert(out(1L).features.length == Multimodal.FeatureDim)
+    assert(out(2L).n_samples == Multimodal.TotalSamples)
+    val block = Multimodal.TotalSamples / Multimodal.FeatureDim
+    // image features = block sums of the luma grid the PNG encoded
+    for (id <- Seq(2L, 8L); b <- 0 until Multimodal.FeatureDim) {
+      val expect = (b * block until (b + 1) * block)
+        .map(i => Multimodal.lumaAt(id, i % Multimodal.ImgSide, i / Multimodal.ImgSide).toLong).sum
+      assert(out(id).features(b) == expect, s"image $id block $b")
+    }
+    // audio features = block sums of the PCM samples the WAV encoded
+    for (b <- 0 until Multimodal.FeatureDim) {
+      val expect = (b * block until (b + 1) * block).map(i => Multimodal.pcmAt(1L, i).toLong).sum
+      assert(out(1L).features(b) == expect, s"audio block $b")
+    }
+  }
+
+  test("imageLuma: decoded grids are bit-equal to the synthesis function (PNG lossless)") {
+    import spark.implicits._
+    val docs = Seq((0L, "a", 1L), (4L, "b", 1L), (10L, "c", 1L))
+      .toDF("doc_id", "text", "n_chars")
+    val decoded = Multimodal.imageLuma(Multimodal.synthesizeImages(docs))
+      .as[(Long, Array[Int])].collect().toMap
+    for (id <- Seq(0L, 4L, 10L))
+      assert(decoded(id).sameElements(refLuma(id)), s"image $id decode drift")
+  }
+
+  test("re-encode robustness: decode → re-encode → decode is stable, hash unchanged") {
+    // A second trip through the codec (e.g. storage-tier recompression)
+    // must not move a single luma value or hash bit.
+    val grid = refLuma(6L)
+    val once = Multimodal.decodePngLuma(Multimodal.encodePng(grid))
+    val twice = Multimodal.decodePngLuma(Multimodal.encodePng(once))
+    assert(once.sameElements(grid) && twice.sameElements(grid))
+
+    import spark.implicits._
+    val hashes = Seq(("orig", grid), ("reenc", twice)).toDF("tag", "luma")
+      .select(col("tag"), graft.operators.MultimodalOps.dhash56(col("luma")).as("fp"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(hashes("orig") == hashes("reenc"))
+  }
+
+  test("brightness-shift robustness: uniform +c leaves every dHash bit unchanged") {
+    import spark.implicits._
+    // dHash bits are strict comparisons of block-sum DIFFERENCES, so a
+    // uniform brightness offset cancels exactly (no tolerance involved).
+    val grid = refLuma(12L).map(v => v * 200 / 255) // headroom so +55 can't clip
+    val shifted = grid.map(_ + 55)
+    val hashes = Seq(("base", grid), ("bright", shifted)).toDF("tag", "luma")
+      .select(col("tag"), graft.operators.MultimodalOps.dhash56(col("luma")).as("fp"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(hashes("base") == hashes("bright"))
+  }
+
+  test("near-dup variants are a few dHash bits apart; unrelated images are far") {
+    import spark.implicits._
+    // the q136 premise, checked at the hash level: same group (base 16,
+    // variants 16+2k) → small Hamming; different group → large
+    val ids = Seq(16L, 18L, 20L, 22L, 48L)
+    val grids = ids.map(id => id -> refLuma(id))
+    val fps = grids.toDF("id", "luma")
+      .select(col("id"), graft.operators.MultimodalOps.dhash56(col("luma")).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(fps(a) ^ fps(b))
+    assert(ham(16L, 18L) <= 7, s"variant pair too far: ${ham(16L, 18L)}")
+    assert(ham(16L, 20L) <= 7 && ham(16L, 22L) <= 7)
+    assert(ham(16L, 48L) > graft.operators.MultimodalOps.ImgHammingMax,
+      s"unrelated pair too close: ${ham(16L, 48L)}")
+  }
+
+  test("downscaleImages really decodes, average-pools, and re-encodes") {
+    import spark.implicits._
+    val docs = Seq((4L, "a", 1L)).toDF("doc_id", "text", "n_chars")
+    val down = Multimodal.downscaleImages(Multimodal.synthesizeImages(docs), factor = 2)
+      .collect().head
+    assert(down.width == 8 && down.height == 8)
+    val outLuma = Multimodal.decodePngLuma(down.payload)
+    val src = refLuma(4L)
+    val expect = Array.tabulate(64) { i =>
+      val (bx, by) = (i % 8, i / 8)
+      val s = src(2 * by * 16 + 2 * bx) + src(2 * by * 16 + 2 * bx + 1) +
+        src((2 * by + 1) * 16 + 2 * bx) + src((2 * by + 1) * 16 + 2 * bx + 1)
+      s / 4
+    }
+    assert(outLuma.sameElements(expect))
   }
 
   test("resize rewrites metadata and shrinks payload by area ratio") {
