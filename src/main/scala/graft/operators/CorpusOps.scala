@@ -412,6 +412,54 @@ object CorpusOps {
       |           ORDER BY sim_dec DESC, vec_id ASC) AS rk
       |       FROM sv)""".stripMargin
 
+  /** q137 discount unit: lcm(2..11) = 27720, so the harmonic DCG discount
+    * `unit / (rank+1)` is an EXACT integer for every rank ≤ [[Bm25K]] —
+    * no float log2, no truncation: gains, DCG and IDCG are exact BIGINT
+    * sums on both engines, with one integer division for the final
+    * ndcg_micro (the q134 micro-unit discipline).
+    */
+  private val NdcgUnit = 27720L
+
+  /** q131's fused RRF list as a library frame (q_id, rk, item, rk_lex,
+    * rk_vec, rrf_micro) — q137's ranking-quality report reconciles
+    * against exactly this frame, so the two operators cannot drift.
+    * Everything here is query-batch-sized on top of the two cached legs.
+    */
+  private[graft] def fusedRrf(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val lex = bm25TopK(s, dir)
+      .select(col("q_id"), col("doc_id").as("item"), col("rk").cast(LongType).as("rk_lex"))
+    val vec = vecLeg(s, dir)
+      .select(col("q_id"), col("neighbor_id").as("item"), col("rk").cast(LongType).as("rk_vec"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("rrf_micro").desc, col("item").asc)
+    lex.join(vec, Seq("q_id", "item"), "full_outer")
+      .withColumn("rrf_micro",
+        coalesce(expr(s"1000000 div ($RrfK + rk_lex)"), lit(0L)) +
+          coalesce(expr(s"1000000 div ($RrfK + rk_vec)"), lit(0L)))
+      .withColumn("rk", row_number().over(w).cast(LongType))
+      .select(col("q_id"), col("rk"), col("item"), col("rk_lex"), col("rk_vec"),
+        col("rrf_micro"))
+  }
+
+  /** Shared DuckDB CTEs for the fused RRF list (q131's `f` plus its rank
+    * window as `fr`) — one definition serving q131 and q137.
+    */
+  private def fusedOracleCtes(nq: Long, qt: Int, k: Int): String =
+    s"""${bm25OracleCtes(nq, qt)},
+      |${vecLegOracleCtes(nq)},
+      |lex AS (SELECT q_id, doc_id AS item, rk AS rk_lex FROM bmr WHERE rk <= $k),
+      |vec AS (SELECT q_id, vec_id AS item, rk AS rk_vec FROM vr WHERE rk <= $k),
+      |f AS (SELECT coalesce(lex.q_id, vec.q_id) AS q_id,
+      |        coalesce(lex.item, vec.item) AS item, rk_lex, rk_vec,
+      |        coalesce(1000000 // ($RrfK + rk_lex), 0)
+      |          + coalesce(1000000 // ($RrfK + rk_vec), 0) AS rrf_micro
+      |      FROM lex FULL OUTER JOIN vec
+      |        ON lex.q_id = vec.q_id AND lex.item = vec.item),
+      |fr AS (SELECT q_id, item, rk_lex, rk_vec, rrf_micro,
+      |         row_number() OVER (PARTITION BY q_id
+      |           ORDER BY rrf_micro DESC, item ASC) AS rk
+      |       FROM f)""".stripMargin
+
   /** Shared DuckDB CTE block for BM25 (q130 and q131's lexical leg). */
   private def bm25OracleCtes(nq: Long, qt: Int): String =
     s"""tf AS (
@@ -470,33 +518,78 @@ object CorpusOps {
     // fusion join and final window touch ≤ 2k rows per query (the two
     // rank lists), so everything after the legs is query-batch-sized.
     QuerySpec("q131_hybrid_rrf")(
-      s"""WITH ${bm25OracleCtes(Bm25NumQueries, Bm25QTerms)},
-        |${vecLegOracleCtes(Bm25NumQueries)},
-        |lex AS (SELECT q_id, doc_id AS item, rk AS rk_lex FROM bmr WHERE rk <= $Bm25K),
-        |vec AS (SELECT q_id, vec_id AS item, rk AS rk_vec FROM vr WHERE rk <= $Bm25K),
-        |f AS (SELECT coalesce(lex.q_id, vec.q_id) AS q_id,
-        |        coalesce(lex.item, vec.item) AS item, rk_lex, rk_vec,
-        |        coalesce(1000000 // ($RrfK + rk_lex), 0)
-        |          + coalesce(1000000 // ($RrfK + rk_vec), 0) AS rrf_micro
-        |      FROM lex FULL OUTER JOIN vec
-        |        ON lex.q_id = vec.q_id AND lex.item = vec.item)
-        |SELECT q_id,
-        |  row_number() OVER (PARTITION BY q_id ORDER BY rrf_micro DESC, item ASC) AS rk,
-        |  item, rk_lex, rk_vec, rrf_micro
-        |FROM f ORDER BY q_id, rk""".stripMargin) { (s, dir) =>
-      val lex = bm25TopK(s, dir)
-        .select(col("q_id"), col("doc_id").as("item"), col("rk").cast(LongType).as("rk_lex"))
-      val vec = vecLeg(s, dir)
-        .select(col("q_id"), col("neighbor_id").as("item"), col("rk").cast(LongType).as("rk_vec"))
-      val w = Window.partitionBy(col("q_id")).orderBy(col("rrf_micro").desc, col("item").asc)
-      lex.join(vec, Seq("q_id", "item"), "full_outer")
-        .withColumn("rrf_micro",
-          coalesce(expr(s"1000000 div ($RrfK + rk_lex)"), lit(0L)) +
-            coalesce(expr(s"1000000 div ($RrfK + rk_vec)"), lit(0L)))
-        .withColumn("rk", row_number().over(w).cast(LongType))
-        .select(col("q_id"), col("rk"), col("item"), col("rk_lex"), col("rk_vec"),
-          col("rrf_micro"))
-        .orderBy(col("q_id"), col("rk"))
+      s"""WITH ${fusedOracleCtes(Bm25NumQueries, Bm25QTerms, Bm25K)}
+        |SELECT q_id, rk, item, rk_lex, rk_vec, rrf_micro
+        |FROM fr ORDER BY q_id, rk""".stripMargin) { (s, dir) =>
+      fusedRrf(s, dir).orderBy(col("q_id"), col("rk"))
+    },
+
+    // ----- end-to-end ranking quality of the fused list (nDCG@k / MRR) ----
+    // Completes the retrieval-quality ladder: q80/q101 measure index
+    // loss, q124 quantization loss, q134 modality divergence — q137
+    // grades the FUSED list (q131) end to end against the exact cosine
+    // side as graded relevance (grade = K+1 − exact rank, 10…1). All
+    // integer-rational: harmonic DCG discounts as exact 27720/(rank+1)
+    // units (27720 = lcm(2..11), so every discount divides evenly — no
+    // float log2 anywhere), exact BIGINT gain sums, and single integer
+    // divisions for mrr_micro / ndcg_micro. Anchored on the query set
+    // like q134 so a query with empty legs still reports. Everything is
+    // query-batch-sized over the two cached legs.
+    QuerySpec("q137_fused_ndcg")(
+      s"""WITH ${fusedOracleCtes(Bm25NumQueries, Bm25QTerms, Bm25K)},
+        |rel AS (SELECT q_id, vec_id AS item, ${Bm25K + 1} - rk AS rel
+        |        FROM vr WHERE rk <= $Bm25K),
+        |qs AS (SELECT vec_id AS q_id FROM embeddings WHERE vec_id < $Bm25NumQueries),
+        |dcg AS (SELECT fr.q_id,
+        |          sum(CASE WHEN rel.rel IS NOT NULL THEN 1 ELSE 0 END) AS n_rel_hit,
+        |          sum(coalesce(rel.rel, 0) * ($NdcgUnit // (fr.rk + 1))) AS dcg_raw
+        |        FROM fr LEFT JOIN rel ON fr.q_id = rel.q_id AND fr.item = rel.item
+        |        WHERE fr.rk <= $Bm25K GROUP BY fr.q_id),
+        |mrr AS (SELECT fr.q_id, min(fr.rk) AS first_rel
+        |        FROM fr JOIN rel ON fr.q_id = rel.q_id AND fr.item = rel.item
+        |        GROUP BY fr.q_id),
+        |idcg AS (SELECT q_id, sum((${Bm25K + 1} - rk) * ($NdcgUnit // (rk + 1))) AS idcg_raw
+        |         FROM vr WHERE rk <= $Bm25K GROUP BY q_id)
+        |SELECT qs.q_id,
+        |  CAST(coalesce(d.n_rel_hit, 0) AS BIGINT) AS n_rel_hit,
+        |  CAST(coalesce(1000000 // m.first_rel, 0) AS BIGINT) AS mrr_micro,
+        |  CAST(coalesce(d.dcg_raw, 0) AS BIGINT) AS dcg_raw,
+        |  CAST(coalesce(i.idcg_raw, 0) AS BIGINT) AS idcg_raw,
+        |  CAST(coalesce((d.dcg_raw * 1000000) // nullif(i.idcg_raw, 0), 0) AS BIGINT) AS ndcg_micro
+        |FROM qs LEFT JOIN dcg d USING (q_id) LEFT JOIN mrr m USING (q_id)
+        |  LEFT JOIN idcg i USING (q_id)
+        |ORDER BY qs.q_id""".stripMargin) { (s, dir) =>
+      val fused = fusedRrf(s, dir)
+      // graded relevance from the exact cosine leg: grade K+1−rk ∈ 10…1
+      val rel = vecLeg(s, dir)
+        .select(col("q_id"), col("neighbor_id").as("item"),
+          (lit(Bm25K + 1) - col("rk")).cast(LongType).as("rel"))
+      val qs = Tables.load(s, dir, "embeddings")
+        .filter(col("vec_id") < Bm25NumQueries).select(col("vec_id").as("q_id"))
+      val dcg = fused.filter(col("rk") <= Bm25K)
+        .join(rel, Seq("q_id", "item"), "left")
+        .withColumn("rel", coalesce(col("rel"), lit(0L)))
+        .withColumn("gain", col("rel") * expr(s"$NdcgUnit div (rk + 1)"))
+        .groupBy(col("q_id"))
+        .agg(sum(when(col("rel") > 0, 1L).otherwise(0L)).cast(LongType).as("n_rel_hit"),
+          sum(col("gain")).cast(LongType).as("dcg_raw"))
+      val firstRel = fused.join(rel, Seq("q_id", "item"))
+        .groupBy(col("q_id")).agg(min(col("rk")).as("first_rel"))
+      val idcg = vecLeg(s, dir)
+        .select(col("q_id"), col("rk").cast(LongType).as("rk"))
+        .withColumn("g", (lit(Bm25K + 1) - col("rk")) * expr(s"$NdcgUnit div (rk + 1)"))
+        .groupBy(col("q_id")).agg(sum(col("g")).cast(LongType).as("idcg_raw"))
+      qs.join(dcg, Seq("q_id"), "left")
+        .join(firstRel, Seq("q_id"), "left")
+        .join(idcg, Seq("q_id"), "left")
+        .select(col("q_id"),
+          coalesce(col("n_rel_hit"), lit(0L)).as("n_rel_hit"),
+          coalesce(expr("1000000 div first_rel"), lit(0L)).as("mrr_micro"),
+          coalesce(col("dcg_raw"), lit(0L)).as("dcg_raw"),
+          coalesce(col("idcg_raw"), lit(0L)).as("idcg_raw"),
+          coalesce(expr("(dcg_raw * 1000000) div nullif(idcg_raw, 0)"), lit(0L))
+            .as("ndcg_micro"))
+        .orderBy(col("q_id"))
     },
 
     // ----- retrieval-leg agreement (overlap@k diagnostic) -----------------

@@ -389,6 +389,33 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("q137: nDCG/MRR reconcile with q131's fused list and its vec-leg grades") {
+    // q131's own output carries everything q137 grades: the fused order
+    // (rk), and the exact-cosine relevance (grade = 11 − rk_vec for rows
+    // where the vec leg ranked the item). Recompute all five metrics from
+    // the fused rows with plain Long arithmetic and demand equality.
+    val fused = q("q131_hybrid_rrf").collect()
+    val report = q("q137_fused_ndcg").collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    val byQ = fused.groupBy(_.getLong(0))
+    assert(report.keySet == byQ.keySet)
+    byQ.foreach { case (qid, rows) =>
+      def rel(r: org.apache.spark.sql.Row): Long =
+        if (r.isNullAt(4)) 0L else 11L - r.getLong(4)
+      val top = rows.filter(_.getLong(1) <= 10)
+      val dcg = top.map(r => rel(r) * (27720L / (r.getLong(1) + 1))).sum
+      val hits = top.count(rel(_) > 0).toLong
+      val firstRel = rows.filter(rel(_) > 0).map(_.getLong(1)).sorted.headOption
+      val idcg = rows.filter(rel(_) > 0)
+        .map(r => rel(r) * (27720L / (r.getLong(4) + 1))).sum
+      val (gh, gm, gd, gi, gn) = report(qid)
+      assert(gh == hits && gd == dcg && gi == idcg, s"query $qid gain drift")
+      assert(gm == firstRel.map(1000000L / _).getOrElse(0L), s"query $qid mrr")
+      assert(gn == (if (idcg == 0) 0L else dcg * 1000000L / idcg), s"query $qid ndcg")
+    }
+  }
+
   test("q130: BM25 micro-scores equal an independent BigInt recomputation") {
     // Driver-side re-derivation from raw text: same tokenization, query
     // bags re-pruned, and the rational-cleared BM25 recomputed with BigInt
