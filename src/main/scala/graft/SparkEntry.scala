@@ -25,6 +25,7 @@ object SparkEntry {
       operators.TrainPipe.specs ++
       operators.CorpusClean.specs ++
       operators.CorpusOps.specs ++
+      operators.Bpe.specs ++
       operators.Analytics.specs ++
       operators.Fuzzy.specs
 

@@ -1,0 +1,232 @@
+package graft.operators
+
+import graft.QuerySpec
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Distributed BPE (byte-pair-encoding) vocabulary learner — the tokenizer-
+  * training pillar of the pipeline (q135's Heaps-law report motivates the
+  * vocabulary budget this learner spends).
+  *
+  * Classic BPE over a word-frequency table: words start as character
+  * sequences; each round counts adjacent symbol pairs (weighted by word
+  * frequency), merges the most frequent pair corpus-wide into one symbol
+  * (ties broken count DESC, left ASC, right ASC — deterministic), and
+  * repeats. The learned artifact is the ordered merge sequence.
+  *
+  * Scale design: the corpus is touched ONCE (the shared tf index supplies
+  * word counts); every round then runs over the VOCABULARY-sized symbol
+  * frame — one hash aggregate (pair counts, partial-agg friendly) plus a
+  * 1-row driver read (the argmax pair, a bounded collect like the IVF
+  * centroid reads) and a broadcast-joined per-row merge rewrite. Round
+  * frames are eagerly materialized and the previous round freed, so R
+  * rounds cost R vocab passes with flat memory — at 100 TB the vocab is
+  * ~10⁷ rows while the corpus is 10¹¹, so the loop is noise next to the
+  * one corpus tokenization.
+  *
+  * Cross-engine exactness (q138's oracle): the ENTIRE merge sequence is
+  * re-derived in DuckDB by R generated CTE stages — pair counts from the
+  * re-split symbol string, argmax with the same total order, and the merge
+  * applied with `replace` on the space-delimited symbol string, whose
+  * leftmost non-overlapping scan is exactly the greedy fold below
+  * (spec-pinned). No float anywhere.
+  */
+object Bpe {
+
+  /** q138 merge rounds. Production tuning changes only this constant —
+    * each extra round is one more vocabulary-sized pass.
+    */
+  private[graft] val Rounds = 8
+
+  /** `(term, freq)` → `(syms, freq)` with words split into characters —
+    * round 0 of the merge loop. split(term, "") emits a trailing empty
+    * string under limit −1 semantics; the filter drops it.
+    */
+  private def charFrame(words: DataFrame): DataFrame =
+    words.select(
+      filter(split(col("term"), ""), x => length(x) > 0).as("syms"),
+      col("freq"))
+
+  /** One round's pair counts: explode adjacent symbol pairs, weight by
+    * word frequency. zip_with over two slices — a pure per-row expression;
+    * the groupBy is the round's only shuffle, over (pair → count) rows
+    * bounded by the round's pair vocabulary.
+    */
+  private def pairCounts(symFrame: DataFrame): DataFrame =
+    symFrame
+      .select(explode(zip_with(
+          slice(col("syms"), lit(1), size(col("syms")) - 1),
+          slice(col("syms"), lit(2), size(col("syms")) - 1),
+          (a, b) => struct(a.as("l"), b.as("r")))).as("p"),
+        col("freq"))
+      .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+      .agg(sum(col("freq")).cast(LongType).as("cnt"))
+
+  /** Leftmost-greedy non-overlapping merge of (ml, mr) → ml||mr as a fold
+    * over the symbol array: append each symbol, merging with the
+    * accumulator's tail when it completes the pair. A merged symbol is
+    * never itself re-merged in the same pass (the fold continues AFTER
+    * it), which is exactly `replace`'s scan semantics on the
+    * space-delimited form — the equivalence the oracle and BpeSpec rely
+    * on. The pair travels as broadcast columns (ml, mr), not interpolated
+    * SQL literals, so corpus symbols never need escaping.
+    */
+  private val MergeFoldSql =
+    "aggregate(syms, cast(array() as array<string>), (acc, x) -> " +
+      "CASE WHEN size(acc) > 0 AND element_at(acc, -1) = ml AND x = mr " +
+      "THEN concat(slice(acc, 1, size(acc) - 1), array(concat(ml, mr))) " +
+      "ELSE concat(acc, array(x)) END)"
+
+  /** Learn `rounds` merges over a `(term, freq)` word-frequency frame.
+    * Returns the merge table (round, left, right, pair_count) — bounded:
+    * one row per round, each from a 1-row collect.
+    */
+  def learn(words: DataFrame, rounds: Int = Rounds): Seq[(Long, String, String, Long)] = {
+    val spark = words.sparkSession
+    var cur = charFrame(words).localCheckpoint()
+    val out = scala.collection.mutable.ListBuffer.empty[(Long, String, String, Long)]
+    var r = 1
+    var done = false
+    while (r <= rounds && !done) {
+      val top = pairCounts(cur)
+        .orderBy(col("cnt").desc, col("l").asc, col("r").asc)
+        .limit(1).collect() // bounded driver read: the round's argmax pair
+      if (top.isEmpty) done = true
+      else {
+        val (l, rt, cnt) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        out += ((r.toLong, l, rt, cnt))
+        val pair = broadcast(spark.createDataFrame(
+          java.util.List.of(org.apache.spark.sql.Row(l, rt)),
+          StructType(Seq(StructField("ml", StringType), StructField("mr", StringType)))))
+        val next = cur.crossJoin(pair)
+          .select(expr(MergeFoldSql).as("syms"), col("freq"))
+          .localCheckpoint()
+        graft.Materialize.free(cur) // round N's blocks are dead once N+1 exists
+        cur = next
+        r += 1
+      }
+    }
+    graft.Materialize.free(cur)
+    out.toList
+  }
+
+  /** Byte-wise UTF-8 ordering — what Spark's UTF8String and DuckDB's
+    * binary collation both compare with (Java String.compareTo would
+    * diverge on supplementary characters).
+    */
+  private def utf8Lt(a: String, b: String): Boolean = {
+    val (x, y) = (a.getBytes("UTF-8"), b.getBytes("UTF-8"))
+    var i = 0
+    while (i < x.length && i < y.length) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c < 0
+      i += 1
+    }
+    x.length < y.length
+  }
+
+  /** Single-node reference implementation (plain Scala collections, same
+    * semantics) — the differential BpeSpec pins [[learn]] to it at two
+    * scales.
+    */
+  def referenceLearn(words: Seq[(String, Long)], rounds: Int = Rounds): Seq[(Long, String, String, Long)] = {
+    var syms: Seq[(Vector[String], Long)] =
+      words.map { case (w, f) => (w.map(_.toString).toVector, f) }
+    val out = scala.collection.mutable.ListBuffer.empty[(Long, String, String, Long)]
+    var r = 1
+    var done = false
+    while (r <= rounds && !done) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      syms.foreach { case (ss, f) =>
+        ss.iterator.zip(ss.iterator.drop(1)).foreach { p =>
+          counts.update(p, counts.getOrElse(p, 0L) + f)
+        }
+      }
+      if (counts.isEmpty) done = true
+      else {
+        val ((l, rt), cnt) = counts.toSeq.sortWith {
+          case (((al, ar), ca), ((bl, br), cb)) =>
+            if (ca != cb) ca > cb
+            else if (al != bl) utf8Lt(al, bl)
+            else utf8Lt(ar, br)
+        }.head
+        out += ((r.toLong, l, rt, cnt))
+        syms = syms.map { case (ss, f) =>
+          val acc = Vector.newBuilder[String]
+          var last: String = null
+          ss.foreach { x =>
+            if (last == l && x == rt) {
+              // pop the pending left symbol, push the merge
+              val v = acc.result()
+              acc.clear()
+              v.init.foreach(acc += _)
+              acc += (l + rt)
+              last = l + rt
+            } else { acc += x; last = x }
+          }
+          (acc.result(), f)
+        }
+        r += 1
+      }
+    }
+    out.toList
+  }
+
+  /** Word-frequency frame off the shared tf index: freq = total token
+    * instances of the word corpus-wide.
+    */
+  private[graft] def wordCounts(s: SparkSession, dir: String): DataFrame =
+    CorpusOps.tfIndex(s, dir)
+      .groupBy(col("term")).agg(sum(col("tf")).cast(LongType).as("freq"))
+
+  /** The full R-round merge sequence as DuckDB SQL: symbols ride a
+    * space-delimited string per word (terms never contain spaces), each
+    * round re-splits for pair counts, takes the same (cnt DESC, l, r)
+    * argmax, and applies the merge with `replace` — leftmost
+    * non-overlapping, the exact greedy-fold semantics.
+    */
+  private def oracle(rounds: Int): String = {
+    val head =
+      s"""WITH tf AS (
+        |  SELECT doc_id, t AS term, count(*) AS tf
+        |  FROM (SELECT doc_id,
+        |          unnest(string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')) AS t
+        |        FROM documents)
+        |  GROUP BY doc_id, t),
+        |wf AS (SELECT term, CAST(sum(tf) AS BIGINT) AS freq FROM tf GROUP BY term),
+        |s0 AS (SELECT ' ' || regexp_replace(term, '(.)', '\\1 ', 'g') AS sym, freq FROM wf)""".stripMargin
+    val stages = (1 to rounds).map { r =>
+      s""",
+        |p$r AS (SELECT arr[i] AS l, arr[i+1] AS r, CAST(sum(freq) AS BIGINT) AS cnt
+        |        FROM (SELECT freq, arr, unnest(generate_series(1, len(arr) - 1)) AS i
+        |              FROM (SELECT string_split(trim(sym), ' ') AS arr, freq FROM s${r - 1}))
+        |        GROUP BY 1, 2),
+        |m$r AS (SELECT l, r, cnt FROM p$r ORDER BY cnt DESC, l ASC, r ASC LIMIT 1),
+        |s$r AS (SELECT replace(sym, ' ' || m$r.l || ' ' || m$r.r || ' ',
+        |                       ' ' || m$r.l || m$r.r || ' ') AS sym, freq
+        |        FROM s${r - 1}, m$r)""".stripMargin
+    }.mkString
+    val union = (1 to rounds)
+      .map(r => s"SELECT CAST($r AS BIGINT) AS round, l AS left_sym, r AS right_sym, cnt AS pair_count FROM m$r")
+      .mkString("\n", "\nUNION ALL ", "\nORDER BY round")
+    head + stages + union
+  }
+
+  val specs: Seq[QuerySpec] = Seq(
+
+    // ----- BPE vocabulary learner: the R-round merge sequence -------------
+    // The registered query IS the learner: R merge rounds over the corpus
+    // word counts, each round one vocab-sized hash-agg + 1-row argmax
+    // collect + broadcast merge rewrite. The oracle re-derives the FULL
+    // sequence (not just round 1) through R generated CTE stages — every
+    // pair count, tie-break, and greedy merge application must agree for
+    // the hash compare to pass.
+    QuerySpec("q138_bpe_merges")(oracle(Rounds)) { (s, dir) =>
+      import s.implicits._
+      learn(wordCounts(s, dir), Rounds)
+        .toDF("round", "left_sym", "right_sym", "pair_count")
+        .orderBy(col("round"))
+    }
+  )
+}

@@ -1,0 +1,54 @@
+package graft
+
+import graft.operators.Bpe
+import org.apache.spark.sql.functions._
+
+/** Differential pins for the distributed BPE learner: the full merge
+  * sequence must equal a single-node reference implementation (plain
+  * Scala collections, same tie-breaks) at two fixture scales — the
+  * cross-scale parity the oracle (which re-derives the sequence in
+  * DuckDB) complements from a third, SQL-string-rewrite angle.
+  */
+class BpeSpec extends SparkSpec {
+
+  private def wordsOf(dir: String): Seq[(String, Long)] =
+    Bpe.wordCounts(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toSeq
+
+  test("merge sequence parity with the single-node reference at sf0.001") {
+    val dist = Bpe.learn(Bpe.wordCounts(spark, "/root/testdata/sf0.001"))
+    val ref = Bpe.referenceLearn(wordsOf("/root/testdata/sf0.001"))
+    assert(dist.nonEmpty && dist == ref,
+      s"first diff: ${dist.zip(ref).find(p => p._1 != p._2)}")
+  }
+
+  test("merge sequence parity with the single-node reference at sf0.01") {
+    val dist = Bpe.learn(Bpe.wordCounts(spark, "/root/testdata/sf0.01"))
+    val ref = Bpe.referenceLearn(wordsOf("/root/testdata/sf0.01"))
+    assert(dist.nonEmpty && dist == ref,
+      s"first diff: ${dist.zip(ref).find(p => p._1 != p._2)}")
+  }
+
+  test("greedy merge fold equals string-replace semantics (the oracle's form)") {
+    // The oracle applies merges with replace(' l r ' → ' lr ') on the
+    // space-delimited symbol string — leftmost non-overlapping. The
+    // distributed learner uses an aggregate() fold. Pin the equivalence
+    // on the corner shapes: overlapping identical pairs, repeated merges
+    // in one word, merge at either boundary.
+    import spark.implicits._
+    val words = Seq("aaa" -> 5L, "aaaa" -> 3L, "abab" -> 2L, "ba" -> 7L, "b" -> 1L)
+    val dist = Bpe.learn(words.toDF("term", "freq"), rounds = 3)
+    val ref = Bpe.referenceLearn(words, rounds = 3)
+    assert(dist == ref)
+    // and against a hand-derived round 1: pair (a,a) count = 5·2 + 3·3 = 19
+    assert(dist.head == ((1L, "a", "a", 19L)))
+  }
+
+  test("learner terminates early when no pairs remain") {
+    import spark.implicits._
+    // single-character vocabulary: round 1 has no adjacent pairs at all
+    val words = Seq("a" -> 3L, "b" -> 2L).toDF("term", "freq")
+    assert(Bpe.learn(words, rounds = 4).isEmpty)
+    assert(Bpe.referenceLearn(Seq("a" -> 3L, "b" -> 2L), rounds = 4).isEmpty)
+  }
+}
