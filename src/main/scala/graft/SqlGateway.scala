@@ -313,6 +313,7 @@ object SqlGateway {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     Tables.registerAll(spark, sfDir)
+    Tables.registerIndexViews(spark, sfDir)
     val gw = start(spark, port)
     println(s"graft SQL gateway listening on http://127.0.0.1:${gw.port}/play")
     Thread.currentThread.join()

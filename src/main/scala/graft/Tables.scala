@@ -108,4 +108,21 @@ object Tables {
   /** Register all fixture tables as temp views (tests / ad-hoc SQL). */
   def registerAll(spark: SparkSession, dir: String): Unit =
     names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+
+  /** Register the per-corpus shared MATERIALIZED indexes (and the cached
+    * retrieval rank lists served off them) as temp views — the `/play`
+    * analyst surface the operators themselves serve from: `tf_index`
+    * (doc_id, term, tf), `shingle_index` (doc_id, ss), `quality_index`
+    * (per-doc quality features), `bm25_topk` (the lexical rank list at
+    * the retrieval family's parameters). Views are lazy: an index builds
+    * (and persists, session-cached) on first query, then every later
+    * gateway query reads the same in-memory frame the batch operators
+    * share.
+    */
+  def registerIndexViews(spark: SparkSession, dir: String): Unit = {
+    operators.CorpusOps.tfIndex(spark, dir).createOrReplaceTempView("tf_index")
+    operators.TextAnalysis.shingleIndex(spark, dir).createOrReplaceTempView("shingle_index")
+    operators.TextAnalysis.qualityIndex(spark, dir).createOrReplaceTempView("quality_index")
+    operators.CorpusOps.bm25TopK(spark, dir).createOrReplaceTempView("bm25_topk")
+  }
 }

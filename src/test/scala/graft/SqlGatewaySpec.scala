@@ -70,6 +70,36 @@ class SqlGatewaySpec extends SparkSpec {
     }
   }
 
+  test("materialized index views: tf_index and bm25_topk served over HTTP, row cap intact") {
+    withGateway { (_, port) =>
+      Tables.registerIndexViews(spark, dir)
+      // value check: the served tf index carries the corpus's exact token
+      // mass (independently recomputed through the typed tokenizer here)
+      import org.apache.spark.sql.functions._
+      val expectTokens = Tables.load(spark, dir, "documents")
+        .select(sum(size(graft.functions.TextFunctions.tokens(col("text")))).cast("long"))
+        .collect().head.getLong(0)
+      val s = post(port, "SELECT sum(tf) AS s FROM tf_index")
+      assert(s.statusCode() == 200 && s.body().trim == s"""{"s":$expectTokens}""")
+
+      // row-cap discipline holds on an index scan exactly as on fixtures
+      val t = post(port, "SELECT doc_id, term, tf FROM tf_index ORDER BY doc_id, term",
+        query = "max_result_rows=9")
+      assert(t.headers().firstValue("X-Graft-Rows").orElse("") == "9")
+      assert(t.headers().firstValue("X-Graft-Truncated").orElse("") == "true")
+
+      // the rank list the retrieval family serves from is queryable too
+      val b = post(port, "SELECT rk, doc_id FROM bm25_topk WHERE q_id = 0 ORDER BY rk")
+      assert(b.statusCode() == 200)
+      val ranks = b.body().split("\n").filter(_.nonEmpty).toSeq
+      assert(ranks.nonEmpty && ranks.head.contains("\"rk\":1"))
+
+      // shingle/quality indexes registered as well
+      assert(post(port, "SELECT count(*) AS n FROM shingle_index").statusCode() == 200)
+      assert(post(port, "SELECT count(*) AS n FROM quality_index").statusCode() == 200)
+    }
+  }
+
   test("errors: bad SQL and unknown format → 400 with a message; empty → 400") {
     withGateway { (_, port) =>
       val parse = post(port, "SELEKT 1")

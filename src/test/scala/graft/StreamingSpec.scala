@@ -101,6 +101,38 @@ class StreamingSpec extends SparkSpec {
     assert(t == "20.50")
   }
 
+  test("idempotent JDBC mode: a replayed batch leaves no duplicates") {
+    import spark.implicits._
+    val cfg = graft.streaming.JdbcSink.Config(
+      url = "jdbc:derby:memory:graftjdbc_eo;create=true", table = "facts_eo")
+    def readBack() = spark.read.format("jdbc")
+      .options(Map("url" -> cfg.url, "dbtable" -> cfg.table,
+        "pushDownPredicate" -> "false")).load()
+
+    val b7 = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    graft.streaming.JdbcSink.writeBatchIdempotent(b7, cfg, batchId = 7L)
+    assert(readBack().count() == 2)
+
+    // forced replay of batch 7 (the crash-between-commit-and-checkpoint
+    // window): the re-insert must first wipe its own earlier rows
+    graft.streaming.JdbcSink.writeBatchIdempotent(b7, cfg, batchId = 7L)
+    assert(readBack().count() == 2, "replayed batch duplicated rows")
+
+    // and a replay that carries MORE rows (source replays are supersets
+    // when the batch was cut short) converges to the replayed content
+    val b7full = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
+    graft.streaming.JdbcSink.writeBatchIdempotent(b7full, cfg, batchId = 7L)
+    assert(readBack().count() == 3)
+
+    // a DIFFERENT batch appends normally
+    graft.streaming.JdbcSink.writeBatchIdempotent(
+      Seq((9L, "z")).toDF("id", "v"), cfg, batchId = 8L)
+    val rows = readBack().collect()
+    assert(rows.length == 4)
+    assert(rows.map(_.getLong(rows.head.fieldIndex(
+      graft.streaming.JdbcSink.BatchIdCol))).sorted.toSeq == Seq(7L, 7L, 7L, 8L))
+  }
+
   test("count-or-time batcher flushes at the row threshold, on age, and on shutdown") {
     import spark.implicits._
     var now = 0L
