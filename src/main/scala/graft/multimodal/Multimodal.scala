@@ -62,20 +62,50 @@ object Multimodal {
   // DuckDB oracles re-derive arithmetically — see MultimodalOps)
   // ------------------------------------------------------------------
 
+  /** md5 digest of `"g:y"` — one fixture image row (16 bytes = 16
+    * pixels). md5, not a cheap polynomial: base images must be pairwise
+    * DECORRELATED so cross-group perceptual-hash collisions stay at the
+    * random-chance floor (a polynomial's uniform offsets cancel in the
+    * gradient hash and aliased entire group classes at 10× scale —
+    * measured: 2.4M reported pairs at sf1 vs the ~19k planted ones).
+    * DuckDB re-derives the same bytes from its own md5.
+    */
+  private def lumaRow(g: Long, y: Int): Array[Byte] =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$g:$y".getBytes("UTF-8"))
+
   /** Grayscale value of pixel (x, y) of fixture image `mediaId`.
     * Structure for the near-dup operator (q136): images share a BASE
-    * pattern per group `g = mediaId / 8` (up to 4 even ids per group) and
-    * a per-variant perturbation `v = (mediaId % 8) / 2` that brightens
-    * only row y = v — so within-group pairs are genuine near-duplicates
-    * (a handful of perceptual-hash bits apart) while cross-group images
-    * differ everywhere. All arithmetic is nonnegative integer add/mul/mod
-    * so DuckDB derives identical values.
+    * pattern per group `g = mediaId / 8` (up to 4 even ids per group) —
+    * md5-derived, so unrelated groups are independent — and a per-variant
+    * perturbation `v = (mediaId % 8) / 2` brightens only row y = v, so
+    * within-group pairs are genuine near-duplicates a handful of
+    * perceptual-hash bits apart.
     */
   def lumaAt(mediaId: Long, x: Int, y: Int): Int = {
-    val g = mediaId / 8
     val v = (mediaId % 8) / 2
-    val base = (g * 37 + x * (7 + g % 11) + y * 29 + x.toLong * y * (g % 5 + 1)) % 256
+    val base = lumaRow(mediaId / 8, y)(x) & 0xff
     (if (v > 0 && y == v) (base + 96) % 256 else base).toInt
+  }
+
+  /** The full flat luma grid of fixture image `mediaId` (one digest per
+    * row, not per pixel — the synthesis-side fast path of [[lumaAt]]).
+    */
+  private[graft] def lumaGrid(mediaId: Long): Array[Int] = {
+    val v = (mediaId % 8) / 2
+    val out = new Array[Int](TotalSamples)
+    var y = 0
+    while (y < ImgSide) {
+      val row = lumaRow(mediaId / 8, y)
+      var x = 0
+      while (x < ImgSide) {
+        val base = row(x) & 0xff
+        out(y * ImgSide + x) = if (v > 0 && y == v) (base + 96) % 256 else base
+        x += 1
+      }
+      y += 1
+    }
+    out
   }
 
   /** PCM sample `i` (8-bit unsigned) of fixture clip `mediaId`. */
@@ -138,9 +168,7 @@ object Multimodal {
       ImageIO.setUseCache(false) // per-partition codec setup: no temp-file cache
       ids.map { id =>
         if (id % 2 == 0)
-          MediaRow(id, "image",
-            encodePng(Array.tabulate(TotalSamples)(i => lumaAt(id, i % ImgSide, i / ImgSide))),
-            ImgSide, ImgSide, 0)
+          MediaRow(id, "image", encodePng(lumaGrid(id)), ImgSide, ImgSide, 0)
         else
           MediaRow(id, "audio", encodeWav(Array.tabulate(TotalSamples)(pcmAt(id, _))),
             0, 0, AudioRate)

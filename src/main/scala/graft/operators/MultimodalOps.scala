@@ -64,10 +64,12 @@ object MultimodalOps {
   // ---- DuckDB derivations of the synthesis functions -------------------
 
   /** [[Multimodal.lumaAt]] in DuckDB SQL (m = media id expr, x/y = pixel
-    * coordinate exprs — all nonnegative integers).
+    * coordinate exprs — all nonnegative integers): pixel = byte x of
+    * md5("g:y"), brightened on the variant's row.
     */
   private def lumaSql(m: String, x: String, y: String): String = {
-    val base = s"((($m//8)*37 + $x*(7 + ($m//8)%11) + $y*29 + $x*$y*(($m//8)%5+1)) % 256)"
+    val base = s"CAST('0x' || substr(md5(concat(CAST($m // 8 AS VARCHAR), ':', " +
+      s"CAST($y AS VARCHAR))), 2 * ($x) + 1, 2) AS BIGINT)"
     s"(CASE WHEN ($m % 8) // 2 > 0 AND $y = ($m % 8) // 2 THEN ($base + 96) % 256 ELSE $base END)"
   }
 
