@@ -579,9 +579,11 @@ object CorpusOps {
         .select(col("q_id"), col("rk").cast(LongType).as("rk"))
         .withColumn("g", (lit(Bm25K + 1) - col("rk")) * expr(s"$NdcgUnit div (rk + 1)"))
         .groupBy(col("q_id")).agg(sum(col("g")).cast(LongType).as("idcg_raw"))
-      qs.join(dcg, Seq("q_id"), "left")
-        .join(firstRel, Seq("q_id"), "left")
-        .join(idcg, Seq("q_id"), "left")
+      // the three report frames are query-batch-sized (≤ nq rows each):
+      // broadcast them so the final assembly never shuffles
+      qs.join(broadcast(dcg), Seq("q_id"), "left")
+        .join(broadcast(firstRel), Seq("q_id"), "left")
+        .join(broadcast(idcg), Seq("q_id"), "left")
         .select(col("q_id"),
           coalesce(col("n_rel_hit"), lit(0L)).as("n_rel_hit"),
           coalesce(expr("1000000 div first_rel"), lit(0L)).as("mrr_micro"),

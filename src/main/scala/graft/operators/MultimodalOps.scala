@@ -56,10 +56,19 @@ object MultimodalOps {
         lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
 
-  /** dHash of a flat luma array column — spec surface (brightness/
-    * re-encode robustness checks build on it).
+  /** Add a 56-bit dHash column computed from a flat luma array. Two
+    * projection steps on purpose: the block-sum array must be a NAMED
+    * column between them — inlining [[blockSums]] into every one of
+    * [[dhashFromBlocks]]'s 112 element_at references would re-evaluate
+    * the 256-term array constructor per reference (~29k expression evals
+    * per row; Catalyst keeps the projects separate exactly because the
+    * alias is non-cheap and multiply used).
     */
-  private[graft] def dhash56(luma: Column): Column = dhashFromBlocks(blockSums(luma))
+  private[graft] def withDhash56(df: org.apache.spark.sql.DataFrame,
+      luma: Column, out: String): org.apache.spark.sql.DataFrame =
+    df.withColumn("__bs", blockSums(luma))
+      .withColumn(out, dhashFromBlocks(col("__bs")))
+      .drop("__bs")
 
   // ---- DuckDB derivations of the synthesis functions -------------------
 
@@ -160,7 +169,7 @@ object MultimodalOps {
       // one decode per image: the fingerprint frame (id, fp) is tiny and
       // feeds both sides of the band self-join
       val fp = graft.Materialize.ephemeral(
-        luma.select(col("media_id"), dhash56(col("luma")).as("fp")))
+        withDhash56(luma, col("luma"), "fp").select(col("media_id"), col("fp")))
       val bandStructs = (0 until ImgBands).map { b =>
         struct(lit(b).as("band"),
           shiftright(col("fp"), b * ImgBandBits)

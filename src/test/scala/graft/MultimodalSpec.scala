@@ -69,8 +69,9 @@ class MultimodalSpec extends SparkSpec {
     assert(once.sameElements(grid) && twice.sameElements(grid))
 
     import spark.implicits._
-    val hashes = Seq(("orig", grid), ("reenc", twice)).toDF("tag", "luma")
-      .select(col("tag"), graft.operators.MultimodalOps.dhash56(col("luma")).as("fp"))
+    val hashes = graft.operators.MultimodalOps.withDhash56(
+        Seq(("orig", grid), ("reenc", twice)).toDF("tag", "luma"), col("luma"), "fp")
+      .select(col("tag"), col("fp"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(hashes("orig") == hashes("reenc"))
   }
@@ -81,8 +82,9 @@ class MultimodalSpec extends SparkSpec {
     // uniform brightness offset cancels exactly (no tolerance involved).
     val grid = refLuma(12L).map(v => v * 200 / 255) // headroom so +55 can't clip
     val shifted = grid.map(_ + 55)
-    val hashes = Seq(("base", grid), ("bright", shifted)).toDF("tag", "luma")
-      .select(col("tag"), graft.operators.MultimodalOps.dhash56(col("luma")).as("fp"))
+    val hashes = graft.operators.MultimodalOps.withDhash56(
+        Seq(("base", grid), ("bright", shifted)).toDF("tag", "luma"), col("luma"), "fp")
+      .select(col("tag"), col("fp"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(hashes("base") == hashes("bright"))
   }
@@ -93,8 +95,9 @@ class MultimodalSpec extends SparkSpec {
     // variants 16+2k) → small Hamming; different group → large
     val ids = Seq(16L, 18L, 20L, 22L, 48L)
     val grids = ids.map(id => id -> refLuma(id))
-    val fps = grids.toDF("id", "luma")
-      .select(col("id"), graft.operators.MultimodalOps.dhash56(col("luma")).as("fp"))
+    val fps = graft.operators.MultimodalOps.withDhash56(
+        grids.toDF("id", "luma"), col("luma"), "fp")
+      .select(col("id"), col("fp"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     def ham(a: Long, b: Long) = java.lang.Long.bitCount(fps(a) ^ fps(b))
     assert(ham(16L, 18L) <= 7, s"variant pair too far: ${ham(16L, 18L)}")
