@@ -136,22 +136,64 @@ object Multimodal {
     Array.tabulate(w * h)(i => raster.getSample(i % w, i / w, 0))
   }
 
-  /** WAV-encode 8-bit unsigned mono PCM samples (0–255). */
-  private[graft] def encodeWav(samples: Array[Int]): Array[Byte] = {
-    val fmt = new AudioFormat(AudioFormat.Encoding.PCM_UNSIGNED,
+  /** The JDK WAV codec with its SPI providers resolved ONCE — the
+    * `AudioSystem` facade re-runs a ServiceLoader provider scan on every
+    * call, which under Spark's several-hundred-jar classpath costs more
+    * than the codec itself (measured: q46 at sf1 spent ~20 s in lookups;
+    * one cached reader/writer per PARTITION brings 25k encode+decode
+    * round trips to 0.25 s). Same real `com.sun.media.sound` codec, same
+    * bytes — only the lookup is hoisted.
+    */
+  private[graft] final class WavCodec {
+    import javax.sound.sampled.spi.{AudioFileReader, AudioFileWriter}
+    import scala.jdk.CollectionConverters._
+    private val readers: List[AudioFileReader] =
+      java.util.ServiceLoader.load(classOf[AudioFileReader]).iterator().asScala.toList
+    private val writer: AudioFileWriter =
+      java.util.ServiceLoader.load(classOf[AudioFileWriter]).iterator().asScala
+        .find(_.isFileTypeSupported(AudioFileFormat.Type.WAVE))
+        .getOrElse(throw new IllegalStateException("no WAV writer in this JDK"))
+    private val fmt = new AudioFormat(AudioFormat.Encoding.PCM_UNSIGNED,
       AudioRate.toFloat, 8, 1, 1, AudioRate.toFloat, false)
-    val bytes = samples.map(_.toByte)
-    val ais = new AudioInputStream(new ByteArrayInputStream(bytes), fmt, samples.length.toLong)
-    val bos = new ByteArrayOutputStream()
-    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
-    bos.toByteArray
+
+    /** WAV-encode 8-bit unsigned mono PCM samples (0–255). */
+    def encode(samples: Array[Int]): Array[Byte] = {
+      val ais = new AudioInputStream(
+        new ByteArrayInputStream(samples.map(_.toByte)), fmt, samples.length.toLong)
+      val bos = new ByteArrayOutputStream()
+      writer.write(ais, AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+
+    /** The reader that last succeeded, tried first: the SPI list leads
+      * with AIFF/AU/MIDI readers that each REJECT a WAV payload by
+      * exception — per-row, that probe chain cost ~10× the actual decode
+      * (measured 5.6 s vs 0.6 s for 25k clips). Payload formats are
+      * homogeneous per source, so the sticky reader hits every time
+      * after the first row.
+      */
+    private var preferred: javax.sound.sampled.spi.AudioFileReader = null
+
+    /** Decode a WAV payload back to its unsigned PCM samples. */
+    def decode(payload: Array[Byte]): Array[Int] = {
+      def tryRead(r: javax.sound.sampled.spi.AudioFileReader): Option[AudioInputStream] =
+        try Some(r.getAudioInputStream(new ByteArrayInputStream(payload)))
+        catch { case _: javax.sound.sampled.UnsupportedAudioFileException => None }
+      val ais = Option(preferred).flatMap(tryRead).orElse {
+        readers.view.flatMap(r => tryRead(r).map { s => preferred = r; s }).headOption
+      }.getOrElse(
+        throw new IllegalArgumentException("payload is not a decodable audio file"))
+      try ais.readAllBytes().map(_ & 0xff) finally ais.close()
+    }
   }
 
-  /** Decode a WAV payload back to its unsigned PCM samples. */
-  private[graft] def decodeWavPcm(payload: Array[Byte]): Array[Int] = {
-    val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(payload))
-    try ais.readAllBytes().map(_ & 0xff) finally ais.close()
-  }
+  /** One-shot conveniences for specs/tools (fresh provider scan per call —
+    * hot paths hold a per-partition [[WavCodec]] instead).
+    */
+  private[graft] def encodeWav(samples: Array[Int]): Array[Byte] =
+    new WavCodec().encode(samples)
+  private[graft] def decodeWavPcm(payload: Array[Byte]): Array[Int] =
+    new WavCodec().decode(payload)
 
   // ------------------------------------------------------------------
   // Synthesis: fixture media tables with REAL encoded payloads
@@ -164,13 +206,24 @@ object Multimodal {
     */
   def synthesizeEncodedMedia(docs: DataFrame): Dataset[MediaRow] = {
     import docs.sparkSession.implicits._
-    docs.select(col("doc_id")).as[Long].mapPartitions { ids =>
+    // rebalance the narrow id scan first: a parquet fixture arrives in a
+    // handful of input splits, and without the exchange ALL codec work
+    // (encode here, decode downstream — the actual cost of this family)
+    // runs on that handful of cores (measured: q46 at sf1 went 18.5 s →
+    // linear once spread). The EXPLICIT partition count pins the
+    // exchange: the id column is bytes-tiny, so an advisory repartition
+    // gets AQE-coalesced right back to one partition (the
+    // Warehouse.writeFact lesson) — per-row cost here is codec work, not
+    // proportional to shuffled bytes.
+    val n = docs.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    docs.select(col("doc_id")).repartition(n, col("doc_id")).as[Long].mapPartitions { ids =>
       ImageIO.setUseCache(false) // per-partition codec setup: no temp-file cache
+      val wav = new WavCodec    // provider scan hoisted out of the row loop
       ids.map { id =>
         if (id % 2 == 0)
           MediaRow(id, "image", encodePng(lumaGrid(id)), ImgSide, ImgSide, 0)
         else
-          MediaRow(id, "audio", encodeWav(Array.tabulate(TotalSamples)(pcmAt(id, _))),
+          MediaRow(id, "audio", wav.encode(Array.tabulate(TotalSamples)(pcmAt(id, _))),
             0, 0, AudioRate)
       }
     }
@@ -198,10 +251,11 @@ object Multimodal {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       ImageIO.setUseCache(false)
+      val wav = new WavCodec // per-partition: no provider scan per row
       rows.map { r =>
         val grid = r.media_type match {
           case "image" => decodePngLuma(r.payload)
-          case "audio" => decodeWavPcm(r.payload)
+          case "audio" => wav.decode(r.payload)
           case other => throw new IllegalArgumentException(s"unknown media_type '$other'")
         }
         val feats = Array.tabulate(FeatureDim) { b =>
