@@ -113,6 +113,98 @@ object Multimodal {
     ((mediaId * 31 + i * 17 + (i * i % 64) * (mediaId % 7 + 1)) % 256).toInt
 
   // ------------------------------------------------------------------
+  // Audio near-dup fixture synthesis (q139) — planted near-dup groups,
+  // md5-decorrelated across groups (the q136 lesson: correlated bases
+  // alias whole group classes in a difference-based fingerprint)
+  // ------------------------------------------------------------------
+
+  /** q139 clip framing: [[TotalSamples]] samples as [[AudFrames]] frames
+    * of 32, each frame as [[AudBands]] energy cells of [[AudBandLen]]
+    * contiguous samples — the time × band grid the Haitsma–Kalker-style
+    * fingerprint differentiates over.
+    */
+  val AudFrames = 8
+  val AudBands = 8
+  val AudFrameLen: Int = TotalSamples / AudFrames // 32
+  val AudBandLen: Int = AudFrameLen / AudBands    // 4
+
+  /** md5 digest of `"a$g:$blk"` — 16 base samples of fixture clip group
+    * `g` (prefix `a` keeps the audio corpus independent of the image
+    * corpus's `"g:y"` digests). DuckDB re-derives the same bytes.
+    */
+  private def clipRow(g: Long, blk: Int): Array[Byte] =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s"a$g:$blk".getBytes("UTF-8"))
+
+  /** PCM sample `i` of q139 fixture clip `mediaId`. Near-dup structure
+    * mirrors the image fixtures: clips share an md5-derived BASE signal
+    * per group `g = mediaId / 8` (up to 4 odd ids per group) and variant
+    * `v = (mediaId % 8) / 2` perturbs only energy cell (frame v, band v)
+    * (+60 mod 256 on its 4 samples), so within-group pairs flip at most
+    * the 4 fingerprint bits whose second difference reads that cell.
+    */
+  def clipAt(mediaId: Long, i: Int): Int = {
+    val v = (mediaId % 8) / 2
+    val base = clipRow(mediaId / 8, i / 16)(i % 16) & 0xff
+    if (v > 0 && i / AudFrameLen == v && (i % AudFrameLen) / AudBandLen == v)
+      (base + 60) % 256
+    else base
+  }
+
+  /** The full PCM grid of q139 fixture clip `mediaId` (one digest per
+    * 16-sample block — the synthesis-side fast path of [[clipAt]]).
+    */
+  private[graft] def clipGrid(mediaId: Long): Array[Int] = {
+    val v = (mediaId % 8) / 2
+    val out = new Array[Int](TotalSamples)
+    var blk = 0
+    while (blk < TotalSamples / 16) {
+      val row = clipRow(mediaId / 8, blk)
+      var j = 0
+      while (j < 16) {
+        val i = blk * 16 + j
+        val base = row(j) & 0xff
+        out(i) =
+          if (v > 0 && i / AudFrameLen == v && (i % AudFrameLen) / AudBandLen == v)
+            (base + 60) % 256
+          else base
+        j += 1
+      }
+      blk += 1
+    }
+    out
+  }
+
+  case class ClipRow(media_id: Long, payload: Array[Byte], sample_rate: Int)
+
+  /** q139 clip table with genuinely WAV-encoded payloads: odd `doc_id`s
+    * become 8-bit PCM clips of [[clipAt]] samples. Same pinned pre-encode
+    * rebalance as [[synthesizeEncodedMedia]] — codec cost is per ROW, so
+    * the exchange must not be AQE-coalesced away.
+    */
+  def synthesizeClips(docs: DataFrame): Dataset[ClipRow] = {
+    import docs.sparkSession.implicits._
+    val n = docs.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    docs.filter(col("doc_id") % 2 === 1).select(col("doc_id"))
+      .repartition(n, col("doc_id")).as[Long].mapPartitions { ids =>
+        val wav = new WavCodec
+        ids.map(id => ClipRow(id, wav.encode(clipGrid(id)), AudioRate))
+      }
+  }
+
+  /** Decode clip payloads to their flat PCM sample arrays — the audio
+    * analog of [[imageLuma]]: the boundary between the real codec and the
+    * declarative fingerprint arithmetic (q139).
+    */
+  def audioPcm(clips: Dataset[ClipRow]): DataFrame = {
+    import clips.sparkSession.implicits._
+    clips.mapPartitions { rows =>
+      val wav = new WavCodec
+      rows.map(r => (r.media_id, wav.decode(r.payload)))
+    }.toDF("media_id", "pcm")
+  }
+
+  // ------------------------------------------------------------------
   // Real codecs (JDK ImageIO / javax.sound) — lossless round trips
   // ------------------------------------------------------------------
 

@@ -70,6 +70,85 @@ object MultimodalOps {
       .withColumn(out, dhashFromBlocks(col("__bs")))
       .drop("__bs")
 
+  // ---- q139 audio-fingerprint parameters -------------------------------
+  // Haitsma–Kalker-style robust audio fingerprint: frame the decoded PCM
+  // into an 8×8 time × band energy grid E(f,b) (cell = exact sum of 4
+  // contiguous samples) and take the SIGN of the second difference
+  // D(f,b) = (E(f,b) − E(f,b+1)) − (E(f+1,b) − E(f+1,b+1)) — 7×7 = 49
+  // bits. Integer-exact, and by construction invariant under per-frame
+  // uniform gain (a constant added to every sample of a frame shifts all
+  // its cells equally, cancelling in the band difference) — the property
+  // that makes it an AUDIO fingerprint rather than a reshaped dHash;
+  // spec-pinned. Bands 13+12+12+12 bits, the q136/q38 blocking pattern.
+  private[graft] val AudHashBits = 49
+  private[graft] val AudHammingMax = 8
+  private[graft] val AudBandDefs: Seq[(Int, Int)] =
+    Seq((0, 13), (13, 12), (25, 12), (37, 12)) // (shift, width)
+  private val AudF = Multimodal.AudFrames // 8
+  private val AudB = Multimodal.AudBands  // 8
+
+  /** The 64 energy cells of a flat 256-sample PCM array, as one array
+    * column: cell (f, b) = exact sum of samples [f·32 + b·4, f·32 + b·4 + 4).
+    */
+  private def cellSums(pcm: Column): Column =
+    array((0 until AudF * AudB).map { c =>
+      val base = (c / AudB) * Multimodal.AudFrameLen + (c % AudB) * Multimodal.AudBandLen
+      (0 until Multimodal.AudBandLen)
+        .map(k => element_at(pcm, base + k + 1))
+        .reduce(_ + _).cast(LongType)
+    }: _*)
+
+  /** 49-bit fingerprint from an energy-cell array column: bit (f·7 + b) =
+    * [(E(f,b) − E(f,b+1)) − (E(f+1,b) − E(f+1,b+1)) > 0].
+    */
+  private def hkFromCells(cs: Column): Column =
+    (0 until AudHashBits).map { i =>
+      val (f, b) = (i / (AudB - 1), i % (AudB - 1))
+      def el(ff: Int, bb: Int) = element_at(cs, ff * AudB + bb + 1)
+      when((el(f, b) - el(f, b + 1)) - (el(f + 1, b) - el(f + 1, b + 1)) > 0,
+        lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Add the 49-bit audio fingerprint from a flat PCM array column — the
+    * same two-projection shape as [[withDhash56]] (the cell array is a
+    * named non-cheap alias read 4× per bit).
+    */
+  private[graft] def withHk49(df: org.apache.spark.sql.DataFrame,
+      pcm: Column, out: String): org.apache.spark.sql.DataFrame =
+    df.withColumn("__cs", cellSums(pcm))
+      .withColumn(out, hkFromCells(col("__cs")))
+      .drop("__cs")
+
+  /** Banded-LSH Hamming near-dup pairs over a `(media_id, fp)` frame:
+    * explode each fingerprint into its (band, band-value) keys, equi-join
+    * on them (candidates share ≥1 exact band — never all-pairs), then
+    * exact-Hamming verify. Shared by q136 (4×14-bit) and q139
+    * (13+12+12+12-bit). Fixture scale broadcasts the band frame;
+    * production is the same shuffle equi-join on (band, bv) — keyed
+    * either way, never a theta loop.
+    */
+  private def bandedHammingPairs(fp: org.apache.spark.sql.DataFrame,
+      bandDefs: Seq[(Int, Int)], tau: Int): org.apache.spark.sql.DataFrame = {
+    val bandStructs = bandDefs.zipWithIndex.map { case ((shift, width), b) =>
+      struct(lit(b).as("band"),
+        shiftright(col("fp"), shift)
+          .bitwiseAND(lit((1L << width) - 1)).as("bv"))
+    }
+    val bands = fp.select(col("media_id"), col("fp"),
+        explode(array(bandStructs: _*)).as("tb"))
+      .select(col("media_id"), col("fp"), col("tb.band").as("band"), col("tb.bv").as("bv"))
+    bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
+          col("x.media_id") < col("y.media_id"))
+      .select(col("x.media_id").as("a_id"), col("x.fp").as("a_fp"),
+              col("y.media_id").as("b_id"), col("y.fp").as("b_fp"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("a_fp").bitwiseXOR(col("b_fp"))))
+      .filter(col("hamming") <= tau)
+      .select(col("a_id"), col("b_id"), col("hamming"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
   // ---- DuckDB derivations of the synthesis functions -------------------
 
   /** [[Multimodal.lumaAt]] in DuckDB SQL (m = media id expr, x/y = pixel
@@ -85,6 +164,19 @@ object MultimodalOps {
   /** [[Multimodal.pcmAt]] in DuckDB SQL. */
   private def pcmSql(m: String, i: String): String =
     s"(($m*31 + $i*17 + ($i*$i % 64) * ($m%7+1)) % 256)"
+
+  /** [[Multimodal.clipAt]] in DuckDB SQL (q139 fixture clips): sample =
+    * byte i%16 of md5("a" || g || ":" || i//16), +60 mod 256 on the
+    * variant's perturbed energy cell.
+    */
+  private def clipSql(m: String, i: String): String = {
+    val base = s"CAST('0x' || substr(md5(concat('a', CAST($m // 8 AS VARCHAR), ':', " +
+      s"CAST($i // 16 AS VARCHAR))), 2 * ($i % 16) + 1, 2) AS BIGINT)"
+    val fl = Multimodal.AudFrameLen
+    val bl = Multimodal.AudBandLen
+    s"(CASE WHEN ($m % 8) // 2 > 0 AND $i // $fl = ($m % 8) // 2 " +
+      s"AND ($i % $fl) // $bl = ($m % 8) // 2 THEN ($base + 60) % 256 ELSE $base END)"
+  }
 
   val specs: Seq[QuerySpec] = Seq(
 
@@ -170,24 +262,64 @@ object MultimodalOps {
       // feeds both sides of the band self-join
       val fp = graft.Materialize.ephemeral(
         withDhash56(luma, col("luma"), "fp").select(col("media_id"), col("fp")))
-      val bandStructs = (0 until ImgBands).map { b =>
-        struct(lit(b).as("band"),
-          shiftright(col("fp"), b * ImgBandBits)
-            .bitwiseAND(lit((1L << ImgBandBits) - 1)).as("bv"))
-      }
-      val bands = fp.select(col("media_id"), col("fp"),
-          explode(array(bandStructs: _*)).as("tb"))
-        .select(col("media_id"), col("fp"), col("tb.band").as("band"), col("tb.bv").as("bv"))
-      bands.as("x").join(bands.as("y"),
-          col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
-            col("x.media_id") < col("y.media_id"))
-        .select(col("x.media_id").as("a_id"), col("x.fp").as("a_fp"),
-                col("y.media_id").as("b_id"), col("y.fp").as("b_fp"))
-        .distinct()
-        .withColumn("hamming", bit_count(col("a_fp").bitwiseXOR(col("b_fp"))))
-        .filter(col("hamming") <= ImgHammingMax)
-        .select(col("a_id"), col("b_id"), col("hamming"))
-        .orderBy(col("a_id"), col("b_id"))
+      bandedHammingPairs(fp,
+        (0 until ImgBands).map(b => (b * ImgBandBits, ImgBandBits)), ImgHammingMax)
+    },
+
+    // ----- audio near-dup via robust fingerprint + banded Hamming join ----
+    // The audio leg of the media dedup story, completing q136's image leg
+    // with a genuinely AUDIO-shaped scheme: WAV clips → REAL javax.sound
+    // decode → 8×8 time × band energy grid → 49 sign bits of the
+    // band-energy second difference (Haitsma–Kalker), invariant under
+    // per-frame uniform gain (spec-pinned — a volume-envelope change
+    // never flips a bit) → banded LSH blocking + exact Hamming verify.
+    // Fixture synthesis plants near-dup groups (md5-derived base clip per
+    // group, one perturbed energy cell per variant ⇒ ≤4 flipped bits,
+    // and every within-group pair keeps ≥1 clean band by construction).
+    // The oracle re-derives decoded PCM, cells, fingerprint, bands, and
+    // verify arithmetically — bit-equal because WAV PCM is lossless.
+    QuerySpec("q139_audio_neardup") {
+      val n = Multimodal.TotalSamples
+      val fl = Multimodal.AudFrameLen
+      val bl = Multimodal.AudBandLen
+      val bandRows = AudBandDefs.zipWithIndex
+        .map { case ((shift, width), b) =>
+          s"SELECT media_id, fp, $b AS band, (fp >> $shift) & ${(1L << width) - 1} AS bv FROM fp"
+        }
+        .mkString("\n        |    UNION ALL ")
+      s"""WITH aud AS (SELECT doc_id AS media_id FROM documents WHERE doc_id % 2 = 1),
+        |px AS (SELECT media_id, i // $fl AS f, (i % $fl) // $bl AS b,
+        |         ${clipSql("media_id", "i")} AS p
+        |       FROM aud, (SELECT unnest(generate_series(0, ${n - 1})) AS i)),
+        |e AS (SELECT media_id, f, b, CAST(sum(p) AS BIGINT) AS s
+        |      FROM px GROUP BY 1, 2, 3),
+        |bits AS (SELECT a.media_id, a.f * ${AudB - 1} + a.b AS i,
+        |           CASE WHEN (a.s - r.s) - (d.s - dr.s) > 0 THEN 1 ELSE 0 END AS bit
+        |         FROM e a
+        |         JOIN e r  ON r.media_id = a.media_id AND r.f = a.f AND r.b = a.b + 1
+        |         JOIN e d  ON d.media_id = a.media_id AND d.f = a.f + 1 AND d.b = a.b
+        |         JOIN e dr ON dr.media_id = a.media_id AND dr.f = a.f + 1 AND dr.b = a.b + 1
+        |         WHERE a.f < ${AudF - 1} AND a.b < ${AudB - 1}),
+        |fp AS (SELECT media_id, CAST(sum(bit * (1::BIGINT << i)) AS BIGINT) AS fp
+        |       FROM bits GROUP BY media_id),
+        |bands AS (
+        |    $bandRows),
+        |cand AS (SELECT DISTINCT x.media_id AS a_id, x.fp AS a_fp,
+        |           y.media_id AS b_id, y.fp AS b_fp
+        |         FROM bands x JOIN bands y
+        |           ON x.band = y.band AND x.bv = y.bv AND x.media_id < y.media_id)
+        |SELECT a_id, b_id, bit_count(xor(a_fp, b_fp)) AS hamming
+        |FROM cand
+        |WHERE bit_count(xor(a_fp, b_fp)) <= $AudHammingMax
+        |ORDER BY a_id, b_id""".stripMargin
+    } { (s, dir) =>
+      val pcm = Multimodal.audioPcm(
+        Multimodal.synthesizeClips(Tables.load(s, dir, "documents")))
+      // one decode per clip: the (id, fp) frame is tiny and feeds both
+      // sides of the band self-join
+      val fp = graft.Materialize.ephemeral(
+        withHk49(pcm, col("pcm"), "fp").select(col("media_id"), col("fp")))
+      bandedHammingPairs(fp, AudBandDefs, AudHammingMax)
     },
 
     // ----- frame sampling, oracle-checked on the slicing arithmetic -------

@@ -106,6 +106,65 @@ class MultimodalSpec extends SparkSpec {
       s"unrelated pair too close: ${ham(16L, 48L)}")
   }
 
+  test("audioPcm: decoded clips are bit-equal to the synthesis function (WAV lossless)") {
+    import spark.implicits._
+    val docs = Seq((1L, "a", 1L), (7L, "b", 1L), (13L, "c", 1L), (2L, "even", 1L))
+      .toDF("doc_id", "text", "n_chars")
+    val decoded = Multimodal.audioPcm(Multimodal.synthesizeClips(docs))
+      .as[(Long, Array[Int])].collect().toMap
+    assert(decoded.keySet == Set(1L, 7L, 13L)) // even ids are not clips
+    for (id <- Seq(1L, 7L, 13L))
+      assert(decoded(id).sameElements(Multimodal.clipGrid(id)), s"clip $id decode drift")
+    // and the slow-path / fast-path synthesis functions agree
+    assert(Multimodal.clipGrid(13L)
+      .sameElements(Array.tabulate(Multimodal.TotalSamples)(Multimodal.clipAt(13L, _))))
+  }
+
+  test("audio fingerprint is invariant under per-frame uniform gain (and re-encode)") {
+    import spark.implicits._
+    // The Haitsma–Kalker property q139 is built on: a volume-envelope
+    // change (constant added to every sample of a frame) shifts all that
+    // frame's energy cells equally, cancelling exactly in the band
+    // difference — no tolerance involved. Exercised per-frame with a
+    // DIFFERENT offset each frame, plus a codec round trip.
+    val base = Multimodal.clipGrid(9L).map(v => v * 180 / 255) // headroom, no clipping
+    val gained = base.zipWithIndex.map { case (v, i) =>
+      v + 6 * (i / Multimodal.AudFrameLen) // frame f gains +6f
+    }
+    val reenc = Multimodal.decodeWavPcm(Multimodal.encodeWav(gained))
+    assert(reenc.sameElements(gained)) // WAV PCM lossless round trip
+    val fps = graft.operators.MultimodalOps.withHk49(
+        Seq(("base", base), ("gained", reenc)).toDF("tag", "pcm"), col("pcm"), "fp")
+      .select(col("tag"), col("fp"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(fps("base") == fps("gained"))
+  }
+
+  test("audio near-dup variants are a few fingerprint bits apart with a clean band; unrelated clips are far") {
+    import spark.implicits._
+    // the q139 premise: same group (odd ids 17,19,21,23), variants
+    // perturb one energy cell each → ≤8 bits apart pairwise and at least
+    // one of the 4 LSH bands untouched; different group → far
+    val ids = Seq(17L, 19L, 21L, 23L, 49L)
+    val fps = graft.operators.MultimodalOps.withHk49(
+        ids.map(id => id -> Multimodal.clipGrid(id)).toDF("id", "pcm"), col("pcm"), "fp")
+      .select(col("id"), col("fp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(fps(a) ^ fps(b))
+    val group = Seq(17L, 19L, 21L, 23L)
+    for (a <- group; b <- group if a < b) {
+      assert(ham(a, b) <= graft.operators.MultimodalOps.AudHammingMax,
+        s"variant pair ($a,$b) too far: ${ham(a, b)}")
+      val sharesBand = graft.operators.MultimodalOps.AudBandDefs.exists {
+        case (shift, width) =>
+          ((fps(a) >> shift) & ((1L << width) - 1)) == ((fps(b) >> shift) & ((1L << width) - 1))
+      }
+      assert(sharesBand, s"variant pair ($a,$b) has no clean band")
+    }
+    assert(ham(17L, 49L) > graft.operators.MultimodalOps.AudHammingMax,
+      s"unrelated pair too close: ${ham(17L, 49L)}")
+  }
+
   test("downscaleImages really decodes, average-pools, and re-encodes") {
     import spark.implicits._
     val docs = Seq((4L, "a", 1L)).toDF("doc_id", "text", "n_chars")
