@@ -39,12 +39,15 @@ object Bpe {
     */
   private[graft] val Rounds = 8
 
-  /** `(term, freq)` → `(syms, freq)` with words split into characters —
-    * round 0 of the merge loop. split(term, "") emits a trailing empty
-    * string under limit −1 semantics; the filter drops it.
+  /** `(term, freq)` → `(term, syms, freq)` with words split into
+    * characters — round 0 of the merge loop (`term` rides along so the
+    * encoded form can be joined back to the tf index, q140).
+    * split(term, "") emits a trailing empty string under limit −1
+    * semantics; the filter drops it.
     */
   private def charFrame(words: DataFrame): DataFrame =
     words.select(
+      col("term"),
       filter(split(col("term"), ""), x => length(x) > 0).as("syms"),
       col("freq"))
 
@@ -78,11 +81,13 @@ object Bpe {
       "THEN concat(slice(acc, 1, size(acc) - 1), array(concat(ml, mr))) " +
       "ELSE concat(acc, array(x)) END)"
 
-  /** Learn `rounds` merges over a `(term, freq)` word-frequency frame.
-    * Returns the merge table (round, left, right, pair_count) — bounded:
-    * one row per round, each from a 1-row collect.
+  /** Learn `rounds` merges over a `(term, freq)` word-frequency frame and
+    * keep the fully-merged symbol frame `(term, syms, freq)` — the
+    * learned ENCODING of the vocabulary, which q140 joins back to the tf
+    * index. Returns (merge table, final frame); the caller owns freeing
+    * the frame (it is localCheckpoint-materialized).
     */
-  def learn(words: DataFrame, rounds: Int = Rounds): Seq[(Long, String, String, Long)] = {
+  def learnWithFrame(words: DataFrame, rounds: Int = Rounds): (Seq[(Long, String, String, Long)], DataFrame) = {
     val spark = words.sparkSession
     var cur = charFrame(words).localCheckpoint()
     val out = scala.collection.mutable.ListBuffer.empty[(Long, String, String, Long)]
@@ -100,15 +105,24 @@ object Bpe {
           java.util.List.of(org.apache.spark.sql.Row(l, rt)),
           StructType(Seq(StructField("ml", StringType), StructField("mr", StringType)))))
         val next = cur.crossJoin(pair)
-          .select(expr(MergeFoldSql).as("syms"), col("freq"))
+          .select(col("term"), expr(MergeFoldSql).as("syms"), col("freq"))
           .localCheckpoint()
         graft.Materialize.free(cur) // round N's blocks are dead once N+1 exists
         cur = next
         r += 1
       }
     }
-    graft.Materialize.free(cur)
-    out.toList
+    (out.toList, cur)
+  }
+
+  /** Learn `rounds` merges over a `(term, freq)` word-frequency frame.
+    * Returns the merge table (round, left, right, pair_count) — bounded:
+    * one row per round, each from a 1-row collect.
+    */
+  def learn(words: DataFrame, rounds: Int = Rounds): Seq[(Long, String, String, Long)] = {
+    val (merges, frame) = learnWithFrame(words, rounds)
+    graft.Materialize.free(frame)
+    merges
   }
 
   /** Byte-wise UTF-8 ordering — what Spark's UTF8String and DuckDB's
@@ -125,6 +139,34 @@ object Bpe {
     }
     x.length < y.length
   }
+
+  /** Reference leftmost-greedy non-overlapping application of one merge
+    * to one symbol sequence — the single-node mirror of [[MergeFoldSql]].
+    */
+  private def referenceApply(ss: Vector[String], l: String, r: String): Vector[String] = {
+    val acc = Vector.newBuilder[String]
+    var last: String = null
+    ss.foreach { x =>
+      if (last == l && x == r) {
+        // pop the pending left symbol, push the merge
+        val v = acc.result()
+        acc.clear()
+        v.init.foreach(acc += _)
+        acc += (l + r)
+        last = l + r
+      } else { acc += x; last = x }
+    }
+    acc.result()
+  }
+
+  /** Single-node encoding of one word under an already-learned merge
+    * sequence — the differential BpeSpec pins [[learnWithFrame]]'s final
+    * symbol frame (q140's vocabulary encoding) to it.
+    */
+  def referenceEncode(word: String, merges: Seq[(Long, String, String, Long)]): Vector[String] =
+    merges.foldLeft(word.map(_.toString).toVector) { case (ss, (_, l, r, _)) =>
+      referenceApply(ss, l, r)
+    }
 
   /** Single-node reference implementation (plain Scala collections, same
     * semantics) — the differential BpeSpec pins [[learn]] to it at two
@@ -152,21 +194,7 @@ object Bpe {
             else utf8Lt(ar, br)
         }.head
         out += ((r.toLong, l, rt, cnt))
-        syms = syms.map { case (ss, f) =>
-          val acc = Vector.newBuilder[String]
-          var last: String = null
-          ss.foreach { x =>
-            if (last == l && x == rt) {
-              // pop the pending left symbol, push the merge
-              val v = acc.result()
-              acc.clear()
-              v.init.foreach(acc += _)
-              acc += (l + rt)
-              last = l + rt
-            } else { acc += x; last = x }
-          }
-          (acc.result(), f)
-        }
+        syms = syms.map { case (ss, f) => (referenceApply(ss, l, rt), f) }
         r += 1
       }
     }
@@ -186,7 +214,11 @@ object Bpe {
     * argmax, and applies the merge with `replace` — leftmost
     * non-overlapping, the exact greedy-fold semantics.
     */
-  private def oracle(rounds: Int): String = {
+  /** Shared oracle prefix: the tf/word-frequency CTEs plus R merge
+    * stages, each stage carrying `term` so the final symbol frame can be
+    * joined back to the tf index (q140).
+    */
+  private def oracleStages(rounds: Int): String = {
     val head =
       s"""WITH tf AS (
         |  SELECT doc_id, t AS term, count(*) AS tf
@@ -195,7 +227,7 @@ object Bpe {
         |        FROM documents)
         |  GROUP BY doc_id, t),
         |wf AS (SELECT term, CAST(sum(tf) AS BIGINT) AS freq FROM tf GROUP BY term),
-        |s0 AS (SELECT ' ' || regexp_replace(term, '(.)', '\\1 ', 'g') AS sym, freq FROM wf)""".stripMargin
+        |s0 AS (SELECT term, ' ' || regexp_replace(term, '(.)', '\\1 ', 'g') AS sym, freq FROM wf)""".stripMargin
     val stages = (1 to rounds).map { r =>
       s""",
         |p$r AS (SELECT arr[i] AS l, arr[i+1] AS r, CAST(sum(freq) AS BIGINT) AS cnt
@@ -203,15 +235,37 @@ object Bpe {
         |              FROM (SELECT string_split(trim(sym), ' ') AS arr, freq FROM s${r - 1}))
         |        GROUP BY 1, 2),
         |m$r AS (SELECT l, r, cnt FROM p$r ORDER BY cnt DESC, l ASC, r ASC LIMIT 1),
-        |s$r AS (SELECT replace(sym, ' ' || m$r.l || ' ' || m$r.r || ' ',
+        |s$r AS (SELECT term, replace(sym, ' ' || m$r.l || ' ' || m$r.r || ' ',
         |                       ' ' || m$r.l || m$r.r || ' ') AS sym, freq
         |        FROM s${r - 1}, m$r)""".stripMargin
     }.mkString
+    head + stages
+  }
+
+  private def oracle(rounds: Int): String = {
     val union = (1 to rounds)
       .map(r => s"SELECT CAST($r AS BIGINT) AS round, l AS left_sym, r AS right_sym, cnt AS pair_count FROM m$r")
       .mkString("\n", "\nUNION ALL ", "\nORDER BY round")
-    head + stages + union
+    oracleStages(rounds) + union
   }
+
+  /** q140 oracle: the same R merge stages, then token counts per word
+    * from the final symbol frame and the per-document report off the tf
+    * index.
+    */
+  private def oracleEncode(rounds: Int): String =
+    oracleStages(rounds) +
+      s""",
+        |wt AS (SELECT term, CAST(len(string_split(trim(sym), ' ')) AS BIGINT) AS n_tok
+        |       FROM s$rounds)
+        |SELECT t.doc_id,
+        |  CAST(sum(t.tf) AS BIGINT) AS words,
+        |  CAST(sum(t.tf * length(t.term)) AS BIGINT) AS char_tokens,
+        |  CAST(sum(t.tf * wt.n_tok) AS BIGINT) AS bpe_tokens,
+        |  CAST(sum(t.tf * wt.n_tok) * 1000000 // sum(t.tf * length(t.term)) AS BIGINT) AS compression_micro
+        |FROM tf t JOIN wt ON t.term = wt.term
+        |GROUP BY t.doc_id
+        |ORDER BY t.doc_id""".stripMargin
 
   val specs: Seq[QuerySpec] = Seq(
 
@@ -227,6 +281,35 @@ object Bpe {
       learn(wordCounts(s, dir), Rounds)
         .toDF("round", "left_sym", "right_sym", "pair_count")
         .orderBy(col("round"))
+    },
+
+    // ----- BPE tokenizer application: per-document encoding report --------
+    // The learner's consumer: ENCODE the corpus with the learned merges
+    // and report per-document token budgets — words, raw character
+    // tokens, post-merge BPE tokens, and the integer compression ratio
+    // (micro-units, one exact division). The encoding itself never
+    // touches the corpus: the merged symbol frame is VOCABULARY-sized
+    // (each word folded once through the R merges, exactly the learner's
+    // own final frame), and per-doc counts come from joining it back to
+    // the shared tf index — at 100 TB that join is corpus-keyed but the
+    // built side is the ~10⁷-row vocabulary, broadcastable or a plain
+    // shuffle equi-join on term. Oracle replays the full R-stage merge
+    // derivation and the same join arithmetic.
+    QuerySpec("q140_bpe_encode")(oracleEncode(Rounds)) { (s, dir) =>
+      val (_, frame) = learnWithFrame(wordCounts(s, dir), Rounds)
+      val wordTok = graft.Materialize.ephemeral(
+        frame.select(col("term"), size(col("syms")).cast(LongType).as("n_tok")))
+      graft.Materialize.free(frame)
+      CorpusOps.tfIndex(s, dir)
+        .join(broadcast(wordTok), "term")
+        .groupBy(col("doc_id"))
+        .agg(
+          sum(col("tf")).cast(LongType).as("words"),
+          sum(col("tf") * length(col("term"))).cast(LongType).as("char_tokens"),
+          sum(col("tf") * col("n_tok")).cast(LongType).as("bpe_tokens"))
+        .withColumn("compression_micro",
+          expr("(bpe_tokens * 1000000L) div char_tokens").cast(LongType))
+        .orderBy(col("doc_id"))
     }
   )
 }

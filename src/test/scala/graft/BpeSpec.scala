@@ -44,6 +44,25 @@ class BpeSpec extends SparkSpec {
     assert(dist.head == ((1L, "a", "a", 19L)))
   }
 
+  test("encoding frame parity: every word's merged symbols equal the reference encoding") {
+    // q140's consumer contract: learnWithFrame's final symbol frame IS
+    // the vocabulary encoded under the learned merges. Pin every word of
+    // the sf0.001 vocabulary against the single-node fold.
+    import spark.implicits._
+    val words = Bpe.wordCounts(spark, "/root/testdata/sf0.001")
+    val (merges, frame) = Bpe.learnWithFrame(words)
+    val got = frame.select(col("term"), col("syms"))
+      .as[(String, Seq[String])].collect().toMap
+    Materialize.free(frame)
+    assert(merges.nonEmpty && got.nonEmpty)
+    got.foreach { case (term, syms) =>
+      val expect = Bpe.referenceEncode(term, merges)
+      assert(syms == expect, s"term '$term': $syms vs $expect")
+    }
+    // and the reference encoding really merged something somewhere
+    assert(got.exists { case (term, syms) => syms.size < term.length })
+  }
+
   test("learner terminates early when no pairs remain") {
     import spark.implicits._
     // single-character vocabulary: round 1 has no adjacent pairs at all
