@@ -119,6 +119,35 @@ object MultimodalOps {
       .withColumn(out, hkFromCells(col("__cs")))
       .drop("__cs")
 
+  /** The q136 LSH band layout as (shift, width) pairs. */
+  private[graft] val ImgBandDefs: Seq[(Int, Int)] =
+    (0 until ImgBands).map(b => (b * ImgBandBits, ImgBandBits))
+
+  /** Explode a `(media_id, fp)` frame into its (band, band-value) LSH
+    * keys — one row per fingerprint per band.
+    */
+  private def bandExplode(fp: org.apache.spark.sql.DataFrame,
+      bandDefs: Seq[(Int, Int)]): org.apache.spark.sql.DataFrame = {
+    val bandStructs = bandDefs.zipWithIndex.map { case ((shift, width), b) =>
+      struct(lit(b).as("band"),
+        shiftright(col("fp"), shift)
+          .bitwiseAND(lit((1L << width) - 1)).as("bv"))
+    }
+    fp.select(col("media_id"), col("fp"),
+        explode(array(bandStructs: _*)).as("tb"))
+      .select(col("media_id"), col("fp"), col("tb.band").as("band"), col("tb.bv").as("bv"))
+  }
+
+  /** Dedup + exact-Hamming verify over an (a_id, a_fp, b_id, b_fp)
+    * candidate frame — the shared tail of the band joins below.
+    */
+  private def verifyHamming(cand: org.apache.spark.sql.DataFrame,
+      tau: Int): org.apache.spark.sql.DataFrame =
+    cand.distinct()
+      .withColumn("hamming", bit_count(col("a_fp").bitwiseXOR(col("b_fp"))))
+      .filter(col("hamming") <= tau)
+      .select(col("a_id"), col("b_id"), col("hamming"))
+
   /** Banded-LSH Hamming near-dup pairs over a `(media_id, fp)` frame:
     * explode each fingerprint into its (band, band-value) keys, equi-join
     * on them (candidates share ≥1 exact band — never all-pairs), then
@@ -129,25 +158,64 @@ object MultimodalOps {
     */
   private def bandedHammingPairs(fp: org.apache.spark.sql.DataFrame,
       bandDefs: Seq[(Int, Int)], tau: Int): org.apache.spark.sql.DataFrame = {
-    val bandStructs = bandDefs.zipWithIndex.map { case ((shift, width), b) =>
-      struct(lit(b).as("band"),
-        shiftright(col("fp"), shift)
-          .bitwiseAND(lit((1L << width) - 1)).as("bv"))
-    }
-    val bands = fp.select(col("media_id"), col("fp"),
-        explode(array(bandStructs: _*)).as("tb"))
-      .select(col("media_id"), col("fp"), col("tb.band").as("band"), col("tb.bv").as("bv"))
-    bands.as("x").join(bands.as("y"),
-        col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
-          col("x.media_id") < col("y.media_id"))
-      .select(col("x.media_id").as("a_id"), col("x.fp").as("a_fp"),
-              col("y.media_id").as("b_id"), col("y.fp").as("b_fp"))
-      .distinct()
-      .withColumn("hamming", bit_count(col("a_fp").bitwiseXOR(col("b_fp"))))
-      .filter(col("hamming") <= tau)
-      .select(col("a_id"), col("b_id"), col("hamming"))
+    val bands = bandExplode(fp, bandDefs)
+    verifyHamming(
+      bands.as("x").join(bands.as("y"),
+          col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
+            col("x.media_id") < col("y.media_id"))
+        .select(col("x.media_id").as("a_id"), col("x.fp").as("a_fp"),
+                col("y.media_id").as("b_id"), col("y.fp").as("b_fp")),
+      tau)
       .orderBy(col("a_id"), col("b_id"))
   }
+
+  /** The near-dup pairs a NEW batch introduces against stored ∪ batch —
+    * the media leg of q74's new×corpus probe, used by the streaming
+    * fingerprint maintainer. One side of the band join is the BATCH alone
+    * (O(batch-candidates), never O(store²)); under the append-only id
+    * contract (batch ids exceed every stored id) the result is exactly
+    * the batch's slice of [[bandedHammingPairs]] over the full corpus,
+    * which is what the spec pins.
+    */
+  private[graft] def bandedHammingNewPairs(stored: org.apache.spark.sql.DataFrame,
+      batch: org.apache.spark.sql.DataFrame,
+      bandDefs: Seq[(Int, Int)], tau: Int): org.apache.spark.sql.DataFrame =
+    verifyHamming(
+      bandExplode(stored.unionByName(batch), bandDefs).as("x")
+        .join(bandExplode(batch, bandDefs).as("y"),
+          col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
+            col("x.media_id") < col("y.media_id"))
+        .select(col("x.media_id").as("a_id"), col("x.fp").as("a_fp"),
+                col("y.media_id").as("b_id"), col("y.fp").as("b_fp")),
+      tau)
+
+  // ---- durable media-fingerprint store (continuous ingest leg) ---------
+
+  /** The durable `(media_id, fp)` store behind the streaming maintainer
+    * ([[graft.streaming.IndexMaintenance.maintainMediaFpIndex]]): decode
+    * + perceptual hash happen ONCE per image at ingest; the nightly
+    * near-dup job and every probe serve off the stored fingerprints.
+    */
+  private[graft] val MediaFpStoreName = "media_fp"
+  private val mediaFpParams: Map[String, String] =
+    Map("hash" -> "dhash56-16x16-2x2pool", "bands" -> "4x14")
+
+  /** `(media_id, fp)` over an image frame — one real decode per image,
+    * then the declarative dHash. The store's row builder.
+    */
+  private[graft] def imageFps(images: org.apache.spark.sql.Dataset[Multimodal.ImageRow]): org.apache.spark.sql.DataFrame =
+    withDhash56(Multimodal.imageLuma(images), col("luma"), "fp")
+      .select(col("media_id"), col("fp"))
+
+  /** Build (or serve) the durable media-fingerprint index — the
+    * [[graft.IndexStore.servedFrom]] discipline: geometry + corpus count
+    * in the sidecar, loud rebuild on drift, plain build when no store is
+    * configured (the batch-query path).
+    */
+  private[graft] def buildMediaFpIndex(s: org.apache.spark.sql.SparkSession,
+      dir: String, images: org.apache.spark.sql.Dataset[Multimodal.ImageRow]): org.apache.spark.sql.DataFrame =
+    graft.IndexStore.servedFrom(s, dir, MediaFpStoreName,
+      mediaFpParams, images.count())(imageFps(images))
 
   // ---- DuckDB derivations of the synthesis functions -------------------
 
@@ -256,14 +324,14 @@ object MultimodalOps {
         |WHERE bit_count(xor(a_fp, b_fp)) <= $ImgHammingMax
         |ORDER BY a_id, b_id""".stripMargin
     } { (s, dir) =>
-      val luma = Multimodal.imageLuma(
-        Multimodal.synthesizeImages(Tables.load(s, dir, "documents")))
       // one decode per image: the fingerprint frame (id, fp) is tiny and
-      // feeds both sides of the band self-join
-      val fp = graft.Materialize.ephemeral(
-        withDhash56(luma, col("luma"), "fp").select(col("media_id"), col("fp")))
-      bandedHammingPairs(fp,
-        (0 until ImgBands).map(b => (b * ImgBandBits, ImgBandBits)), ImgHammingMax)
+      // feeds both sides of the band self-join. Store-aware: with an
+      // index store configured this serves the maintained fingerprints
+      // (zero re-decode of already-ingested images); without one it is
+      // the plain decode→hash build.
+      val fp = graft.Materialize.ephemeral(buildMediaFpIndex(s, dir,
+        Multimodal.synthesizeImages(Tables.load(s, dir, "documents"))))
+      bandedHammingPairs(fp, ImgBandDefs, ImgHammingMax)
     },
 
     // ----- audio near-dup via robust fingerprint + banded Hamming join ----

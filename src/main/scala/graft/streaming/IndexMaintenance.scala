@@ -475,6 +475,89 @@ object IndexMaintenance {
     graft.operators.CorpusOps.bm25TopKOverTf(tf, nT, nq, qt, k)
   }
 
+  /** Bootstrap the durable media-fingerprint store from an existing image
+    * frame (possibly empty) — decode + hash once per image, geometry and
+    * corpus count recorded in the sidecar. Required before attaching
+    * [[maintainMediaFpIndex]].
+    */
+  private[graft] def bootstrapMediaFpStore(s: SparkSession, corpusDir: String,
+      images: Dataset[graft.multimodal.Multimodal.ImageRow]): Unit = {
+    require(graft.IndexStore.configuredDir(s).isDefined,
+      s"bootstrapMediaFpStore requires a configured index store (${graft.IndexStore.DirConf})")
+    graft.operators.MultimodalOps.buildMediaFpIndex(s, corpusDir, images)
+    ()
+  }
+
+  /** One micro-batch of the streaming media near-dup pipeline
+    * ([[maintainMediaFpIndex]]); false = replay, nothing ran.
+    *
+    * Same two-effect crash argument as [[decontaminateBatch]]: (1) the
+    * batch's near-dup pairs against store ∪ batch land idempotently in
+    * `pairsDir/batch_id=N` (a replay recomputes against the same store
+    * state and overwrites byte-identical content), then (2) the batch's
+    * fingerprints append behind the exactly-once batch marker. The
+    * DECODE runs once per batch — the checkpointed fingerprint frame
+    * feeds both the probe and the append; the stored side is never
+    * re-decoded (that is the point of the store).
+    */
+  private[graft] def mediaFpBatch(s: SparkSession, corpusDir: String,
+      pairsDir: String, stream: String, batchId: Long,
+      batch: Dataset[graft.multimodal.Multimodal.ImageRow]): Boolean = {
+    import org.apache.spark.sql.functions.{col, min}
+    val ops = graft.operators.MultimodalOps
+    shouldApply(batchId, lastApplied(s, corpusDir, ops.MediaFpStoreName, stream),
+      stream, corpusDir) && {
+      val root = graft.IndexStore.configuredDir(s).getOrElse(throw
+        new IllegalStateException("maintainMediaFpIndex requires a " +
+          s"configured index store (${graft.IndexStore.DirConf})"))
+      val storePath = graft.IndexStore.storePath(root, corpusDir, ops.MediaFpStoreName)
+      require(graft.IndexStore.committed(s, storePath),
+        s"bootstrap the media-fp store at $storePath (batch build over the " +
+          "existing images) before attaching a media maintainer")
+      val batchFps = ops.imageFps(batch).localCheckpoint() // ONE decode per batch
+      try {
+        val minId = batchFps.agg(min(col("media_id"))).head().get(0) // bounded: 1 row
+        if (minId != null) {
+          val stored = s.read.parquet(storePath).select("media_id", "fp")
+          ops.bandedHammingNewPairs(stored, batchFps,
+              ops.ImgBandDefs, ops.ImgHammingMax)
+            .write.mode("overwrite").parquet(s"$pairsDir/batch_id=$batchId")
+        }
+        graft.IndexStore.append(s, corpusDir, ops.MediaFpStoreName, batchFps,
+          batchFps.count(), Map(markerKey(stream) -> batchId.toString))
+      } finally graft.Materialize.free(batchFps)
+      true
+    }
+  }
+
+  /** Streaming media near-dup end-to-end: q136's image near-dup as a
+    * continuous pipeline over a `(media_id, payload, width, height)`
+    * image stream. Each micro-batch decodes ONCE, emits the near-dup
+    * pairs it introduces (vs the fingerprint store ∪ itself — the q74
+    * new×corpus probe, media leg) into `pairsDir/batch_id=N`, and appends
+    * its fingerprints to the durable store — so the union of all batch
+    * outputs over an append-only id stream equals the batch q136 answer
+    * on the same images (spec-pinned), and the store always holds one
+    * decode-derived fingerprint per ingested image. Exactly-once across
+    * crashes via the marker + per-batch-overwrite argument on
+    * [[mediaFpBatch]].
+    */
+  def maintainMediaFpIndex(images: DataFrame, corpusDir: String,
+      pairsDir: String, checkpoint: String,
+      stream: String = "media_fp_maintenance"): StreamingQuery = {
+    val owner = images.sparkSession
+    import owner.implicits._
+    images.writeStream
+      .queryName(stream)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        mediaFpBatch(owner, corpusDir, pairsDir, stream, batchId,
+          batch.as[graft.multimodal.Multimodal.ImageRow])
+        ()
+      }
+      .start()
+  }
+
   /** Attach an SRP-index maintainer to a `(vec_id, embedding)` stream. */
   def maintainSrpIndex(embeddings: DataFrame, corpusDir: String,
       checkpoint: String, stream: String = "srp_maintenance"): StreamingQuery = {

@@ -767,6 +767,80 @@ class IndexStoreSpec extends SparkSpec {
       s"CDC-grid divergence: missing=${(expected -- got).take(3)} extra=${(got -- expected).take(3)}")
   }
 
+  test("streaming media maintenance: pair union and fp store equal the batch q136 answer") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.multimodal.Multimodal
+    val root = tmp("graft_idx_media")
+    val docs = Tables.load(spark, dir, "documents")
+    val t = docs.selectExpr("(max(doc_id) * 6) div 10 AS t").collect()(0).getLong(0)
+
+    // bootstrap on the pre-stream image slice (decode + hash once)
+    val sA = spark.newSession()
+    sA.conf.set(IndexStore.DirConf, root)
+    streaming.IndexMaintenance.bootstrapMediaFpStore(sA, dir,
+      Multimodal.synthesizeImages(Tables.load(sA, dir, "documents").filter(col("doc_id") < t)))
+
+    // the increment streams in TWO id-ordered micro-batches of ENCODED
+    // PNG payloads, with a simulated crash-replay between them
+    implicit val sqlCtx = sA.sqlContext
+    import sA.implicits._
+    val inc = Multimodal.synthesizeImages(docs.filter(col("doc_id") >= t))
+      .collect().sortBy(_.media_id)
+      .map(r => (r.media_id, r.payload, r.width, r.height))
+    assert(inc.length >= 4, "fixture should stream at least 4 images")
+    val (b1, b2) = inc.splitAt(inc.length / 2)
+    val input = MemoryStream[(Long, Array[Byte], Int, Int)]
+    val ckpt = tmp("graft_idx_media_ck")
+    val pairsDir = tmp("graft_idx_media_pairs")
+    val stream = "media_spec"
+    input.addData(b1.toSeq)
+    val q1 = streaming.IndexMaintenance.maintainMediaFpIndex(
+      input.toDF().toDF("media_id", "payload", "width", "height"),
+      dir, pairsDir, ckpt, stream)
+    q1.processAllAvailable()
+    q1.stop()
+
+    // exactly-once: the replayed batch id is skipped, store rows unchanged
+    val path = IndexStore.storePath(root, dir, operators.MultimodalOps.MediaFpStoreName)
+    val rowsBefore = sA.read.parquet(path).count()
+    val replayed = streaming.IndexMaintenance.mediaFpBatch(sA, dir, pairsDir,
+      stream, 0L,
+      Multimodal.synthesizeImages(
+        Tables.load(sA, dir, "documents").filter(col("doc_id") >= t)).limit(2))
+    assert(!replayed, "an applied batch id must be skipped on replay")
+    assert(sA.read.parquet(path).count() == rowsBefore,
+      "a skipped replay must not grow the store")
+
+    // restart from the SAME checkpoint with the rest of the stream
+    input.addData(b2.toSeq)
+    val q2 = streaming.IndexMaintenance.maintainMediaFpIndex(
+      input.toDF().toDF("media_id", "payload", "width", "height"),
+      dir, pairsDir, ckpt, stream)
+    q2.processAllAvailable()
+    q2.stop()
+
+    // the store holds exactly one decode-derived fingerprint per image …
+    val stored = sA.read.parquet(path)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batchFps = operators.MultimodalOps.imageFps(Multimodal.synthesizeImages(docs))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(stored == batchFps, "streamed store must equal the batch fingerprints")
+
+    // … and the union of per-batch pair outputs equals the batch q136
+    // answer restricted to pairs the increment introduced (higher end ≥ t
+    // — the append-only contract)
+    def pairKey(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getLong(1), r.getInt(2))
+    val streamed = sA.read.parquet(pairsDir).drop("batch_id")
+      .collect().map(pairKey).toSet
+    val batchAnswer = SparkEntry.queries("q136_image_neardup")(spark, dir)
+      .filter(col("b_id") >= t)
+      .collect().map(pairKey).toSet
+    assert(batchAnswer.nonEmpty, "fixture increment should introduce near-dup pairs")
+    assert(streamed == batchAnswer,
+      s"streamed pair union diverges: missing=${(batchAnswer -- streamed).take(3)} " +
+        s"extra=${(streamed -- batchAnswer).take(3)}")
+  }
+
   test("streaming tf maintenance: BM25 off the grown store equals the batch answer") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val root = tmp("graft_idx_tf")
