@@ -207,6 +207,13 @@ object MultimodalOps {
     withDhash56(Multimodal.imageLuma(images), col("luma"), "fp")
       .select(col("media_id"), col("fp"))
 
+  /** `(media_id, fp)` over a clip frame — one real WAV decode per clip,
+    * then the declarative band-energy fingerprint (q139, q141).
+    */
+  private[graft] def clipFps(clips: org.apache.spark.sql.Dataset[Multimodal.ClipRow]): org.apache.spark.sql.DataFrame =
+    withHk49(Multimodal.audioPcm(clips), col("pcm"), "fp")
+      .select(col("media_id"), col("fp"))
+
   /** Build (or serve) the durable media-fingerprint index — the
     * [[graft.IndexStore.servedFrom]] discipline: geometry + corpus count
     * in the sidecar, loud rebuild on drift, plain build when no store is
@@ -216,6 +223,35 @@ object MultimodalOps {
       dir: String, images: org.apache.spark.sql.Dataset[Multimodal.ImageRow]): org.apache.spark.sql.DataFrame =
     graft.IndexStore.servedFrom(s, dir, MediaFpStoreName,
       mediaFpParams, images.count())(imageFps(images))
+
+  // ---- session-cached fingerprint frames (q136 / q139 / q141) ----------
+  // Built-once/served-many per (session, corpus), the tf-index
+  // discipline: the decode passes are the media family's real cost, and
+  // three queries read each fingerprint frame. persist (droppable,
+  // recomputable), never released — NOT Materialize.ephemeral.
+
+  private val imageFpCache = new graft.SessionCache[org.apache.spark.sql.DataFrame]
+  private val clipFpCache = new graft.SessionCache[org.apache.spark.sql.DataFrame]
+
+  private[graft] def imageFpIndex(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    imageFpCache.getOrElseUpdate(s, dir)(
+      buildMediaFpIndex(s, dir,
+          Multimodal.synthesizeImages(Tables.load(s, dir, "documents")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER))
+
+  private[graft] def clipFpIndex(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    clipFpCache.getOrElseUpdate(s, dir)(
+      clipFps(Multimodal.synthesizeClips(Tables.load(s, dir, "documents")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER))
+
+  /** Invalidation hook for the streaming maintainer: after a store
+    * append, the session tier must refill from the grown store.
+    */
+  private[graft] def invalidateImageFpCache(s: org.apache.spark.sql.SparkSession,
+      dir: String): Unit =
+    imageFpCache.remove(s, dir).foreach(_.unpersist())
 
   // ---- DuckDB derivations of the synthesis functions -------------------
 
@@ -244,6 +280,71 @@ object MultimodalOps {
     val bl = Multimodal.AudBandLen
     s"(CASE WHEN ($m % 8) // 2 > 0 AND $i // $fl = ($m % 8) // 2 " +
       s"AND ($i % $fl) // $bl = ($m % 8) // 2 THEN ($base + 60) % 256 ELSE $base END)"
+  }
+
+  // ---- shared oracle CTE builders (q136 / q139 / q141) ------------------
+
+  /** CTE block deriving `${p}fp(media_id, fp)` — the 56-bit dHash of every
+    * fixture image, from the synthesis arithmetic.
+    */
+  private def imageFpCteSql(p: String): String =
+    s"""${p}img AS (SELECT doc_id AS media_id FROM documents WHERE doc_id % 2 = 0),
+      |${p}px AS (SELECT media_id, i % $Side AS x, i // $Side AS y,
+      |         ${lumaSql("media_id", s"(i % $Side)", s"(i // $Side)")} AS p
+      |       FROM ${p}img, (SELECT unnest(generate_series(0, ${Side * Side - 1})) AS i)),
+      |${p}bs AS (SELECT media_id, x // 2 AS bx, y // 2 AS by, CAST(sum(p) AS BIGINT) AS s
+      |       FROM ${p}px GROUP BY 1, 2, 3),
+      |${p}bits AS (SELECT a.media_id, a.by * ${Blocks - 1} + a.bx AS i,
+      |           CASE WHEN b.s > a.s THEN 1 ELSE 0 END AS bit
+      |         FROM ${p}bs a JOIN ${p}bs b ON a.media_id = b.media_id
+      |           AND b.by = a.by AND b.bx = a.bx + 1
+      |         WHERE a.bx < ${Blocks - 1}),
+      |${p}fp AS (SELECT media_id, CAST(sum(bit * (1::BIGINT << i)) AS BIGINT) AS fp
+      |       FROM ${p}bits GROUP BY media_id)""".stripMargin
+
+  /** CTE block deriving `${p}fp(media_id, fp)` — the 49-bit band-energy
+    * fingerprint of every fixture clip, from the synthesis arithmetic.
+    */
+  private def audioFpCteSql(p: String): String = {
+    val n = Multimodal.TotalSamples
+    val fl = Multimodal.AudFrameLen
+    val bl = Multimodal.AudBandLen
+    s"""${p}aud AS (SELECT doc_id AS media_id FROM documents WHERE doc_id % 2 = 1),
+      |${p}px AS (SELECT media_id, i // $fl AS f, (i % $fl) // $bl AS b,
+      |         ${clipSql("media_id", "i")} AS p
+      |       FROM ${p}aud, (SELECT unnest(generate_series(0, ${n - 1})) AS i)),
+      |${p}e AS (SELECT media_id, f, b, CAST(sum(p) AS BIGINT) AS s
+      |      FROM ${p}px GROUP BY 1, 2, 3),
+      |${p}bits AS (SELECT a.media_id, a.f * ${AudB - 1} + a.b AS i,
+      |           CASE WHEN (a.s - r.s) - (d.s - dr.s) > 0 THEN 1 ELSE 0 END AS bit
+      |         FROM ${p}e a
+      |         JOIN ${p}e r  ON r.media_id = a.media_id AND r.f = a.f AND r.b = a.b + 1
+      |         JOIN ${p}e d  ON d.media_id = a.media_id AND d.f = a.f + 1 AND d.b = a.b
+      |         JOIN ${p}e dr ON dr.media_id = a.media_id AND dr.f = a.f + 1 AND dr.b = a.b + 1
+      |         WHERE a.f < ${AudF - 1} AND a.b < ${AudB - 1}),
+      |${p}fp AS (SELECT media_id, CAST(sum(bit * (1::BIGINT << i)) AS BIGINT) AS fp
+      |       FROM ${p}bits GROUP BY media_id)""".stripMargin
+  }
+
+  /** CTE block deriving `${p}pairs(a_id, b_id, hamming)` from
+    * `${p}fp(media_id, fp)` — banded candidates + exact-Hamming verify,
+    * the SQL mirror of [[bandedHammingPairs]].
+    */
+  private def bandPairsCteSql(p: String, bandDefs: Seq[(Int, Int)], tau: Int): String = {
+    val bandRows = bandDefs.zipWithIndex
+      .map { case ((shift, width), b) =>
+        s"SELECT media_id, fp, $b AS band, (fp >> $shift) & ${(1L << width) - 1} AS bv FROM ${p}fp"
+      }
+      .mkString("\n      |    UNION ALL ")
+    s"""${p}bands AS (
+      |    $bandRows),
+      |${p}cand AS (SELECT DISTINCT x.media_id AS a_id, x.fp AS a_fp,
+      |           y.media_id AS b_id, y.fp AS b_fp
+      |         FROM ${p}bands x JOIN ${p}bands y
+      |           ON x.band = y.band AND x.bv = y.bv AND x.media_id < y.media_id),
+      |${p}pairs AS (SELECT a_id, b_id, bit_count(xor(a_fp, b_fp)) AS hamming
+      |         FROM ${p}cand
+      |         WHERE bit_count(xor(a_fp, b_fp)) <= $tau)""".stripMargin
   }
 
   val specs: Seq[QuerySpec] = Seq(
@@ -293,45 +394,19 @@ object MultimodalOps {
     // among unrelated images. The oracle re-derives decoded luma, block
     // sums, hash, bands, and verify arithmetically — bit-equal because
     // PNG is lossless. Scale: hash+bands are a narrow scan-parallel pass
-    // (one decode per image, ephemeral — the band self-join reads the
-    // materialized fingerprints, not the codec), pair work is band-
+    // (one decode per image, session-cached — the band self-join reads
+    // the materialized fingerprints, not the codec), pair work is band-
     // bucket-bounded like every dedup operator in the family.
-    QuerySpec("q136_image_neardup") {
-      val bandRows = (0 until ImgBands)
-        .map(b => s"SELECT media_id, fp, $b AS band, (fp >> ${b * ImgBandBits}) & ${(1 << ImgBandBits) - 1} AS bv FROM fp")
-        .mkString("\n        |    UNION ALL ")
-      s"""WITH img AS (SELECT doc_id AS media_id FROM documents WHERE doc_id % 2 = 0),
-        |px AS (SELECT media_id, i % $Side AS x, i // $Side AS y,
-        |         ${lumaSql("media_id", s"(i % $Side)", s"(i // $Side)")} AS p
-        |       FROM img, (SELECT unnest(generate_series(0, ${Side * Side - 1})) AS i)),
-        |bs AS (SELECT media_id, x // 2 AS bx, y // 2 AS by, CAST(sum(p) AS BIGINT) AS s
-        |       FROM px GROUP BY 1, 2, 3),
-        |bits AS (SELECT a.media_id, a.by * ${Blocks - 1} + a.bx AS i,
-        |           CASE WHEN b.s > a.s THEN 1 ELSE 0 END AS bit
-        |         FROM bs a JOIN bs b ON a.media_id = b.media_id
-        |           AND b.by = a.by AND b.bx = a.bx + 1
-        |         WHERE a.bx < ${Blocks - 1}),
-        |fp AS (SELECT media_id, CAST(sum(bit * (1::BIGINT << i)) AS BIGINT) AS fp
-        |       FROM bits GROUP BY media_id),
-        |bands AS (
-        |    $bandRows),
-        |cand AS (SELECT DISTINCT x.media_id AS a_id, x.fp AS a_fp,
-        |           y.media_id AS b_id, y.fp AS b_fp
-        |         FROM bands x JOIN bands y
-        |           ON x.band = y.band AND x.bv = y.bv AND x.media_id < y.media_id)
-        |SELECT a_id, b_id, bit_count(xor(a_fp, b_fp)) AS hamming
-        |FROM cand
-        |WHERE bit_count(xor(a_fp, b_fp)) <= $ImgHammingMax
-        |ORDER BY a_id, b_id""".stripMargin
-    } { (s, dir) =>
-      // one decode per image: the fingerprint frame (id, fp) is tiny and
-      // feeds both sides of the band self-join. Store-aware: with an
-      // index store configured this serves the maintained fingerprints
-      // (zero re-decode of already-ingested images); without one it is
-      // the plain decode→hash build.
-      val fp = graft.Materialize.ephemeral(buildMediaFpIndex(s, dir,
-        Multimodal.synthesizeImages(Tables.load(s, dir, "documents"))))
-      bandedHammingPairs(fp, ImgBandDefs, ImgHammingMax)
+    QuerySpec("q136_image_neardup")(
+      s"""WITH ${imageFpCteSql("i")},
+        |${bandPairsCteSql("i", ImgBandDefs, ImgHammingMax)}
+        |SELECT a_id, b_id, hamming FROM ipairs
+        |ORDER BY a_id, b_id""".stripMargin) { (s, dir) =>
+      // one decode per image ACROSS q136/q141 (session-cached fingerprint
+      // frame, both band-join sides read it). Store-aware underneath:
+      // with an index store configured the cache fills from the
+      // maintained fingerprints — zero re-decode of ingested images.
+      bandedHammingPairs(imageFpIndex(s, dir), ImgBandDefs, ImgHammingMax)
     },
 
     // ----- audio near-dup via robust fingerprint + banded Hamming join ----
@@ -346,48 +421,89 @@ object MultimodalOps {
     // and every within-group pair keeps ≥1 clean band by construction).
     // The oracle re-derives decoded PCM, cells, fingerprint, bands, and
     // verify arithmetically — bit-equal because WAV PCM is lossless.
-    QuerySpec("q139_audio_neardup") {
-      val n = Multimodal.TotalSamples
-      val fl = Multimodal.AudFrameLen
-      val bl = Multimodal.AudBandLen
-      val bandRows = AudBandDefs.zipWithIndex
-        .map { case ((shift, width), b) =>
-          s"SELECT media_id, fp, $b AS band, (fp >> $shift) & ${(1L << width) - 1} AS bv FROM fp"
-        }
-        .mkString("\n        |    UNION ALL ")
-      s"""WITH aud AS (SELECT doc_id AS media_id FROM documents WHERE doc_id % 2 = 1),
-        |px AS (SELECT media_id, i // $fl AS f, (i % $fl) // $bl AS b,
-        |         ${clipSql("media_id", "i")} AS p
-        |       FROM aud, (SELECT unnest(generate_series(0, ${n - 1})) AS i)),
-        |e AS (SELECT media_id, f, b, CAST(sum(p) AS BIGINT) AS s
-        |      FROM px GROUP BY 1, 2, 3),
-        |bits AS (SELECT a.media_id, a.f * ${AudB - 1} + a.b AS i,
-        |           CASE WHEN (a.s - r.s) - (d.s - dr.s) > 0 THEN 1 ELSE 0 END AS bit
-        |         FROM e a
-        |         JOIN e r  ON r.media_id = a.media_id AND r.f = a.f AND r.b = a.b + 1
-        |         JOIN e d  ON d.media_id = a.media_id AND d.f = a.f + 1 AND d.b = a.b
-        |         JOIN e dr ON dr.media_id = a.media_id AND dr.f = a.f + 1 AND dr.b = a.b + 1
-        |         WHERE a.f < ${AudF - 1} AND a.b < ${AudB - 1}),
-        |fp AS (SELECT media_id, CAST(sum(bit * (1::BIGINT << i)) AS BIGINT) AS fp
-        |       FROM bits GROUP BY media_id),
-        |bands AS (
-        |    $bandRows),
-        |cand AS (SELECT DISTINCT x.media_id AS a_id, x.fp AS a_fp,
-        |           y.media_id AS b_id, y.fp AS b_fp
-        |         FROM bands x JOIN bands y
-        |           ON x.band = y.band AND x.bv = y.bv AND x.media_id < y.media_id)
-        |SELECT a_id, b_id, bit_count(xor(a_fp, b_fp)) AS hamming
-        |FROM cand
-        |WHERE bit_count(xor(a_fp, b_fp)) <= $AudHammingMax
-        |ORDER BY a_id, b_id""".stripMargin
-    } { (s, dir) =>
-      val pcm = Multimodal.audioPcm(
-        Multimodal.synthesizeClips(Tables.load(s, dir, "documents")))
-      // one decode per clip: the (id, fp) frame is tiny and feeds both
-      // sides of the band self-join
-      val fp = graft.Materialize.ephemeral(
-        withHk49(pcm, col("pcm"), "fp").select(col("media_id"), col("fp")))
-      bandedHammingPairs(fp, AudBandDefs, AudHammingMax)
+    QuerySpec("q139_audio_neardup")(
+      s"""WITH ${audioFpCteSql("a")},
+        |${bandPairsCteSql("a", AudBandDefs, AudHammingMax)}
+        |SELECT a_id, b_id, hamming FROM apairs
+        |ORDER BY a_id, b_id""".stripMargin) { (s, dir) =>
+      // one decode per clip ACROSS q139/q141 (session-cached fingerprint
+      // frame, both band-join sides read it)
+      bandedHammingPairs(clipFpIndex(s, dir), AudBandDefs, AudHammingMax)
+    },
+
+    // ----- cross-modal corpus dedup health report -------------------------
+    // The corpus-level composition of the dedup story's three modality
+    // legs: per modality — item count, items involved in ≥1 duplicate
+    // relation, duplicate-relation (pair) count, and the duplicated-item
+    // fraction in exact integer micro-units. Text = q35's exact
+    // bag-fingerprint groups (pairs = Σ C(n,2) within groups); image /
+    // audio = the q136 / q139 banded near-dup pairs. Every leg is the
+    // already-blocked operator (group hash-agg, band-bucket joins); the
+    // report itself adds only 1-row aggregates — the corpus-health
+    // dashboard row a data curator reads before training. The oracle
+    // composes the three legs' exact derivations through the shared CTE
+    // builders.
+    QuerySpec("q141_media_dedup_profile")(
+      s"""WITH ${imageFpCteSql("i")},
+        |${bandPairsCteSql("i", ImgBandDefs, ImgHammingMax)},
+        |${audioFpCteSql("a")},
+        |${bandPairsCteSql("a", AudBandDefs, AudHammingMax)},
+        |tg AS (SELECT md5(array_to_string(list_sort(list_distinct(
+        |         regexp_split_to_array(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), '\\s+'))), ' ')) AS fp_bag,
+        |         count(*) AS n
+        |       FROM documents GROUP BY 1)
+        |SELECT modality, n_items, n_dup_items, n_pairs,
+        |  n_dup_items * 1000000 // n_items AS dup_items_micro
+        |FROM (
+        |  SELECT 'audio' AS modality,
+        |    (SELECT count(*) FROM documents WHERE doc_id % 2 = 1) AS n_items,
+        |    (SELECT count(*) FROM (SELECT a_id AS id FROM apairs UNION SELECT b_id FROM apairs)) AS n_dup_items,
+        |    (SELECT count(*) FROM apairs) AS n_pairs
+        |  UNION ALL SELECT 'image',
+        |    (SELECT count(*) FROM documents WHERE doc_id % 2 = 0),
+        |    (SELECT count(*) FROM (SELECT a_id AS id FROM ipairs UNION SELECT b_id FROM ipairs)),
+        |    (SELECT count(*) FROM ipairs)
+        |  UNION ALL SELECT 'text',
+        |    (SELECT CAST(sum(n) AS BIGINT) FROM tg),
+        |    (SELECT CAST(coalesce(sum(CASE WHEN n > 1 THEN n END), 0) AS BIGINT) FROM tg),
+        |    (SELECT CAST(coalesce(sum(n * (n - 1) // 2), 0) AS BIGINT) FROM tg))
+        |ORDER BY modality""".stripMargin) { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      def mediaLeg(modality: String, pairs: org.apache.spark.sql.DataFrame,
+          parity: Int): org.apache.spark.sql.DataFrame = {
+        val nItems = docs.filter(col("doc_id") % 2 === parity)
+          .agg(count(lit(1)).as("n_items"))
+        val nDup = pairs.select(col("a_id").as("id"))
+          .union(pairs.select(col("b_id").as("id"))).distinct()
+          .agg(count(lit(1)).as("n_dup_items"))
+        val nPairs = pairs.agg(count(lit(1)).as("n_pairs"))
+        nItems.crossJoin(nDup).crossJoin(nPairs)
+          .select(lit(modality).as("modality"), col("n_items"),
+            col("n_dup_items"), col("n_pairs"))
+      }
+      val ipairs = graft.Materialize.ephemeral(bandedHammingPairs(
+        imageFpIndex(s, dir), ImgBandDefs, ImgHammingMax))
+      val apairs = graft.Materialize.ephemeral(bandedHammingPairs(
+        clipFpIndex(s, dir), AudBandDefs, AudHammingMax))
+      val textLeg = docs
+        .select(md5(concat_ws(" ",
+            array_sort(array_distinct(graft.functions.TextFunctions.tokens(col("text")))))
+          .cast(org.apache.spark.sql.types.BinaryType)).as("fp_bag"))
+        .groupBy(col("fp_bag")).agg(count(lit(1)).as("n"))
+        .agg(
+          sum(col("n")).cast(LongType).as("n_items"),
+          coalesce(sum(when(col("n") > 1, col("n"))), lit(0L))
+            .cast(LongType).as("n_dup_items"),
+          coalesce(sum(expr("n * (n - 1) div 2")), lit(0L))
+            .cast(LongType).as("n_pairs"))
+        .select(lit("text").as("modality"), col("n_items"),
+          col("n_dup_items"), col("n_pairs"))
+      mediaLeg("audio", apairs, 1)
+        .union(mediaLeg("image", ipairs, 0))
+        .union(textLeg)
+        .withColumn("dup_items_micro",
+          expr("(n_dup_items * 1000000L) div n_items").cast(LongType))
+        .orderBy(col("modality"))
     },
 
     // ----- frame sampling, oracle-checked on the slicing arithmetic -------

@@ -525,6 +525,7 @@ object IndexMaintenance {
         }
         graft.IndexStore.append(s, corpusDir, ops.MediaFpStoreName, batchFps,
           batchFps.count(), Map(markerKey(stream) -> batchId.toString))
+        ops.invalidateImageFpCache(s, corpusDir) // session tier refills from the grown store
       } finally graft.Materialize.free(batchFps)
       true
     }
