@@ -124,5 +124,14 @@ object Tables {
     operators.TextAnalysis.shingleIndex(spark, dir).createOrReplaceTempView("shingle_index")
     operators.TextAnalysis.qualityIndex(spark, dir).createOrReplaceTempView("quality_index")
     operators.CorpusOps.bm25TopK(spark, dir).createOrReplaceTempView("bm25_topk")
+    // round-11 additions: the media fingerprint frames and the learned
+    // BPE merge table (1 row per round) — the artifacts analysts ask
+    // "what did the tokenizer learn / which images collide" against
+    operators.MultimodalOps.imageFpIndex(spark, dir).createOrReplaceTempView("image_fp_index")
+    operators.MultimodalOps.clipFpIndex(spark, dir).createOrReplaceTempView("clip_fp_index")
+    import spark.implicits._
+    operators.Bpe.learned(spark, dir)._1
+      .toDF("round", "left_sym", "right_sym", "pair_count")
+      .createOrReplaceTempView("bpe_merges")
   }
 }

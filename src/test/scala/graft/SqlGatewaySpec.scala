@@ -97,6 +97,23 @@ class SqlGatewaySpec extends SparkSpec {
       // shingle/quality indexes registered as well
       assert(post(port, "SELECT count(*) AS n FROM shingle_index").statusCode() == 200)
       assert(post(port, "SELECT count(*) AS n FROM quality_index").statusCode() == 200)
+
+      // media fingerprint frames: one fp per fixture image / clip, and
+      // the Hamming arithmetic works in plain gateway SQL
+      val imgN = Tables.load(spark, dir, "documents")
+        .filter(col("doc_id") % 2 === 0).count()
+      val i = post(port, "SELECT count(*) AS n, count(DISTINCT media_id) AS d FROM image_fp_index")
+      assert(i.statusCode() == 200 && i.body().trim == s"""{"n":$imgN,"d":$imgN}""")
+      assert(post(port,
+        "SELECT count(*) AS n FROM clip_fp_index a JOIN clip_fp_index b " +
+          "ON a.media_id < b.media_id AND bit_count(a.fp ^ b.fp) <= 8").statusCode() == 200)
+
+      // the learned tokenizer is a table: R rounds, counts non-increasing
+      val m = post(port,
+        "SELECT count(*) AS n, min(pair_count) AS lo, max(pair_count) AS hi FROM bpe_merges")
+      assert(m.statusCode() == 200)
+      val body = m.body().trim
+      assert(body.contains("\"n\":8"), body)
     }
   }
 
