@@ -180,7 +180,8 @@ object Ivf {
           sampleMod: Int = 0,
           maxIters: Int = DefaultMaxIters,
           cellTarget: Long = Sizing.TargetCellRows,
-          seedTarget: Long = TargetSeedSample): Model = {
+          seedTarget: Long = TargetSeedSample,
+          dim: Int = Dim): Model = {
     val spark = eqf.sparkSession
     graft.plans.GraftExtensions.register(spark)
     // Always counted (cheap parquet-metadata action): the sizing
@@ -206,7 +207,7 @@ object Ivf {
           .cast(LongType).as("cv"))
         .collect()
       val next = upd.groupBy(_.getInt(0)).map { case (cid, rows) =>
-        val arr = new Array[Long](Dim)
+        val arr = new Array[Long](dim)
         rows.foreach(r => arr(r.getInt(1)) = r.getLong(2))
         (cid, arr)
       }.toIndexedSeq.sortBy(_._1)
@@ -338,8 +339,8 @@ object Ivf {
   }
 
   // ---------------------------------------------------------------- SQL --
-  private def idotSql(a: String, b: String): String =
-    s"list_sum(list_transform(generate_series(1, $Dim), j -> $a[j] * $b[j]))"
+  private[operators] def idotSql(a: String, b: String, dim: Int = Dim): String =
+    s"list_sum(list_transform(generate_series(1, $dim), j -> $a[j] * $b[j]))"
 
   /** DuckDB CTE chain from an upstream `eq(vec_id, q)` CTE to a final
     * `cents(cid, cq)` CTE: the sample mod derived from the corpus count
@@ -348,7 +349,9 @@ object Ivf {
     * exactly `maxIters` Lloyd iterations — the closed form of [[fit]]'s
     * recurrence, reproducing identical centroids.
     */
-  private[operators] def centroidsSql(k: Int, maxIters: Int): String = {
+  private[operators] def centroidsSql(k: Int, maxIters: Int,
+      dim: Int = Dim, prefix: String = "iv", src: String = "eq",
+      out: String = "cents"): String = {
     // Every recurrent CTE is MATERIALIZED: iv_seeds{i} is referenced twice
     // per seeding level (by iv_m{i+1} and iv_seeds{i+1}), so an inlining
     // planner would otherwise expand the chain 2^k times.
@@ -357,22 +360,22 @@ object Ivf {
     // scales with k so sample ≥ k at any corpus size (for the fixture
     // k=16 the greatest() resolves to TargetSeedSample — byte-identical
     // centroids to the fixed-target form)
-    sb ++= s"iv_mod AS (SELECT greatest(1, count(*) // greatest($TargetSeedSample, ${SeedSamplePerCell * k})) AS m FROM eq),\n"
-    sb ++= s"iv_samp AS MATERIALIZED (SELECT vec_id, q FROM eq WHERE CAST('0x' || substr(md5('ivf|' || CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT) % (SELECT m FROM iv_mod) = 0),\n"
-    sb ++= "iv_seeds0 AS MATERIALIZED (SELECT 0 AS cid, vec_id, q FROM iv_samp WHERE vec_id = (SELECT min(vec_id) FROM iv_samp)),\n"
+    sb ++= s"${prefix}_mod AS (SELECT greatest(1, count(*) // greatest($TargetSeedSample, ${SeedSamplePerCell * k})) AS m FROM $src),\n"
+    sb ++= s"${prefix}_samp AS MATERIALIZED (SELECT vec_id, q FROM $src WHERE CAST('0x' || substr(md5('ivf|' || CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT) % (SELECT m FROM ${prefix}_mod) = 0),\n"
+    sb ++= s"${prefix}_seeds0 AS MATERIALIZED (SELECT 0 AS cid, vec_id, q FROM ${prefix}_samp WHERE vec_id = (SELECT min(vec_id) FROM ${prefix}_samp)),\n"
     for (i <- 1 until k) {
-      sb ++= s"iv_m$i AS (SELECT s.vec_id, max(${idotSql("s.q", "c.q")}) AS m FROM iv_samp s, iv_seeds${i - 1} c WHERE s.vec_id NOT IN (SELECT vec_id FROM iv_seeds${i - 1}) GROUP BY s.vec_id),\n"
-      sb ++= s"iv_p$i AS (SELECT $i AS cid, s.vec_id, s.q FROM iv_samp s JOIN (SELECT vec_id FROM iv_m$i ORDER BY m ASC, vec_id ASC LIMIT 1) t USING (vec_id)),\n"
-      sb ++= s"iv_seeds$i AS MATERIALIZED (SELECT * FROM iv_seeds${i - 1} UNION ALL SELECT * FROM iv_p$i),\n"
+      sb ++= s"${prefix}_m$i AS (SELECT s.vec_id, max(${idotSql("s.q", "c.q", dim)}) AS m FROM ${prefix}_samp s, ${prefix}_seeds${i - 1} c WHERE s.vec_id NOT IN (SELECT vec_id FROM ${prefix}_seeds${i - 1}) GROUP BY s.vec_id),\n"
+      sb ++= s"${prefix}_p$i AS (SELECT $i AS cid, s.vec_id, s.q FROM ${prefix}_samp s JOIN (SELECT vec_id FROM ${prefix}_m$i ORDER BY m ASC, vec_id ASC LIMIT 1) t USING (vec_id)),\n"
+      sb ++= s"${prefix}_seeds$i AS MATERIALIZED (SELECT * FROM ${prefix}_seeds${i - 1} UNION ALL SELECT * FROM ${prefix}_p$i),\n"
     }
-    sb ++= s"iv_cents0 AS MATERIALIZED (SELECT cid, q AS cq FROM iv_seeds${k - 1}),\n"
+    sb ++= s"${prefix}_cents0 AS MATERIALIZED (SELECT cid, q AS cq FROM ${prefix}_seeds${k - 1}),\n"
     for (t <- 1 to maxIters) {
-      sb ++= s"iv_s$t AS (SELECT e.vec_id, c.cid, ${idotSql("e.q", "c.cq")} AS idot FROM eq e, iv_cents${t - 1} c),\n"
-      sb ++= s"iv_a$t AS (SELECT vec_id, cid FROM (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY idot DESC, cid ASC) AS rk FROM iv_s$t) WHERE rk = 1),\n"
-      sb ++= s"iv_upd$t AS (SELECT cid, i, CAST(floor(CAST(sum(q[i]) AS DOUBLE) / count(*)) AS BIGINT) AS cv FROM (SELECT a.cid, e.q FROM iv_a$t a JOIN eq e USING (vec_id)) mem, range(1, ${Dim + 1}) AS r(i) GROUP BY cid, i),\n"
-      sb ++= s"iv_cents$t AS MATERIALIZED (SELECT cid, list(cv ORDER BY i) AS cq FROM iv_upd$t GROUP BY cid),\n"
+      sb ++= s"${prefix}_s$t AS (SELECT e.vec_id, c.cid, ${idotSql("e.q", "c.cq", dim)} AS idot FROM $src e, ${prefix}_cents${t - 1} c),\n"
+      sb ++= s"${prefix}_a$t AS (SELECT vec_id, cid FROM (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY idot DESC, cid ASC) AS rk FROM ${prefix}_s$t) WHERE rk = 1),\n"
+      sb ++= s"${prefix}_upd$t AS (SELECT cid, i, CAST(floor(CAST(sum(q[i]) AS DOUBLE) / count(*)) AS BIGINT) AS cv FROM (SELECT a.cid, e.q FROM ${prefix}_a$t a JOIN $src e USING (vec_id)) mem, range(1, ${dim + 1}) AS r(i) GROUP BY cid, i),\n"
+      sb ++= s"${prefix}_cents$t AS MATERIALIZED (SELECT cid, list(cv ORDER BY i) AS cq FROM ${prefix}_upd$t GROUP BY cid),\n"
     }
-    sb ++= s"cents AS (SELECT cid, cq FROM iv_cents$maxIters)"
+    sb ++= s"$out AS (SELECT cid, cq FROM ${prefix}_cents$maxIters)"
     sb.toString
   }
 }

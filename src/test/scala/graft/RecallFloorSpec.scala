@@ -34,6 +34,17 @@ class RecallFloorSpec extends SparkSpec {
     assert(nonZero > 0, "IVF index reports zero hits everywhere — collapsed index")
   }
 
+  test("q142 PQ shortlist + exact rerank clears its measured floor at sf0.1") {
+    // measured mean 0.50 (6/8 queries hit) with the 64-candidate exact
+    // rerank — the near-random fixture embeddings are a worst case for
+    // ADC (tiny dot margins between true neighbors), so the floor sits
+    // at 0.30: collapsed codebooks (all-equal codes → the shortlist
+    // degenerates to min-vec_id) drop essentially to chance and trip this
+    val (mean, nonZero) = meanRecall("q142_pq_recall")
+    assert(mean >= 0.30, f"PQ mean recall $mean%.3f fell below the 0.30 floor")
+    assert(nonZero > 0, "PQ serving reports zero hits everywhere — collapsed codebooks")
+  }
+
   test("q124 int8-quantization recall clears its measured floor at sf0.1") {
     // measured mean 0.917 (min 0.667) — quantization loses far less than
     // the indexes, which is the point of the report; a broken calibration
