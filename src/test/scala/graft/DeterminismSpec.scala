@@ -102,4 +102,25 @@ class DeterminismSpec extends SparkSpec {
       assert(a.nonEmpty && a == b, "BM25 diverges under repartitioning")
     } finally spark.conf.set("spark.sql.shuffle.partitions", saved)
   }
+
+  test("round-11 family is partitioning-invariant (session caches rebuilt per fresh session)") {
+    // q136/q139/q140/q141/q142 all serve from session caches (fingerprint
+    // frames, the BPE learn loop, PQ codebooks), which would make the
+    // shared `sensitive` loop vacuous on the second pass — so each
+    // partitioning setting gets a FRESH session, forcing every cache to
+    // rebuild: the decode passes, band joins, merge-round argmaxes, and
+    // k-means fits genuinely re-run under both settings.
+    val names = Seq("q136_image_neardup", "q139_audio_neardup",
+      "q140_bpe_encode", "q141_media_dedup_profile", "q142_pq_recall")
+    def rows(parts: String): Map[String, Seq[String]] = {
+      val s = spark.newSession()
+      s.conf.set("spark.sql.shuffle.partitions", parts)
+      names.map(n => n -> SparkEntry.queries(n)(s, dir).collect().map(_.toString).toSeq).toMap
+    }
+    val a = rows("32"); val b = rows("5")
+    names.foreach { n =>
+      assert(a(n).nonEmpty, s"$n returned no rows at sf0.001")
+      assert(a(n) == b(n), s"$n diverges under repartitioning")
+    }
+  }
 }
