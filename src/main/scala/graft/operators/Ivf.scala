@@ -311,10 +311,10 @@ object Ivf {
     * → fit and save.
     */
   def servedModel(s: SparkSession, path: String, eqf: DataFrame, k: Int = 0,
-      growth: Double = RefitGrowthFactor): Model = {
+      growth: Double = RefitGrowthFactor, dim: Int = Dim): Model = {
     val log = org.slf4j.LoggerFactory.getLogger("graft.Ivf")
     def fitAndSave(): Model = {
-      val m = fit(eqf, k)
+      val m = fit(eqf, k, dim = dim)
       save(s, path, m)
       m
     }

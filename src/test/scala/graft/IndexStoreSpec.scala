@@ -767,6 +767,38 @@ class IndexStoreSpec extends SparkSpec {
       s"CDC-grid divergence: missing=${(expected -- got).take(3)} extra=${(got -- expected).take(3)}")
   }
 
+  test("PQ codebook store: fit in session A, served without refit in session B, q142 row-equal") {
+    import graft.operators.{Ivf, Similarity}
+    val root = tmp("graft_idx_pq")
+    val sA = spark.newSession()
+    sA.conf.set(IndexStore.DirConf, root)
+    val a = Similarity.pqModels(sA, dir, Ivf.quantize(Tables.load(sA, dir, "embeddings")))
+    assert(a.length == 4 && a.forall(_.cents.length == 16))
+    val path0 = IndexStore.storePath(root, dir, "pq_model_0")
+    assert(IndexStore.committed(sA, path0), "codebook 0 not persisted")
+    val filesBefore = new java.io.File(path0).listFiles().map(f => f.getName -> f.lastModified).toMap
+
+    // session B with the same store: served codebooks are identical and
+    // the store files are untouched (no refit)
+    val sB = spark.newSession()
+    sB.conf.set(IndexStore.DirConf, root)
+    val b = Similarity.pqModels(sB, dir, Ivf.quantize(Tables.load(sB, dir, "embeddings")))
+    a.zip(b).foreach { case (ma, mb) =>
+      assert(ma.cents.map(_._1) == mb.cents.map(_._1))
+      ma.cents.zip(mb.cents).foreach { case ((_, ca), (_, cb)) =>
+        assert(java.util.Arrays.equals(ca, cb), "served codebook diverges from the fit")
+      }
+    }
+    val filesAfter = new java.io.File(path0).listFiles().map(f => f.getName -> f.lastModified).toMap
+    assert(filesAfter == filesBefore, "serving session B rewrote the codebook store")
+
+    // and the full query is row-identical between a store-serving session
+    // and a plain in-session fit
+    val viaStore = SparkEntry.queries("q142_pq_recall")(sB, dir).collect().map(_.toString).toSeq
+    val plain = SparkEntry.queries("q142_pq_recall")(spark, dir).collect().map(_.toString).toSeq
+    assert(viaStore.nonEmpty && viaStore == plain)
+  }
+
   test("streaming media maintenance: pair union and fp store equal the batch q136 answer") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.multimodal.Multimodal
