@@ -45,6 +45,16 @@ class RecallFloorSpec extends SparkSpec {
     assert(nonZero > 0, "PQ serving reports zero hits everywhere — collapsed codebooks")
   }
 
+  test("q143 IVF-PQ compound serving recall clears its measured floor at sf0.1") {
+    // measured mean 0.50 (6/8 hit) — the compound loss (cell pruning +
+    // code quantization, after exact rerank) matches the standalone PQ
+    // path on this fixture because the rerank recovers most of what the
+    // 2-of-16-cell probe keeps; same 0.30 floor as q142
+    val (mean, nonZero) = meanRecall("q143_ivfpq_recall")
+    assert(mean >= 0.30, f"IVF-PQ mean recall $mean%.3f fell below the 0.30 floor")
+    assert(nonZero > 0, "IVF-PQ serving reports zero hits everywhere — collapsed index")
+  }
+
   test("q124 int8-quantization recall clears its measured floor at sf0.1") {
     // measured mean 0.917 (min 0.667) — quantization loses far less than
     // the indexes, which is the point of the report; a broken calibration
