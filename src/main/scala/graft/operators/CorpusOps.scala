@@ -109,6 +109,17 @@ object CorpusOps {
   /** q110 docs sampled per language group. */
   private val GroupSampleK = 20
 
+  /** q144 hashed-feature space size (DSIR's hashing trick). The feature
+    * dimension is FIXED at B regardless of corpus size — that is the whole
+    * 100-TB argument: the importance model (two B-bucket count profiles →
+    * one B-row weight table) stays broadcast-sized forever, while the raw
+    * vocabulary grows with the corpus (q135's Heaps curve).
+    */
+  private val DsirBuckets = 4096
+
+  /** q144 shortlist size. */
+  private val DsirK = 50
+
   private val hex60Sql = "CAST('0x' || substr(md5(%s), 1, 15) AS BIGINT)"
 
   /** (doc_id, term, tf) as a per-(session, corpus) shared index — the same
@@ -1218,6 +1229,86 @@ object CorpusOps {
         .select(posexplode(col("top")))
         .select((col("pos") + 1).cast(LongType).as("rk"),
           col("col.item").as("term"), col("col.cnt").as("cnt"))
+        .orderBy(col("rk"))
+    },
+
+    // ----- DSIR-style importance selection (hashed n-gram LLR) ------------
+    // Data Selection via Importance Resampling (Xie et al. 2023): score raw
+    // documents by how target-like their token distribution is, under two
+    // hashed-unigram multinomial profiles (target = the `en` slice, raw =
+    // the whole corpus). DSIR's score is the log-likelihood ratio
+    // Σ_w c_w·log(p_t(w)/p_r(w)); the cross-engine-exact formulation here
+    // replaces each log with the RATIO itself in integer micro-units —
+    // w_micro(b) = ⌊10⁶·(ct_b+1)(Nr+B) / ((cr_b+1)(Nt+B))⌋, Laplace-
+    // smoothed over the B-bucket feature space — and ranks by the
+    // length-normalized sum (score div n_tok), so no float log/exp exists
+    // anywhere and both engines agree bit for bit (numerators in
+    // DECIMAL(38,0)/HUGEINT; one integer division per bucket, one per doc).
+    // Scale: the feature space is FIXED at B=4096 buckets (the hashing
+    // trick), so the weight table is broadcast-sized no matter the corpus;
+    // the pipeline is one (doc, bucket) re-key of the shared tf index, two
+    // bucket-sized profile aggregates, a broadcast join, one doc-keyed
+    // hash-agg, and a TakeOrderedAndProject(K) — no corpus-sized state off
+    // the scan path and nothing grows with the vocabulary.
+    QuerySpec("q144_dsir_select")(
+      s"""WITH tf AS (SELECT doc_id, t AS term, count(*) AS tf
+        |           FROM (SELECT doc_id,
+        |                   unnest(string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')) AS t
+        |                 FROM documents)
+        |           GROUP BY 1, 2),
+        |db AS (SELECT doc_id, ${hex60Sql.format("term")} % $DsirBuckets AS b,
+        |         CAST(sum(tf) AS BIGINT) AS c
+        |       FROM tf GROUP BY 1, 2),
+        |raw AS (SELECT b, CAST(sum(c) AS BIGINT) AS cr FROM db GROUP BY b),
+        |tgt AS (SELECT db.b, CAST(sum(db.c) AS BIGINT) AS ct
+        |        FROM db JOIN documents USING (doc_id)
+        |        WHERE documents.lang = 'en' GROUP BY db.b),
+        |tot AS (SELECT (SELECT CAST(sum(cr) AS BIGINT) FROM raw) AS nr,
+        |               (SELECT CAST(coalesce(sum(ct), 0) AS BIGINT) FROM tgt) AS nt),
+        |w AS (SELECT raw.b,
+        |        CAST((CAST(coalesce(tgt.ct, 0) + 1 AS HUGEINT) * (tot.nr + $DsirBuckets) * 1000000)
+        |          // (CAST(raw.cr + 1 AS HUGEINT) * (tot.nt + $DsirBuckets)) AS BIGINT) AS w_micro
+        |      FROM raw LEFT JOIN tgt ON raw.b = tgt.b, tot),
+        |sc AS (SELECT db.doc_id,
+        |         CAST(sum(db.c * w.w_micro) AS BIGINT) AS score_micro,
+        |         CAST(sum(db.c) AS BIGINT) AS n_tok
+        |       FROM db JOIN w ON db.b = w.b GROUP BY db.doc_id),
+        |r AS (SELECT doc_id, n_tok, score_micro, score_micro // n_tok AS per_tok_micro,
+        |        row_number() OVER (ORDER BY score_micro // n_tok DESC, doc_id) AS rk
+        |      FROM sc)
+        |SELECT rk, doc_id, n_tok, score_micro, per_tok_micro
+        |FROM r WHERE rk <= $DsirK ORDER BY rk""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val b = lit(DsirBuckets)
+      val db = tfIndex(s, dir)
+        .select(col("doc_id"), pmod(hex60(col("term")), b).as("b"), col("tf"))
+        .groupBy(col("doc_id"), col("b")).agg(sum(col("tf")).cast(LongType).as("c"))
+        .transform(graft.Materialize.ephemeral) // 3 consumers: raw, tgt, sc
+      val raw = db.groupBy(col("b")).agg(sum(col("c")).cast(LongType).as("cr"))
+      val tgt = db
+        .join(Tables.load(s, dir, "documents")
+          .filter(col("lang") === "en").select(col("doc_id")), "doc_id")
+        .groupBy(col("b")).agg(sum(col("c")).cast(LongType).as("ct"))
+      val tot = raw.agg(sum(col("cr")).cast(LongType).as("nr"))
+        .crossJoin(tgt.agg(coalesce(sum(col("ct")), lit(0L)).cast(LongType).as("nt")))
+      val w = raw.join(tgt, Seq("b"), "left").crossJoin(broadcast(tot))
+        .select(col("b"), expr(
+          s"""CAST((CAST(coalesce(ct, 0) + 1 AS DECIMAL(38,0)) * (nr + $DsirBuckets) * 1000000)
+             | div (CAST(cr + 1 AS DECIMAL(38,0)) * (nt + $DsirBuckets)) AS BIGINT)"""
+            .stripMargin.replace("\n", "")).as("w_micro"))
+      val sc = db.join(broadcast(w), "b")
+        .groupBy(col("doc_id"))
+        .agg(sum(col("c") * col("w_micro")).cast(LongType).as("score_micro"),
+          sum(col("c")).cast(LongType).as("n_tok"))
+        .withColumn("per_tok_micro", expr("score_micro div n_tok"))
+      // TakeOrderedAndProject bounds the frame to K rows; the rank window
+      // after it runs over ≤ K rows (bounded, not a global-corpus window).
+      sc.orderBy(col("per_tok_micro").desc, col("doc_id"))
+        .limit(DsirK)
+        .withColumn("rk",
+          row_number().over(Window.orderBy(col("per_tok_micro").desc, col("doc_id"))))
+        .select(col("rk").cast(LongType), col("doc_id"), col("n_tok"),
+          col("score_micro"), col("per_tok_micro"))
         .orderBy(col("rk"))
     }
   )

@@ -491,4 +491,52 @@ class CorpusOpsSpec extends SparkSpec {
     assert((lex.keySet intersect vec.keySet).nonEmpty,
       "fixture should contain at least one lexically-and-semantically similar pair")
   }
+
+  test("q144: DSIR shortlist equals a BigInt recompute and ranks target-like docs up") {
+    // Independent path: raw text → hashed-bucket profiles → smoothed ratio
+    // weights → per-doc scores, all in driver-side BigInt (no Spark aggs,
+    // no DuckDB). Must agree with the query row for row.
+    def hex60(sv: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(sv.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(8).map(b => f"$b%02x").mkString.take(15), 16)
+    }
+    val B = 4096L
+    val docs = Tables.load(spark, dir, "documents")
+      .select("doc_id", "text", "lang").collect()
+      .map(r => (r.getLong(0),
+        r.getString(1).trim.replaceAll("\\s+", " ").toLowerCase.split(" ").toSeq,
+        r.getString(2)))
+    val db = docs.map { case (d, ts, _) =>
+      d -> ts.groupBy(t => hex60(t) % B).map { case (b, g) => b -> BigInt(g.size) }
+    }.toMap
+    val raw = db.values.flatten.groupBy(_._1).map { case (b, g) => b -> g.map(_._2).sum }
+    val tgtDocs = docs.filter(_._3 == "en").map(_._1).toSet
+    val tgt = db.filter(kv => tgtDocs(kv._1)).values.flatten
+      .groupBy(_._1).map { case (b, g) => b -> g.map(_._2).sum }
+    val nr = raw.values.sum
+    val nt = tgt.values.sum
+    val w = raw.map { case (b, cr) =>
+      b -> ((tgt.getOrElse(b, BigInt(0)) + 1) * (nr + B) * 1000000) / ((cr + 1) * (nt + B))
+    }
+    val scored = db.toSeq.map { case (d, bs) =>
+      val score = bs.map { case (b, c) => c * w(b) }.sum
+      val nTok = bs.values.sum
+      (d, nTok, score, score / nTok)
+    }.sortBy { case (d, _, _, pt) => (-pt, d) }.take(50)
+    val got = q("q144_dsir_select").collect()
+    assert(got.length == math.min(50, docs.length))
+    got.zip(scored).zipWithIndex.foreach { case ((r, (d, nTok, score, pt)), i) =>
+      assert(r.getLong(0) == i + 1L)
+      assert(r.getLong(1) == d, s"rank ${i + 1} doc")
+      assert(BigInt(r.getLong(2)) == nTok && BigInt(r.getLong(3)) == score &&
+        BigInt(r.getLong(4)) == pt, s"rank ${i + 1} score fields")
+    }
+    // Selection quality: the shortlist must be enriched in target-language
+    // docs relative to the corpus base rate (the whole point of DSIR).
+    val baseRate = tgtDocs.size.toDouble / docs.length
+    val selRate = got.count(r => tgtDocs(r.getLong(1))).toDouble / got.length
+    assert(selRate > baseRate,
+      s"shortlist en-rate $selRate should beat base rate $baseRate")
+  }
 }

@@ -63,7 +63,12 @@ class DeterminismSpec extends SparkSpec {
     // shuffles sit inside the session-cached rank list (the shared-index
     // caveat above); the raw-builder test below exercises them.
     "q128_tfidf_cosine", "q129_cluster_sample", "q131_hybrid_rrf",
-    "q134_leg_agreement", "q135_vocab_growth")
+    "q134_leg_agreement", "q135_vocab_growth",
+    // q144: every shuffle (bucket re-key, two profile aggs, doc-score agg,
+    // global top-k) runs DOWNSTREAM of the cached tf index, so the shared
+    // loop genuinely re-exercises them; the integer divisions make any
+    // accidental order-dependence visible immediately.
+    "q144_dsir_select")
 
   test("sensitive queries are byte-identical under different shuffle partitioning") {
     val saved = spark.conf.get("spark.sql.shuffle.partitions")

@@ -482,4 +482,16 @@ class PlanAssertionsSpec extends SparkSpec {
     // the fusion itself joins on (q_id, item) — an equi-join, never a loop
     assert(p131.contains("FullOuter"), "fusion must be the keyed full-outer join")
   }
+
+  test("q144: weight table broadcasts, shortlist is TakeOrderedAndProject, no cartesian loop over data") {
+    // The importance model is the ≤4096-row bucket weight frame — it must
+    // join the (doc, bucket) counts as a broadcast hash join (never shuffle
+    // the corpus side on b's 4096 values), and the global shortlist must be
+    // the TakeOrderedAndProject form, not sort-the-corpus+limit. The only
+    // nested-loop joins allowed are the 1-row scalar totals (Nr, Nt).
+    val p = plan("q144_dsir_select")
+    assert(p.contains("BroadcastHashJoin"), "weights must broadcast")
+    assert(p.contains("TakeOrderedAndProject"), "shortlist must be top-k, not global sort")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
 }
