@@ -1310,6 +1310,59 @@ object CorpusOps {
         .select(col("rk").cast(LongType), col("doc_id"), col("n_tok"),
           col("score_micro"), col("per_tok_micro"))
         .orderBy(col("rk"))
+    },
+
+    // ----- bigram-LM quality score (perplexity-filter analog) -------------
+    // The language-model quality filter (CCNet / Wikipedia-LM perplexity
+    // scoring), log-free: each document's mean TRANSITION probability
+    // under the corpus's own bigram model — p(w₂|w₁) Laplace-smoothed as
+    // integer micro-units ⌊10⁶·(c₁₂+1)/(c₁+V)⌋ (one floor division per
+    // bigram TYPE), then per doc ⌊Σ c·p_micro / n_bigrams⌋. Garbled or
+    // atypical text makes rare transitions → a low score; fluent text
+    // rides common transitions → high. Ordering is the same as mean log
+    // probability would give up to floor quantization, with no float
+    // log/exp anywhere, so both engines agree bit for bit. Scale: the
+    // model IS the corpus bigram profile — bigram-TYPE-bounded (a KenLM
+    // deployment prunes the tail; here the join stays keyed on (a,b)
+    // either way); unigram totals ride the shared tf index; scoring is
+    // one (a,b)-keyed equi-join + one doc-keyed hash-agg. Nothing is
+    // corpus²; no window at all.
+    QuerySpec("q146_lm_score")(
+      """WITH d AS (SELECT doc_id, regexp_split_to_array(lower(trim(regexp_replace(text,'\s+',' ','g'))), '\s+') AS w FROM documents),
+        |bgr AS (SELECT doc_id, w[i] AS a, w[i+1] AS b FROM
+        |          (SELECT doc_id, w, unnest(generate_series(1, greatest(len(w)-1,0))) AS i FROM d)),
+        |bgd AS (SELECT doc_id, a, b, count(*) AS c FROM bgr GROUP BY doc_id, a, b),
+        |bg AS (SELECT a, b, CAST(sum(c) AS BIGINT) AS c12 FROM bgd GROUP BY a, b),
+        |uni AS (SELECT t AS term, count(*) AS n FROM
+        |          (SELECT unnest(w) AS t FROM d) GROUP BY t),
+        |v AS (SELECT count(*) AS v FROM uni),
+        |p AS (SELECT bg.a, bg.b,
+        |        ((bg.c12 + 1) * 1000000) // (u.n + v.v) AS p_micro
+        |      FROM bg JOIN uni u ON bg.a = u.term, v)
+        |SELECT bgd.doc_id,
+        |  CAST(sum(bgd.c) AS BIGINT) AS n_bigrams,
+        |  CAST(sum(bgd.c * p.p_micro) // sum(bgd.c) AS BIGINT) AS lm_micro
+        |FROM bgd JOIN p ON bgd.a = p.a AND bgd.b = p.b
+        |GROUP BY bgd.doc_id
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val bgd = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), explode(shingles(tokens(col("text")), 2)).as("sh"))
+        .select(col("doc_id"),
+          substring_index(col("sh"), " ", 1).as("a"),
+          substring_index(col("sh"), " ", -1).as("b"))
+        .groupBy(col("doc_id"), col("a"), col("b")).agg(count(lit(1)).as("c"))
+        .transform(graft.Materialize.ephemeral) // 2 consumers: model + scoring
+      val bg = bgd.groupBy(col("a"), col("b")).agg(sum(col("c")).cast(LongType).as("c12"))
+      val uni = tfIndex(s, dir).groupBy(col("term")).agg(sum(col("tf")).as("n"))
+      val v = uni.agg(count(lit(1)).as("v"))
+      val p = bg.join(uni.select(col("term").as("a"), col("n")), "a")
+        .crossJoin(broadcast(v))
+        .select(col("a"), col("b"), expr("((c12 + 1) * 1000000) div (n + v)").as("p_micro"))
+      bgd.join(p, Seq("a", "b"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("c")).cast(LongType).as("n_bigrams"),
+          expr("CAST(sum(c * p_micro) div sum(c) AS BIGINT)").as("lm_micro"))
+        .orderBy(col("doc_id"))
     }
   )
 }

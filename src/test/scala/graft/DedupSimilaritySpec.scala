@@ -287,4 +287,45 @@ class DedupSimilaritySpec extends SparkSpec {
       .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     assert(again.toSeq == out.toSeq)
   }
+
+  test("q145: centrality equals a BigInt power iteration over q37's own pair set") {
+    // Independent path: take the verified pair set from q37's OUTPUT,
+    // run the damped-PageRank integer recurrence driver-side in BigInt,
+    // and demand every (deg, pr, is_rep) field matches; cluster roots
+    // come from q73's output.
+    val pairs = run("q37_minhash_lsh").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    val nbrs = (pairs ++ pairs.map(p => (p._2, p._1)))
+      .groupBy(_._1).map { case (v, es) => v -> es.map(_._2).toSeq }
+    val deg = nbrs.map { case (v, ns) => v -> BigInt(ns.size) }
+    val n = BigInt(nbrs.size)
+    val mass = BigInt("1000000000000")
+    val init = mass / n
+    val base = (15 * init) / 100
+    var pr = nbrs.keys.map(_ -> init).toMap
+    for (_ <- 1 to 5)
+      pr = nbrs.map { case (v, ns) =>
+        v -> (base + (85 * ns.map(u => pr(u) / deg(u)).sum) / 100)
+      }
+    val roots = run("q73_dedup_clusters").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = run("q145_dup_centrality").collect()
+    assert(got.map(_.getLong(0)).toSet == nbrs.keySet, "node domain")
+    got.foreach { r =>
+      val (d, root) = (r.getLong(0), r.getLong(1))
+      assert(root == roots(d), s"doc $d root")
+      assert(BigInt(r.getLong(2)) == deg(d) && BigInt(r.getLong(3)) == pr(d),
+        s"doc $d deg/pr")
+    }
+    // exactly one representative per cluster, and it is the pr-argmax
+    val byRoot = got.groupBy(_.getLong(1))
+    byRoot.foreach { case (root, rows) =>
+      val reps = rows.filter(_.getLong(4) == 1L)
+      assert(reps.length == 1, s"root $root rep count")
+      val want = rows.map(r => (r.getLong(3), r.getLong(0)))
+        .sortBy { case (p, d) => (-p, d) }.head._2
+      assert(reps.head.getLong(0) == want, s"root $root rep is not the pr-argmax")
+    }
+  }
 }

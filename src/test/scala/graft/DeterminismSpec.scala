@@ -68,7 +68,12 @@ class DeterminismSpec extends SparkSpec {
     // global top-k) runs DOWNSTREAM of the cached tf index, so the shared
     // loop genuinely re-exercises them; the integer divisions make any
     // accidental order-dependence visible immediately.
-    "q144_dsir_select")
+    "q144_dsir_select",
+    // q145: the PageRank loop (edge-keyed aggregates per round, salted
+    // per-cluster top-1) re-runs per invocation — only the pair set is
+    // session-cached. q146: the bigram model joins and doc aggregate run
+    // downstream of the cached tf index; every division is integer.
+    "q145_dup_centrality", "q146_lm_score")
 
   test("sensitive queries are byte-identical under different shuffle partitioning") {
     val saved = spark.conf.get("spark.sql.shuffle.partitions")
