@@ -30,9 +30,9 @@ object TextAnalysis {
     "fr" -> Seq("le", "la", "et"),
     "es" -> Seq("el", "los", "y"))
 
-  private val stopwords = Seq("the", "a", "of", "and", "to", "in")
+  private[operators] val stopwords = Seq("the", "a", "of", "and", "to", "in")
 
-  private def sqlStrList(xs: Seq[String]): String =
+  private[operators] def sqlStrList(xs: Seq[String]): String =
     xs.map(x => s"'$x'").mkString("(", ", ", ")")
 
   /** The composite quality score in exact micro-units. floor, not

@@ -25,6 +25,15 @@ object TrainPipe {
     */
   private val PackBudget = 2048
 
+  /** q147 cascade thresholds. Chosen so every DISCRIMINATING rule kills a
+    * visible share of the fixture (short ≈ 9%, repetitious ≈ 34%,
+    * stopword-poor ≈ 35%, quality floor ≈ 16% at sf0.01) while the
+    * punctuation rule honestly reports 0 on the punctuation-free synthetic
+    * text — a funnel must show its no-op rules too.
+    */
+  private val FunnelMinTokens = 20L
+  private val FunnelQualityFloor = 550000L
+
   /** q66 keep-fractions in micro-units per lang stratum (absent → keep
     * all): the fixture's dominant `en` stratum downsampled hardest.
     */
@@ -438,6 +447,89 @@ object TrainPipe {
           min_by(col("cum_d"), col("quality_micro")).as("dropped_docs"),
           min(col("tot_w")).as("total_tokens"),
           min(col("tot_d")).as("total_docs"))
+    },
+
+    // ----- filter-cascade funnel report (rule diagnostics) ----------------
+    // The report a pipeline runs BEFORE committing to a filter cascade
+    // (the Gopher/C4 rule-tuning loop): for each rule, in cascade order —
+    // how many docs fail it at all (n_fail_total), how many are killed BY
+    // it (first rule to fail: n_fail_marginal — the rule's actual
+    // contribution), and how many docs survive the cascade up to and
+    // including it (n_survive_after). Rules: too-short, repetitious (low
+    // distinct-token ratio), stopword-poor, punctuation-heavy, and the
+    // q33 quality floor. Every flag is an INTEGER comparison (counts
+    // cross-multiplied against thresholds — no ratio division at all)
+    // except the quality floor, which reuses the proven-exact
+    // quality_micro. Scale: one scan projection computing all flags +
+    // first-fail, a 5-way posexplode (constant fan-out), and ONE 5-group
+    // hash-agg — the whole report is scan-shaped with a 5-row result; the
+    // quality leg rides the shared quality index.
+    QuerySpec("q147_filter_funnel")(
+      s"""WITH ${TextAnalysis.qualityCteSql},
+        |feat AS (SELECT doc_id, len(w) AS nt, len(list_distinct(w)) AS nd,
+        |    len(list_filter(w, x -> x IN ${TextAnalysis.sqlStrList(TextAnalysis.stopwords)})) AS sc,
+        |    length(t) - length(regexp_replace(t, '[^a-z0-9 ]', '', 'g')) AS pc,
+        |    length(t) AS nc
+        |  FROM (SELECT doc_id, t, regexp_split_to_array(t, '\\s+') AS w
+        |        FROM (SELECT doc_id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS t
+        |              FROM documents))),
+        |fl AS (SELECT f.doc_id,
+        |    CASE WHEN f.nt < $FunnelMinTokens THEN 1 ELSE 0 END AS f1,
+        |    CASE WHEN f.nd * 10 < f.nt * 4 THEN 1 ELSE 0 END AS f2,
+        |    CASE WHEN f.sc * 20 < f.nt THEN 1 ELSE 0 END AS f3,
+        |    CASE WHEN f.pc * 20 > f.nc THEN 1 ELSE 0 END AS f4,
+        |    CASE WHEN q.quality_micro < $FunnelQualityFloor THEN 1 ELSE 0 END AS f5
+        |  FROM feat f JOIN qscore q USING (doc_id)),
+        |ff AS (SELECT doc_id, f1, f2, f3, f4, f5,
+        |    CASE WHEN f1 = 1 THEN 1 WHEN f2 = 1 THEN 2 WHEN f3 = 1 THEN 3
+        |         WHEN f4 = 1 THEN 4 WHEN f5 = 1 THEN 5 ELSE 0 END AS ffail
+        |  FROM fl),
+        |ks AS (SELECT unnest(generate_series(1, 5)) AS k)
+        |SELECT ks.k,
+        |  CASE ks.k WHEN 1 THEN 'too_short' WHEN 2 THEN 'repetitious'
+        |       WHEN 3 THEN 'stopword_poor' WHEN 4 THEN 'punct_heavy'
+        |       ELSE 'low_quality' END AS rule,
+        |  CAST(sum(CASE ks.k WHEN 1 THEN f1 WHEN 2 THEN f2 WHEN 3 THEN f3
+        |           WHEN 4 THEN f4 ELSE f5 END) AS BIGINT) AS n_fail_total,
+        |  CAST(sum(CASE WHEN ffail = ks.k THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_marginal,
+        |  CAST(sum(CASE WHEN ffail = 0 OR ffail > ks.k THEN 1 ELSE 0 END) AS BIGINT) AS n_survive_after
+        |FROM ff, ks GROUP BY ks.k ORDER BY ks.k""".stripMargin) { (s, dir) =>
+      val feat = Tables.load(s, dir, "documents")
+        .withColumn("t", normText(col("text")))
+        .withColumn("w", split(col("t"), " "))
+        .select(col("doc_id"),
+          size(col("w")).cast(LongType).as("nt"),
+          size(array_distinct(col("w"))).cast(LongType).as("nd"),
+          markerCount(col("w"), TextAnalysis.stopwords).cast(LongType).as("sc"),
+          (length(col("t")) - length(regexp_replace(col("t"), "[^a-z0-9 ]", "")))
+            .cast(LongType).as("pc"),
+          length(col("t")).cast(LongType).as("nc"))
+      val fl = feat
+        .join(TextAnalysis.qualityIndex(s, dir).select(col("doc_id"), col("quality_micro")),
+          "doc_id")
+        .select(col("doc_id"),
+          (col("nt") < FunnelMinTokens).cast(IntegerType).as("f1"),
+          (col("nd") * 10 < col("nt") * 4).cast(IntegerType).as("f2"),
+          (col("sc") * 20 < col("nt")).cast(IntegerType).as("f3"),
+          (col("pc") * 20 > col("nc")).cast(IntegerType).as("f4"),
+          (col("quality_micro") < FunnelQualityFloor).cast(IntegerType).as("f5"))
+        .withColumn("ffail", expr(
+          "CASE WHEN f1 = 1 THEN 1 WHEN f2 = 1 THEN 2 WHEN f3 = 1 THEN 3 " +
+            "WHEN f4 = 1 THEN 4 WHEN f5 = 1 THEN 5 ELSE 0 END"))
+      fl.select(col("ffail"), posexplode(array(col("f1"), col("f2"), col("f3"), col("f4"), col("f5"))))
+        .select((col("pos") + 1).cast(LongType).as("k"), col("col").as("fail"), col("ffail"))
+        .groupBy(col("k"))
+        .agg(sum(col("fail")).cast(LongType).as("n_fail_total"),
+          sum(when(col("ffail") === col("k"), 1L).otherwise(0L)).as("n_fail_marginal"),
+          sum(when(col("ffail") === 0 || col("ffail") > col("k"), 1L).otherwise(0L))
+            .as("n_survive_after"))
+        .withColumn("rule", expr(
+          "CASE k WHEN 1 THEN 'too_short' WHEN 2 THEN 'repetitious' " +
+            "WHEN 3 THEN 'stopword_poor' WHEN 4 THEN 'punct_heavy' " +
+            "ELSE 'low_quality' END"))
+        .select(col("k"), col("rule"), col("n_fail_total"),
+          col("n_fail_marginal"), col("n_survive_after"))
+        .orderBy(col("k"))
     }
   )
 }

@@ -296,4 +296,27 @@ class OperatorPropSpec extends SparkSpec {
       assert(got.toSeq == want, s"banded k=$k diverges from the DP")
     }
   }
+
+  test("q147: funnel accounting is internally consistent and ends at the true survivor count") {
+    val dir = "/root/testdata/sf0.01"
+    val rows = SparkEntry.queries("q147_filter_funnel")(spark, dir)
+      .collect().sortBy(_.getLong(0))
+    assert(rows.map(_.getLong(0)).toSeq == (1L to 5L))
+    val nDocs = Tables.load(spark, dir, "documents").count()
+    // survivors walk: after(k) = after(k-1) - marginal(k); after(0) = corpus
+    var surv = nDocs
+    rows.foreach { r =>
+      val (total, marginal, after) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(marginal <= total, s"rule ${r.getString(1)}: marginal > total")
+      assert(after == surv - marginal, s"rule ${r.getString(1)}: survivor walk broke")
+      surv = after
+    }
+    // every discriminating rule kills someone on this fixture; the
+    // punctuation rule honestly reports a no-op on punctuation-free text
+    val byRule = rows.map(r => r.getString(1) -> r.getLong(3)).toMap
+    assert(byRule("too_short") > 0 && byRule("repetitious") > 0 &&
+      byRule("stopword_poor") > 0)
+    assert(byRule("punct_heavy") == 0)
+    assert(surv > 0 && surv < nDocs, "cascade should drop some but not all docs")
+  }
 }
