@@ -115,10 +115,71 @@ object CorpusOps {
     * one B-row weight table) stays broadcast-sized forever, while the raw
     * vocabulary grows with the corpus (q135's Heaps curve).
     */
-  private val DsirBuckets = 4096
+  private[graft] val DsirBuckets = 4096
 
   /** q144 shortlist size. */
-  private val DsirK = 50
+  private[graft] val DsirK = 50
+
+  /** q144 target-domain slice. */
+  private[graft] val DsirTargetLang = "en"
+
+  /** (doc_id, b, c) hashed-bucket counts from a `(doc_id, term, tf)`
+    * frame — q144's corpus-side re-key, shared with the store-served
+    * scoring path so both derive the identical feature vectors.
+    */
+  private[graft] def dsirDb(tf: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    tf.select(col("doc_id"), pmod(hex60(col("term")), lit(DsirBuckets)).as("b"), col("tf"))
+      .groupBy(col("doc_id"), col("b")).agg(sum(col("tf")).cast(LongType).as("c"))
+
+  /** Per-batch DSIR profile increment from a raw `(doc_id, text, lang)`
+    * frame: one row per touched bucket with the batch's raw and target
+    * token counts — the O(batch)-sized unit the streaming maintainer
+    * appends (≤ [[DsirBuckets]] rows per batch regardless of batch size).
+    */
+  private[graft] def dsirProfileRows(docs: org.apache.spark.sql.DataFrame,
+      targetLang: String = DsirTargetLang): org.apache.spark.sql.DataFrame =
+    docs
+      .select(col("lang"), explode(tokens(col("text"))).as("term"))
+      .select(pmod(hex60(col("term")), lit(DsirBuckets)).as("b"),
+        lit(1L).as("r"),
+        when(col("lang") === targetLang, 1L).otherwise(0L).as("t"))
+      .groupBy(col("b"))
+      .agg(sum(col("r")).cast(LongType).as("c_raw"), sum(col("t")).cast(LongType).as("c_tgt"))
+
+  /** Smoothed ratio-weight table from a `(b, c_raw, c_tgt)` profile:
+    * w_micro(b) = ⌊10⁶·(ct+1)(Nr+B) / ((cr+1)(Nt+B))⌋ — DECIMAL(38,0)
+    * numerators, ONE integer division per bucket. ≤ [[DsirBuckets]] rows.
+    */
+  private[graft] def dsirWeights(prof: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val tot = prof.agg(sum(col("c_raw")).cast(LongType).as("nr"),
+      sum(col("c_tgt")).cast(LongType).as("nt"))
+    prof.crossJoin(broadcast(tot))
+      .select(col("b"), expr(
+        s"""CAST((CAST(c_tgt + 1 AS DECIMAL(38,0)) * (nr + $DsirBuckets) * 1000000)
+           | div (CAST(c_raw + 1 AS DECIMAL(38,0)) * (nt + $DsirBuckets)) AS BIGINT)"""
+          .stripMargin.replace("\n", "")).as("w_micro"))
+  }
+
+  /** Length-normalized top-k importance shortlist of a `(doc_id, b, c)`
+    * frame against a weight table: broadcast join on b, one doc-keyed
+    * hash-agg, TakeOrderedAndProject(k), bounded rank window.
+    */
+  private[graft] def dsirShortlist(db: org.apache.spark.sql.DataFrame,
+      w: org.apache.spark.sql.DataFrame, k: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    db.join(broadcast(w), "b")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c") * col("w_micro")).cast(LongType).as("score_micro"),
+        sum(col("c")).cast(LongType).as("n_tok"))
+      .withColumn("per_tok_micro", expr("score_micro div n_tok"))
+      .orderBy(col("per_tok_micro").desc, col("doc_id"))
+      .limit(k)
+      .withColumn("rk",
+        row_number().over(Window.orderBy(col("per_tok_micro").desc, col("doc_id"))))
+      .select(col("rk").cast(LongType).as("rk"), col("doc_id"), col("n_tok"),
+        col("score_micro"), col("per_tok_micro"))
+      .orderBy(col("rk"))
+  }
 
   private val hex60Sql = "CAST('0x' || substr(md5(%s), 1, 15) AS BIGINT)"
 
@@ -1278,38 +1339,18 @@ object CorpusOps {
         |      FROM sc)
         |SELECT rk, doc_id, n_tok, score_micro, per_tok_micro
         |FROM r WHERE rk <= $DsirK ORDER BY rk""".stripMargin) { (s, dir) =>
-      import org.apache.spark.sql.expressions.Window
-      val b = lit(DsirBuckets)
-      val db = tfIndex(s, dir)
-        .select(col("doc_id"), pmod(hex60(col("term")), b).as("b"), col("tf"))
-        .groupBy(col("doc_id"), col("b")).agg(sum(col("tf")).cast(LongType).as("c"))
-        .transform(graft.Materialize.ephemeral) // 3 consumers: raw, tgt, sc
-      val raw = db.groupBy(col("b")).agg(sum(col("c")).cast(LongType).as("cr"))
+      // db has 3 consumers (raw profile, target profile, scoring);
+      // the shortlist's rank window runs over ≤ K rows (bounded, not a
+      // global-corpus window — TakeOrderedAndProject bounds it first).
+      val db = graft.Materialize.ephemeral(dsirDb(tfIndex(s, dir)))
+      val raw = db.groupBy(col("b")).agg(sum(col("c")).cast(LongType).as("c_raw"))
       val tgt = db
         .join(Tables.load(s, dir, "documents")
-          .filter(col("lang") === "en").select(col("doc_id")), "doc_id")
-        .groupBy(col("b")).agg(sum(col("c")).cast(LongType).as("ct"))
-      val tot = raw.agg(sum(col("cr")).cast(LongType).as("nr"))
-        .crossJoin(tgt.agg(coalesce(sum(col("ct")), lit(0L)).cast(LongType).as("nt")))
-      val w = raw.join(tgt, Seq("b"), "left").crossJoin(broadcast(tot))
-        .select(col("b"), expr(
-          s"""CAST((CAST(coalesce(ct, 0) + 1 AS DECIMAL(38,0)) * (nr + $DsirBuckets) * 1000000)
-             | div (CAST(cr + 1 AS DECIMAL(38,0)) * (nt + $DsirBuckets)) AS BIGINT)"""
-            .stripMargin.replace("\n", "")).as("w_micro"))
-      val sc = db.join(broadcast(w), "b")
-        .groupBy(col("doc_id"))
-        .agg(sum(col("c") * col("w_micro")).cast(LongType).as("score_micro"),
-          sum(col("c")).cast(LongType).as("n_tok"))
-        .withColumn("per_tok_micro", expr("score_micro div n_tok"))
-      // TakeOrderedAndProject bounds the frame to K rows; the rank window
-      // after it runs over ≤ K rows (bounded, not a global-corpus window).
-      sc.orderBy(col("per_tok_micro").desc, col("doc_id"))
-        .limit(DsirK)
-        .withColumn("rk",
-          row_number().over(Window.orderBy(col("per_tok_micro").desc, col("doc_id"))))
-        .select(col("rk").cast(LongType), col("doc_id"), col("n_tok"),
-          col("score_micro"), col("per_tok_micro"))
-        .orderBy(col("rk"))
+          .filter(col("lang") === DsirTargetLang).select(col("doc_id")), "doc_id")
+        .groupBy(col("b")).agg(sum(col("c")).cast(LongType).as("c_tgt"))
+      val prof = raw.join(tgt, Seq("b"), "left")
+        .select(col("b"), col("c_raw"), coalesce(col("c_tgt"), lit(0L)).as("c_tgt"))
+      dsirShortlist(db, dsirWeights(prof), DsirK)
     },
 
     // ----- bigram-LM quality score (perplexity-filter analog) -------------

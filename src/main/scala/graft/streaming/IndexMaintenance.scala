@@ -475,6 +475,105 @@ object IndexMaintenance {
     graft.operators.CorpusOps.bm25TopKOverTf(tf, nT, nq, qt, k)
   }
 
+  // ------------------------------------------------ DSIR profile store --
+
+  private[graft] val DsirStoreName = "dsir_profiles"
+
+  private def dsirParams: Map[String, String] = Map(
+    "buckets" -> graft.operators.CorpusOps.DsirBuckets.toString,
+    "targetLang" -> graft.operators.CorpusOps.DsirTargetLang)
+
+  /** Bootstrap the durable DSIR profile store from an existing
+    * `(doc_id, text, lang, …)` corpus (possibly empty): one row per
+    * touched hash bucket with raw/target token counts. Geometry (bucket
+    * count + target language) is pinned in the sidecar, so a geometry
+    * change rebuilds loudly instead of mixing feature spaces.
+    */
+  private[graft] def bootstrapDsirStore(s: SparkSession, corpusDir: String,
+      docs: DataFrame): Unit = {
+    graft.IndexStore.servedFrom(s, corpusDir, DsirStoreName,
+      params = dsirParams, corpusCount = docs.count())(
+      graft.operators.CorpusOps.dsirProfileRows(docs))
+    ()
+  }
+
+  /** Apply one micro-batch to the DSIR profile store; false = replay,
+    * skipped. The append is a bucket-profile INCREMENT — ≤ [[graft
+    * .operators.CorpusOps.DsirBuckets]] rows per batch no matter the
+    * batch size, and no store probe at all (profiles are additive:
+    * serving sums per bucket). The tf-store bootstrap guard applies for
+    * the same reason: append never creates the sidecar.
+    */
+  private[graft] def applyDsirBatch(s: SparkSession, corpusDir: String,
+      stream: String, batchId: Long, docs: DataFrame): Boolean =
+    shouldApply(batchId, lastApplied(s, corpusDir, DsirStoreName, stream),
+      stream, corpusDir) && {
+      val root = graft.IndexStore.configuredDir(s).getOrElse(throw
+        new IllegalStateException("maintainDsirProfiles requires a configured " +
+          s"index store (${graft.IndexStore.DirConf})"))
+      require(graft.IndexStore.committed(s,
+        graft.IndexStore.storePath(root, corpusDir, DsirStoreName)),
+        s"bootstrap the DSIR store for $corpusDir (bootstrapDsirStore over " +
+          "the existing corpus) before attaching a profile maintainer")
+      graft.IndexStore.append(s, corpusDir, DsirStoreName,
+        graft.operators.CorpusOps.dsirProfileRows(docs),
+        incrementCount = docs.count(),
+        extraMeta = Map(markerKey(stream) -> batchId.toString))
+      true
+    }
+
+  /** Attach a DSIR profile maintainer to a `(doc_id, text, lang, …)`
+    * stream: the importance MODEL stays current as the corpus grows —
+    * each micro-batch lands one O(buckets)-sized profile increment,
+    * exactly once behind the batch marker, so selection
+    * ([[dsirSelectFromStore]]) always scores against the corpus as of
+    * the last committed batch without re-tokenizing history.
+    */
+  def maintainDsirProfiles(docs: DataFrame, corpusDir: String,
+      checkpoint: String, stream: String = "dsir_maintenance"): StreamingQuery = {
+    val owner = docs.sparkSession
+    docs.writeStream
+      .queryName(stream)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        applyDsirBatch(owner, corpusDir, stream, batchId, batch)
+        ()
+      }
+      .start()
+  }
+
+  /** The smoothed ratio-weight table off the grown profile store — the
+    * identical integer arithmetic as batch q144's weights: the store's
+    * increments sum per bucket (bucket-sized aggregate), then one
+    * DECIMAL(38,0) division per bucket. Spec-pinned equal to the batch
+    * weight table over the same corpus.
+    */
+  def dsirWeightsFromStore(s: SparkSession, corpusDir: String): DataFrame = {
+    val root = graft.IndexStore.configuredDir(s).getOrElse(throw
+      new IllegalStateException("dsirWeightsFromStore requires a configured " +
+        s"index store (${graft.IndexStore.DirConf})"))
+    val path = graft.IndexStore.storePath(root, corpusDir, DsirStoreName)
+    require(graft.IndexStore.committed(s, path),
+      s"bootstrap the DSIR store at $path before serving weights from it")
+    import org.apache.spark.sql.functions._
+    val prof = s.read.parquet(path)
+      .groupBy(col("b"))
+      .agg(sum(col("c_raw")).cast(org.apache.spark.sql.types.LongType).as("c_raw"),
+        sum(col("c_tgt")).cast(org.apache.spark.sql.types.LongType).as("c_tgt"))
+    graft.operators.CorpusOps.dsirWeights(prof)
+  }
+
+  /** q144's length-normalized importance shortlist of `docs`, scored
+    * against the STORED profiles — the serving path of continuous data
+    * selection: score any candidate frame (e.g. today's crawl) against
+    * the model the maintainer keeps current.
+    */
+  def dsirSelectFromStore(s: SparkSession, corpusDir: String,
+      docs: DataFrame, k: Int = graft.operators.CorpusOps.DsirK): DataFrame =
+    graft.operators.CorpusOps.dsirShortlist(
+      graft.operators.CorpusOps.dsirDb(graft.operators.CorpusOps.tfRows(docs)),
+      dsirWeightsFromStore(s, corpusDir), k)
+
   /** Bootstrap the durable media-fingerprint store from an existing image
     * frame (possibly empty) — decode + hash once per image, geometry and
     * corpus count recorded in the sidecar. Required before attaching

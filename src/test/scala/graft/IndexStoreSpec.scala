@@ -936,4 +936,66 @@ class IndexStoreSpec extends SparkSpec {
     assert(served == batch, "store-served BM25 must equal the batch answer")
     assert(served.nonEmpty)
   }
+
+  test("streaming DSIR maintenance: store-served weights and shortlist equal batch q144") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val root = tmp("graft_idx_dsir")
+    val docs = Tables.load(spark, dir, "documents")
+    val t = docs.selectExpr("(max(doc_id) * 6) div 10 AS t").collect()(0).getLong(0)
+
+    val sA = spark.newSession()
+    sA.conf.set(IndexStore.DirConf, root)
+    streaming.IndexMaintenance.bootstrapDsirStore(sA, dir,
+      Tables.load(sA, dir, "documents").filter(col("doc_id") < t))
+
+    // the increment streams in two micro-batches with a crash-replay probe
+    implicit val sqlCtx = sA.sqlContext
+    import sA.implicits._
+    val inc = docs.filter(col("doc_id") >= t).select("doc_id", "text", "lang")
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val (b1, b2) = inc.splitAt(inc.length / 2)
+    val input = MemoryStream[(Long, String, String)]
+    val ckpt = tmp("graft_idx_dsir_ck")
+    val stream = "dsir_spec"
+    input.addData(b1.toSeq)
+    val q1 = streaming.IndexMaintenance.maintainDsirProfiles(
+      input.toDF().toDF("doc_id", "text", "lang"), dir, ckpt, stream)
+    q1.processAllAvailable()
+    q1.stop()
+
+    // exactly-once: replaying an applied batch id must not grow the store
+    val path = IndexStore.storePath(root, dir, streaming.IndexMaintenance.DsirStoreName)
+    val rowsBefore = sA.read.parquet(path).count()
+    val replayed = streaming.IndexMaintenance.applyDsirBatch(sA, dir, stream, 0L,
+      Tables.load(sA, dir, "documents").filter(col("doc_id") >= t).limit(3))
+    assert(!replayed, "an applied batch id must be skipped on replay")
+    assert(sA.read.parquet(path).count() == rowsBefore)
+
+    input.addData(b2.toSeq)
+    val q2 = streaming.IndexMaintenance.maintainDsirProfiles(
+      input.toDF().toDF("doc_id", "text", "lang"), dir, ckpt, stream)
+    q2.processAllAvailable()
+    q2.stop()
+
+    // weights off the grown store == the batch q144 weight derivation
+    // (recomputed here from the full corpus through the same helpers)
+    val servedW = streaming.IndexMaintenance.dsirWeightsFromStore(sA, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val batchProf = operators.CorpusOps.dsirProfileRows(
+      Tables.load(sA, dir, "documents"))
+    val batchW = operators.CorpusOps.dsirWeights(batchProf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(servedW == batchW, "store-served weights must equal batch weights")
+
+    // … and the store-served shortlist over the same corpus equals q144
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    val servedSel = streaming.IndexMaintenance.dsirSelectFromStore(sA, dir,
+      Tables.load(sA, dir, "documents")).collect().map(key).toSeq
+    val batchSel = SparkEntry.queries("q144_dsir_select")(sA, dir)
+      .collect().map(key).toSeq
+    assert(servedSel == batchSel, "store-served shortlist must equal q144")
+    assert(servedSel.nonEmpty)
+  }
 }
