@@ -133,5 +133,11 @@ object Tables {
     operators.Bpe.learned(spark, dir)._1
       .toDF("round", "left_sym", "right_sym", "pair_count")
       .createOrReplaceTempView("bpe_merges")
+    // fourth-wave additions: the DSIR importance model and the bigram LM
+    // — the two corpus-derived MODELS the selection/quality operators
+    // score with ("why was this doc selected / scored low" is answerable
+    // in plain SQL against these)
+    operators.CorpusOps.dsirCorpusWeights(spark, dir).createOrReplaceTempView("dsir_weights")
+    operators.CorpusOps.lmBigramModel(spark, dir).createOrReplaceTempView("lm_bigram")
   }
 }

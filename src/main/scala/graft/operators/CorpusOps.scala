@@ -146,6 +146,28 @@ object CorpusOps {
       .groupBy(col("b"))
       .agg(sum(col("r")).cast(LongType).as("c_raw"), sum(col("t")).cast(LongType).as("c_tgt"))
 
+  /** `(b, c_raw, c_tgt)` profile from a `(doc_id, b, c)` frame plus the
+    * docs frame carrying lang — the batch-side profile derivation q144
+    * and the gateway's `dsir_weights` view share.
+    */
+  private[graft] def dsirProfileFromDb(db: org.apache.spark.sql.DataFrame,
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val raw = db.groupBy(col("b")).agg(sum(col("c")).cast(LongType).as("c_raw"))
+    val tgt = db
+      .join(docs.filter(col("lang") === DsirTargetLang).select(col("doc_id")), "doc_id")
+      .groupBy(col("b")).agg(sum(col("c")).cast(LongType).as("c_tgt"))
+    raw.join(tgt, Seq("b"), "left")
+      .select(col("b"), col("c_raw"), coalesce(col("c_tgt"), lit(0L)).as("c_tgt"))
+  }
+
+  /** The corpus's DSIR weight table off the shared tf index — the
+    * analyst-facing view (`dsir_weights` in the SQL gateway).
+    */
+  private[graft] def dsirCorpusWeights(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    dsirWeights(dsirProfileFromDb(dsirDb(tfIndex(s, dir)),
+      graft.Tables.load(s, dir, "documents")))
+
   /** Smoothed ratio-weight table from a `(b, c_raw, c_tgt)` profile:
     * w_micro(b) = ⌊10⁶·(ct+1)(Nr+B) / ((cr+1)(Nt+B))⌋ — DECIMAL(38,0)
     * numerators, ONE integer division per bucket. ≤ [[DsirBuckets]] rows.
@@ -158,6 +180,42 @@ object CorpusOps {
         s"""CAST((CAST(c_tgt + 1 AS DECIMAL(38,0)) * (nr + $DsirBuckets) * 1000000)
            | div (CAST(c_raw + 1 AS DECIMAL(38,0)) * (nt + $DsirBuckets)) AS BIGINT)"""
           .stripMargin.replace("\n", "")).as("w_micro"))
+  }
+
+  /** q146's smoothed transition-probability table from a `(a, b, c12)`
+    * bigram-count frame and a `(term, n)` unigram-instance frame: one
+    * integer division per bigram type. Shared by the query and the
+    * gateway's `lm_bigram` view.
+    */
+  private[graft] def lmModelOverBigrams(bg: org.apache.spark.sql.DataFrame,
+      uni: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val v = uni.agg(count(lit(1)).as("v"))
+    bg.join(uni.select(col("term").as("a"), col("n")), "a")
+      .crossJoin(broadcast(v))
+      .select(col("a"), col("b"), expr("((c12 + 1) * 1000000) div (n + v)").as("p_micro"))
+  }
+
+  /** `(doc_id, a, b, c)` per-doc bigram bags of a corpus — q146's scan
+    * projection as a library transform.
+    */
+  private[graft] def bigramBags(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    docs
+      .select(col("doc_id"), explode(shingles(tokens(col("text")), 2)).as("sh"))
+      .select(col("doc_id"),
+        substring_index(col("sh"), " ", 1).as("a"),
+        substring_index(col("sh"), " ", -1).as("b"))
+      .groupBy(col("doc_id"), col("a"), col("b")).agg(count(lit(1)).as("c"))
+
+  /** The corpus's bigram LM as an analyst-facing frame (`lm_bigram` in
+    * the SQL gateway): (a, b, c12, p_micro).
+    */
+  private[graft] def lmBigramModel(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val bg = bigramBags(graft.Tables.load(s, dir, "documents"))
+      .groupBy(col("a"), col("b")).agg(sum(col("c")).cast(LongType).as("c12"))
+    val uni = tfIndex(s, dir).groupBy(col("term")).agg(sum(col("tf")).as("n"))
+    lmModelOverBigrams(bg, uni).join(bg, Seq("a", "b"))
+      .select(col("a"), col("b"), col("c12"), col("p_micro"))
   }
 
   /** Length-normalized top-k importance shortlist of a `(doc_id, b, c)`
@@ -1343,13 +1401,7 @@ object CorpusOps {
       // the shortlist's rank window runs over ≤ K rows (bounded, not a
       // global-corpus window — TakeOrderedAndProject bounds it first).
       val db = graft.Materialize.ephemeral(dsirDb(tfIndex(s, dir)))
-      val raw = db.groupBy(col("b")).agg(sum(col("c")).cast(LongType).as("c_raw"))
-      val tgt = db
-        .join(Tables.load(s, dir, "documents")
-          .filter(col("lang") === DsirTargetLang).select(col("doc_id")), "doc_id")
-        .groupBy(col("b")).agg(sum(col("c")).cast(LongType).as("c_tgt"))
-      val prof = raw.join(tgt, Seq("b"), "left")
-        .select(col("b"), col("c_raw"), coalesce(col("c_tgt"), lit(0L)).as("c_tgt"))
+      val prof = dsirProfileFromDb(db, Tables.load(s, dir, "documents"))
       dsirShortlist(db, dsirWeights(prof), DsirK)
     },
 
@@ -1386,19 +1438,11 @@ object CorpusOps {
         |FROM bgd JOIN p ON bgd.a = p.a AND bgd.b = p.b
         |GROUP BY bgd.doc_id
         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      val bgd = Tables.load(s, dir, "documents")
-        .select(col("doc_id"), explode(shingles(tokens(col("text")), 2)).as("sh"))
-        .select(col("doc_id"),
-          substring_index(col("sh"), " ", 1).as("a"),
-          substring_index(col("sh"), " ", -1).as("b"))
-        .groupBy(col("doc_id"), col("a"), col("b")).agg(count(lit(1)).as("c"))
-        .transform(graft.Materialize.ephemeral) // 2 consumers: model + scoring
+      val bgd = graft.Materialize.ephemeral( // 2 consumers: model + scoring
+        bigramBags(Tables.load(s, dir, "documents")))
       val bg = bgd.groupBy(col("a"), col("b")).agg(sum(col("c")).cast(LongType).as("c12"))
       val uni = tfIndex(s, dir).groupBy(col("term")).agg(sum(col("tf")).as("n"))
-      val v = uni.agg(count(lit(1)).as("v"))
-      val p = bg.join(uni.select(col("term").as("a"), col("n")), "a")
-        .crossJoin(broadcast(v))
-        .select(col("a"), col("b"), expr("((c12 + 1) * 1000000) div (n + v)").as("p_micro"))
+      val p = lmModelOverBigrams(bg, uni)
       bgd.join(p, Seq("a", "b"))
         .groupBy(col("doc_id"))
         .agg(sum(col("c")).cast(LongType).as("n_bigrams"),

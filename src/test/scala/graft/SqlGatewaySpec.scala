@@ -114,6 +114,17 @@ class SqlGatewaySpec extends SparkSpec {
       assert(m.statusCode() == 200)
       val body = m.body().trim
       assert(body.contains("\"n\":8"), body)
+
+      // the corpus-derived models are queryable: the DSIR weight table is
+      // bucket-bounded and the bigram LM's probabilities are micro-units
+      val w = post(port,
+        "SELECT count(*) AS n, max(w_micro) AS hi FROM dsir_weights WHERE w_micro IS NOT NULL")
+      assert(w.statusCode() == 200 && w.body().contains("\"n\":"), w.body())
+      val nW = "\"n\":(\\d+)".r.findFirstMatchIn(w.body()).map(_.group(1).toLong).getOrElse(-1L)
+      assert(nW > 0 && nW <= 4096, s"dsir_weights rows $nW out of bucket bound")
+      val lm = post(port,
+        "SELECT count(*) AS n FROM lm_bigram WHERE p_micro < 0 OR p_micro > 1000000")
+      assert(lm.statusCode() == 200 && lm.body().trim == """{"n":0}""", lm.body())
     }
   }
 
