@@ -614,6 +614,58 @@ object Dedup {
         .orderBy(col("doc_id"))
     },
 
+    // ----- dedup threshold sensitivity (the τ-tuning report) --------------
+    // q147's knob-tuning discipline applied to the dedup family's ONE real
+    // knob: for each candidate τ at or above the operating threshold, how
+    // many verified pairs survive, how many docs sit in ≥1 surviving pair
+    // (the removable-mass upper bound), and the exact similarity mass
+    // (Σ jac_micro). Reading the report top-down shows what each
+    // tightening step of τ gives up — the evidence behind "is 0.8 right,
+    // or is the corpus bimodal enough for 0.9". Scale: rides the shared
+    // verified-pairs frame (pair-count-sized); the 5-threshold fan-out is
+    // a constant-width crossJoin of a 5-row broadcast, the distinct-doc
+    // count one (tau, doc) aggregate — everything downstream of the pair
+    // frame is O(pairs · 5).
+    QuerySpec("q148_dedup_sensitivity")(
+      s"""WITH $shingleCtes,
+        |$minhashPairCtes,
+        |taus AS (SELECT unnest([800000, 850000, 900000, 950000, 1000000]) AS tau_micro),
+        |pt AS (SELECT t.tau_micro, p.a_doc, p.b_doc, p.jac_micro
+        |       FROM ndpairs p, taus t WHERE p.jac_micro >= t.tau_micro),
+        |ps AS (SELECT tau_micro, count(*) AS n_pairs,
+        |         CAST(sum(jac_micro) AS BIGINT) AS jac_mass
+        |       FROM pt GROUP BY tau_micro),
+        |ds AS (SELECT tau_micro, count(DISTINCT doc_id) AS n_docs FROM (
+        |         SELECT tau_micro, a_doc AS doc_id FROM pt
+        |         UNION ALL SELECT tau_micro, b_doc FROM pt)
+        |       GROUP BY tau_micro)
+        |SELECT t.tau_micro,
+        |  CAST(coalesce(ps.n_pairs, 0) AS BIGINT) AS n_pairs,
+        |  CAST(coalesce(ds.n_docs, 0) AS BIGINT) AS n_docs,
+        |  CAST(coalesce(ps.jac_mass, 0) AS BIGINT) AS jac_mass
+        |FROM taus t LEFT JOIN ps ON t.tau_micro = ps.tau_micro
+        |  LEFT JOIN ds ON t.tau_micro = ds.tau_micro
+        |ORDER BY t.tau_micro""".stripMargin) { (s, dir) =>
+      val taus = s.range(1).select(explode(array(
+        lit(800000L), lit(850000L), lit(900000L), lit(950000L), lit(1000000L)))
+        .as("tau_micro"))
+      val pt = graft.Materialize.ephemeral( // 2 consumers: pair stats + doc stats
+        verifiedPairs(s, dir).crossJoin(broadcast(taus))
+          .filter(col("jac_micro") >= col("tau_micro")))
+      val ps = pt.groupBy(col("tau_micro"))
+        .agg(count(lit(1)).as("n_pairs"), sum(col("jac_micro")).cast(LongType).as("jac_mass"))
+      val ds = pt.select(col("tau_micro"), col("a_doc").as("doc_id"))
+        .unionAll(pt.select(col("tau_micro"), col("b_doc").as("doc_id")))
+        .groupBy(col("tau_micro"))
+        .agg(countDistinct(col("doc_id")).as("n_docs"))
+      taus.join(ps, Seq("tau_micro"), "left").join(ds, Seq("tau_micro"), "left")
+        .select(col("tau_micro"),
+          coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+          coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+          coalesce(col("jac_mass"), lit(0L)).as("jac_mass"))
+        .orderBy(col("tau_micro"))
+    },
+
     // ----- duplication-degree profile (corpus-health diagnostic) ----------
     // The report a pipeline runs BEFORE deciding how aggressively to dedup:
     // how many docs have 1, 2, … verified near-dup partners (degree in the

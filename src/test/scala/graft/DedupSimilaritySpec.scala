@@ -288,6 +288,43 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(again.toSeq == out.toSeq)
   }
 
+  test("q148: sensitivity rows equal per-tau recounts of q37's pairs and tighten monotonically") {
+    val pairs = run("q37_minhash_lsh").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val got = run("q148_dedup_sensitivity").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(got.map(_._1).toSeq == Seq(800000L, 850000L, 900000L, 950000L, 1000000L))
+    got.foreach { case (tau, nPairs, nDocs, mass) =>
+      val surv = pairs.filter(_._3 >= tau)
+      assert(nPairs == surv.length, s"tau $tau pair count")
+      assert(nDocs == surv.flatMap(p => Seq(p._1, p._2)).distinct.length, s"tau $tau doc count")
+      assert(mass == surv.map(_._3).sum, s"tau $tau mass")
+    }
+    // tightening tau can only shrink every column
+    got.toSeq.sliding(2).foreach { case Seq(a, b) =>
+      assert(b._2 <= a._2 && b._3 <= a._3 && b._4 <= a._4, "not monotone")
+    case _ => ()
+    }
+    assert(got.head._2 > 0, "operating threshold must keep some pairs")
+  }
+
+  test("q149: per-dim moments equal a driver recount and cover every dimension") {
+    val emb = Tables.load(spark, dir, "embeddings")
+      .select("embedding").collect().map(_.getSeq[Float](0))
+    val dims = emb.head.length
+    val got = run("q149_embedding_health").collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(got.keySet == (1L to dims).toSet)
+    (0 until dims).foreach { d =>
+      val xs = emb.map(v => math.floor(v(d).toDouble * 1000000).toLong)
+      val (n, s, sq, lo, hi) = got(d + 1L)
+      assert(n == xs.length && s == xs.sum && sq == xs.map(x => x * x).sum &&
+        lo == xs.min && hi == xs.max, s"dim ${d + 1} moment drift")
+    }
+  }
+
   test("q145: centrality equals a BigInt power iteration over q37's own pair set") {
     // Independent path: take the verified pair set from q37's OUTPUT,
     // run the damped-PageRank integer recurrence driver-side in BigInt,
