@@ -629,7 +629,7 @@ object Dedup {
     QuerySpec("q148_dedup_sensitivity")(
       s"""WITH $shingleCtes,
         |$minhashPairCtes,
-        |taus AS (SELECT unnest([800000, 850000, 900000, 950000, 1000000]) AS tau_micro),
+        |taus AS (SELECT CAST(unnest([800000, 850000, 900000, 950000, 1000000]) AS BIGINT) AS tau_micro),
         |pt AS (SELECT t.tau_micro, p.a_doc, p.b_doc, p.jac_micro
         |       FROM ndpairs p, taus t WHERE p.jac_micro >= t.tau_micro),
         |ps AS (SELECT tau_micro, count(*) AS n_pairs,
