@@ -206,6 +206,21 @@ object CorpusOps {
         substring_index(col("sh"), " ", -1).as("b"))
       .groupBy(col("doc_id"), col("a"), col("b")).agg(count(lit(1)).as("c"))
 
+  /** q146's per-doc mean-transition-probability report over a
+    * `(doc_id, a, b, c)` bag frame and a `(a, b, p_micro)` model —
+    * shared by the query and the store-served scoring path. Docs score
+    * on the transitions the model knows (inner join — for corpus docs
+    * that is all of them; a NEW doc's unseen bigrams contribute no
+    * probability mass and no bigram count).
+    */
+  private[graft] def lmScoreOverModel(bgd: org.apache.spark.sql.DataFrame,
+      p: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    bgd.join(p, Seq("a", "b"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).cast(LongType).as("n_bigrams"),
+        expr("CAST(sum(c * p_micro) div sum(c) AS BIGINT)").as("lm_micro"))
+      .orderBy(col("doc_id"))
+
   /** The corpus's bigram LM as an analyst-facing frame (`lm_bigram` in
     * the SQL gateway): (a, b, c12, p_micro).
     */
@@ -1442,12 +1457,7 @@ object CorpusOps {
         bigramBags(Tables.load(s, dir, "documents")))
       val bg = bgd.groupBy(col("a"), col("b")).agg(sum(col("c")).cast(LongType).as("c12"))
       val uni = tfIndex(s, dir).groupBy(col("term")).agg(sum(col("tf")).as("n"))
-      val p = lmModelOverBigrams(bg, uni)
-      bgd.join(p, Seq("a", "b"))
-        .groupBy(col("doc_id"))
-        .agg(sum(col("c")).cast(LongType).as("n_bigrams"),
-          expr("CAST(sum(c * p_micro) div sum(c) AS BIGINT)").as("lm_micro"))
-        .orderBy(col("doc_id"))
+      lmScoreOverModel(bgd, lmModelOverBigrams(bg, uni))
     }
   )
 }

@@ -574,6 +574,105 @@ object IndexMaintenance {
       graft.operators.CorpusOps.dsirDb(graft.operators.CorpusOps.tfRows(docs)),
       dsirWeightsFromStore(s, corpusDir), k)
 
+  // ------------------------------------------------- bigram LM store ----
+
+  private[graft] val LmStoreName = "lm_bigrams"
+
+  /** Bootstrap the durable bigram-count store from an existing corpus —
+    * `(a, b, c)` counts, ADDITIVE like the DSIR profiles (serving sums
+    * per bigram type), so maintenance needs no store probe. Unigram
+    * totals for the smoothing denominators ride the EXISTING tf store —
+    * attach BOTH maintainers to the same stream.
+    */
+  private[graft] def bootstrapLmStore(s: SparkSession, corpusDir: String,
+      docs: DataFrame): Unit = {
+    graft.IndexStore.servedFrom(s, corpusDir, LmStoreName,
+      corpusCount = docs.count())(
+      graft.operators.CorpusOps.bigramBags(docs)
+        .groupBy(org.apache.spark.sql.functions.col("a"),
+          org.apache.spark.sql.functions.col("b"))
+        .agg(org.apache.spark.sql.functions.sum(
+          org.apache.spark.sql.functions.col("c"))
+          .cast(org.apache.spark.sql.types.LongType)
+          .as("c")))
+    ()
+  }
+
+  /** Apply one micro-batch of documents to the bigram store; false =
+    * replay, skipped. O(batch) rows per append (the batch's bigram
+    * TYPES), no store probe.
+    */
+  private[graft] def applyLmBatch(s: SparkSession, corpusDir: String,
+      stream: String, batchId: Long, docs: DataFrame): Boolean =
+    shouldApply(batchId, lastApplied(s, corpusDir, LmStoreName, stream),
+      stream, corpusDir) && {
+      val root = graft.IndexStore.configuredDir(s).getOrElse(throw
+        new IllegalStateException("maintainLmBigrams requires a configured " +
+          s"index store (${graft.IndexStore.DirConf})"))
+      require(graft.IndexStore.committed(s,
+        graft.IndexStore.storePath(root, corpusDir, LmStoreName)),
+        s"bootstrap the LM store for $corpusDir (bootstrapLmStore over the " +
+          "existing corpus) before attaching a bigram maintainer")
+      import org.apache.spark.sql.functions._
+      graft.IndexStore.append(s, corpusDir, LmStoreName,
+        graft.operators.CorpusOps.bigramBags(docs)
+          .groupBy(col("a"), col("b"))
+          .agg(sum(col("c")).cast(org.apache.spark.sql.types.LongType).as("c")),
+        incrementCount = docs.count(),
+        extraMeta = Map(markerKey(stream) -> batchId.toString))
+      true
+    }
+
+  /** Attach a bigram-count maintainer to a `(doc_id, text, …)` stream —
+    * the quality-filter LM (q146) stays current as the corpus grows,
+    * like the DSIR importance model.
+    */
+  def maintainLmBigrams(docs: DataFrame, corpusDir: String,
+      checkpoint: String, stream: String = "lm_maintenance"): StreamingQuery = {
+    val owner = docs.sparkSession
+    docs.writeStream
+      .queryName(stream)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        applyLmBatch(owner, corpusDir, stream, batchId, batch)
+        ()
+      }
+      .start()
+  }
+
+  /** The smoothed transition-probability model off the grown stores —
+    * bigram counts summed from the LM store, unigram totals from the tf
+    * store (both exactly-once maintained). Spec-pinned equal to the
+    * batch q146 model over the same corpus.
+    */
+  def lmModelFromStore(s: SparkSession, corpusDir: String): DataFrame = {
+    val root = graft.IndexStore.configuredDir(s).getOrElse(throw
+      new IllegalStateException("lmModelFromStore requires a configured " +
+        s"index store (${graft.IndexStore.DirConf})"))
+    val lmPath = graft.IndexStore.storePath(root, corpusDir, LmStoreName)
+    val tfPath = graft.IndexStore.storePath(root, corpusDir, TfStoreName)
+    require(graft.IndexStore.committed(s, lmPath) &&
+      graft.IndexStore.committed(s, tfPath),
+      "bootstrap BOTH the lm_bigrams and tf_index stores before serving " +
+        s"the LM model ($lmPath, $tfPath)")
+    import org.apache.spark.sql.functions._
+    val bg = s.read.parquet(lmPath)
+      .groupBy(col("a"), col("b"))
+      .agg(sum(col("c")).cast(org.apache.spark.sql.types.LongType).as("c12"))
+    val uni = s.read.parquet(tfPath)
+      .groupBy(col("term")).agg(sum(col("tf")).as("n"))
+    graft.operators.CorpusOps.lmModelOverBigrams(bg, uni)
+  }
+
+  /** q146's per-doc LM quality report for `docs`, scored against the
+    * STORED model — the continuous quality-filter serving path.
+    */
+  def lmScoreFromStore(s: SparkSession, corpusDir: String,
+      docs: DataFrame): DataFrame =
+    graft.operators.CorpusOps.lmScoreOverModel(
+      graft.operators.CorpusOps.bigramBags(docs),
+      lmModelFromStore(s, corpusDir))
+
   /** Bootstrap the durable media-fingerprint store from an existing image
     * frame (possibly empty) — decode + hash once per image, geometry and
     * corpus count recorded in the sidecar. Required before attaching

@@ -998,4 +998,63 @@ class IndexStoreSpec extends SparkSpec {
     assert(servedSel == batchSel, "store-served shortlist must equal q144")
     assert(servedSel.nonEmpty)
   }
+
+  test("streaming LM maintenance: store-served model and scores equal batch q146") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val root = tmp("graft_idx_lm")
+    val docs = Tables.load(spark, dir, "documents")
+    val t = docs.selectExpr("(max(doc_id) * 6) div 10 AS t").collect()(0).getLong(0)
+
+    val sA = spark.newSession()
+    sA.conf.set(IndexStore.DirConf, root)
+    val pre = Tables.load(sA, dir, "documents").filter(col("doc_id") < t)
+    streaming.IndexMaintenance.bootstrapLmStore(sA, dir, pre)
+    streaming.IndexMaintenance.bootstrapTfStore(sA, dir, pre) // unigram side
+
+    // BOTH maintainers attach to the same stream; two micro-batches with
+    // a crash-replay probe on the LM side
+    implicit val sqlCtx = sA.sqlContext
+    import sA.implicits._
+    val inc = docs.filter(col("doc_id") >= t).select("doc_id", "text")
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val (b1, b2) = inc.splitAt(inc.length / 2)
+    val input = MemoryStream[(Long, String)]
+    val ckptLm = tmp("graft_idx_lm_ck"); val ckptTf = tmp("graft_idx_lm_tfck")
+    input.addData(b1.toSeq)
+    val qa = streaming.IndexMaintenance.maintainLmBigrams(
+      input.toDF().toDF("doc_id", "text"), dir, ckptLm, "lm_spec")
+    val qb = streaming.IndexMaintenance.maintainTfIndex(
+      input.toDF().toDF("doc_id", "text"), dir, ckptTf, "lm_tf_spec")
+    qa.processAllAvailable(); qb.processAllAvailable(); qa.stop(); qb.stop()
+
+    val lmPath = IndexStore.storePath(root, dir, streaming.IndexMaintenance.LmStoreName)
+    val before = sA.read.parquet(lmPath).count()
+    val replayed = streaming.IndexMaintenance.applyLmBatch(sA, dir, "lm_spec", 0L,
+      Tables.load(sA, dir, "documents").filter(col("doc_id") >= t).limit(3))
+    assert(!replayed && sA.read.parquet(lmPath).count() == before,
+      "an applied batch id must be skipped on replay without growing the store")
+
+    input.addData(b2.toSeq)
+    val qa2 = streaming.IndexMaintenance.maintainLmBigrams(
+      input.toDF().toDF("doc_id", "text"), dir, ckptLm, "lm_spec")
+    val qb2 = streaming.IndexMaintenance.maintainTfIndex(
+      input.toDF().toDF("doc_id", "text"), dir, ckptTf, "lm_tf_spec")
+    qa2.processAllAvailable(); qb2.processAllAvailable(); qa2.stop(); qb2.stop()
+
+    // the served model equals the batch model type for type …
+    val servedM = streaming.IndexMaintenance.lmModelFromStore(sA, dir)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val batchM = operators.CorpusOps.lmBigramModel(sA, dir)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(3)).toMap
+    assert(servedM == batchM, "store-served LM model must equal the batch model")
+
+    // … and scoring the whole corpus off the store equals q146 row for row
+    def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    val served = streaming.IndexMaintenance.lmScoreFromStore(sA, dir,
+      Tables.load(sA, dir, "documents")).collect().map(key).toSeq
+    val batch = SparkEntry.queries("q146_lm_score")(sA, dir).collect().map(key).toSeq
+    assert(served == batch, "store-served LM scores must equal q146")
+    assert(served.nonEmpty)
+  }
 }
