@@ -73,7 +73,11 @@ class DeterminismSpec extends SparkSpec {
     // per-cluster top-1) re-runs per invocation — only the pair set is
     // session-cached. q146: the bigram model joins and doc aggregate run
     // downstream of the cached tf index; every division is integer.
-    "q145_dup_centrality", "q146_lm_score")
+    "q145_dup_centrality", "q146_lm_score",
+    // q148: the tau fan-out, per-tau aggregates, and distinct-doc count
+    // all run downstream of the cached pair frame. q149: the element
+    // quantization + dim-keyed moments must not depend on row order.
+    "q148_dedup_sensitivity", "q149_embedding_health")
 
   test("sensitive queries are byte-identical under different shuffle partitioning") {
     val saved = spark.conf.get("spark.sql.shuffle.partitions")

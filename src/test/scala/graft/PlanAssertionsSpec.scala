@@ -483,6 +483,28 @@ class PlanAssertionsSpec extends SparkSpec {
     assert(p131.contains("FullOuter"), "fusion must be the keyed full-outer join")
   }
 
+  test("q145/q146/q148/q149: fourth/fifth-wave plans stay keyed — no cartesian, no global data window") {
+    // q145: the final frame reads the checkpointed PR loop output; the
+    // per-cluster winner must be the salted two-phase top-1.
+    val p145 = plan("q145_dup_centrality")
+    assert(!p145.contains("CartesianProduct"), p145.take(2000))
+    assert(p145.contains("__lrn"), "q145 cluster winner must be salted two-phase")
+    // q146: model + scoring are keyed joins and hash-aggs — no loop join
+    // over data, no window at all.
+    val p146 = plan("q146_lm_score")
+    assert(!p146.contains("CartesianProduct"), p146.take(2000))
+    assert(!p146.contains("Window"), "q146 must not plan any window")
+    // q148: the only nested-loop join allowed is the 5-row tau ladder
+    // broadcast; everything else is tau-keyed aggregation.
+    val p148 = plan("q148_dedup_sensitivity")
+    assert(!p148.contains("CartesianProduct"), p148.take(2000))
+    // q149: one scan, a generator, one aggregate — no join of any kind.
+    val p149 = plan("q149_embedding_health")
+    assert(!p149.contains("Join"), "q149 must be join-free")
+    assert(!p149.contains("Window"), "q149 must be window-free")
+    assert(p149.contains("Generate posexplode"), "q149 fans out via posexplode")
+  }
+
   test("q144: weight table broadcasts, shortlist is TakeOrderedAndProject, no cartesian loop over data") {
     // The importance model is the ≤4096-row bucket weight frame — it must
     // join the (doc, bucket) counts as a broadcast hash join (never shuffle
