@@ -177,6 +177,80 @@ object CorpusClean {
       .orderBy(col("shard"))
 
   val specs: Seq[QuerySpec] = Seq(
+
+    // ----- corpus card (the datasheet snapshot) ----------------------------
+    // "Datasheets for Datasets" as one operator: the ten headline numbers
+    // a data card leads with — volume (docs/tokens/vocab), provenance
+    // (langs/sources), contamination risks (PII docs), duplication health
+    // (exact-dup docs, near-dup pairs and docs), and quality (exact mean
+    // micro-score) — each integer-exact, each already proven by its
+    // underlying operator (q35/q37/q59/q33 et al.); this query pins their
+    // COMPOSITION into the artifact a corpus release ships. Scale: every
+    // metric is a 1-row aggregate off a shared cached index (tf, quality,
+    // verified pairs) or a single docs scan; the union is ten 1-row
+    // frames — nothing here exceeds the cost of its source operator.
+    QuerySpec("q150_corpus_card")(
+      s"""WITH ${Dedup.shingleCtes},
+        |${Dedup.minhashPairCtes},
+        |${TextAnalysis.qualityCteSql},
+        |tfc AS (SELECT doc_id, t AS term, count(*) AS tf
+        |        FROM (SELECT doc_id,
+        |                unnest(string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')) AS t
+        |              FROM documents)
+        |        GROUP BY 1, 2)
+        |SELECT metric, value FROM (
+        |  SELECT 'dup_doc_count' AS metric, CAST(count(DISTINCT d) AS BIGINT) AS value
+        |  FROM (SELECT a_doc AS d FROM ndpairs UNION ALL SELECT b_doc FROM ndpairs)
+        |  UNION ALL SELECT 'dup_pair_count', CAST(count(*) AS BIGINT) FROM ndpairs
+        |  UNION ALL SELECT 'exact_dup_docs', CAST(coalesce(sum(n), 0) AS BIGINT)
+        |    FROM (SELECT count(*) AS n
+        |          FROM (SELECT md5(array_to_string(list_sort(list_distinct(
+        |                  regexp_split_to_array(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), '\\s+'))), ' ')) AS fp
+        |                FROM documents)
+        |          GROUP BY fp HAVING count(*) > 1)
+        |  UNION ALL SELECT 'mean_quality_micro',
+        |    CAST(sum(quality_micro) // count(*) AS BIGINT) FROM qscore
+        |  UNION ALL SELECT 'n_docs', CAST(count(*) AS BIGINT) FROM documents
+        |  UNION ALL SELECT 'n_langs', CAST(count(DISTINCT lang) AS BIGINT) FROM documents
+        |  UNION ALL SELECT 'n_sources', CAST(count(DISTINCT source) AS BIGINT) FROM documents
+        |  UNION ALL SELECT 'n_tokens', CAST(sum(tf) AS BIGINT) FROM tfc
+        |  UNION ALL SELECT 'pii_docs', CAST(sum(CASE WHEN
+        |      len(regexp_extract_all(lower(text), '${TrainPipe.EmailPat}'))
+        |      + len(regexp_extract_all(text, '${TrainPipe.DigitRunPat}')) > 0
+        |    THEN 1 ELSE 0 END) AS BIGINT) FROM documents
+        |  UNION ALL SELECT 'vocab_unigrams', CAST(count(DISTINCT term) AS BIGINT) FROM tfc)
+        |ORDER BY metric""".stripMargin) { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val vp = Dedup.verifiedPairs(s, dir)
+      val tf = CorpusOps.tfIndex(s, dir)
+      def metric(name: String, agg: DataFrame): DataFrame =
+        agg.select(lit(name).as("metric"), col("value").cast(LongType).as("value"))
+      val card = Seq(
+        metric("dup_doc_count",
+          vp.select(col("a_doc").as("d")).unionAll(vp.select(col("b_doc").as("d")))
+            .agg(countDistinct(col("d")).as("value"))),
+        metric("dup_pair_count", vp.agg(count(lit(1)).as("value"))),
+        metric("exact_dup_docs",
+          docs.select(md5(concat_ws(" ",
+              array_sort(array_distinct(tokens(col("text"))))).cast(BinaryType)).as("fp"))
+            .groupBy(col("fp")).agg(count(lit(1)).as("n"))
+            .filter(col("n") > 1)
+            .agg(coalesce(sum(col("n")), lit(0L)).as("value"))),
+        metric("mean_quality_micro",
+          TextAnalysis.qualityIndex(s, dir)
+            .agg(expr("sum(quality_micro) div count(*)").as("value"))),
+        metric("n_docs", docs.agg(count(lit(1)).as("value"))),
+        metric("n_langs", docs.agg(countDistinct(col("lang")).as("value"))),
+        metric("n_sources", docs.agg(countDistinct(col("source")).as("value"))),
+        metric("n_tokens", tf.agg(sum(col("tf")).as("value"))),
+        metric("pii_docs", docs
+          .filter(size(regexp_extract_all(lower(col("text")), lit(TrainPipe.EmailPat), lit(0)))
+            + size(regexp_extract_all(col("text"), lit(TrainPipe.DigitRunPat), lit(0))) > 0)
+          .agg(count(lit(1)).as("value"))),
+        metric("vocab_unigrams", tf.agg(countDistinct(col("term")).as("value"))))
+      card.reduce(_ unionAll _).orderBy(col("metric"))
+    },
+
     QuerySpec("q64_corpus_clean")(
       s"""WITH $cleanedCtes
         |SELECT doc_id, quality_micro, split FROM cleaned

@@ -17,8 +17,8 @@ object TrainPipe {
   private val hex60SqlExpr = "CAST('0x' || substr(md5(%s), 1, 15) AS BIGINT)"
 
   /** Email-ish and long-digit-run patterns, RE2- and Java-compatible. */
-  private val EmailPat = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
-  private val DigitRunPat = "[0-9]{7,}"
+  private[operators] val EmailPat = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  private[operators] val DigitRunPat = "[0-9]{7,}"
 
   /** q65 token budget per training shard — sized so the fixtures produce a
     * multi-shard layout (sf0.01 ≈ 9 shards, sf0.1 ≈ 90).

@@ -572,4 +572,28 @@ class CorpusOpsSpec extends SparkSpec {
     // transitions must outscore the doc built from its rarest ones.
     assert(got.values.map(_._2).toSet.size > 1, "fixture should spread LM scores")
   }
+
+  test("q150: every card metric reconciles with its source operator's own output") {
+    val card = q("q150_corpus_card").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(card.keySet.size == 10)
+    val pairs = q("q37_minhash_lsh").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(card("dup_pair_count") == pairs.length)
+    assert(card("dup_doc_count") == pairs.flatMap(p => Seq(p._1, p._2)).distinct.length)
+    val exactGroups = q("q35_dedup_exact").collect().map(_.getLong(1))
+    assert(card("exact_dup_docs") == exactGroups.filter(_ > 1).sum)
+    val pii = q("q59_pii_scrub").collect()
+      .count(r => r.getLong(1) + r.getLong(2) > 0)
+    assert(card("pii_docs") == pii)
+    val docs = Tables.load(spark, dir, "documents")
+    assert(card("n_docs") == docs.count())
+    assert(card("n_langs") == docs.select("lang").distinct().count())
+    assert(card("n_sources") == docs.select("source").distinct().count())
+    import graft.functions.TextFunctions._
+    val toks = docs.select(org.apache.spark.sql.functions.explode(
+      tokens(org.apache.spark.sql.functions.col("text"))).as("t"))
+    assert(card("n_tokens") == toks.count())
+    assert(card("vocab_unigrams") == toks.distinct().count())
+    assert(card("mean_quality_micro") > 0 && card("mean_quality_micro") < 1000000)
+  }
 }
