@@ -666,6 +666,53 @@ object Dedup {
         .orderBy(col("tau_micro"))
     },
 
+    // ----- near-dup pair evidence (dedup explainability) ------------------
+    // The audit trail behind a dedup decision: for every verified pair,
+    // the 3 RAREST shared shingles (df ASC — a shingle shared by only
+    // these two docs is the strongest evidence; one in half the corpus is
+    // boilerplate). This is what a human reviews when a pipeline is
+    // accused of over-deduping, and what an appeals/allowlist process
+    // keys on. Total order (df ASC, shingle ASC) so the evidence set is
+    // reproducible. Scale: evidence extraction is PAIR-bounded — the
+    // array_intersect rides the two docs' shingle-set rows (the same
+    // frame the verify stage already joined), the df profile is
+    // vocabulary-sized off the shared index, and the top-3 window
+    // partitions by pair (corpus-cardinality key — parallel by
+    // construction, no salting needed).
+    QuerySpec("q151_pair_evidence")(
+      s"""WITH $shingleCtes,
+        |$minhashPairCtes,
+        |dfm AS (SELECT s, count(*) AS df FROM sh GROUP BY s),
+        |shared AS (SELECT p.a_doc, p.b_doc, a.s
+        |           FROM ndpairs p
+        |           JOIN sh a ON a.doc_id = p.a_doc
+        |           JOIN sh b ON b.doc_id = p.b_doc AND b.s = a.s),
+        |r AS (SELECT sh.a_doc, sh.b_doc, sh.s, d.df,
+        |        row_number() OVER (PARTITION BY sh.a_doc, sh.b_doc
+        |                           ORDER BY d.df ASC, sh.s ASC) AS rk
+        |      FROM shared sh JOIN dfm d ON sh.s = d.s)
+        |SELECT a_doc, b_doc, rk, s AS shingle_h, df
+        |FROM r WHERE rk <= 3
+        |ORDER BY a_doc, b_doc, rk""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val dss = TextAnalysis.shingleIndex(s, dir)
+      val dfm = dss.select(explode(col("ss")).as("s"))
+        .groupBy(col("s")).agg(count(lit(1)).as("df"))
+      val shared = verifiedPairs(s, dir)
+        .join(dss.select(col("doc_id").as("a_doc"), col("ss").as("a_ss")), "a_doc")
+        .join(dss.select(col("doc_id").as("b_doc"), col("ss").as("b_ss")), "b_doc")
+        .select(col("a_doc"), col("b_doc"),
+          explode(array_intersect(col("a_ss"), col("b_ss"))).as("s"))
+        .join(dfm, "s")
+      val w = Window.partitionBy(col("a_doc"), col("b_doc"))
+        .orderBy(col("df").asc, col("s").asc)
+      shared.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("a_doc"), col("b_doc"), col("rk").cast(LongType).as("rk"),
+          col("s").as("shingle_h"), col("df"))
+        .orderBy(col("a_doc"), col("b_doc"), col("rk"))
+    },
+
     // ----- duplication-degree profile (corpus-health diagnostic) ----------
     // The report a pipeline runs BEFORE deciding how aggressively to dedup:
     // how many docs have 1, 2, … verified near-dup partners (degree in the

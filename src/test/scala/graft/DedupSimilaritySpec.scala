@@ -325,6 +325,39 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("q151: evidence shingles are genuinely shared, rarest-first, for every q37 pair") {
+    import graft.functions.TextFunctions._
+    // independent shingle recompute from raw text (hex60 of word 3-grams)
+    def hex60(sv: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(sv.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(8).map(b => f"$b%02x").mkString.take(15), 16)
+    }
+    val docSh = Tables.load(spark, dir, "documents")
+      .select("doc_id", "text").collect()
+      .map { r =>
+        val toks = r.getString(1).trim.replaceAll("\\s+", " ").toLowerCase.split(" ")
+        r.getLong(0) -> toks.sliding(3).filter(_.length == 3)
+          .map(g => hex60(g.mkString(" "))).toSet
+      }.toMap
+    val dfm = docSh.values.flatten.groupBy(identity).map { case (s, g) => s -> g.size.toLong }
+    val pairs = run("q37_minhash_lsh").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val got = run("q151_pair_evidence").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // every pair has evidence; every evidence row is a truly shared shingle
+    // with the correct corpus df, ranked rarest-first with the total order
+    assert(got.map(t => (t._1, t._2)).toSet == pairs.toSet)
+    got.groupBy(t => (t._1, t._2)).foreach { case ((a, b), rows) =>
+      val shared = docSh(a) intersect docSh(b)
+      val want = shared.toSeq.map(s => (dfm(s), s)).sorted.take(3)
+      val sorted = rows.sortBy(_._3)
+      assert(sorted.map(_._3).toSeq == (1L to want.length), s"pair ($a,$b) ranks")
+      sorted.zip(want).foreach { case ((_, _, _, sh, df), (wdf, ws)) =>
+        assert(sh == ws && df == wdf, s"pair ($a,$b) evidence drift")
+      }
+    }
+  }
+
   test("q145: centrality equals a BigInt power iteration over q37's own pair set") {
     // Independent path: take the verified pair set from q37's OUTPUT,
     // run the damped-PageRank integer recurrence driver-side in BigInt,
