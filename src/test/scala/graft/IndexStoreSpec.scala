@@ -999,6 +999,34 @@ class IndexStoreSpec extends SparkSpec {
     assert(servedSel.nonEmpty)
   }
 
+  test("profile additivity: split-corpus increments sum to the whole-corpus profiles (DSIR + LM)") {
+    // The correctness BASIS of both maintainers: profiles/bigram counts
+    // are additive, so appending per-batch increments and summing at
+    // serve time must equal the one-shot batch profile for ANY batching.
+    val docs = Tables.load(spark, dir, "documents")
+    val parts = Seq(
+      docs.filter(col("doc_id") % 3 === 0),
+      docs.filter(col("doc_id") % 3 === 1),
+      docs.filter(col("doc_id") % 3 === 2))
+    def dsirMap(df: org.apache.spark.sql.DataFrame): Map[Long, (Long, Long)] =
+      operators.CorpusOps.dsirProfileRows(df).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val whole = dsirMap(docs)
+    val summed = parts.map(dsirMap).flatten
+      .groupBy(_._1).map { case (b, xs) =>
+        b -> ((xs.map(_._2._1).sum, xs.map(_._2._2).sum))
+      }
+    assert(summed == whole, "DSIR profile increments must sum to the batch profile")
+    def bgMap(df: org.apache.spark.sql.DataFrame): Map[(String, String), Long] =
+      operators.CorpusOps.bigramBags(df)
+        .groupBy(col("a"), col("b")).agg(sum(col("c")).as("c")).collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val wholeBg = bgMap(docs)
+    val summedBg = parts.map(bgMap).flatten
+      .groupBy(_._1).map { case (k, xs) => k -> xs.map(_._2).sum }
+    assert(summedBg == wholeBg, "bigram increments must sum to the batch counts")
+  }
+
   test("streaming LM maintenance: store-served model and scores equal batch q146") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val root = tmp("graft_idx_lm")
