@@ -356,4 +356,69 @@ object IndexStore {
     if (!fs.rename(new Path(staging), p))
       throw new java.io.IOException(s"IndexStore.compact: rename $staging -> $path failed")
   }
+
+  /** Right-to-be-forgotten at the index tier: rewrite the store entry
+    * WITHOUT the rows whose `keyCol` is in `keys` — the deletion-request
+    * path (GDPR/DMCA takedown) for the durable indexes, completing the
+    * governance story the warehouse's targeted delete starts. Same
+    * crash-clean staging discipline as [[compact]] (fully written and
+    * row-verified at a `.purging` sibling before the delete+rename swap;
+    * a crash before the swap leaves the live store untouched, a crash
+    * between delete and rename leaves no committed store → every tracked
+    * load rebuilds). The sidecar rides the swap with [[StoreRowsKey]]
+    * re-recorded at the surviving count and [[CorpusCountKey]] decremented
+    * by `countDecrement` (the number of DOCUMENTS purged — the caller
+    * knows it; store rows per doc vary by index type), so a store-served
+    * consumer (e.g. BM25's N) sees the post-purge corpus. Scale: one
+    * store scan + an `isin` filter against the (request-sized, broadcast)
+    * key list — purge requests are human-scale, never corpus-scale.
+    * Session caches holding pre-purge frames are the caller's to
+    * invalidate (fresh sessions always reload from the store).
+    */
+  def purgeKeys(s: SparkSession, corpusDir: String, name: String,
+      keyCol: String, keys: Seq[Long], countDecrement: Long = -1L): Long = {
+    require(keys.nonEmpty, "purgeKeys: empty key list")
+    val root = configuredDir(s).getOrElse(throw new IllegalStateException(
+      s"IndexStore.purgeKeys: no index store configured — set $DirConf"))
+    val path = storePath(root, corpusDir, name)
+    if (!committed(s, path)) throw new IllegalStateException(
+      s"IndexStore.purgeKeys: no committed store at $path")
+    val meta = readMeta(s, path)
+    val actual = actualStoreRows(s, path)
+    meta.flatMap(_.get(StoreRowsKey)).map(_.toLong).foreach { recorded =>
+      if (actual != recorded)
+        throw new IllegalStateException(
+          s"IndexStore.purgeKeys: $path has $actual rows but the sidecar " +
+            s"records $recorded (torn append) — rebuild before purging.")
+    }
+    import org.apache.spark.sql.functions.col
+    val store = s.read.parquet(path)
+    val removed = store.filter(col(keyCol).isin(keys: _*)).count()
+    val staging = path + ".purging"
+    val p = new Path(path)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(staging), true) // a prior crash's orphan
+    store.filter(!col(keyCol).isin(keys: _*))
+      .write.mode("overwrite").parquet(staging)
+    val survivors = s.read.parquet(staging).count()
+    if (survivors != actual - removed) {
+      fs.delete(new Path(staging), true)
+      throw new IllegalStateException(
+        s"IndexStore.purgeKeys: staged copy has $survivors rows, expected " +
+          s"${actual - removed} — aborted, live store untouched.")
+    }
+    meta.foreach { m =>
+      val decremented = m.get(CorpusCountKey).map(_.toLong) match {
+        case Some(stored) if countDecrement >= 0 =>
+          m.updated(CorpusCountKey, math.max(0L, stored - countDecrement).toString)
+        case _ => m
+      }
+      writeMeta(s, staging, decremented ++ Map(StoreRowsKey -> survivors.toString))
+    }
+    if (!fs.delete(p, true))
+      throw new java.io.IOException(s"IndexStore.purgeKeys: delete $path failed")
+    if (!fs.rename(new Path(staging), p))
+      throw new java.io.IOException(s"IndexStore.purgeKeys: rename $staging -> $path failed")
+    removed
+  }
 }

@@ -999,6 +999,48 @@ class IndexStoreSpec extends SparkSpec {
     assert(servedSel.nonEmpty)
   }
 
+  test("purgeKeys: doc purge from the tf store serves post-purge BM25 with a consistent sidecar") {
+    val root = tmp("graft_idx_purge")
+    val sA = spark.newSession()
+    sA.conf.set(IndexStore.DirConf, root)
+    val docs = Tables.load(sA, dir, "documents")
+    streaming.IndexMaintenance.bootstrapTfStore(sA, dir, docs)
+    val nDocs = docs.count()
+    // purge two non-query docs (queries are doc_id < 8)
+    val victims = docs.filter(col("doc_id") >= 8).orderBy(col("doc_id").desc)
+      .limit(2).collect().map(_.getLong(0)).toSeq
+    val victimRows = operators.CorpusOps.tfRows(
+      docs.filter(col("doc_id").isin(victims: _*))).count()
+    val path = IndexStore.storePath(root, dir, streaming.IndexMaintenance.TfStoreName)
+    val rowsBefore = sA.read.parquet(path).count()
+
+    val removed = IndexStore.purgeKeys(sA, dir,
+      streaming.IndexMaintenance.TfStoreName, "doc_id", victims, countDecrement = 2)
+    assert(removed == victimRows, "purge must remove exactly the victims' tf rows")
+    assert(sA.read.parquet(path).count() == rowsBefore - victimRows)
+    // no orphaned staging dir after a clean purge
+    assert(!new java.io.File(path + ".purging").exists())
+    // sidecar: store rows re-recorded, corpus count decremented (BM25's N)
+    val meta = IndexStore.readMeta(sA, path).get
+    assert(meta(IndexStore.StoreRowsKey).toLong == rowsBefore - victimRows)
+    assert(meta(IndexStore.CorpusCountKey).toLong == nDocs - 2)
+
+    // BM25 served off the purged store == batch BM25 over corpus-minus-victims
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    val served = streaming.IndexMaintenance.bm25FromStore(sA, dir, 8L, 16, 10)
+      .collect().map(key).toSeq
+    val survivors = docs.filter(!col("doc_id").isin(victims: _*))
+    val nT = sA.range(1).select(lit(nDocs - 2).cast("long").as("n"))
+    val batch = operators.CorpusOps.bm25TopKOverTf(
+        operators.CorpusOps.tfRows(survivors), nT, 8L, 16, 10)
+      .collect().map(key).toSeq
+    assert(served == batch, "post-purge BM25 must equal the batch answer on the surviving corpus")
+    assert(served.nonEmpty)
+    // the purged docs can no longer appear in any rank list
+    assert(!served.exists(r => victims.contains(r._3)))
+  }
+
   test("profile additivity: split-corpus increments sum to the whole-corpus profiles (DSIR + LM)") {
     // The correctness BASIS of both maintainers: profiles/bigram counts
     // are additive, so appending per-batch increments and summing at
