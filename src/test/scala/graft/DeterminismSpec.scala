@@ -77,7 +77,10 @@ class DeterminismSpec extends SparkSpec {
     // q148: the tau fan-out, per-tau aggregates, and distinct-doc count
     // all run downstream of the cached pair frame. q149: the element
     // quantization + dim-keyed moments must not depend on row order.
-    "q148_dedup_sensitivity", "q149_embedding_health")
+    "q148_dedup_sensitivity", "q149_embedding_health",
+    // q150: ten 1-row aggregates (integer divisions inside) unioned;
+    // q151: the evidence window's (df, shingle) order must be total.
+    "q150_corpus_card", "q151_pair_evidence")
 
   test("sensitive queries are byte-identical under different shuffle partitioning") {
     val saved = spark.conf.get("spark.sql.shuffle.partitions")
