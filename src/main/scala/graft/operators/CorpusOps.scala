@@ -123,6 +123,36 @@ object CorpusOps {
   /** q144 target-domain slice. */
   private[graft] val DsirTargetLang = "en"
 
+  /** The q144 derivation as DuckDB CTEs ending at `r` (the ranked score
+    * frame) — shared by q144's shortlist and q152's selection-bias report.
+    */
+  private lazy val dsirOracleCtes: String =
+    s"""tf AS (SELECT doc_id, t AS term, count(*) AS tf
+      |           FROM (SELECT doc_id,
+      |                   unnest(string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')) AS t
+      |                 FROM documents)
+      |           GROUP BY 1, 2),
+      |db AS (SELECT doc_id, ${hex60Sql.format("term")} % $DsirBuckets AS b,
+      |         CAST(sum(tf) AS BIGINT) AS c
+      |       FROM tf GROUP BY 1, 2),
+      |raw AS (SELECT b, CAST(sum(c) AS BIGINT) AS cr FROM db GROUP BY b),
+      |tgt AS (SELECT db.b, CAST(sum(db.c) AS BIGINT) AS ct
+      |        FROM db JOIN documents USING (doc_id)
+      |        WHERE documents.lang = '$DsirTargetLang' GROUP BY db.b),
+      |tot AS (SELECT (SELECT CAST(sum(cr) AS BIGINT) FROM raw) AS nr,
+      |               (SELECT CAST(coalesce(sum(ct), 0) AS BIGINT) FROM tgt) AS nt),
+      |w AS (SELECT raw.b,
+      |        CAST((CAST(coalesce(tgt.ct, 0) + 1 AS HUGEINT) * (tot.nr + $DsirBuckets) * 1000000)
+      |          // (CAST(raw.cr + 1 AS HUGEINT) * (tot.nt + $DsirBuckets)) AS BIGINT) AS w_micro
+      |      FROM raw LEFT JOIN tgt ON raw.b = tgt.b, tot),
+      |sc AS (SELECT db.doc_id,
+      |         CAST(sum(db.c * w.w_micro) AS BIGINT) AS score_micro,
+      |         CAST(sum(db.c) AS BIGINT) AS n_tok
+      |       FROM db JOIN w ON db.b = w.b GROUP BY db.doc_id),
+      |r AS (SELECT doc_id, n_tok, score_micro, score_micro // n_tok AS per_tok_micro,
+      |        row_number() OVER (ORDER BY score_micro // n_tok DESC, doc_id) AS rk
+      |      FROM sc)""".stripMargin
+
   /** (doc_id, b, c) hashed-bucket counts from a `(doc_id, term, tf)`
     * frame — q144's corpus-side re-key, shared with the store-served
     * scoring path so both derive the identical feature vectors.
@@ -1385,31 +1415,7 @@ object CorpusOps {
     // hash-agg, and a TakeOrderedAndProject(K) — no corpus-sized state off
     // the scan path and nothing grows with the vocabulary.
     QuerySpec("q144_dsir_select")(
-      s"""WITH tf AS (SELECT doc_id, t AS term, count(*) AS tf
-        |           FROM (SELECT doc_id,
-        |                   unnest(string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')) AS t
-        |                 FROM documents)
-        |           GROUP BY 1, 2),
-        |db AS (SELECT doc_id, ${hex60Sql.format("term")} % $DsirBuckets AS b,
-        |         CAST(sum(tf) AS BIGINT) AS c
-        |       FROM tf GROUP BY 1, 2),
-        |raw AS (SELECT b, CAST(sum(c) AS BIGINT) AS cr FROM db GROUP BY b),
-        |tgt AS (SELECT db.b, CAST(sum(db.c) AS BIGINT) AS ct
-        |        FROM db JOIN documents USING (doc_id)
-        |        WHERE documents.lang = 'en' GROUP BY db.b),
-        |tot AS (SELECT (SELECT CAST(sum(cr) AS BIGINT) FROM raw) AS nr,
-        |               (SELECT CAST(coalesce(sum(ct), 0) AS BIGINT) FROM tgt) AS nt),
-        |w AS (SELECT raw.b,
-        |        CAST((CAST(coalesce(tgt.ct, 0) + 1 AS HUGEINT) * (tot.nr + $DsirBuckets) * 1000000)
-        |          // (CAST(raw.cr + 1 AS HUGEINT) * (tot.nt + $DsirBuckets)) AS BIGINT) AS w_micro
-        |      FROM raw LEFT JOIN tgt ON raw.b = tgt.b, tot),
-        |sc AS (SELECT db.doc_id,
-        |         CAST(sum(db.c * w.w_micro) AS BIGINT) AS score_micro,
-        |         CAST(sum(db.c) AS BIGINT) AS n_tok
-        |       FROM db JOIN w ON db.b = w.b GROUP BY db.doc_id),
-        |r AS (SELECT doc_id, n_tok, score_micro, score_micro // n_tok AS per_tok_micro,
-        |        row_number() OVER (ORDER BY score_micro // n_tok DESC, doc_id) AS rk
-        |      FROM sc)
+      s"""WITH $dsirOracleCtes
         |SELECT rk, doc_id, n_tok, score_micro, per_tok_micro
         |FROM r WHERE rk <= $DsirK ORDER BY rk""".stripMargin) { (s, dir) =>
       // db has 3 consumers (raw profile, target profile, scoring);
@@ -1418,6 +1424,55 @@ object CorpusOps {
       val db = graft.Materialize.ephemeral(dsirDb(tfIndex(s, dir)))
       val prof = dsirProfileFromDb(db, Tables.load(s, dir, "documents"))
       dsirShortlist(db, dsirWeights(prof), DsirK)
+    },
+
+    // ----- selection-bias report (curation fairness diagnostic) -----------
+    // The check a curation pipeline runs AFTER q144 and BEFORE shipping
+    // the mix: how the importance shortlist redistributes SOURCE mass
+    // against the corpus base rates — per source, its corpus share, its
+    // shortlist share, and the exact selection-bias ratio in micro-units
+    // (>10⁶ = over-selected, <10⁶ = suppressed). A target-conditioned
+    // selector is SUPPOSED to skew; this report makes the skew visible,
+    // auditable, and re-checkable release over release — the
+    // data-governance twin of q147's funnel attribution. Integer-exact:
+    // three floor divisions per source row, everything else BIGINT
+    // counts. Scale: the shortlist is K rows (broadcast), the report is
+    // source-dimension-sized, and the only corpus-scale work is q144's
+    // own chain (shared through the session tf index).
+    QuerySpec("q152_selection_bias")(
+      s"""WITH $dsirOracleCtes,
+        |sel AS (SELECT doc_id FROM r WHERE rk <= $DsirK),
+        |base AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+        |         FROM documents GROUP BY source),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+        |sc2 AS (SELECT d.source, CAST(count(*) AS BIGINT) AS n_sel
+        |        FROM sel JOIN documents d USING (doc_id) GROUP BY d.source)
+        |SELECT base.source, base.n_docs,
+        |  CAST(coalesce(sc2.n_sel, 0) AS BIGINT) AS n_sel,
+        |  (base.n_docs * 1000000) // nn.n AS base_micro,
+        |  (coalesce(sc2.n_sel, 0) * 1000000) // $DsirK AS sel_micro,
+        |  ((coalesce(sc2.n_sel, 0) * 1000000) // $DsirK) * 1000000
+        |    // ((base.n_docs * 1000000) // nn.n) AS bias_micro
+        |FROM base LEFT JOIN sc2 ON base.source = sc2.source, nn
+        |ORDER BY base.source""".stripMargin) { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val db = graft.Materialize.ephemeral(dsirDb(tfIndex(s, dir)))
+      val prof = dsirProfileFromDb(db, docs)
+      val sel = dsirShortlist(db, dsirWeights(prof), DsirK).select(col("doc_id"))
+      val base = docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+      val nn = docs.agg(count(lit(1)).as("n"))
+      val picked = broadcast(sel).join(docs.select(col("doc_id"), col("source")), "doc_id")
+        .groupBy(col("source")).agg(count(lit(1)).as("n_sel"))
+      base.join(picked, Seq("source"), "left").crossJoin(broadcast(nn))
+        .select(col("source"), col("n_docs"),
+          coalesce(col("n_sel"), lit(0L)).as("n_sel"), col("n"))
+        .withColumn("base_micro", expr("(n_docs * 1000000) div n"))
+        .withColumn("sel_micro", expr(s"(n_sel * 1000000) div $DsirK"))
+        .withColumn("bias_micro",
+          expr(s"((n_sel * 1000000) div $DsirK) * 1000000 div ((n_docs * 1000000) div n)"))
+        .select(col("source"), col("n_docs"), col("n_sel"),
+          col("base_micro"), col("sel_micro"), col("bias_micro"))
+        .orderBy(col("source"))
     },
 
     // ----- bigram-LM quality score (perplexity-filter analog) -------------

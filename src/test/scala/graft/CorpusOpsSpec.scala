@@ -573,6 +573,30 @@ class CorpusOpsSpec extends SparkSpec {
     assert(got.values.map(_._2).toSet.size > 1, "fixture should spread LM scores")
   }
 
+  test("q152: bias report reconciles with q144's shortlist and covers every source") {
+    val docs = Tables.load(spark, dir, "documents")
+      .select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val sel = q("q144_dsir_select").collect().map(_.getLong(1))
+    val k = sel.length.toLong
+    val n = docs.size.toLong
+    val selBySrc = sel.map(docs).groupBy(identity).map { case (s, g) => s -> g.size.toLong }
+    val baseBySrc = docs.values.groupBy(identity).map { case (s, g) => s -> g.size.toLong }
+    val got = q("q152_selection_bias").collect()
+    assert(got.map(_.getString(0)).toSet == baseBySrc.keySet, "every source reports")
+    got.foreach { r =>
+      val (src, nd, ns) = (r.getString(0), r.getLong(1), r.getLong(2))
+      assert(nd == baseBySrc(src) && ns == selBySrc.getOrElse(src, 0L), s"$src counts")
+      val baseMicro = nd * 1000000L / n
+      val selMicro = ns * 1000000L / k
+      assert(r.getLong(3) == baseMicro && r.getLong(4) == selMicro, s"$src rates")
+      assert(r.getLong(5) == selMicro * 1000000L / baseMicro, s"$src bias")
+    }
+    // the report must actually show skew on a target-conditioned selector
+    assert(got.exists(_.getLong(5) > 1000000L) && got.exists(_.getLong(5) < 1000000L),
+      "target-conditioned selection should over- and under-select somewhere")
+  }
+
   test("q150: every card metric reconciles with its source operator's own output") {
     val card = q("q150_corpus_card").collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
