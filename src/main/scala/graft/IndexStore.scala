@@ -393,12 +393,15 @@ object IndexStore {
     }
     import org.apache.spark.sql.functions.col
     val store = s.read.parquet(path)
+    // NULL keys never match a purge request, but under SQL null semantics
+    // `!isin` ALSO drops them — a null-keyed row must survive the rewrite,
+    // not vanish into a confusing staged-count abort.
     val removed = store.filter(col(keyCol).isin(keys: _*)).count()
     val staging = path + ".purging"
     val p = new Path(path)
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     fs.delete(new Path(staging), true) // a prior crash's orphan
-    store.filter(!col(keyCol).isin(keys: _*))
+    store.filter(col(keyCol).isNull || !col(keyCol).isin(keys: _*))
       .write.mode("overwrite").parquet(staging)
     val survivors = s.read.parquet(staging).count()
     if (survivors != actual - removed) {
@@ -407,14 +410,16 @@ object IndexStore {
         s"IndexStore.purgeKeys: staged copy has $survivors rows, expected " +
           s"${actual - removed} — aborted, live store untouched.")
     }
-    meta.foreach { m =>
-      val decremented = m.get(CorpusCountKey).map(_.toLong) match {
-        case Some(stored) if countDecrement >= 0 =>
-          m.updated(CorpusCountKey, math.max(0L, stored - countDecrement).toString)
-        case _ => m
-      }
-      writeMeta(s, staging, decremented ++ Map(StoreRowsKey -> survivors.toString))
+    // A bare store (pre-metadata) gains a minimal sidecar here rather than
+    // being republished bare: the purge itself just proved the row count,
+    // so record it — future appends/loads get the torn-append tripwire.
+    val m = meta.getOrElse(Map.empty[String, String])
+    val decremented = m.get(CorpusCountKey).map(_.toLong) match {
+      case Some(stored) if countDecrement >= 0 =>
+        m.updated(CorpusCountKey, math.max(0L, stored - countDecrement).toString)
+      case _ => m
     }
+    writeMeta(s, staging, decremented ++ Map(StoreRowsKey -> survivors.toString))
     if (!fs.delete(p, true))
       throw new java.io.IOException(s"IndexStore.purgeKeys: delete $path failed")
     if (!fs.rename(new Path(staging), p))

@@ -215,14 +215,17 @@ object CorpusOps {
   /** q146's smoothed transition-probability table from a `(a, b, c12)`
     * bigram-count frame and a `(term, n)` unigram-instance frame: one
     * integer division per bigram type. Shared by the query and the
-    * gateway's `lm_bigram` view.
+    * gateway's `lm_bigram` view. Carries `c12` through so consumers that
+    * want the raw count (the gateway view) never re-derive the bigram
+    * subtree.
     */
   private[graft] def lmModelOverBigrams(bg: org.apache.spark.sql.DataFrame,
       uni: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val v = uni.agg(count(lit(1)).as("v"))
     bg.join(uni.select(col("term").as("a"), col("n")), "a")
       .crossJoin(broadcast(v))
-      .select(col("a"), col("b"), expr("((c12 + 1) * 1000000) div (n + v)").as("p_micro"))
+      .select(col("a"), col("b"), col("c12"),
+        expr("((c12 + 1) * 1000000) div (n + v)").as("p_micro"))
   }
 
   /** `(doc_id, a, b, c)` per-doc bigram bags of a corpus — q146's scan
@@ -259,7 +262,8 @@ object CorpusOps {
     val bg = bigramBags(graft.Tables.load(s, dir, "documents"))
       .groupBy(col("a"), col("b")).agg(sum(col("c")).cast(LongType).as("c12"))
     val uni = tfIndex(s, dir).groupBy(col("term")).agg(sum(col("tf")).as("n"))
-    lmModelOverBigrams(bg, uni).join(bg, Seq("a", "b"))
+    // c12 rides the model frame — ONE corpus bigram subtree, not two
+    lmModelOverBigrams(bg, uni)
       .select(col("a"), col("b"), col("c12"), col("p_micro"))
   }
 
@@ -1451,8 +1455,8 @@ object CorpusOps {
         |  CAST(coalesce(sc2.n_sel, 0) AS BIGINT) AS n_sel,
         |  (base.n_docs * 1000000) // nn.n AS base_micro,
         |  (coalesce(sc2.n_sel, 0) * 1000000) // $DsirK AS sel_micro,
-        |  ((coalesce(sc2.n_sel, 0) * 1000000) // $DsirK) * 1000000
-        |    // ((base.n_docs * 1000000) // nn.n) AS bias_micro
+        |  CAST((CAST(coalesce(sc2.n_sel, 0) AS HUGEINT) * nn.n * 1000000)
+        |    // (CAST(base.n_docs AS HUGEINT) * $DsirK) AS BIGINT) AS bias_micro
         |FROM base LEFT JOIN sc2 ON base.source = sc2.source, nn
         |ORDER BY base.source""".stripMargin) { (s, dir) =>
       val docs = Tables.load(s, dir, "documents")
@@ -1468,8 +1472,13 @@ object CorpusOps {
           coalesce(col("n_sel"), lit(0L)).as("n_sel"), col("n"))
         .withColumn("base_micro", expr("(n_docs * 1000000) div n"))
         .withColumn("sel_micro", expr(s"(n_sel * 1000000) div $DsirK"))
+        // bias = sel_share / base_share = n_sel·n / (n_docs·K), computed as
+        // ONE division over DECIMAL(38,0) cross-products — never through the
+        // floored base_micro, which is 0 for any source below 1 ppm of the
+        // corpus (plausible at 100 TB) and would NULL the ratio out.
         .withColumn("bias_micro",
-          expr(s"((n_sel * 1000000) div $DsirK) * 1000000 div ((n_docs * 1000000) div n)"))
+          expr(s"CAST((CAST(n_sel AS DECIMAL(38,0)) * n * 1000000)" +
+            s" div (CAST(n_docs AS DECIMAL(38,0)) * $DsirK) AS BIGINT)"))
         .select(col("source"), col("n_docs"), col("n_sel"),
           col("base_micro"), col("sel_micro"), col("bias_micro"))
         .orderBy(col("source"))

@@ -483,6 +483,30 @@ object IndexMaintenance {
     "buckets" -> graft.operators.CorpusOps.DsirBuckets.toString,
     "targetLang" -> graft.operators.CorpusOps.DsirTargetLang)
 
+  /** The geometry tripwire for every DSIR-store access, not just the
+    * bootstrap: an append hashes its increment with the CURRENT
+    * DsirBuckets/DsirTargetLang constants and serving sums whatever the
+    * parquet holds, so a constant change across versions would silently
+    * mix bucket spaces / target languages in one store unless the sidecar
+    * is checked at every touch point. Fails loudly on drift (and on a
+    * bare/torn sidecar — a store whose geometry can't be proven is not a
+    * store to mix increments into).
+    */
+  private def requireDsirGeometry(s: SparkSession, corpusDir: String): Unit = {
+    val meta = graft.IndexStore.storedMeta(s, corpusDir, DsirStoreName)
+      .getOrElse(throw new IllegalStateException(
+        "DSIR store has no readable metadata sidecar — re-bootstrap with " +
+          "bootstrapDsirStore before appending to or serving from it"))
+    val drift = dsirParams.collect {
+      case (k, v) if !meta.get(k).contains(v) =>
+        s"$k: store=${meta.getOrElse(k, "?")} current=$v"
+    }
+    if (drift.nonEmpty) throw new IllegalStateException(
+      s"DSIR store geometry drift (${drift.mkString("; ")}) — the store was " +
+        "built under different DsirBuckets/DsirTargetLang constants; rebuild " +
+        "with bootstrapDsirStore instead of mixing feature spaces")
+  }
+
   /** Bootstrap the durable DSIR profile store from an existing
     * `(doc_id, text, lang, …)` corpus (possibly empty): one row per
     * touched hash bucket with raw/target token counts. Geometry (bucket
@@ -515,6 +539,7 @@ object IndexMaintenance {
         graft.IndexStore.storePath(root, corpusDir, DsirStoreName)),
         s"bootstrap the DSIR store for $corpusDir (bootstrapDsirStore over " +
           "the existing corpus) before attaching a profile maintainer")
+      requireDsirGeometry(s, corpusDir)
       graft.IndexStore.append(s, corpusDir, DsirStoreName,
         graft.operators.CorpusOps.dsirProfileRows(docs),
         incrementCount = docs.count(),
@@ -555,6 +580,7 @@ object IndexMaintenance {
     val path = graft.IndexStore.storePath(root, corpusDir, DsirStoreName)
     require(graft.IndexStore.committed(s, path),
       s"bootstrap the DSIR store at $path before serving weights from it")
+    requireDsirGeometry(s, corpusDir)
     import org.apache.spark.sql.functions._
     val prof = s.read.parquet(path)
       .groupBy(col("b"))
@@ -655,6 +681,22 @@ object IndexMaintenance {
       graft.IndexStore.committed(s, tfPath),
       "bootstrap BOTH the lm_bigrams and tf_index stores before serving " +
         s"the LM model ($lmPath, $tfPath)")
+    // The model mixes two stores — bigram numerators from lm_bigrams,
+    // unigram smoothing denominators from tf_index — which is only sound
+    // when both cover the SAME corpus snapshot. If only one maintainer is
+    // attached, or one lags a batch, the smoothed probabilities would be
+    // computed from mismatched snapshots with no symptom; compare the
+    // sidecars' corpus counts and refuse to serve on disagreement.
+    val lmN = graft.IndexStore.storedMeta(s, corpusDir, LmStoreName)
+      .flatMap(_.get(graft.IndexStore.CorpusCountKey))
+    val tfN = graft.IndexStore.storedMeta(s, corpusDir, TfStoreName)
+      .flatMap(_.get(graft.IndexStore.CorpusCountKey))
+    if (lmN.isEmpty || tfN.isEmpty || lmN != tfN)
+      throw new IllegalStateException(
+        s"lm_bigrams and tf_index cover different corpus snapshots " +
+          s"(lm corpusCount=${lmN.getOrElse("?")}, tf corpusCount=${tfN.getOrElse("?")}) — " +
+          "attach BOTH maintainers to the same stream and let them catch up " +
+          "before serving the LM model")
     import org.apache.spark.sql.functions._
     val bg = s.read.parquet(lmPath)
       .groupBy(col("a"), col("b"))

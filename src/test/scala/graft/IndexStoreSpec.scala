@@ -1114,9 +1114,9 @@ class IndexStoreSpec extends SparkSpec {
 
     // the served model equals the batch model type for type …
     val servedM = streaming.IndexMaintenance.lmModelFromStore(sA, dir)
-      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getAs[Long]("p_micro")).toMap
     val batchM = operators.CorpusOps.lmBigramModel(sA, dir)
-      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(3)).toMap
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getAs[Long]("p_micro")).toMap
     assert(servedM == batchM, "store-served LM model must equal the batch model")
 
     // … and scoring the whole corpus off the store equals q146 row for row
@@ -1126,5 +1126,80 @@ class IndexStoreSpec extends SparkSpec {
     val batch = SparkEntry.queries("q146_lm_score")(sA, dir).collect().map(key).toSeq
     assert(served == batch, "store-served LM scores must equal q146")
     assert(served.nonEmpty)
+  }
+
+  test("DSIR geometry tripwire: a sidecar built under different constants fails append and serve loudly") {
+    val root = tmp("graft_idx_dsir_geom")
+    val sA = spark.newSession()
+    sA.conf.set(IndexStore.DirConf, root)
+    val docs = Tables.load(sA, dir, "documents")
+    streaming.IndexMaintenance.bootstrapDsirStore(sA, dir, docs)
+    val path = IndexStore.storePath(root, dir, streaming.IndexMaintenance.DsirStoreName)
+
+    // Simulate a version skew: the store was built by a binary whose
+    // DsirBuckets constant differed from ours. Appending or serving under
+    // the current constants would silently mix bucket spaces — both paths
+    // must refuse instead.
+    val meta = IndexStore.readMeta(sA, path).get
+    IndexStore.writeMeta(sA, path, meta.updated("buckets", "1024"))
+    val exServe = intercept[IllegalStateException] {
+      streaming.IndexMaintenance.dsirWeightsFromStore(sA, dir)
+    }
+    assert(exServe.getMessage.contains("geometry drift"), exServe.getMessage)
+    val exAppend = intercept[IllegalStateException] {
+      streaming.IndexMaintenance.applyDsirBatch(sA, dir, "geom_spec", 0L, docs.limit(2))
+    }
+    assert(exAppend.getMessage.contains("geometry drift"), exAppend.getMessage)
+
+    // Same refusal for a target-language change…
+    IndexStore.writeMeta(sA, path, meta.updated("targetLang", "de"))
+    assert(intercept[IllegalStateException] {
+      streaming.IndexMaintenance.dsirWeightsFromStore(sA, dir)
+    }.getMessage.contains("geometry drift"))
+    // …and the pristine sidecar serves normally again.
+    IndexStore.writeMeta(sA, path, meta)
+    assert(streaming.IndexMaintenance.dsirWeightsFromStore(sA, dir).count() > 0)
+  }
+
+  test("LM snapshot tripwire: lmModelFromStore refuses when lm_bigrams and tf_index cover different corpora") {
+    val root = tmp("graft_idx_lm_snap")
+    val sA = spark.newSession()
+    sA.conf.set(IndexStore.DirConf, root)
+    val docs = Tables.load(sA, dir, "documents")
+    streaming.IndexMaintenance.bootstrapLmStore(sA, dir, docs)
+    // tf store bootstrapped over a LAGGING corpus (one batch behind)
+    val t = docs.selectExpr("max(doc_id) AS t").collect()(0).getLong(0)
+    streaming.IndexMaintenance.bootstrapTfStore(sA, dir, docs.filter(col("doc_id") < t))
+    val ex = intercept[IllegalStateException] {
+      streaming.IndexMaintenance.lmModelFromStore(sA, dir)
+    }
+    assert(ex.getMessage.contains("different corpus snapshots"), ex.getMessage)
+    // catching the tf store up (same snapshot) serves normally
+    streaming.IndexMaintenance.bootstrapTfStore(sA, dir, docs)
+    assert(streaming.IndexMaintenance.lmModelFromStore(sA, dir).count() > 0)
+  }
+
+  test("purgeKeys: NULL-keyed rows survive the rewrite and a bare store gains a sidecar") {
+    val root = tmp("graft_idx_purge_null")
+    val sA = spark.newSession()
+    sA.conf.set(IndexStore.DirConf, root)
+    val path = IndexStore.storePath(root, dir, "null_key_store")
+    // a BARE store (no sidecar) holding a null-keyed row — e.g. an index
+    // whose key column is nullable by schema
+    import sA.implicits._
+    Seq(Some(1L) -> "a", Some(2L) -> "b", Option.empty[Long] -> "c")
+      .toDF("k", "v").write.mode("overwrite").parquet(path)
+    assert(IndexStore.readMeta(sA, path).isEmpty, "precondition: bare store")
+
+    val removed = IndexStore.purgeKeys(sA, dir, "null_key_store", "k", Seq(2L))
+    assert(removed == 1L)
+    val after = sA.read.parquet(path).collect()
+      .map(r => (if (r.isNullAt(0)) None else Some(r.getLong(0))) -> r.getString(1)).toSet
+    assert(after == Set(Some(1L) -> "a", None -> "c"),
+      s"null-keyed row must survive a purge of other keys, got $after")
+    // the purge proved the row count — the republished store records it
+    val meta = IndexStore.readMeta(sA, path)
+    assert(meta.exists(_.get(IndexStore.StoreRowsKey).contains("2")),
+      s"bare store must gain a StoreRows sidecar on purge, got $meta")
   }
 }
