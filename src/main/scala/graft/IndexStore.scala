@@ -55,6 +55,17 @@ object IndexStore {
   /** Sidecar key holding the cumulative indexed corpus row count. */
   val CorpusCountKey = "corpusCount"
 
+  /** Sidecar key holding an ORDER-INDEPENDENT 64-bit content digest of the
+    * ingested corpus (bit_xor of per-row xxhash64) — the cross-store
+    * snapshot tripwire's strong form: two stores that ingested the same
+    * COUNT of different batches carry equal [[CorpusCountKey]]s but
+    * different digests. Maintained by bootstrap (full-corpus digest) and
+    * XOR-advanced per append; dropped by [[purgeKeys]] (the purged rows'
+    * text is gone, so the digest can't be re-derived — serving paths fall
+    * back to count-only comparison until a re-bootstrap restores it).
+    */
+  val CorpusHashKey = "corpusHash"
+
   /** Sidecar key holding the store's OWN committed parquet row count —
     * the torn-append tripwire: a crash between a parquet append's commit
     * and its sidecar write leaves actual rows ≠ recorded rows, which an
@@ -419,7 +430,10 @@ object IndexStore {
         m.updated(CorpusCountKey, math.max(0L, stored - countDecrement).toString)
       case _ => m
     }
-    writeMeta(s, staging, decremented ++ Map(StoreRowsKey -> survivors.toString))
+    // the content digest covered the purged docs' text, which is gone —
+    // drop it rather than publish a digest the store no longer matches
+    writeMeta(s, staging,
+      (decremented - CorpusHashKey) ++ Map(StoreRowsKey -> survivors.toString))
     if (!fs.delete(p, true))
       throw new java.io.IOException(s"IndexStore.purgeKeys: delete $path failed")
     if (!fs.rename(new Path(staging), p))

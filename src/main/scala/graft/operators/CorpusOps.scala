@@ -218,14 +218,22 @@ object CorpusOps {
     * gateway's `lm_bigram` view. Carries `c12` through so consumers that
     * want the raw count (the gateway view) never re-derive the bigram
     * subtree.
+    *
+    * Output schema: `(a, b, p_micro, c12)` — `c12` appended LAST so the
+    * round-11 positional layout `(a, b, p_micro)` is a strict prefix:
+    * pre-existing positional readers (`r.getLong(2)` for `p_micro`,
+    * including any external consumer of [[graft.streaming.IndexMaintenance
+    * .lmModelFromStore]], whose schema this is) keep reading the
+    * probability, not the raw count.
     */
   private[graft] def lmModelOverBigrams(bg: org.apache.spark.sql.DataFrame,
       uni: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val v = uni.agg(count(lit(1)).as("v"))
     bg.join(uni.select(col("term").as("a"), col("n")), "a")
       .crossJoin(broadcast(v))
-      .select(col("a"), col("b"), col("c12"),
-        expr("((c12 + 1) * 1000000) div (n + v)").as("p_micro"))
+      .select(col("a"), col("b"),
+        expr("((c12 + 1) * 1000000) div (n + v)").as("p_micro"),
+        col("c12"))
   }
 
   /** `(doc_id, a, b, c)` per-doc bigram bags of a corpus — q146's scan

@@ -51,6 +51,33 @@ object IndexMaintenance {
   /** Sidecar key carrying the highest applied micro-batch id of `stream`. */
   private[graft] def markerKey(stream: String) = s"lastBatch.$stream"
 
+  /** `(row count, content digest)` of a document frame in ONE pass — the
+    * digest is `bit_xor(xxhash64(doc_id, text))`: order-independent (so
+    * bootstrap-then-append and any batch arrival order agree) and
+    * XOR-composable (cumulative digest advances by XOR with each batch's
+    * digest, no store scan). Empty frame digests to 0.
+    */
+  private[graft] def countAndDigest(docs: DataFrame): (Long, Long) = {
+    import org.apache.spark.sql.functions._
+    val r = docs.agg(count(lit(1)), coalesce(
+      expr("bit_xor(xxhash64(doc_id, text))"), lit(0L))).head()
+    (r.getLong(0), r.getLong(1))
+  }
+
+  /** The cumulative content digest to record after ingesting a batch with
+    * digest `batchDigest` into the store whose sidecar is `meta`: XOR with
+    * the stored digest when one exists, absent otherwise (a pre-digest or
+    * post-purge store can't re-derive its history — the key stays absent,
+    * and cross-store checks fall back to count-only, until a re-bootstrap
+    * restores it).
+    */
+  private def advancedDigest(meta: Option[Map[String, String]],
+      batchDigest: Long): Map[String, String] =
+    meta.flatMap(_.get(graft.IndexStore.CorpusHashKey))
+      .flatMap(_.toLongOption)
+      .map(prev => Map(graft.IndexStore.CorpusHashKey -> (prev ^ batchDigest).toString))
+      .getOrElse(Map.empty)
+
   private def lastApplied(s: SparkSession, corpusDir: String, name: String,
       stream: String): Long =
     graft.IndexStore.storedMeta(s, corpusDir, name)
@@ -388,11 +415,26 @@ object IndexMaintenance {
     // same N as the batch operator's count(*) over documents — deriving N
     // from distinct store doc_ids would undercount any doc whose text is
     // NULL (it produces zero tf rows but still counts as a document).
-    graft.IndexStore.servedFrom(s, corpusDir, TfStoreName,
-      corpusCount = docs.count())(
+    val (n, dig) = countAndDigest(docs)
+    graft.IndexStore.servedFrom(s, corpusDir, TfStoreName, corpusCount = n)(
       graft.operators.CorpusOps.tfRows(docs))
-    ()
+    recordDigest(s, corpusDir, TfStoreName, dig)
   }
+
+  /** Stamp the corpus content digest onto a just-bootstrapped store's
+    * sidecar. Sound whether servedFrom rebuilt (store = exactly these
+    * docs) or served fresh (the count tripwire just proved the store
+    * covers the same corpus the digest was computed over).
+    */
+  private def recordDigest(s: SparkSession, corpusDir: String, name: String,
+      digest: Long): Unit =
+    for (root <- graft.IndexStore.configuredDir(s)) {
+      val path = graft.IndexStore.storePath(root, corpusDir, name)
+      graft.IndexStore.readMeta(s, path).foreach { meta =>
+        graft.IndexStore.writeMeta(s, path,
+          meta + (graft.IndexStore.CorpusHashKey -> digest.toString))
+      }
+    }
 
   /** Apply one micro-batch of `(doc_id, text, …)` documents to the tf
     * store; false = replay, skipped. Unlike the chunk store, the append
@@ -418,10 +460,12 @@ object IndexMaintenance {
         graft.IndexStore.storePath(root, corpusDir, TfStoreName)),
         s"bootstrap the tf store for $corpusDir (bootstrapTfStore over the " +
           "existing corpus) before attaching a tf-index maintainer")
+      val (n, dig) = countAndDigest(docs)
       graft.IndexStore.append(s, corpusDir, TfStoreName,
         graft.operators.CorpusOps.tfRows(docs),
-        incrementCount = docs.count(), // advance BM25's N by the batch docs
-        extraMeta = Map(markerKey(stream) -> batchId.toString))
+        incrementCount = n, // advance BM25's N by the batch docs
+        extraMeta = Map(markerKey(stream) -> batchId.toString) ++
+          advancedDigest(graft.IndexStore.storedMeta(s, corpusDir, TfStoreName), dig))
       true
     }
 
@@ -612,8 +656,8 @@ object IndexMaintenance {
     */
   private[graft] def bootstrapLmStore(s: SparkSession, corpusDir: String,
       docs: DataFrame): Unit = {
-    graft.IndexStore.servedFrom(s, corpusDir, LmStoreName,
-      corpusCount = docs.count())(
+    val (n, dig) = countAndDigest(docs)
+    graft.IndexStore.servedFrom(s, corpusDir, LmStoreName, corpusCount = n)(
       graft.operators.CorpusOps.bigramBags(docs)
         .groupBy(org.apache.spark.sql.functions.col("a"),
           org.apache.spark.sql.functions.col("b"))
@@ -621,7 +665,7 @@ object IndexMaintenance {
           org.apache.spark.sql.functions.col("c"))
           .cast(org.apache.spark.sql.types.LongType)
           .as("c")))
-    ()
+    recordDigest(s, corpusDir, LmStoreName, dig)
   }
 
   /** Apply one micro-batch of documents to the bigram store; false =
@@ -640,12 +684,14 @@ object IndexMaintenance {
         s"bootstrap the LM store for $corpusDir (bootstrapLmStore over the " +
           "existing corpus) before attaching a bigram maintainer")
       import org.apache.spark.sql.functions._
+      val (n, dig) = countAndDigest(docs)
       graft.IndexStore.append(s, corpusDir, LmStoreName,
         graft.operators.CorpusOps.bigramBags(docs)
           .groupBy(col("a"), col("b"))
           .agg(sum(col("c")).cast(org.apache.spark.sql.types.LongType).as("c")),
-        incrementCount = docs.count(),
-        extraMeta = Map(markerKey(stream) -> batchId.toString))
+        incrementCount = n,
+        extraMeta = Map(markerKey(stream) -> batchId.toString) ++
+          advancedDigest(graft.IndexStore.storedMeta(s, corpusDir, LmStoreName), dig))
       true
     }
 
@@ -687,16 +733,41 @@ object IndexMaintenance {
     // attached, or one lags a batch, the smoothed probabilities would be
     // computed from mismatched snapshots with no symptom; compare the
     // sidecars' corpus counts and refuse to serve on disagreement.
-    val lmN = graft.IndexStore.storedMeta(s, corpusDir, LmStoreName)
-      .flatMap(_.get(graft.IndexStore.CorpusCountKey))
-    val tfN = graft.IndexStore.storedMeta(s, corpusDir, TfStoreName)
-      .flatMap(_.get(graft.IndexStore.CorpusCountKey))
+    val lmMeta = graft.IndexStore.storedMeta(s, corpusDir, LmStoreName)
+    val tfMeta = graft.IndexStore.storedMeta(s, corpusDir, TfStoreName)
+    val lmN = lmMeta.flatMap(_.get(graft.IndexStore.CorpusCountKey))
+    val tfN = tfMeta.flatMap(_.get(graft.IndexStore.CorpusCountKey))
     if (lmN.isEmpty || tfN.isEmpty || lmN != tfN)
       throw new IllegalStateException(
         s"lm_bigrams and tf_index cover different corpus snapshots " +
           s"(lm corpusCount=${lmN.getOrElse("?")}, tf corpusCount=${tfN.getOrElse("?")}) — " +
-          "attach BOTH maintainers to the same stream and let them catch up " +
-          "before serving the LM model")
+          "attach BOTH maintainers to the same stream and let them catch up. " +
+          "If the divergence came from a document purge (purgeKeys decrements " +
+          "tf_index's corpusCount but lm_bigrams, keyed by (a,b), cannot be " +
+          "doc-purged), catching up can never re-agree: re-bootstrap the LM " +
+          "store from the post-purge corpus (bootstrapLmStore) instead")
+    // Equal counts are necessary but not sufficient — two maintainers that
+    // each ingested N docs from DIFFERENT batches pass the count check.
+    // The content digest (bit_xor of per-doc xxhash64, bootstrap-stamped
+    // and XOR-advanced per batch) distinguishes them. Either side missing
+    // it (pre-digest store, or post-purge: purgeKeys drops the key) falls
+    // back to count-only with a warning — the digest re-appears at the
+    // next re-bootstrap.
+    val lmH = lmMeta.flatMap(_.get(graft.IndexStore.CorpusHashKey))
+    val tfH = tfMeta.flatMap(_.get(graft.IndexStore.CorpusHashKey))
+    (lmH, tfH) match {
+      case (Some(a), Some(b)) if a != b =>
+        throw new IllegalStateException(
+          s"lm_bigrams and tf_index ingested the same corpus COUNT ($lmN docs) " +
+            s"but different corpus CONTENT (digests $a vs $b) — the maintainers " +
+            "consumed different batches. Attach both to the same stream, or " +
+            "re-bootstrap both stores from the same corpus snapshot")
+      case (Some(_), Some(_)) => ()
+      case _ =>
+        log.warn("lmModelFromStore: corpus content digest missing on " +
+          s"${if (lmH.isEmpty) LmStoreName else TfStoreName} — serving on " +
+          "count equality alone; re-bootstrap to restore the digest tripwire")
+    }
     import org.apache.spark.sql.functions._
     val bg = s.read.parquet(lmPath)
       .groupBy(col("a"), col("b"))

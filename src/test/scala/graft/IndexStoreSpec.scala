@@ -1179,6 +1179,76 @@ class IndexStoreSpec extends SparkSpec {
     assert(streaming.IndexMaintenance.lmModelFromStore(sA, dir).count() > 0)
   }
 
+  test("LM content-digest tripwire: equal counts of DIFFERENT batches refuse to serve") {
+    val root = tmp("graft_idx_lm_digest")
+    val sA = spark.newSession()
+    sA.conf.set(IndexStore.DirConf, root)
+    val docs = Tables.load(sA, dir, "documents")
+    val t = docs.selectExpr("(max(doc_id) * 8) div 10 AS t").collect()(0).getLong(0)
+    val pre = docs.filter(col("doc_id") < t)
+    streaming.IndexMaintenance.bootstrapLmStore(sA, dir, pre)
+    streaming.IndexMaintenance.bootstrapTfStore(sA, dir, pre)
+    // both sidecars carry the bootstrap digest, and they agree
+    def meta(name: String) = IndexStore.storedMeta(sA, dir, name).get
+    val lmName = streaming.IndexMaintenance.LmStoreName
+    val tfName = streaming.IndexMaintenance.TfStoreName
+    assert(meta(lmName)(IndexStore.CorpusHashKey) == meta(tfName)(IndexStore.CorpusHashKey))
+
+    // The residual the count check cannot see: each maintainer ingests a
+    // batch of the SAME SIZE but DIFFERENT documents (a mis-wired fan-out
+    // feeding the two maintainers from different topics). Counts agree;
+    // the model would silently mix snapshots without the digest.
+    val tail = docs.filter(col("doc_id") >= t).orderBy("doc_id")
+    val n = tail.count()
+    assert(n >= 2, s"fixture tail too small ($n) for a split")
+    val half = tail.limit((n / 2).toInt).agg(max("doc_id")).collect()(0).getLong(0)
+    val toLm = tail.filter(col("doc_id") <= half)
+    val toTf = tail.filter(col("doc_id") > half).limit(toLm.count().toInt)
+    assert(toLm.count() == toTf.count())
+    assert(streaming.IndexMaintenance.applyLmBatch(sA, dir, "dg_spec", 0L, toLm))
+    assert(streaming.IndexMaintenance.applyTfBatch(sA, dir, "dg_spec", 0L, toTf))
+    assert(meta(lmName)(IndexStore.CorpusCountKey) == meta(tfName)(IndexStore.CorpusCountKey),
+      "counts must agree — this is exactly the case the digest exists for")
+    val ex = intercept[IllegalStateException] {
+      streaming.IndexMaintenance.lmModelFromStore(sA, dir)
+    }
+    assert(ex.getMessage.contains("different corpus CONTENT"), ex.getMessage)
+
+    // identical batches on both sides advance the digests equally — serves
+    streaming.IndexMaintenance.bootstrapLmStore(sA, dir, pre)
+    streaming.IndexMaintenance.bootstrapTfStore(sA, dir, pre)
+    assert(streaming.IndexMaintenance.applyLmBatch(sA, dir, "dg_spec2", 0L, toLm))
+    assert(streaming.IndexMaintenance.applyTfBatch(sA, dir, "dg_spec2", 0L, toLm))
+    assert(meta(lmName)(IndexStore.CorpusHashKey) == meta(tfName)(IndexStore.CorpusHashKey))
+    assert(streaming.IndexMaintenance.lmModelFromStore(sA, dir).count() > 0)
+
+    // a digest-less side (pre-digest store, or post-purge) falls back to
+    // count-only serving instead of refusing forever
+    val tfPath = IndexStore.storePath(root, dir, tfName)
+    IndexStore.writeMeta(sA, tfPath,
+      IndexStore.readMeta(sA, tfPath).get - IndexStore.CorpusHashKey)
+    assert(streaming.IndexMaintenance.lmModelFromStore(sA, dir).count() > 0)
+  }
+
+  test("purgeKeys drops the corpus content digest (underivable after a purge)") {
+    val root = tmp("graft_idx_purge_digest")
+    val sA = spark.newSession()
+    sA.conf.set(IndexStore.DirConf, root)
+    val docs = Tables.load(sA, dir, "documents")
+    streaming.IndexMaintenance.bootstrapTfStore(sA, dir, docs)
+    val tfName = streaming.IndexMaintenance.TfStoreName
+    assert(IndexStore.storedMeta(sA, dir, tfName).get.contains(IndexStore.CorpusHashKey))
+    val victim = docs.agg(min("doc_id")).collect()(0).getLong(0)
+    IndexStore.purgeKeys(sA, dir, tfName, "doc_id", Seq(victim), countDecrement = 1L)
+    val after = IndexStore.storedMeta(sA, dir, tfName).get
+    assert(!after.contains(IndexStore.CorpusHashKey),
+      "a purged store must not advertise a digest it no longer matches")
+    // re-bootstrap over the post-purge corpus restores the digest
+    streaming.IndexMaintenance.bootstrapTfStore(sA, dir,
+      docs.filter(col("doc_id") =!= victim))
+    assert(IndexStore.storedMeta(sA, dir, tfName).get.contains(IndexStore.CorpusHashKey))
+  }
+
   test("purgeKeys: NULL-keyed rows survive the rewrite and a bare store gains a sidecar") {
     val root = tmp("graft_idx_purge_null")
     val sA = spark.newSession()
