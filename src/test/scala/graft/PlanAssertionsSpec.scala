@@ -92,6 +92,22 @@ class PlanAssertionsSpec extends SparkSpec {
     assert(!qe.executedPlan.toString.contains("ExistingRDD"))
   }
 
+  test("q153: substring dedup plans no pair join and only doc-keyed windows") {
+    val qe = SparkEntry.queries("q153_substring_dedup")(spark, dir).queryExecution
+    val p = qe.executedPlan.toString
+    // The suffix-array analog must never fall back to pair enumeration:
+    // anchors flow through ONE occurrence-count shuffle and a flag
+    // re-join, both on the 60-bit gram hash.
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "q153 must not plan a pair join")
+    // Run extension and span selection are doc-local — a global window
+    // would serialize the corpus through one task.
+    val globalWindows = qe.sparkPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec if w.partitionSpec.isEmpty => w
+    }
+    assert(globalWindows.isEmpty, s"found global window:\n${globalWindows.headOption}")
+  }
+
   test("Ordinals: both variants match the window formulation exactly") {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._
