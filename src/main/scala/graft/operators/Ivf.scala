@@ -229,14 +229,21 @@ object Ivf {
     * hash-sliced chunks ([[Sizing.broadcastChunks]]/[[Sizing.chunkSlice]]
     * — exact, since per-query top-k is independent); small query sets
     * derive chunks = 1 with no extra action.
+    *
+    * `cellsOpt` supplies PRECOMPUTED corpus cell assignments
+    * `(vec_id, cell)` — the maintained-assignment-store serving path
+    * ([[graft.streaming.IndexMaintenance.maintainIvfAssignments]]): the
+    * corpus-wide argmax never recomputes, and `eqf` then only needs the
+    * QUERY vectors' quantized rows (it feeds nothing but the probe set).
     */
   def annTopK(e: DataFrame, eqf: DataFrame, cents: DataFrame,
               numQueries: Int, probes: Int, topK: Int,
               score: (Column, Column) => Column,
-              maxBroadcastElems: Long = Sizing.MaxQueryBroadcastElems): DataFrame = {
+              maxBroadcastElems: Long = Sizing.MaxQueryBroadcastElems,
+              cellsOpt: Option[DataFrame] = None): DataFrame = {
     val rk = ranked(eqf, cents)
-    val cells = rk.filter(col("rk") === 1)
-      .select(col("vec_id"), col("cid").as("cell"))
+    val cells = cellsOpt.getOrElse(rk.filter(col("rk") === 1)
+      .select(col("vec_id"), col("cid").as("cell")))
     val probeSet = rk.filter(col("vec_id") < numQueries && col("rk") <= probes)
       .select(col("vec_id").as("q_id"), col("cid").as("cell"))
     val cand = probeSet.join(cells, "cell")

@@ -786,6 +786,257 @@ object IndexMaintenance {
       graft.operators.CorpusOps.bigramBags(docs),
       lmModelFromStore(s, corpusDir))
 
+  // ------------------------------------------ IVF assignment store ------
+
+  /** Durable `(vec_id, embedding, eq, cid, idot)` assignments of every
+    * corpus vector to its nearest stored centroid — the INVERTED FILE
+    * itself, maintained continuously: each micro-batch assigns its
+    * vectors against the stored model at O(batch · k) cost and appends,
+    * so ANN serving ([[graft.operators.Similarity.ivfAnnFromStore]])
+    * never recomputes the corpus-wide argmax. Unlike the additive stores
+    * (tf/DSIR/LM), centroids LEARN nothing from appends — so the
+    * maintainer tracks a drift statistic and refits past threshold (see
+    * [[applyIvfBatch]]), closing the gap the wholesale ≥2× growth policy
+    * ([[graft.operators.Ivf.RefitGrowthFactor]]) left: a distribution
+    * shift the corpus-size trigger cannot see.
+    */
+  private[graft] val IvfAssignStoreName = "ivf_assign"
+
+  /** Sidecar keys of the drift statistic. Fit* = assignment-quality
+    * baseline recorded when the current model was fit (Σ idot and row
+    * count over the fit corpus, exact — the sum rides DECIMAL(38,0) and
+    * the sidecar stores decimal strings, so no Long overflow at any
+    * corpus size). Inc* = the same sums accumulated over batches appended
+    * SINCE that fit. ivfK = the cell-count request the store was
+    * bootstrapped with (0 = derive from corpus size), reused by refits.
+    */
+  private[graft] val IvfKKey = "ivfK"
+  private[graft] val IvfFitIdotSumKey = "ivfFitIdotSum"
+  private[graft] val IvfFitNKey = "ivfFitN"
+  private[graft] val IvfIncIdotSumKey = "ivfIncIdotSum"
+  private[graft] val IvfIncNKey = "ivfIncN"
+
+  /** Refit when the appended batches' MEAN assignment similarity falls
+    * below this percentage of the fit baseline's mean — new data landing
+    * far from every existing centroid is exactly the drift that keeps
+    * corpus size flat-ish while destroying cell quality (probe recall
+    * rots with no growth symptom). 50% is deliberately conservative: the
+    * cross-multiplied integer comparison makes any threshold exact.
+    */
+  private[graft] val IvfDriftMeanPct = 50L
+
+  /** Drift is only judged once the appended mass is ≥ this percentage of
+    * the fit corpus — a handful of outlier vectors must not refit a
+    * billion-row index.
+    */
+  private[graft] val IvfDriftMinIncPct = 5L
+
+  /** `(vec_id, embedding, eq, cid, idot)` rows of `e` under model `m`:
+    * each vector's argmax-integer-dot cell (deterministic cid tiebreak —
+    * the identical assignment rule as [[graft.operators.Ivf.ranked]])
+    * plus the winning dot, the drift statistic's raw material. One
+    * broadcast of k × dim longs, one doc-keyed window; O(batch · k).
+    */
+  private def ivfAssignRows(emb: DataFrame, m: graft.operators.Ivf.Model): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val s = emb.sparkSession
+    graft.plans.GraftExtensions.register(s)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("idot").desc, col("cid").asc)
+    graft.operators.Ivf.quantize(emb)
+      .select(col("vec_id"), col("embedding"), col("eq"))
+      .crossJoin(broadcast(graft.operators.Ivf.centsDF(s, m.cents)))
+      .withColumn("idot", call_function("vec_dot_long", col("eq"), col("ceq")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("embedding"), col("eq"), col("cid"), col("idot"))
+  }
+
+  /** `(rows, Σ idot)` of an assignment frame — the drift statistic's
+    * per-batch increment, summed in DECIMAL(38,0) (idot ≤ ~6.4e9 per row;
+    * a Long sum would overflow near 1.4e9 rows).
+    */
+  private def assignStats(asg: DataFrame): (Long, BigInt) = {
+    import org.apache.spark.sql.functions._
+    val r = asg.agg(count(lit(1)), coalesce(
+      sum(col("idot").cast(org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0))),
+      lit(java.math.BigDecimal.ZERO))).head()
+    (r.getLong(0), BigInt(r.getDecimal(1).toBigInteger))
+  }
+
+  private def ivfPaths(s: SparkSession, corpusDir: String): (String, String) = {
+    val root = graft.IndexStore.configuredDir(s).getOrElse(throw
+      new IllegalStateException("the IVF assignment maintainer requires a " +
+        s"configured index store (${graft.IndexStore.DirConf})"))
+    (graft.IndexStore.storePath(root, corpusDir, IvfAssignStoreName),
+      graft.IndexStore.storePath(root, corpusDir,
+        graft.operators.Similarity.IvfModelStoreName))
+  }
+
+  /** Bootstrap the assignment store from an existing embeddings corpus
+    * `(vec_id, embedding, …)`: fit-or-load the centroid model (the same
+    * durable entry batch q53/q68 serve from), assign every vector, and
+    * stamp the drift baseline. Required before attaching
+    * [[maintainIvfAssignments]] — appends refuse a store with no
+    * recorded fit baseline.
+    */
+  private[graft] def bootstrapIvfAssignments(s: SparkSession, corpusDir: String,
+      e: DataFrame, k: Int = graft.operators.Similarity.ivfFixtureCells): Unit = {
+    val (assignPath, modelPath) = ivfPaths(s, corpusDir)
+    val eqf = graft.operators.Ivf.quantize(e)
+      .select(org.apache.spark.sql.functions.col("vec_id"),
+        org.apache.spark.sql.functions.col("eq"))
+    val model = graft.operators.Ivf.servedModel(s, modelPath, eqf, k)
+    graft.IndexStore.servedFrom(s, corpusDir, IvfAssignStoreName,
+      corpusCount = e.count())(ivfAssignRows(e, model))
+    // Baseline stats over the COMMITTED rows (idempotent whether
+    // servedFrom rebuilt or served fresh — either way the store is the
+    // current corpus's assignments under the current model).
+    val (n, sum) = assignStats(s.read.parquet(assignPath))
+    graft.IndexStore.readMeta(s, assignPath).foreach { meta =>
+      graft.IndexStore.writeMeta(s, assignPath, meta ++ Map(
+        IvfKKey -> k.toString,
+        IvfFitIdotSumKey -> sum.toString, IvfFitNKey -> n.toString,
+        IvfIncIdotSumKey -> "0", IvfIncNKey -> "0"))
+    }
+  }
+
+  /** Apply one micro-batch of `(vec_id, embedding, …)` rows: assign
+    * against the STORED model (O(batch · k)), append, advance the drift
+    * sums in the same sidecar write as the batch marker, then refit if
+    * either trigger fires:
+    *
+    *  - GROWTH: store rows ≥ [[graft.operators.Ivf.RefitGrowthFactor]] ×
+    *    the fit baseline's rows (the existing wholesale policy, now
+    *    evaluated continuously at ingest instead of lazily at serve);
+    *  - DRIFT: appended mass ≥ [[IvfDriftMinIncPct]]% of the fit corpus
+    *    AND its mean assignment dot < [[IvfDriftMeanPct]]% of the fit
+    *    mean (cross-multiplied BigInt compare, exact; only armed while
+    *    the baseline mean is positive — a corpus whose best-cell dots
+    *    aren't positive has no meaningful "degradation" direction).
+    *
+    * false = replay, skipped (and the drift sums must not double-count:
+    * they advance in the marker's sidecar write, so a replayed batch
+    * advances nothing).
+    */
+  private[graft] def applyIvfBatch(s: SparkSession, corpusDir: String,
+      stream: String, batchId: Long, batch: DataFrame): Boolean =
+    shouldApply(batchId, lastApplied(s, corpusDir, IvfAssignStoreName, stream),
+      stream, corpusDir) && {
+      val (assignPath, modelPath) = ivfPaths(s, corpusDir)
+      require(graft.IndexStore.committed(s, assignPath) &&
+        graft.IndexStore.committed(s, modelPath),
+        s"bootstrap the IVF assignment store for $corpusDir " +
+          "(bootstrapIvfAssignments) before attaching a maintainer")
+      val meta0 = graft.IndexStore.readMeta(s, assignPath).getOrElse(Map.empty)
+      require(meta0.contains(IvfFitNKey),
+        s"IVF assignment store at $assignPath has no fit baseline — " +
+          "re-bootstrap (bootstrapIvfAssignments) before appending")
+      val model = graft.operators.Ivf.load(s, modelPath).getOrElse(throw
+        new IllegalStateException(s"torn IVF model store at $modelPath — re-bootstrap"))
+      val asg = ivfAssignRows(batch, model)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      try {
+        val (bn, bsum) = assignStats(asg)
+        val incN = meta0.get(IvfIncNKey).map(_.toLong).getOrElse(0L) + bn
+        val incSum = meta0.get(IvfIncIdotSumKey).map(BigInt(_)).getOrElse(BigInt(0)) + bsum
+        graft.IndexStore.append(s, corpusDir, IvfAssignStoreName, asg,
+          incrementCount = bn,
+          extraMeta = Map(markerKey(stream) -> batchId.toString,
+            IvfIncIdotSumKey -> incSum.toString, IvfIncNKey -> incN.toString))
+      } finally asg.unpersist()
+      maybeRefitIvf(s, corpusDir)
+      true
+    }
+
+  /** Evaluate both refit triggers against the sidecar and refit in place
+    * when one fires: re-fit the centroids over the STORE's own vectors
+    * (the store carries raw + quantized embeddings precisely so a refit
+    * needs no external corpus), overwrite the durable model entry,
+    * re-assign everything, and publish crash-cleanly — the reassigned
+    * copy is fully written and row-verified at a `.refitting` sibling
+    * before the delete+rename swap ([[graft.IndexStore.compact]]'s
+    * discipline; a crash never publishes a half-reassigned store). The
+    * fresh sidecar carries the new fit baseline, zeroed Inc sums, and the
+    * surviving batch markers.
+    */
+  private def maybeRefitIvf(s: SparkSession, corpusDir: String): Unit = {
+    val (assignPath, modelPath) = ivfPaths(s, corpusDir)
+    val meta = graft.IndexStore.readMeta(s, assignPath).getOrElse(return)
+    val fitN = meta.get(IvfFitNKey).map(_.toLong).getOrElse(return)
+    val fitSum = meta.get(IvfFitIdotSumKey).map(BigInt(_)).getOrElse(return)
+    val incN = meta.get(IvfIncNKey).map(_.toLong).getOrElse(0L)
+    val incSum = meta.get(IvfIncIdotSumKey).map(BigInt(_)).getOrElse(BigInt(0))
+    val rows = meta.get(graft.IndexStore.StoreRowsKey).map(_.toLong).getOrElse(return)
+    val growth = fitN > 0 &&
+      rows.toDouble >= graft.operators.Ivf.RefitGrowthFactor * fitN
+    val drift = fitN > 0 && fitSum > 0 &&
+      incN * 100 >= fitN * IvfDriftMinIncPct &&
+      incSum * 100 * BigInt(fitN) < fitSum * BigInt(incN) * IvfDriftMeanPct
+    if (!growth && !drift) {
+      if (incN > 0)
+        log.info(s"IVF assignments for $corpusDir: $incN appended since fit " +
+          s"($fitN rows) — below both refit triggers")
+      return
+    }
+    log.warn(s"IVF refit for $corpusDir: trigger=${if (growth) "growth" else "drift"} " +
+      s"(fitN=$fitN, rows=$rows, incN=$incN)")
+    val k = meta.get(IvfKKey).map(_.toInt).getOrElse(0)
+    val store = s.read.parquet(assignPath).select(
+      org.apache.spark.sql.functions.col("vec_id"),
+      org.apache.spark.sql.functions.col("embedding"))
+    val eqf = graft.operators.Ivf.quantize(store)
+      .select(org.apache.spark.sql.functions.col("vec_id"),
+        org.apache.spark.sql.functions.col("eq"))
+    val model = graft.operators.Ivf.fit(eqf, k)
+    graft.operators.Ivf.save(s, modelPath, model)
+    graft.operators.Similarity.invalidateIvfModel(s, corpusDir)
+    // crash-clean reassign swap
+    val staging = assignPath + ".refitting"
+    val p = new org.apache.hadoop.fs.Path(assignPath)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(staging), true)
+    ivfAssignRows(store, model).write.mode("overwrite").parquet(staging)
+    val reassigned = s.read.parquet(staging).count()
+    if (reassigned != rows) {
+      fs.delete(new org.apache.hadoop.fs.Path(staging), true)
+      throw new IllegalStateException(
+        s"IVF refit: reassigned copy has $reassigned rows, store has $rows — " +
+          "aborted, live store untouched.")
+    }
+    val (n, sum) = assignStats(s.read.parquet(staging))
+    graft.IndexStore.writeMeta(s, staging, meta ++ Map(
+      graft.IndexStore.StoreRowsKey -> n.toString,
+      graft.IndexStore.CorpusCountKey -> n.toString,
+      IvfFitIdotSumKey -> sum.toString, IvfFitNKey -> n.toString,
+      IvfIncIdotSumKey -> "0", IvfIncNKey -> "0"))
+    if (!fs.delete(p, true))
+      throw new java.io.IOException(s"IVF refit: delete $assignPath failed")
+    if (!fs.rename(new org.apache.hadoop.fs.Path(staging), p))
+      throw new java.io.IOException(s"IVF refit: rename $staging -> $assignPath failed")
+  }
+
+  /** Attach an IVF assignment maintainer to a `(vec_id, embedding, …)`
+    * stream: each micro-batch lands its cell assignments exactly once
+    * behind the batch marker, the drift statistic advances in the same
+    * sidecar write, and a fired trigger refits centroids + reassigns in
+    * place — so [[graft.operators.Similarity.ivfAnnFromStore]] (and the
+    * batch q53/q68 paths, which share the durable model entry) serve an
+    * index that followed the corpus all day.
+    */
+  def maintainIvfAssignments(embeddings: DataFrame, corpusDir: String,
+      checkpoint: String, stream: String = "ivf_maintenance"): StreamingQuery = {
+    val owner = embeddings.sparkSession
+    embeddings.writeStream
+      .queryName(stream)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        applyIvfBatch(owner, corpusDir, stream, batchId, batch)
+        ()
+      }
+      .start()
+  }
+
   /** Bootstrap the durable media-fingerprint store from an existing image
     * frame (possibly empty) — decode + hash once per image, geometry and
     * corpus count recorded in the sidecar. Required before attaching

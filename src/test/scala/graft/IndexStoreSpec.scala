@@ -1230,6 +1230,108 @@ class IndexStoreSpec extends SparkSpec {
     assert(streaming.IndexMaintenance.lmModelFromStore(sA, dir).count() > 0)
   }
 
+  test("streaming IVF maintenance: growth refit, crash replay, store-served ANN equals batch q53") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val root = tmp("graft_idx_ivf")
+    val sA = spark.newSession()
+    sA.conf.set(IndexStore.DirConf, root)
+    val e = Tables.load(sA, dir, "embeddings")
+    val pre = e.filter(col("vec_id") < 200)
+    streaming.IndexMaintenance.bootstrapIvfAssignments(sA, dir, pre)
+    val assignPath = IndexStore.storePath(root, dir,
+      streaming.IndexMaintenance.IvfAssignStoreName)
+    val modelPath = IndexStore.storePath(root, dir,
+      operators.Similarity.IvfModelStoreName)
+    def meta = IndexStore.readMeta(sA, assignPath).get
+    assert(meta(streaming.IndexMaintenance.IvfFitNKey) == "200")
+    assert(BigInt(meta(streaming.IndexMaintenance.IvfFitIdotSumKey)) > 0,
+      "fixture fit baseline must have positive mean assignment dot")
+
+    // two micro-batches growing the corpus 200 -> 350 -> 500; the growth
+    // trigger (>= 2 x 200) must fire on the SECOND, not the first
+    implicit val sqlCtx = sA.sqlContext
+    import sA.implicits._
+    val rows = e.select("vec_id", "embedding").filter(col("vec_id") >= 200)
+      .orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val (b1, b2) = rows.partition(_._1 < 350)
+    val input = MemoryStream[(Long, Seq[Float])]
+    val ckpt = tmp("graft_idx_ivf_ck")
+    input.addData(b1.toSeq)
+    val q1 = streaming.IndexMaintenance.maintainIvfAssignments(
+      input.toDF().toDF("vec_id", "embedding"), dir, ckpt, "ivf_spec")
+    q1.processAllAvailable(); q1.stop()
+    assert(meta(streaming.IndexMaintenance.IvfIncNKey) == "150",
+      "first batch is below both triggers - no refit, inc sums advance")
+    assert(meta(streaming.IndexMaintenance.IvfFitNKey) == "200")
+
+    // crash replay: the applied batch id must skip without moving rows OR sums
+    val before = (sA.read.parquet(assignPath).count(), meta)
+    val replayed = streaming.IndexMaintenance.applyIvfBatch(sA, dir, "ivf_spec", 0L,
+      e.select("vec_id", "embedding").filter(col("vec_id") >= 200).limit(5))
+    assert(!replayed && sA.read.parquet(assignPath).count() == before._1
+      && meta == before._2,
+      "a replayed batch must not re-append or double-count the drift sums")
+
+    input.addData(b2.toSeq)
+    val q2 = streaming.IndexMaintenance.maintainIvfAssignments(
+      input.toDF().toDF("vec_id", "embedding"), dir, ckpt, "ivf_spec")
+    q2.processAllAvailable(); q2.stop()
+    // growth refit fired: fresh baseline over all 500, inc sums zeroed,
+    // durable model refit on the full corpus
+    assert(meta(streaming.IndexMaintenance.IvfFitNKey) == "500", meta.toString)
+    assert(meta(streaming.IndexMaintenance.IvfIncNKey) == "0")
+    assert(operators.Ivf.load(sA, modelPath).exists(_.n == 500))
+
+    // serving parity: the maintained inverted file answers exactly q53
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+    val served = key(operators.Similarity.ivfAnnFromStore(sA, dir))
+    val batch = key(SparkEntry.queries("q53_ann_ivf")(sA, dir))
+    assert(served == batch, "store-served IVF ANN must equal batch q53")
+    assert(served.nonEmpty)
+  }
+
+  test("IVF drift trigger: distribution shift refits long before the growth policy") {
+    val root = tmp("graft_idx_ivf_drift")
+    val sA = spark.newSession()
+    sA.conf.set(IndexStore.DirConf, root)
+    val e = Tables.load(sA, dir, "embeddings")
+    streaming.IndexMaintenance.bootstrapIvfAssignments(sA, dir, e)
+    val assignPath = IndexStore.storePath(root, dir,
+      streaming.IndexMaintenance.IvfAssignStoreName)
+    val modelPath = IndexStore.storePath(root, dir,
+      operators.Similarity.IvfModelStoreName)
+    def meta = IndexStore.readMeta(sA, assignPath).get
+    assert(meta(streaming.IndexMaintenance.IvfFitNKey) == "500")
+    assert(BigInt(meta(streaming.IndexMaintenance.IvfFitIdotSumKey)) > 0)
+
+    // 50 zero vectors (10% of the fit corpus - over the 5% arming floor,
+    // FAR under the 2x growth threshold): mean assignment dot 0 < 50% of
+    // the positive baseline mean -> the drift trigger must refit
+    val drifted = e.filter(col("vec_id") < 50)
+      .select((col("vec_id") + 500).as("vec_id"),
+        expr("transform(embedding, x -> CAST(0.0 AS FLOAT))").as("embedding"))
+    assert(streaming.IndexMaintenance.applyIvfBatch(sA, dir, "drift_spec", 0L, drifted))
+    assert(meta(streaming.IndexMaintenance.IvfFitNKey) == "550",
+      s"drift refit must re-baseline over the grown corpus: $meta")
+    assert(meta(streaming.IndexMaintenance.IvfIncNKey) == "0")
+    assert(operators.Ivf.load(sA, modelPath).exists(_.n == 550),
+      "the durable model entry must carry the drift refit")
+
+    // the refit is the DETERMINISTIC batch fit over the grown corpus:
+    // serving off the store equals recomputing everything from scratch
+    val store = sA.read.parquet(assignPath)
+    val eqf = operators.Ivf.quantize(store.select("vec_id", "embedding"))
+      .select("vec_id", "eq")
+    val fresh = operators.Ivf.fit(eqf, 16)
+    val loaded = operators.Ivf.load(sA, modelPath).get
+    assert(fresh.cents.map(_._1) == loaded.cents.map(_._1) &&
+      fresh.cents.zip(loaded.cents).forall { case ((_, a), (_, b)) =>
+        java.util.Arrays.equals(a, b)
+      }, "drift refit must reproduce the deterministic batch fit")
+  }
+
   test("purgeKeys drops the corpus content digest (underivable after a purge)") {
     val root = tmp("graft_idx_purge_digest")
     val sA = spark.newSession()
