@@ -119,7 +119,7 @@ object Dedup {
       |cand AS (SELECT DISTINCT x.doc_id AS a_doc, y.doc_id AS b_doc
       |         FROM bands x JOIN bands y
       |           ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id),
-      |ndpairs AS (SELECT c.a_doc, c.b_doc, $jacMicroSql
+      |ndpairs AS MATERIALIZED (SELECT c.a_doc, c.b_doc, $jacMicroSql
       |            FROM cand c
       |            JOIN inter i ON c.a_doc = i.a_doc AND c.b_doc = i.b_doc
       |            JOIN nsh na ON c.a_doc = na.doc_id
@@ -171,21 +171,54 @@ object Dedup {
     verifiedPairsCache.remove(s, dir).foreach(_.unpersist())
   }
 
-  /** `comp AS (doc_id, root)` CTEs over [[minhashPairCtes]]'s `ndpairs`
-    * (requires a WITH RECURSIVE prefix): reachability from each pair
-    * endpoint, min reached id = the component root — the closed-form
-    * oracle of [[connectedComponentsStar]], shared by q73 and the
+  /** `comp AS (doc_id, root)` CTEs over [[minhashPairCtes]]'s `ndpairs`:
+    * unrolled min-label propagation to a VERIFIED fixpoint, min reachable
+    * id = the component root — the closed-form oracle of
+    * [[connectedComponentsStar]], shared by q73 and the
     * cluster-representative selection (q75).
     */
-  private[operators] val componentCtes: String =
-    """e AS (SELECT a_doc AS src, b_doc AS dst FROM ndpairs
+  /** Unrolled min-label levels in the oracle's component chain. Each
+    * level is O(V+E) node/edge-sized joins, versus the old recursive
+    * all-pairs reachability whose working set is Σ cluster² rows — the
+    * oracle leg that spilled >70 GB on the sf1 pair graph (SCALE.md
+    * round-11 note). With the label-of-label shortcut the min spreads
+    * superlinearly per level, so 12 levels cover any fixture cluster by
+    * a wide margin — and the convergence SENTINEL makes the bound safe
+    * rather than assumed.
+    */
+  private val CompIters = 12
+
+  /** DuckDB connected components over `ndpairs` as STATICALLY UNROLLED
+    * min-label propagation (the Lloyd-unroll discipline of
+    * [[Ivf.centroidsSql]] — no recursive CTE): level t improves every
+    * node's label to the least of (its label, its neighbors' labels, its
+    * LABEL'S label — path compression; labels are always node ids, so
+    * the label self-join is total). Labels are monotone nonincreasing
+    * and bounded below by the component min, and any fixpoint IS the
+    * component min (induct along a path from the min node: at a fixpoint
+    * each node's label ≤ its predecessor-toward-min's label). The `conv`
+    * sentinel runs ONE extra level and publishes `comp` only if nothing
+    * changed — an under-unrolled graph yields an EMPTY comp and a LOUD
+    * oracle mismatch, never silently wrong roots.
+    */
+  private[operators] val componentCtes: String = {
+    val levels = (1 to CompIters + 1).map { t =>
+      s"""cn$t AS (SELECT e.dst AS id, min(p.l) AS m FROM cl${t - 1} p JOIN e ON e.src = p.id GROUP BY e.dst),
+         |cl$t AS MATERIALIZED (SELECT p.id, least(p.l, coalesce(nm.m, p.l), pp.l) AS l
+         |    FROM cl${t - 1} p
+         |    LEFT JOIN cn$t nm ON nm.id = p.id
+         |    JOIN cl${t - 1} pp ON pp.id = p.l)""".stripMargin
+    }.mkString(",\n")
+    s"""e AS MATERIALIZED (SELECT a_doc AS src, b_doc AS dst FROM ndpairs
       |      UNION SELECT b_doc, a_doc FROM ndpairs),
       |nd AS (SELECT DISTINCT src AS id FROM e),
-      |reach(id, r) AS (
-      |    SELECT id, id FROM nd
-      |    UNION
-      |    SELECT reach.id, e.dst FROM reach JOIN e ON e.src = reach.r),
-      |comp AS (SELECT id AS doc_id, min(r) AS root FROM reach GROUP BY id)""".stripMargin
+      |cl0 AS MATERIALIZED (SELECT id, id AS l FROM nd),
+      |$levels,
+      |conv AS (SELECT count(*) AS c FROM cl$CompIters a
+      |         JOIN cl${CompIters + 1} b ON a.id = b.id AND a.l <> b.l),
+      |comp AS (SELECT id AS doc_id, l AS root FROM cl$CompIters
+      |         WHERE (SELECT c FROM conv) = 0)""".stripMargin
+  }
 
   /** q145 power-iteration count (fixed — both engines run the identical
     * recurrence, so convergence is not a cross-engine concern).
@@ -205,16 +238,23 @@ object Dedup {
     * SQL (undirected edges from ndpairs, so every node has deg ≥ 1 and
     * receives ≥ 1 contribution — no dangling-node mass to redistribute).
     */
+  /** Every frame here is MATERIALIZED (the [[Ivf.centroidsSql]]
+    * discipline): `ed` feeds dg + all `iters` rounds and each round's
+    * p$i feeds the next — an inlining planner would otherwise re-expand
+    * the whole upstream minhash chain once per reference (measured: the
+    * q145 oracle at sf1 ran >9 min / spilled where q73's, sharing every
+    * CTE up to `comp`, runs in ~15 s — the entire gap was re-inlining).
+    */
   private[operators] def pagerankCtes(iters: Int): String = {
     val rounds = (1 to iters).map { i =>
-      s"p$i AS (SELECT e.dst AS doc_id, " +
+      s"p$i AS MATERIALIZED (SELECT e.dst AS doc_id, " +
         s"CAST((15 * ($PrMass // t.n)) // 100 + (85 * sum(p.pr // d.deg)) // 100 AS BIGINT) AS pr " +
         s"FROM ed e JOIN p${i - 1} p ON e.src = p.doc_id " +
         s"JOIN dg d ON e.src = d.src, t GROUP BY e.dst, t.n)"
     }.mkString(",\n")
-    s"""ed AS (SELECT a_doc AS src, b_doc AS dst FROM ndpairs
+    s"""ed AS MATERIALIZED (SELECT a_doc AS src, b_doc AS dst FROM ndpairs
       |      UNION ALL SELECT b_doc, a_doc FROM ndpairs),
-      |dg AS (SELECT src, count(*) AS deg FROM ed GROUP BY src),
+      |dg AS MATERIALIZED (SELECT src, count(*) AS deg FROM ed GROUP BY src),
       |t AS (SELECT count(*) AS n FROM dg),
       |p0 AS (SELECT src AS doc_id, $PrMass // t.n AS pr FROM dg, t),
       |$rounds""".stripMargin
