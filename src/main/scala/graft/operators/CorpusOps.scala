@@ -318,6 +318,59 @@ object CorpusOps {
       tfRows(Tables.load(s, dir, "documents"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER))
 
+  /** tf-idf weight vectors (doc_id, term, w) with the exact rational
+    * idf quantization of [[tfidfCosinePairs]] — the corpus's tf-idf
+    * VECTOR INDEX, session-cached like [[tfIndex]] (it is a pure
+    * per-(doc, term) function of it, one join + one integer expression
+    * away, and the cosine leg reads it three times per run).
+    */
+  private val tfidfWeightCache = new graft.SessionCache[org.apache.spark.sql.DataFrame]
+
+  private def tfidfWeightIndex(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    tfidfWeightCache.getOrElseUpdate(s, dir) {
+      val tf = tfIndex(s, dir)
+      val dfF = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val nT = Tables.load(s, dir, "documents").agg(count(lit(1)).as("n"))
+      tf.join(dfF, "term").crossJoin(broadcast(nT))
+        .select(col("doc_id"), col("term"),
+          expr("tf * ((1000000L * n) div df)").as("w"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    }
+
+  /** df-capped shingle posting rows (doc_id, sg) at cap `dfCap` — the
+    * blocking candidate source of the tf-idf cosine leg.
+    */
+  private def lowDfPostingRows(s: org.apache.spark.sql.SparkSession,
+      dir: String, dfCap: Long): org.apache.spark.sql.DataFrame = {
+    val sh = TextAnalysis.shingleIndex(s, dir)
+      .select(col("doc_id"), explode(col("ss")).as("sg"))
+    val sdf = sh.groupBy(col("sg")).agg(count(lit(1)).as("sdf"))
+    sh.join(sdf.filter(col("sdf") <= dfCap), "sg")
+      .select(col("doc_id"), col("sg"))
+  }
+
+  /** The PRODUCTION-cap ([[CosDfCap]] = Dedup.DfCap) posting rows as a
+    * shared session index — the df-capped inverted lists every blocked
+    * near-dup family member conceptually shares; invalidated with the
+    * shingle index it derives from ([[invalidateTfidfBlocking]]).
+    */
+  private val lowDfPostingsCache = new graft.SessionCache[org.apache.spark.sql.DataFrame]
+
+  private def lowDfPostings(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    lowDfPostingsCache.getOrElseUpdate(s, dir)(
+      lowDfPostingRows(s, dir, CosDfCap)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER))
+
+  /** Shingle-append invalidation hook (called via
+    * [[Dedup.invalidateComponents]]): the capped postings of a grown
+    * corpus are a different frame (df counts move).
+    */
+  private[operators] def invalidateTfidfBlocking(
+      s: org.apache.spark.sql.SparkSession, dir: String): Unit =
+    lowDfPostingsCache.remove(s, dir).foreach(_.unpersist())
+
   /** q96's chunk projection as a library transform over any
     * (doc_id, text) frame — a PURE per-row expression, so the identical
     * chunking runs unchanged over a stream (StreamingSpec pins
@@ -430,26 +483,19 @@ object CorpusOps {
       dir: String, dfCap: Long, tau: Double,
       minShared: Long = CosMinShared): org.apache.spark.sql.DataFrame = {
     val d38 = DecimalType(38, 0)
-    val tf = tfIndex(s, dir)
-    val dfF = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val nT = Tables.load(s, dir, "documents").agg(count(lit(1)).as("n"))
-    // localCheckpoint the two fan-out frames: the weight vectors feed
-    // THREE consumers (both norms and both sides of the numerator join)
-    // and the low-df posting rows TWO (the a/b sides of the candidate
-    // self-join) — without materialization each consumer re-runs the
-    // tf/df join resp. the shingle explode + df filter.
-    val w = tf.join(dfF, "term").crossJoin(broadcast(nT))
-      .select(col("doc_id"), col("term"),
-        expr("tf * ((1000000L * n) div df)").as("w"))
-      .transform(graft.Materialize.ephemeral)
+    // Session-cached fan-out frames: the weight vectors feed THREE
+    // consumers (both norms and both sides of the numerator join) and
+    // the low-df posting rows TWO (the a/b sides of the candidate
+    // self-join) — and both are corpus INDEXES (the tf-idf vector index
+    // + the production blocking postings), so they persist per (session,
+    // corpus) instead of being rebuilt per run. A non-production dfCap
+    // (the parity-sweep specs) still computes its postings inline.
+    val w = tfidfWeightIndex(s, dir)
     val n2 = w.groupBy(col("doc_id"))
       .agg(sum((col("w").cast(d38) * col("w").cast(d38)).cast(d38)).as("n2"))
-    val sh = TextAnalysis.shingleIndex(s, dir)
-      .select(col("doc_id"), explode(col("ss")).as("sg"))
-    val sdf = sh.groupBy(col("sg")).agg(count(lit(1)).as("sdf"))
-    val low = sh.join(sdf.filter(col("sdf") <= dfCap), "sg")
-      .select(col("doc_id"), col("sg"))
-      .transform(graft.Materialize.ephemeral)
+    val low =
+      if (dfCap == CosDfCap) lowDfPostings(s, dir)
+      else lowDfPostingRows(s, dir, dfCap).transform(graft.Materialize.ephemeral)
     // ≥ minShared distinct low-df shingles per pair (rows are distinct
     // (doc, shingle) pairs, so count(*) IS the shared-shingle count) —
     // prunes coincidence pairs before the expensive term-vector join

@@ -162,6 +162,29 @@ object Dedup {
       connectedComponentsStar(verifiedPairs(s, dir).select(col("a_doc"), col("b_doc")))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER))
 
+  /** Corpus-wide decontamination triples (doc_id, bench_doc, n_shared ≥ 5)
+    * against the fixture benchmark slice (doc_id % 7 = 0), one per
+    * (session, corpus) — the [[verifiedPairs]] posture for the OTHER
+    * expensive shingle join: q63 serves its ordered output from it, and
+    * the corpus-clean composition (q64/q69) anti-joins its distinct
+    * doc_ids, instead of each re-running the shingle-keyed join.
+    * Contamination is a per-(doc, bench_doc) property (shared-shingle
+    * counts don't depend on other corpus docs), so restricting the
+    * corpus-wide set to clean's survivors ≡ recomputing on survivors.
+    */
+  private val decontPairsCache = new graft.SessionCache[DataFrame]
+
+  private[operators] def decontPairs(s: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame =
+    decontPairsCache.getOrElseUpdate(s, dir) {
+      val sh = TextAnalysis.shingleIndex(s, dir)
+        .select(col("doc_id"), explode(col("ss")).as("s"))
+      val bench = sh.filter(col("doc_id") % 7 === 0)
+        .select(col("doc_id").as("bench_doc"), col("s"))
+      decontaminate(sh.filter(col("doc_id") % 7 =!= 0), bench, minShared = 5)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    }
+
   /** Invalidation hook for shingle-index appends: every frame derived
     * from the pre-append index is a different frame for the grown corpus.
     */
@@ -169,6 +192,9 @@ object Dedup {
       dir: String): Unit = {
     componentsCache.remove(s, dir).foreach(_.unpersist())
     verifiedPairsCache.remove(s, dir).foreach(_.unpersist())
+    decontPairsCache.remove(s, dir).foreach(_.unpersist())
+    CorpusClean.invalidateCleaned(s, dir)
+    CorpusOps.invalidateTfidfBlocking(s, dir)
   }
 
   /** `comp AS (doc_id, root)` CTEs over [[minhashPairCtes]]'s `ndpairs`:
@@ -298,7 +324,7 @@ object Dedup {
     * frame — band-join + exact intersect, possibly duplicated across
     * colliding bands (dedupe on the scalar outputs downstream). q37 runs
     * it off the shared [[TextAnalysis.shingleIndex]]; the corpus-clean
-    * composition passes its survivor-filtered slice of the same index.
+    * composition anti-joins the cached [[verifiedPairs]] built from it.
     */
   private def minhashVerifiedDss(spark: org.apache.spark.sql.SparkSession,
       dss: DataFrame, newSide: Column = lit(true)): DataFrame = {
@@ -339,14 +365,6 @@ object Dedup {
       .select(col("a_doc"), col("b_doc"),
         floor(col("jac_raw") * 1000000).cast(LongType).as("jac_micro"))
       .distinct()
-
-  /** Distinct verified near-dup pairs from a shingle-set frame (the full
-    * [[TextAnalysis.shingleIndex]] or a filtered slice of it) — the
-    * removal set the corpus-clean composition consumes.
-    */
-  private[graft] def minhashNearDupPairsDss(spark: org.apache.spark.sql.SparkSession,
-      dss: DataFrame): DataFrame =
-    minhashVerifiedDss(spark, dss).select(col("a_doc"), col("b_doc")).distinct()
 
   // ------------------------------------------------------------- specs --
   val specs: Seq[QuerySpec] = Seq(
@@ -533,12 +551,7 @@ object Dedup {
         |GROUP BY 1, 2
         |HAVING count(*) >= 5
         |ORDER BY c.doc_id, bench_doc""".stripMargin) { (s, dir) =>
-      val sh = TextAnalysis.shingleIndex(s, dir)
-        .select(col("doc_id"), explode(col("ss")).as("s"))
-      val bench = sh.filter(col("doc_id") % 7 === 0)
-        .select(col("doc_id").as("bench_doc"), col("s"))
-      decontaminate(sh.filter(col("doc_id") % 7 =!= 0), bench, minShared = 5)
-        .orderBy(col("doc_id"), col("bench_doc"))
+      decontPairs(s, dir).orderBy(col("doc_id"), col("bench_doc"))
     },
 
     // ----- near-dup clusters: connected components over verified pairs ----

@@ -226,11 +226,17 @@ object Fuzzy {
     val K = SubstringK
     val d = docs.select(col("doc_id"),
       lower(trim(regexp_replace(col("text"), "\\s+", " "))).as("t"))
+    // Materialize the anchor stream ONCE (the q128 fan-out discipline):
+    // it feeds both the occurrence count and the flag join-back, and
+    // every row costs an md5 over a K-char substring — without this the
+    // whole explode+hash pass runs twice. ~24 bytes/char checkpointed,
+    // freed with the query (Materialize.releaseAll).
     val pos = d.filter(length(col("t")) >= K)
       .select(col("doc_id"), col("t"),
         explode(sequence(lit(1L), (length(col("t")) - lit(K - 1)).cast(LongType))).as("i"))
       .select(col("doc_id"), col("i"),
         hex60(col("t").substr(col("i").cast("int"), lit(K))).as("s"))
+      .transform(graft.Materialize.ephemeral)
     val occ = pos.groupBy("s").agg(count(lit(1)).as("cnt"))
     val fl = pos.join(occ, "s").filter(col("cnt") >= 2).select("doc_id", "i")
     val w = Window.partitionBy("doc_id").orderBy("i")

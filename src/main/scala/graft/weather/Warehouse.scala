@@ -19,6 +19,71 @@ object Warehouse {
   val PartitionCol = "event_month"
   val SortCols: Seq[String] = Seq("event_date", "city_name", "event_time")
 
+  /** Within-file clustering layouts for [[writeFact]].
+    *
+    * `linear` — the reference's `ORDER BY (event_date, city_name,
+    * event_time)` verbatim: perfect row-group skipping for date-leading
+    * predicates, but a city-ONLY filter matches every row group of a hot
+    * month (every group spans all cities of its date slice).
+    *
+    * `interleaved` — a Z-order-style space-filling curve over
+    * (day-of-month, city prefix): the sort key MSB-interleaves the day's
+    * 5 bits with a 16-bit order-preserving city-name prefix ordinal, so
+    * consecutive row groups cover small rectangles of the (date, city)
+    * plane and BOTH date-only and city-only predicates skip on parquet
+    * min/max statistics (each row group then spans a narrow range of
+    * each raw column). `event_time` remains the in-rectangle tiebreaker.
+    * The trade: date-range scans read ~(1/cities-per-group) more groups
+    * than linear; pick it for warehouses where city-scoped queries
+    * dominate. Layout is per-WRITE (parquet stats are per-file), so a
+    * warehouse may hold a mix; readers need no knowledge of the choice.
+    */
+  val ClusterLinear = "linear"
+  val ClusterInterleaved = "interleaved"
+
+  /** MSB-aligned bit interleave of day-of-month (5 bits) with a 16-bit
+    * city RANK ordinal: z's top bits alternate the two dimensions' most
+    * significant bits (c15 d4 c14 d3 …), the classic Morton construction
+    * truncated to unequal widths. The city ordinal must be a RANK spread
+    * across the full 16-bit range, not a raw byte encoding — raw name
+    * bytes share constant high bits (all-ASCII names differ only in
+    * middle bits), which silently degenerates the curve to date-major
+    * order, the classic Z-order pitfall Delta's OPTIMIZE solves with
+    * range-partition IDs. Pure bitwise expressions — whole-stage-
+    * codegen'd, no UDF in the write path.
+    */
+  private[weather] def zOrderKey(date: org.apache.spark.sql.Column,
+      cityOrd16: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val d = dayofmonth(date) - lit(1) // 0..30 → 5 bits
+    val c = cityOrd16
+    val bitsMsbFirst: Seq[(org.apache.spark.sql.Column, Int)] =
+      (0 until 16).flatMap { k =>
+        Seq((c, 15 - k)) ++ (if (k < 5) Seq((d, 4 - k)) else Nil)
+      }
+    bitsMsbFirst.foldLeft(lit(0)) { case (z, (src, i)) =>
+      shiftleft(z, 1) + shiftright(src, i).bitwiseAND(lit(1))
+    }
+  }
+
+  /** (city_name, 16-bit rank ordinal) dimension for the interleaved
+    * layout: distinct batch cities, sorted, ranks scaled across the full
+    * 0..65535 range so the ordinal's HIGH bits carry the variation the
+    * Morton curve interleaves. The collect is a bounded driver read of a
+    * genuine dimension (the reference's warehouse has a fixed city list
+    * — reference app/city_loader.py), the same posture as the hot-month
+    * count above.
+    */
+  private def cityRankDim(withMonth: DataFrame): DataFrame = {
+    val spark = withMonth.sparkSession
+    import spark.implicits._
+    val cities = withMonth.select(col("city_name")).na.drop()
+      .distinct().as[String].collect().sorted
+    val n = math.max(cities.length - 1, 1)
+    cities.zipWithIndex
+      .map { case (name, i) => (name, i * 65535 / n) }.toSeq
+      .toDF("city_name", "__city_ord")
+  }
+
   /** A month whose batch volume exceeds this fans out across
     * [[HotMonthBuckets]] write tasks instead of funneling through one.
     * Sized for executor-memory-comfortable single-task months below it.
@@ -56,7 +121,10 @@ object Warehouse {
   def writeFact(fact: DataFrame, path: String, mode: String = "append",
                 hotMonthRows: Long = HotMonthRows,
                 hotBuckets: Int = HotMonthBuckets,
-                format: String = FactFormat): Unit = {
+                format: String = FactFormat,
+                clustering: String = ClusterLinear): Unit = {
+    require(clustering == ClusterLinear || clustering == ClusterInterleaved,
+      s"unknown clustering '$clustering' — use '$ClusterLinear' or '$ClusterInterleaved'")
     // Refuse a codec conflict BEFORE writing anything: appending ORC
     // files into a parquet warehouse (or vice versa) is silent corruption
     // discovered only at read time. The effective codec is the sidecar's,
@@ -93,17 +161,26 @@ object Warehouse {
     // the exchange.
     val shuffleN = math.max(
       withMonth.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt, hotBuckets)
-    withMonth
+    // The sort MUST lead with the partition column: FileFormatWriter
+    // requires output ordered by the partition dirs and would otherwise
+    // inject its own UNSTABLE sort on event_month alone, scrambling the
+    // within-file clustering. Leading with the month satisfies the
+    // requirement so no extra sort is planned (and costs nothing:
+    // event_month is monotone in event_date).
+    val (ranked, clusterKeys) =
+      if (clustering == ClusterInterleaved)
+        (withMonth.join(broadcast(cityRankDim(withMonth)), Seq("city_name"), "left"),
+          Seq(zOrderKey(col("event_date"), coalesce(col("__city_ord"), lit(0))),
+            col("event_time")))
+      else (withMonth, SortCols.map(col))
+    ranked
       .withColumn("__write_bucket", writeBucket)
       .repartition(shuffleN, col(PartitionCol), col("__write_bucket"))
-      // The sort MUST lead with the partition column: FileFormatWriter
-      // requires output ordered by the partition dirs and would otherwise
-      // inject its own UNSTABLE sort on event_month alone, scrambling the
-      // within-file (date, city, time) clustering. Leading with the month
-      // satisfies the requirement so no extra sort is planned (and costs
-      // nothing: event_month is monotone in event_date).
-      .sortWithinPartitions(col(PartitionCol) +: SortCols.map(col): _*)
-      .drop("__write_bucket")
+      .sortWithinPartitions(col(PartitionCol) +: clusterKeys: _*)
+      // drops the helper columns AND restores the input's column order
+      // (the rank join fronts city_name; a projection after the sort
+      // keeps the ordering FileFormatWriter requires)
+      .select(withMonth.columns.map(col): _*)
       .write
       .mode(mode)
       .partitionBy(PartitionCol)

@@ -144,9 +144,12 @@ class PlanAssertionsSpec extends SparkSpec {
   }
 
   test("q64: the corpus-clean composition plans no cartesian product") {
-    val p = plan("q64_corpus_clean")
+    // Inspect the BUILD plan, not the served frame: q64 serves the
+    // session-cached cleaned frame, whose own plan is a checkpoint scan.
     // (a BroadcastNestedLoopJoin IS expected once: the 1-row quality-cutoff
     // scalar broadcast — same shape as q35a. Nothing may plan cartesian.)
+    val p = operators.CorpusClean.cleanedBuild(spark, dir)
+      .queryExecution.executedPlan.toString
     assert(!p.contains("CartesianProduct"))
   }
 
@@ -158,7 +161,17 @@ class PlanAssertionsSpec extends SparkSpec {
     val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-      val sh = operators.TextAnalysis.docShingleSets(Tables.load(spark, dir, "documents"))
+      // SYNTHETIC input, not the fixture shingle index: q64's plan test
+      // populates the session decontPairs cache over the fixture, and
+      // Spark's CacheManager substitutes any logically-equal subtree
+      // with the cached (broadcast-planned) InMemoryRelation — which
+      // would make this test assert on the cache's plan, not the gate's.
+      import spark.implicits._
+      val docsDf = (0L until 40L).map { i =>
+        (i, "alpha beta gamma delta epsilon zeta eta theta " +
+          s"doc$i token$i extra$i more$i tail$i")
+      }.toDF("doc_id", "text")
+      val sh = operators.TextAnalysis.docShingleSets(docsDf)
         .select(col("doc_id"), explode(col("ss")).as("s"))
       val bench = sh.filter(col("doc_id") % 7 === 0)
         .select(col("doc_id").as("bench_doc"), col("s"))

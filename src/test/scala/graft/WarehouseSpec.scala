@@ -270,4 +270,92 @@ class WarehouseSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("mixed codecs"))
   }
+
+  test("interleaved clustering: city-only predicates skip row groups the linear layout scans") {
+    import spark.implicits._
+    import org.apache.spark.sql.types.DateType
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val savedBlock = Option(hconf.get("parquet.block.size"))
+    // Small row groups so one month yields MANY of them — the skip
+    // arithmetic below is about group-level min/max stats, not files.
+    hconf.setInt("parquet.block.size", 8 * 1024)
+    try {
+      val cities = (for { a <- 'A' to 'P'; b <- 'a' to 'd' } yield s"$a$b City").toSeq
+      val rows = for { d <- 1 to 28; c <- cities; h <- 0 until 24 }
+        yield (f"2024-01-$d%02d", c, f"2024-01-$d%02d $h%02d:00:00", d * 100 + h)
+      val fact = rows.toDF("event_date", "city_name", "event_time", "temp")
+        .select(col("event_date").cast(DateType), col("city_name"),
+          col("event_time").cast(TimestampType), col("temp"))
+      val linDir = Files.createTempDirectory("graft_wh_lin").toFile.getAbsolutePath
+      val zDir = Files.createTempDirectory("graft_wh_zord").toFile.getAbsolutePath
+      Warehouse.writeFact(fact, linDir)
+      Warehouse.writeFact(fact, zDir, clustering = Warehouse.ClusterInterleaved)
+
+      // per-ROW-GROUP (min, max) of city_name and event_date, straight
+      // from the parquet footers — the exact statistics a scan's
+      // predicate pushdown consults.
+      import scala.jdk.CollectionConverters._
+      def groups(dir: String): Seq[Map[String, (String, String)]] =
+        new java.io.File(s"$dir/event_month=202401").listFiles().toSeq
+          .filter(_.getName.endsWith(".parquet")).flatMap { f =>
+            val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+              new org.apache.hadoop.fs.Path(f.getAbsolutePath), hconf)
+            val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+            try r.getFooter.getBlocks.asScala.toSeq.map { b =>
+              b.getColumns.asScala
+                .filter(c => Set("city_name", "event_date")(c.getPath.toDotString))
+                .map { c =>
+                  val (mn, mx) = c.getStatistics match {
+                    case bs: org.apache.parquet.column.statistics.BinaryStatistics =>
+                      (bs.genericGetMin.toStringUsingUTF8, bs.genericGetMax.toStringUsingUTF8)
+                    case st => (st.genericGetMin.toString, st.genericGetMax.toString)
+                  }
+                  c.getPath.toDotString -> (mn, mx)
+                }.toMap
+            } finally r.close()
+          }
+      def cityCandidates(gs: Seq[Map[String, (String, String)]], t: String): Int =
+        gs.count { g => val (mn, mx) = g("city_name"); mn <= t && t <= mx }
+      val lin = groups(linDir)
+      val z = groups(zDir)
+      assert(lin.size >= 8 && z.size >= 8,
+        s"fixture must span many row groups, got lin=${lin.size} z=${z.size}")
+      // City-only predicate, averaged over every city (a single target
+      // city's count is sensitive to rectangle boundaries): linear
+      // (date, city, time) order re-crosses each city once per date
+      // slice, so every city is a candidate in ~one group per day; the
+      // interleaved curve keeps a city's rows in a few (day-range ×
+      // city-range) rectangles, so its per-city candidate count is
+      // bounded by the curve's city-axis splits, independent of days.
+      def meanCityCandidates(gs: Seq[Map[String, (String, String)]]): Double =
+        cities.map(c => cityCandidates(gs, c)).sum.toDouble / cities.size
+      val (cLin, cZ) = (meanCityCandidates(lin), meanCityCandidates(z))
+      assert(cZ * 2 <= cLin,
+        s"interleaved must at least halve mean city candidates: z=$cZ lin=$cLin")
+      assert(cZ <= z.size / 4.0,
+        s"interleaved must skip ≥3/4 of groups for a city predicate: $cZ/${z.size}")
+      // The curve trades, not destroys, date clustering: a date-only
+      // predicate must still skip most interleaved groups.
+      // DATE is INT32 days-since-epoch in parquet stats — compare numerically
+      def dateCandidates(gs: Seq[Map[String, (String, String)]], day: Long): Int =
+        gs.count { g =>
+          val (mn, mx) = g("event_date"); mn.toLong <= day && day <= mx.toLong
+        }
+      val dayNum = java.time.LocalDate.of(2024, 1, 15).toEpochDay
+      assert(dateCandidates(z, dayNum) <= z.size / 2,
+        s"date predicate must still skip most interleaved groups: " +
+          s"${dateCandidates(z, dayNum)}/${z.size}")
+      // Layout is physical only: both warehouses hold identical rows.
+      val key = Seq("event_time", "city_name")
+      val linBack = Warehouse.readFact(spark, linDir).drop("event_month")
+      val zBack = Warehouse.readFact(spark, zDir).drop("event_month")
+        .select(linBack.columns.map(col): _*)
+      val a = linBack.orderBy(key.map(col): _*).collect().toSeq
+      val b = zBack.orderBy(key.map(col): _*).collect().toSeq
+      assert(a == b, "clustering changed data content")
+    } finally savedBlock match {
+      case Some(v) => hconf.set("parquet.block.size", v)
+      case None    => hconf.unset("parquet.block.size")
+    }
+  }
 }
