@@ -426,16 +426,29 @@ object Warehouse {
     deleted
   }
 
-  def compact(spark: SparkSession, path: String, format: String = FactFormat): Unit = {
+  def compact(spark: SparkSession, path: String, format: String = FactFormat,
+              clustering: String = ClusterLinear): Unit = {
+    require(clustering == ClusterLinear || clustering == ClusterInterleaved,
+      s"unknown clustering '$clustering' — use '$ClusterLinear' or '$ClusterInterleaved'")
     val fmt = resolvedFormat(spark, path, format) // sidecar wins (see FormatSidecar)
     val snapshot =
       if (spark.sparkContext.getCheckpointDir.isDefined)
         readFact(spark, path, fmt).checkpoint(eager = true)
       else readFact(spark, path, fmt).localCheckpoint(eager = true)
-    snapshot
+    // compaction is also the RE-CLUSTER entry point: a warehouse whose
+    // query mix turned city-dominant can be rewritten into the
+    // interleaved layout in one pass (see writeFact's clustering doc)
+    val (ranked, clusterKeys) =
+      if (clustering == ClusterInterleaved)
+        (snapshot.join(broadcast(cityRankDim(snapshot)), Seq("city_name"), "left"),
+          Seq(zOrderKey(col("event_date"), coalesce(col("__city_ord"), lit(0))),
+            col("event_time")))
+      else (snapshot, SortCols.map(col))
+    ranked
       .repartition(col(PartitionCol))
       // lead with the partition col — see writeFact
-      .sortWithinPartitions(col(PartitionCol) +: SortCols.map(col): _*)
+      .sortWithinPartitions(col(PartitionCol) +: clusterKeys: _*)
+      .select(snapshot.columns.map(col): _*)
       .write
       .mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")

@@ -353,6 +353,16 @@ class WarehouseSpec extends SparkSpec {
       val a = linBack.orderBy(key.map(col): _*).collect().toSeq
       val b = zBack.orderBy(key.map(col): _*).collect().toSeq
       assert(a == b, "clustering changed data content")
+      // compact is the re-cluster entry point: rewrite the LINEAR
+      // warehouse interleaved in place and the same skip shape appears.
+      Warehouse.compact(spark, linDir, clustering = Warehouse.ClusterInterleaved)
+      val re = groups(linDir)
+      assert(re.size >= 8, s"recompacted month must keep many row groups: ${re.size}")
+      assert(meanCityCandidates(re) <= re.size / 4.0,
+        s"recompacted layout must skip like a direct interleaved write: " +
+          s"${meanCityCandidates(re)}/${re.size}")
+      assert(Warehouse.readFact(spark, linDir).count() == rows.size,
+        "recompaction changed row count")
     } finally savedBlock match {
       case Some(v) => hconf.set("parquet.block.size", v)
       case None    => hconf.unset("parquet.block.size")
