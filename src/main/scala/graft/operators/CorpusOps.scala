@@ -363,13 +363,20 @@ object CorpusOps {
       lowDfPostingRows(s, dir, CosDfCap)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER))
 
-  /** Shingle-append invalidation hook (called via
+  /** Corpus-append invalidation hook (called via
     * [[Dedup.invalidateComponents]]): the capped postings of a grown
-    * corpus are a different frame (df counts move).
+    * corpus are a different frame (df counts move) — and so are the
+    * tf-idf weights (idf depends on corpus-wide df and n) and the raw
+    * tf index (new docs contribute rows), so all three tiers drop
+    * together. Leaving the tf tiers cached while refreshing the
+    * postings would mix fresh blocking candidates with stale weights.
     */
   private[operators] def invalidateTfidfBlocking(
-      s: org.apache.spark.sql.SparkSession, dir: String): Unit =
+      s: org.apache.spark.sql.SparkSession, dir: String): Unit = {
     lowDfPostingsCache.remove(s, dir).foreach(_.unpersist())
+    tfidfWeightCache.remove(s, dir).foreach(_.unpersist())
+    tfIndexCache.remove(s, dir).foreach(_.unpersist())
+  }
 
   /** q96's chunk projection as a library transform over any
     * (doc_id, text) frame — a PURE per-row expression, so the identical

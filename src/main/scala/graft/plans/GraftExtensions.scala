@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.expressions.{BloomMightContainLong, FreqItemsMG, FreqItemsMGWeighted, LongVecDot, MinHashSigs}
+import graft.functions.expressions.{BloomMightContainLong, FreqItemsMG, FreqItemsMGWeighted, LongVecDot, MinHashSigs, SortedBucketIndex}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -86,6 +86,24 @@ object GraftExtensions {
         FreqItemsMGWeighted(children(0), children(1),
           foldableArg(sig, expect, children, 2, "capacity")(intLike),
           foldableArg(sig, expect, children, 3, "k")(intLike))
+      }),
+    (FunctionIdentifier("sorted_bucket_index"),
+      new ExpressionInfo(classOf[SortedBucketIndex].getName, "sorted_bucket_index"),
+      // boundaries must be a foldable ARRAY<STRING> literal (a bounded
+      // driver-side sample, the RangePartitioner posture) — plan time
+      (children: Seq[Expression]) => {
+        val sig = "sorted_bucket_index(value, boundaries)"
+        val expect = "boundaries must be a foldable ARRAY<STRING> literal " +
+          "of non-null sorted values"
+        requireArity(sig, expect, children, 2)
+        SortedBucketIndex(children(0),
+          foldableArg(sig, expect, children, 1, "boundaries") {
+            case a: org.apache.spark.sql.catalyst.util.ArrayData
+                if a.toObjectArray(org.apache.spark.sql.types.StringType)
+                  .forall(_ != null) =>
+              a.toObjectArray(org.apache.spark.sql.types.StringType)
+                .map(_.toString)
+          })
       }),
     (FunctionIdentifier("bloom_might_contain_long"),
       new ExpressionInfo(classOf[BloomMightContainLong].getName, "bloom_might_contain_long"),

@@ -27,61 +27,134 @@ object Warehouse {
     * month (every group spans all cities of its date slice).
     *
     * `interleaved` — a Z-order-style space-filling curve over
-    * (day-of-month, city prefix): the sort key MSB-interleaves the day's
-    * 5 bits with a 16-bit order-preserving city-name prefix ordinal, so
-    * consecutive row groups cover small rectangles of the (date, city)
-    * plane and BOTH date-only and city-only predicates skip on parquet
-    * min/max statistics (each row group then spans a narrow range of
-    * each raw column). `event_time` remains the in-rectangle tiebreaker.
-    * The trade: date-range scans read ~(1/cities-per-group) more groups
-    * than linear; pick it for warehouses where city-scoped queries
-    * dominate. Layout is per-WRITE (parquet stats are per-file), so a
-    * warehouse may hold a mix; readers need no knowledge of the choice.
+    * (city rank, day-of-month, hour-of-day): the sort key MSB-interleaves
+    * a 16-bit order-preserving city rank ordinal with the day's 5 bits
+    * and the hour's 5 bits (width-proportional, day front-loaded — see
+    * [[interleaveBits]]), so consecutive row groups cover small boxes of
+    * the (city, date, hour) space and city-only, date-only AND
+    * hour-band predicates skip on parquet min/max statistics (each row
+    * group then spans a narrow range of each raw column). `event_time`
+    * remains the in-box tiebreaker. The trade: date-range scans read
+    * more groups than linear; pick it for warehouses where city-scoped
+    * or time-banded queries matter. Layout is per-WRITE (parquet stats
+    * are per-file), so a warehouse may hold a mix; readers need no
+    * knowledge of the choice.
     */
   val ClusterLinear = "linear"
   val ClusterInterleaved = "interleaved"
 
-  /** MSB-aligned bit interleave of day-of-month (5 bits) with a 16-bit
-    * city RANK ordinal: z's top bits alternate the two dimensions' most
-    * significant bits (c15 d4 c14 d3 …), the classic Morton construction
-    * truncated to unequal widths. The city ordinal must be a RANK spread
-    * across the full 16-bit range, not a raw byte encoding — raw name
-    * bytes share constant high bits (all-ASCII names differ only in
-    * middle bits), which silently degenerates the curve to date-major
-    * order, the classic Z-order pitfall Delta's OPTIMIZE solves with
-    * range-partition IDs. Pure bitwise expressions — whole-stage-
-    * codegen'd, no UDF in the write path.
+  /** [[compact]]'s default: resolve the clustering from the sidecar's
+    * record of the last [[writeFact]] layout (else linear) — so routine
+    * maintenance compaction PRESERVES a deliberately-interleaved
+    * warehouse instead of silently re-linearizing it. Pass an explicit
+    * layout to re-cluster.
     */
-  private[weather] def zOrderKey(date: org.apache.spark.sql.Column,
-      cityOrd16: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
-    val d = dayofmonth(date) - lit(1) // 0..30 → 5 bits
-    val c = cityOrd16
+  val ClusterRecorded = "recorded"
+
+  /** MSB-first bit interleave of an ordered list of (dimension, width,
+    * effectiveWidth) triples, with WIDTH-PROPORTIONAL placement:
+    * dimension bit i (MSB i = 0) lands at fractional key depth
+    * (i + 0.5) / effectiveWidth, so every key prefix carries each
+    * dimension's bits in proportion to its (effective) width. A
+    * round-robin-while-available interleave would front-load the NARROW
+    * dimensions (for widths 16/5/5 the top 7 bits would hold 4
+    * narrow-dim bits), halving the wide dimension's resolution at every
+    * row-group size and measurably degrading its skip rate (the
+    * WarehouseSpec candidate counts caught exactly this).
+    *
+    * `effectiveWidth ≥ width` front-loads a dimension: its bits take the
+    * depths the top bits of an effectiveWidth-wide dimension would —
+    * the knob that encodes a query-mix prior into the curve (the
+    * warehouse gives day-of-month bits ~1.8× the prominence of hour
+    * bits: date predicates dominate the reference's fact-table usage,
+    * hour bands are the bonus dimension). Pure bitwise expressions —
+    * whole-stage-codegen'd, no UDF in the write path.
+    */
+  private[weather] def interleaveBits(
+      dims: Seq[(org.apache.spark.sql.Column, Int, Int)]): org.apache.spark.sql.Column = {
     val bitsMsbFirst: Seq[(org.apache.spark.sql.Column, Int)] =
-      (0 until 16).flatMap { k =>
-        Seq((c, 15 - k)) ++ (if (k < 5) Seq((d, 4 - k)) else Nil)
-      }
+      dims.zipWithIndex.flatMap { case ((c, w, wEff), dIdx) =>
+        (0 until w).map(i => ((i + 0.5) / wEff, dIdx, (c, w - 1 - i)))
+      }.sortBy { case (pos, dIdx, _) => (pos, dIdx) }.map(_._3)
     bitsMsbFirst.foldLeft(lit(0)) { case (z, (src, i)) =>
       shiftleft(z, 1) + shiftright(src, i).bitwiseAND(lit(1))
     }
   }
 
-  /** (city_name, 16-bit rank ordinal) dimension for the interleaved
-    * layout: distinct batch cities, sorted, ranks scaled across the full
-    * 0..65535 range so the ordinal's HIGH bits carry the variation the
-    * Morton curve interleaves. The collect is a bounded driver read of a
-    * genuine dimension (the reference's warehouse has a fixed city list
-    * — reference app/city_loader.py), the same posture as the hot-month
-    * count above.
+  /** Three-dimensional Z-key over (city rank: 16 bits, day-of-month:
+    * 5 bits, hour-of-day: 5 bits). The city ordinal must be a RANK spread
+    * across the full 16-bit range, not a raw byte encoding — raw name
+    * bytes share constant high bits (all-ASCII names differ only in
+    * middle bits), which silently degenerates the curve to date-major
+    * order, the classic Z-order pitfall Delta's OPTIMIZE solves with
+    * range-partition IDs. Hour bits make intra-day time-band predicates
+    * (e.g. "between 06:00 and 09:00 across the month") row-group-
+    * skippable too; sub-hour ordering stays with the `event_time`
+    * tiebreaker that follows the key in the sort.
     */
-  private def cityRankDim(withMonth: DataFrame): DataFrame = {
+  private[weather] def zOrderKey(date: org.apache.spark.sql.Column,
+      cityOrd16: org.apache.spark.sql.Column,
+      time: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    interleaveBits(Seq(
+      (cityOrd16, 16, 16),
+      (dayofmonth(date) - lit(1), 5, 9), // 0..30, front-loaded ~1.8×
+      (hour(time), 5, 5)))               // 0..23
+
+  /** Dimensions up to this distinct-count rank EXACTLY (collect + sort,
+    * a bounded driver read — the reference's city dimension is 82 rows,
+    * reference app/city_loader.py); past it the collect would become a
+    * driver bottleneck, so ordinals switch to sampled range boundaries
+    * ([[SampledRankBuckets]] buckets from a [[RankSampleRows]]-row
+    * sample, the RangePartitioner posture) probed per-row by the
+    * codegen'd sorted_bucket_index expression. The gate makes the
+    * bounded-dimension assumption EXPLICIT instead of an implicit OOM.
+    */
+  private[graft] val CityRankExactMax = 65536
+  private[graft] val RankSampleRows = 1 << 18
+  private[graft] val SampledRankBuckets = 4096
+
+  /** Attach a 16-bit rank ordinal for `city_name` to the batch; returns
+    * the (possibly augmented) frame and the ordinal column. Exact path:
+    * broadcast-joined rank dimension with ranks scaled across 0..65535 in
+    * Long math (Int `i * 65535` overflows past ~32k cities) so the
+    * ordinal's HIGH bits carry the variation the Morton curve
+    * interleaves. Sampled path: bucket-of-boundaries ordinal, scaled the
+    * same way — driver memory bounded by the sample size, never the
+    * dimension cardinality. The gate probe itself is bounded: a
+    * distinct-sort-limit of [[CityRankExactMax]]+1 names decides the
+    * path AND supplies the exact dimension when it fits.
+    */
+  private[graft] def withCityOrdinal(withMonth: DataFrame): (DataFrame, org.apache.spark.sql.Column) = {
     val spark = withMonth.sparkSession
     import spark.implicits._
-    val cities = withMonth.select(col("city_name")).na.drop()
-      .distinct().as[String].collect().sorted
-    val n = math.max(cities.length - 1, 1)
-    cities.zipWithIndex
-      .map { case (name, i) => (name, i * 65535 / n) }.toSeq
-      .toDF("city_name", "__city_ord")
+    val names = withMonth.select(col("city_name")).na.drop()
+      .distinct().sort(col("city_name"))
+      .limit(CityRankExactMax + 1).as[String].collect()
+    if (names.length <= CityRankExactMax) {
+      val n = math.max(names.length - 1, 1)
+      val dim = names.zipWithIndex
+        .map { case (name, i) => (name, (i.toLong * 65535L / n).toInt) }.toSeq
+        .toDF("city_name", "__city_ord")
+      (withMonth.join(broadcast(dim), Seq("city_name"), "left"),
+        coalesce(col("__city_ord"), lit(0)))
+    } else {
+      // takeSample bounds the driver read at RankSampleRows regardless of
+      // batch or dimension size; every step-th sampled value becomes a
+      // bucket boundary, so bucket population is ~equal by construction
+      // (rank, not hash — the curve needs order preservation).
+      graft.plans.GraftExtensions.register(spark)
+      val sampled = withMonth.select(col("city_name")).na.drop()
+        .as[String].rdd.takeSample(withReplacement = false, RankSampleRows, seed = 42)
+        .sorted
+      val step = math.max(sampled.length / SampledRankBuckets, 1)
+      val boundaries = (step until sampled.length by step).map(sampled(_)).distinct
+      val scale = 65535 / math.max(boundaries.length, 1)
+      (withMonth,
+        coalesce(
+          call_function("sorted_bucket_index", col("city_name"),
+            typedLit(boundaries)) * lit(scale),
+          lit(0)))
+    }
   }
 
   /** A month whose batch volume exceeds this fans out across
@@ -90,6 +163,24 @@ object Warehouse {
     */
   val HotMonthRows = 5000000L
   val HotMonthBuckets = 16
+
+  /** Spark's legacy parquet default writes timestamps as INT96, which
+    * carries NO min/max statistics — a warehouse clustered on
+    * `event_time` could then never skip a row group on a time predicate
+    * (and the Z-order hour dimension would be stats-blind). Warehouse
+    * writes pin the stats-bearing TIMESTAMP_MICROS physical type for the
+    * duration of the write and restore the session's setting after (ORC
+    * ignores this conf; its timestamps carry stats natively).
+    */
+  private def withMicrosTimestamps[A](spark: SparkSession)(body: => A): A = {
+    val key = "spark.sql.parquet.outputTimestampType"
+    val saved = spark.conf.getOption(key)
+    spark.conf.set(key, "TIMESTAMP_MICROS")
+    try body finally saved match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
 
   /** Default columnar codec. Every warehouse entry point also accepts
     * `format = "orc"` — ORC ships in spark-sql and carries the same
@@ -168,27 +259,29 @@ object Warehouse {
     // requirement so no extra sort is planned (and costs nothing:
     // event_month is monotone in event_date).
     val (ranked, clusterKeys) =
-      if (clustering == ClusterInterleaved)
-        (withMonth.join(broadcast(cityRankDim(withMonth)), Seq("city_name"), "left"),
-          Seq(zOrderKey(col("event_date"), coalesce(col("__city_ord"), lit(0))),
-            col("event_time")))
-      else (withMonth, SortCols.map(col))
-    ranked
-      .withColumn("__write_bucket", writeBucket)
-      .repartition(shuffleN, col(PartitionCol), col("__write_bucket"))
-      .sortWithinPartitions(col(PartitionCol) +: clusterKeys: _*)
-      // drops the helper columns AND restores the input's column order
-      // (the rank join fronts city_name; a projection after the sort
-      // keeps the ordering FileFormatWriter requires)
-      .select(withMonth.columns.map(col): _*)
-      .write
-      .mode(mode)
-      .partitionBy(PartitionCol)
-      .format(format)
-      .save(path)
-    // Stamp (or refresh) the codec sidecar only now that data in that
-    // codec actually exists under the path.
-    writeFormatSidecar(spark, path, format)
+      if (clustering == ClusterInterleaved) {
+        val (aug, ord) = withCityOrdinal(withMonth)
+        (aug, Seq(zOrderKey(col("event_date"), ord, col("event_time")),
+          col("event_time")))
+      } else (withMonth, SortCols.map(col))
+    withMicrosTimestamps(spark) {
+      ranked
+        .withColumn("__write_bucket", writeBucket)
+        .repartition(shuffleN, col(PartitionCol), col("__write_bucket"))
+        .sortWithinPartitions(col(PartitionCol) +: clusterKeys: _*)
+        // drops the helper columns AND restores the input's column order
+        // (the rank join fronts city_name; a projection after the sort
+        // keeps the ordering FileFormatWriter requires)
+        .select(withMonth.columns.map(col): _*)
+        .write
+        .mode(mode)
+        .partitionBy(PartitionCol)
+        .format(format)
+        .save(path)
+    }
+    // Stamp (or refresh) the codec+clustering sidecar only now that data
+    // in that codec actually exists under the path.
+    writeFormatSidecar(spark, path, format, clustering)
   }
 
   /** Sidecar naming months doomed by an in-flight [[deleteRows]] — same
@@ -220,21 +313,33 @@ object Warehouse {
   private def formatSidecarPath(path: String) =
     new org.apache.hadoop.fs.Path(path, FormatSidecar)
 
-  private[graft] def readFormatSidecar(spark: SparkSession, path: String): Option[String] = {
+  private def readSidecarLines(spark: SparkSession, path: String): Option[Seq[String]] = {
     val fs = fsFor(spark, path)
     if (!fs.exists(formatSidecarPath(path))) None
     else {
       val in = fs.open(formatSidecarPath(path))
       try Some(new String(
-        org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8").trim)
+        org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
+        .split("\n").map(_.trim).toSeq)
       finally in.close()
     }
   }
 
+  private[graft] def readFormatSidecar(spark: SparkSession, path: String): Option[String] =
+    readSidecarLines(spark, path).flatMap(_.headOption).filter(_.nonEmpty)
+
+  /** Clustering layout of the LAST write, from the sidecar's second line
+    * (legacy one-line sidecars and pre-sidecar directories → None, read
+    * as linear by [[compact]]). Layout is per-file so this is advisory —
+    * it records the maintained layout choice, not a read-path contract.
+    */
+  private[graft] def readClusteringSidecar(spark: SparkSession, path: String): Option[String] =
+    readSidecarLines(spark, path).flatMap(_.drop(1).headOption).filter(_.nonEmpty)
+
   private[graft] def writeFormatSidecar(spark: SparkSession, path: String,
-      format: String): Unit = {
+      format: String, clustering: String = ClusterLinear): Unit = {
     val out = fsFor(spark, path).create(formatSidecarPath(path), true)
-    try out.write(format.getBytes("UTF-8")) finally out.close()
+    try out.write(s"$format\n$clustering".getBytes("UTF-8")) finally out.close()
   }
 
   /** Codec inferred from a legacy (pre-sidecar) directory's existing data
@@ -407,15 +512,17 @@ object Warehouse {
     if (doomed.nonEmpty) writeDeleteSidecar(spark, path, doomed)
     if (crashBeforeOverwrite) return deleted // test-only failpoint
     if (keepMonths.nonEmpty) {
-      keep
-        .repartition(col(PartitionCol))
-        .sortWithinPartitions(col(PartitionCol) +: SortCols.map(col): _*)
-        .write
-        .mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy(PartitionCol)
-        .format(fmt)
-        .save(path)
+      withMicrosTimestamps(spark) {
+        keep
+          .repartition(col(PartitionCol))
+          .sortWithinPartitions(col(PartitionCol) +: SortCols.map(col): _*)
+          .write
+          .mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy(PartitionCol)
+          .format(fmt)
+          .save(path)
+      }
     }
     if (crashBeforeDirDrop) return deleted
     val fs = fsFor(spark, path)
@@ -427,10 +534,18 @@ object Warehouse {
   }
 
   def compact(spark: SparkSession, path: String, format: String = FactFormat,
-              clustering: String = ClusterLinear): Unit = {
-    require(clustering == ClusterLinear || clustering == ClusterInterleaved,
-      s"unknown clustering '$clustering' — use '$ClusterLinear' or '$ClusterInterleaved'")
+              clustering: String = ClusterRecorded): Unit = {
+    require(clustering == ClusterLinear || clustering == ClusterInterleaved
+        || clustering == ClusterRecorded,
+      s"unknown clustering '$clustering' — use '$ClusterLinear', " +
+        s"'$ClusterInterleaved' or '$ClusterRecorded'")
     val fmt = resolvedFormat(spark, path, format) // sidecar wins (see FormatSidecar)
+    // The layout choice lives in the warehouse, not the caller's head:
+    // default maintenance preserves the recorded layout.
+    val effCluster =
+      if (clustering == ClusterRecorded)
+        readClusteringSidecar(spark, path).getOrElse(ClusterLinear)
+      else clustering
     val snapshot =
       if (spark.sparkContext.getCheckpointDir.isDefined)
         readFact(spark, path, fmt).checkpoint(eager = true)
@@ -439,21 +554,25 @@ object Warehouse {
     // query mix turned city-dominant can be rewritten into the
     // interleaved layout in one pass (see writeFact's clustering doc)
     val (ranked, clusterKeys) =
-      if (clustering == ClusterInterleaved)
-        (snapshot.join(broadcast(cityRankDim(snapshot)), Seq("city_name"), "left"),
-          Seq(zOrderKey(col("event_date"), coalesce(col("__city_ord"), lit(0))),
-            col("event_time")))
-      else (snapshot, SortCols.map(col))
-    ranked
-      .repartition(col(PartitionCol))
-      // lead with the partition col — see writeFact
-      .sortWithinPartitions(col(PartitionCol) +: clusterKeys: _*)
-      .select(snapshot.columns.map(col): _*)
-      .write
-      .mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy(PartitionCol)
-      .format(fmt)
-      .save(path)
+      if (effCluster == ClusterInterleaved) {
+        val (aug, ord) = withCityOrdinal(snapshot)
+        (aug, Seq(zOrderKey(col("event_date"), ord, col("event_time")),
+          col("event_time")))
+      } else (snapshot, SortCols.map(col))
+    withMicrosTimestamps(spark) {
+      ranked
+        .repartition(col(PartitionCol))
+        // lead with the partition col — see writeFact
+        .sortWithinPartitions(col(PartitionCol) +: clusterKeys: _*)
+        .select(snapshot.columns.map(col): _*)
+        .write
+        .mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(PartitionCol)
+        .format(fmt)
+        .save(path)
+    }
+    // A re-cluster is a layout change of record — refresh the sidecar.
+    writeFormatSidecar(spark, path, fmt, effCluster)
   }
 }

@@ -148,9 +148,14 @@ class PlanAssertionsSpec extends SparkSpec {
     // session-cached cleaned frame, whose own plan is a checkpoint scan.
     // (a BroadcastNestedLoopJoin IS expected once: the 1-row quality-cutoff
     // scalar broadcast — same shape as q35a. Nothing may plan cartesian.)
-    val p = operators.CorpusClean.cleanedBuild(spark, dir)
-      .queryExecution.executedPlan.toString
-    assert(!p.contains("CartesianProduct"))
+    // cleanedBuild eagerly materializes its staged localCheckpoints just
+    // to stringify this plan — release the ephemeral blocks afterwards so
+    // the spec doesn't leak storage into the rest of the suite.
+    try {
+      val p = operators.CorpusClean.cleanedBuild(spark, dir)
+        .queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct"))
+    } finally Materialize.releaseAll(spark)
   }
 
   test("q63: bench side above the size gate is NOT broadcast (shuffle equi-join)") {

@@ -303,7 +303,7 @@ class WarehouseSpec extends SparkSpec {
             val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
             try r.getFooter.getBlocks.asScala.toSeq.map { b =>
               b.getColumns.asScala
-                .filter(c => Set("city_name", "event_date")(c.getPath.toDotString))
+                .filter(c => Set("city_name", "event_date", "event_time")(c.getPath.toDotString))
                 .map { c =>
                   val (mn, mx) = c.getStatistics match {
                     case bs: org.apache.parquet.column.statistics.BinaryStatistics =>
@@ -345,6 +345,28 @@ class WarehouseSpec extends SparkSpec {
       assert(dateCandidates(z, dayNum) <= z.size / 2,
         s"date predicate must still skip most interleaved groups: " +
           s"${dateCandidates(z, dayNum)}/${z.size}")
+      // THIRD dimension (hour bits): each interleaved group covers a
+      // narrow (day-range × hour-range) rectangle, so hour(min_ts)..
+      // hour(max_ts) — EXACT rectangle hour bounds when the rectangle is
+      // populated at its corners — bound the group's hours. A raw
+      // timestamp min/max interval can't skip an hour-band alone once a
+      // group spans >1 day (midnight wrap covers every hour), which is
+      // exactly what happens to the LINEAR layout's whole-day groups;
+      // the Z rectangle is what restores hour-band skippability to a
+      // layout-aware reader (or a derived hour stats column). Wrapped
+      // spans are treated as covering all hours (conservative).
+      def hourCandidates(gs: Seq[Map[String, (String, String)]], h: Int): Int =
+        gs.count { g =>
+          val (mn, mx) = g("event_time")
+          val (lo, hi) = ((mn.toLong / 3600000000L % 24).toInt,
+            (mx.toLong / 3600000000L % 24).toInt)
+          if (lo <= hi) h >= lo && h <= hi else h >= lo || h <= hi
+        }
+      val hLin = (0 until 24).map(hourCandidates(lin, _)).sum / 24.0
+      val hZ = (0 until 24).map(hourCandidates(z, _)).sum / 24.0
+      assert(hZ <= 0.8 * hLin,
+        s"hour-band predicates must skip interleaved groups the linear " +
+          s"layout scans: z=$hZ lin=$hLin over ${z.size}/${lin.size} groups")
       // Layout is physical only: both warehouses hold identical rows.
       val key = Seq("event_time", "city_name")
       val linBack = Warehouse.readFact(spark, linDir).drop("event_month")
@@ -363,9 +385,91 @@ class WarehouseSpec extends SparkSpec {
           s"${meanCityCandidates(re)}/${re.size}")
       assert(Warehouse.readFact(spark, linDir).count() == rows.size,
         "recompaction changed row count")
+      // The layout choice now lives in the warehouse, not the caller's
+      // head: the re-cluster stamped the sidecar, so a DEFAULT
+      // maintenance compact preserves the interleaved layout instead of
+      // silently re-linearizing it (ADVICE r13) …
+      assert(Warehouse.readClusteringSidecar(spark, linDir)
+        .contains(Warehouse.ClusterInterleaved))
+      Warehouse.compact(spark, linDir)
+      assert(meanCityCandidates(groups(linDir)) <= groups(linDir).size / 4.0,
+        "default compact re-linearized a recorded-interleaved warehouse")
+      assert(Warehouse.readClusteringSidecar(spark, linDir)
+        .contains(Warehouse.ClusterInterleaved))
+      // … and a recorded-LINEAR warehouse stays linear under default
+      // compact (zDir was written interleaved, so use a fresh linear one).
+      val lin2 = Files.createTempDirectory("graft_wh_lin2").toFile.getAbsolutePath
+      Warehouse.writeFact(fact, lin2)
+      Warehouse.compact(spark, lin2)
+      assert(Warehouse.readClusteringSidecar(spark, lin2)
+        .contains(Warehouse.ClusterLinear))
+      // linear groups re-cross each city once per date slice, so the mean
+      // city-candidate count stays ABOVE the interleaved layout's
+      // size/4 bound — the shape the interleaved assertion excludes.
+      assert(meanCityCandidates(groups(lin2)) > groups(lin2).size / 4.0,
+        "default compact of a linear warehouse should keep the linear " +
+          "date-major group shape")
     } finally savedBlock match {
       case Some(v) => hconf.set("parquet.block.size", v)
       case None    => hconf.unset("parquet.block.size")
+    }
+  }
+
+  test("rank ordinals past the cardinality gate come from sampled boundaries, order-preserved") {
+    import spark.implicits._
+    // 70k distinct names > CityRankExactMax → the sampled path; the
+    // driver never holds more than the sample (takeSample of the full
+    // 70k here, bounded at RankSampleRows in general).
+    val n = Warehouse.CityRankExactMax + 4000
+    val df = (0 until n).map(i => f"city_$i%06d").toDF("city_name")
+    val (aug, ord) = Warehouse.withCityOrdinal(df)
+    val got = aug.select(col("city_name"), ord.as("o"))
+      .orderBy(col("city_name")).as[(String, Int)].collect()
+    assert(got.length == n)
+    // order preservation: ordinal monotone non-decreasing in name order —
+    // the property the Morton curve requires of its rank dimension.
+    assert(got.sliding(2).forall(p => p.head._2 <= p.last._2),
+      "sampled ordinals must be monotone in the dimension order")
+    // 16-bit spread: the HIGH bits must carry the variation.
+    assert(got.head._2 < 2048 && got.last._2 > 60000,
+      s"ordinals must span the 16-bit range: ${got.head._2}..${got.last._2}")
+    // ~equal bucket population (boundaries are rank-sampled, not hashed):
+    // no ordinal value may hold a disproportionate share.
+    val byOrd = got.groupBy(_._2).map(_._2.length)
+    assert(byOrd.max <= 8 * (n / Warehouse.SampledRankBuckets),
+      s"bucket skew: max=${byOrd.max} for ~${n / Warehouse.SampledRankBuckets} expected")
+  }
+
+  test("sorted_bucket_index: codegen agrees with interpreted eval; malformed args refuse") {
+    import graft.functions.expressions.SortedBucketIndex
+    import spark.implicits._
+    graft.plans.GraftExtensions.register(spark)
+    val bounds = Seq("b", "d", "f", "h")
+    val values = Seq("a", "b", "c", "d", "e", "f", "g", "h", "i", "")
+    // codegen path (whole-stage over the projection)
+    val viaPlan = values.toDF("v")
+      .select(col("v"), call_function("sorted_bucket_index", col("v"),
+        typedLit(bounds)).as("b"))
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    // interpreted parity + the upper-bound semantics (count of ≤)
+    val expr = SortedBucketIndex(
+      org.apache.spark.sql.catalyst.expressions.BoundReference(0,
+        org.apache.spark.sql.types.StringType, nullable = false), bounds.toArray)
+    values.foreach { v =>
+      val e = expr.eval(org.apache.spark.sql.catalyst.InternalRow(
+        org.apache.spark.unsafe.types.UTF8String.fromString(v)))
+      assert(e == viaPlan(v), s"codegen/eval disagree on '$v'")
+      assert(e == bounds.count(_ <= v), s"wrong bucket for '$v'")
+    }
+    // unsorted boundaries refuse loudly (the curve needs order)
+    intercept[Exception] {
+      values.toDF("v").select(call_function("sorted_bucket_index", col("v"),
+        typedLit(Seq("z", "a")))).collect()
+    }
+    // non-foldable boundaries refuse at plan time
+    intercept[Exception] {
+      values.toDF("v").select(call_function("sorted_bucket_index", col("v"),
+        array(col("v")))).collect()
     }
   }
 }
