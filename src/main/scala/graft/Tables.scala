@@ -139,5 +139,12 @@ object Tables {
     // in plain SQL against these)
     operators.CorpusOps.dsirCorpusWeights(spark, dir).createOrReplaceTempView("dsir_weights")
     operators.CorpusOps.lmBigramModel(spark, dir).createOrReplaceTempView("lm_bigram")
+    // round-14 additions: the continuously-maintained IVF tier — the
+    // inverted file itself (cell membership/occupancy) and its drift
+    // ledger (staleness, pending-trigger flags, why the last refit fired)
+    streaming.IndexMaintenance.ivfAssignmentsView(spark, dir)
+      .createOrReplaceTempView("ivf_assignments")
+    streaming.IndexMaintenance.ivfDriftView(spark, dir)
+      .createOrReplaceTempView("ivf_drift")
   }
 }

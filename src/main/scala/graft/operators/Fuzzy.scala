@@ -219,24 +219,94 @@ object Fuzzy {
     */
   private[graft] val SubstringK = 50
 
+  /** Normalized `(doc_id, t)` frame shared by the anchor stream and the
+    * profile tail (the witness substr reads the SAME normalization the
+    * anchors hashed).
+    */
+  private def normDocs(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    docs.select(col("doc_id"),
+      lower(trim(regexp_replace(col("text"), "\\s+", " "))).as("t"))
+
+  /** The positional K-gram anchor stream `(doc_id, i, s)` over a
+    * `(doc_id, text, …)` frame — the full corpus on a batch build, just
+    * the increment on a streaming append
+    * ([[graft.streaming.IndexMaintenance.maintainAnchorIndex]]): anchors
+    * are keyed by doc_id, so an append-only id stream's rows are disjoint
+    * from everything stored and each batch costs exactly O(batch chars)
+    * explode+hash work.
+    */
+  private[graft] def anchorRows(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    anchorRowsFromNorm(normDocs(docs))
+
+  private def anchorRowsFromNorm(d: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val K = SubstringK
+    d.filter(length(col("t")) >= K)
+      .select(col("doc_id"), col("t"),
+        explode(sequence(lit(1L), (length(col("t")) - lit(K - 1)).cast(LongType))).as("i"))
+      .select(col("doc_id"), col("i"),
+        hex60(col("t").substr(col("i").cast("int"), lit(K))).as("s"))
+  }
+
   /** q153's body over any `(doc_id, text)` frame — see the QuerySpec
     * comment for the algorithm and scale argument.
     */
   private[graft] def substringDedup(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val K = SubstringK
-    val d = docs.select(col("doc_id"),
-      lower(trim(regexp_replace(col("text"), "\\s+", " "))).as("t"))
+    val d = normDocs(docs)
     // Materialize the anchor stream ONCE (the q128 fan-out discipline):
     // it feeds both the occurrence count and the flag join-back, and
     // every row costs an md5 over a K-char substring — without this the
     // whole explode+hash pass runs twice. ~24 bytes/char checkpointed,
     // freed with the query (Materialize.releaseAll).
-    val pos = d.filter(length(col("t")) >= K)
-      .select(col("doc_id"), col("t"),
-        explode(sequence(lit(1L), (length(col("t")) - lit(K - 1)).cast(LongType))).as("i"))
-      .select(col("doc_id"), col("i"),
-        hex60(col("t").substr(col("i").cast("int"), lit(K))).as("s"))
-      .transform(graft.Materialize.ephemeral)
+    profileFromAnchors(d, anchorRowsFromNorm(d).transform(graft.Materialize.ephemeral))
+  }
+
+  /** q153 served OFF THE MAINTAINED ANCHOR STORE
+    * ([[graft.streaming.IndexMaintenance.maintainAnchorIndex]]): the
+    * expensive leg — the O(corpus chars) explode+md5 anchor stream — is
+    * read back from the durable store instead of recomputed, and only the
+    * cheap profile tail (one occurrence-count shuffle over stored rows +
+    * doc-keyed windows + one witness scan of `docs`) runs at serve time.
+    * `docs` must be the corpus the store was maintained over — the
+    * sidecar's corpus count is checked against it (a lagging or
+    * out-of-band-mutated corpus refuses loudly instead of profiling a
+    * half-indexed corpus), and the anchor width K is a sidecar geometry
+    * param for the same reason. Spec-pinned row-equal to batch
+    * [[substringDedup]] (IndexStoreSpec).
+    */
+  private[graft] def substringDedupFromStore(s: org.apache.spark.sql.SparkSession,
+      corpusDir: String, docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val name = graft.streaming.IndexMaintenance.AnchorStoreName
+    val root = graft.IndexStore.configuredDir(s).getOrElse(throw
+      new IllegalStateException("substringDedupFromStore requires a configured " +
+        s"index store (${graft.IndexStore.DirConf})"))
+    val path = graft.IndexStore.storePath(root, corpusDir, name)
+    require(graft.IndexStore.committed(s, path),
+      s"bootstrap the anchor store at $path (bootstrapAnchorStore) before " +
+        "serving substring dedup from it")
+    val meta = graft.IndexStore.storedMeta(s, corpusDir, name)
+      .getOrElse(throw new IllegalStateException(
+        s"anchor store at $path has no metadata sidecar — re-bootstrap"))
+    require(meta.get("k").contains(SubstringK.toString),
+      s"anchor store at $path was built with K=${meta.getOrElse("k", "?")}, " +
+        s"this build profiles K=$SubstringK — incomparable grams, re-bootstrap")
+    val stored = meta.get(graft.IndexStore.CorpusCountKey).flatMap(_.toLongOption)
+      .getOrElse(throw new IllegalStateException(
+        s"anchor store at $path has no corpus count — re-bootstrap"))
+    val current = docs.count()
+    require(stored == current,
+      s"anchor store at $path covers $stored documents, the corpus has " +
+        s"$current — serve after the maintainer catches up (or re-bootstrap)")
+    profileFromAnchors(normDocs(docs),
+      s.read.parquet(path).select("doc_id", "i", "s"))
+  }
+
+  /** The profile tail shared by the batch and store-served paths: from a
+    * normalized `(doc_id, t)` frame and its anchor stream, the per-doc
+    * longest-duplicated-substring report.
+    */
+  private def profileFromAnchors(d: org.apache.spark.sql.DataFrame,
+      pos: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val K = SubstringK
     val occ = pos.groupBy("s").agg(count(lit(1)).as("cnt"))
     val fl = pos.join(occ, "s").filter(col("cnt") >= 2).select("doc_id", "i")
     val w = Window.partitionBy("doc_id").orderBy("i")

@@ -519,6 +519,91 @@ object IndexMaintenance {
     graft.operators.CorpusOps.bm25TopKOverTf(tf, nT, nq, qt, k)
   }
 
+  // ------------------------------------------- substring anchor store --
+
+  /** The durable `(doc_id, i, s)` positional K-gram anchor store behind
+    * [[maintainAnchorIndex]] — the substring-dedup (q153) counterpart of
+    * the tf store: the O(corpus chars) explode+md5 anchor stream is the
+    * query's dominant cost, and every other dedup signal
+    * (shingle/chunk/tf/media/SRP/IVF) already has a durable maintained
+    * tier; this closes the batch-only gap.
+    */
+  private[graft] val AnchorStoreName = "anchor_index"
+
+  /** The anchor width is sidecar geometry: anchors hashed under a
+    * different K are incomparable grams, so a constant change across
+    * builds must trip the store instead of silently mixing widths.
+    */
+  private def anchorParams: Map[String, String] =
+    Map("k" -> graft.operators.Fuzzy.SubstringK.toString, "hash" -> "md5-60")
+
+  /** Bootstrap the anchor store from an existing corpus frame (possibly
+    * empty) — required before attaching [[maintainAnchorIndex]], same
+    * contract as the tf/chunk/SRP bootstraps. corpusCount tracks DOCUMENT
+    * rows (not anchor rows): the serve-side staleness check compares it
+    * against the corpus it is asked to profile, and short docs (< K
+    * chars) produce zero anchors but still count as documents.
+    */
+  private[graft] def bootstrapAnchorStore(s: SparkSession, corpusDir: String,
+      docs: DataFrame): Unit = {
+    val (n, dig) = countAndDigest(docs)
+    graft.IndexStore.servedFrom(s, corpusDir, AnchorStoreName, anchorParams,
+      corpusCount = n)(graft.operators.Fuzzy.anchorRows(docs))
+    recordDigest(s, corpusDir, AnchorStoreName, dig)
+  }
+
+  /** Apply one micro-batch of `(doc_id, text, …)` documents to the anchor
+    * store; false = replay, skipped. Like the tf store, the append needs
+    * NO store probe: anchors are keyed by doc_id and the stream's doc ids
+    * are append-only, so a batch's rows are disjoint from everything
+    * stored — per-batch cost is exactly O(batch chars) explode+hash work.
+    */
+  private[graft] def applyAnchorBatch(s: SparkSession, corpusDir: String,
+      stream: String, batchId: Long, docs: DataFrame): Boolean =
+    shouldApply(batchId, lastApplied(s, corpusDir, AnchorStoreName, stream),
+      stream, corpusDir) && {
+      val root = graft.IndexStore.configuredDir(s).getOrElse(throw
+        new IllegalStateException("maintainAnchorIndex requires a configured " +
+          s"index store (${graft.IndexStore.DirConf})"))
+      val path = graft.IndexStore.storePath(root, corpusDir, AnchorStoreName)
+      require(graft.IndexStore.committed(s, path),
+        s"bootstrap the anchor store at $path (bootstrapAnchorStore over the " +
+          "existing corpus) before attaching an anchor maintainer")
+      val storedK = graft.IndexStore.storedMeta(s, corpusDir, AnchorStoreName)
+        .flatMap(_.get("k"))
+      require(storedK.contains(graft.operators.Fuzzy.SubstringK.toString),
+        s"anchor store at $path was built with K=${storedK.getOrElse("?")}, " +
+          s"this build hashes K=${graft.operators.Fuzzy.SubstringK} — refuse to mix")
+      val (n, dig) = countAndDigest(docs)
+      graft.IndexStore.append(s, corpusDir, AnchorStoreName,
+        graft.operators.Fuzzy.anchorRows(docs),
+        incrementCount = n, // advance the DOCUMENT count the serve check reads
+        extraMeta = Map(markerKey(stream) -> batchId.toString) ++
+          advancedDigest(graft.IndexStore.storedMeta(s, corpusDir, AnchorStoreName), dig))
+      true
+    }
+
+  /** Attach an anchor-index maintainer to a `(doc_id, text, …)` stream:
+    * each micro-batch's positional K-gram anchors land in the durable
+    * store at O(batch chars) cost, exactly once behind the batch marker,
+    * so substring-level dedup
+    * ([[graft.operators.Fuzzy.substringDedupFromStore]]) profiles the
+    * corpus as of the last committed batch without re-hashing every char
+    * position ingested today.
+    */
+  def maintainAnchorIndex(docs: DataFrame, corpusDir: String,
+      checkpoint: String, stream: String = "anchor_maintenance"): StreamingQuery = {
+    val owner = docs.sparkSession
+    docs.writeStream
+      .queryName(stream)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        applyAnchorBatch(owner, corpusDir, stream, batchId, batch)
+        ()
+      }
+      .start()
+  }
+
   // ------------------------------------------------ DSIR profile store --
 
   private[graft] val DsirStoreName = "dsir_profiles"
@@ -831,6 +916,99 @@ object IndexMaintenance {
     */
   private[graft] val IvfDriftMinIncPct = 5L
 
+  /** Per-cell counts of the mass appended since the last fit, as a
+    * compact `cid:count,…` sidecar string — the occupancy-skew statistic
+    * the mean-dot trigger cannot see: a NEW HOT MODE (one cell absorbing
+    * most appends) degrades that cell's probe cost long before the global
+    * mean assignment dot halves (the hot vectors can sit CLOSE to their
+    * centroid — high dot, no drift signal — while the cell outgrows every
+    * other). O(k) sidecar bytes; k is clamped at [[graft.operators
+    * .Sizing.MaxCells]] (65536 → ≤ ~1 MB in one sidecar file, the same
+    * order as the centroid store itself). Advanced in the SAME sidecar
+    * write as the batch marker, so a replayed batch advances nothing;
+    * cleared on every refit (tracking restarts against the new cells).
+    */
+  private[graft] val IvfIncCellCountsKey = "ivfIncCellCounts"
+
+  /** The last fired refit trigger (`growth` / `drift` / `skew`) — serving
+    * surfaces (the `ivf_drift` gateway view) report WHY the index last
+    * refit, not just that it did.
+    */
+  private[graft] val IvfLastRefitTriggerKey = "ivfLastRefitTrigger"
+
+  /** Skew refit fires when the appended mass is armed (≥
+    * [[IvfDriftMinIncPct]]% of the fit corpus, same floor as the mean-dot
+    * trigger) AND the hottest cell holds ≥ this multiple of its balanced
+    * share of the appends (maxCellCount · k ≥ factor · trackedIncN — an
+    * exact integer cross-multiply). 8× balanced share is far outside
+    * k-means' natural occupancy spread on stationary data but reached
+    * immediately by a new concentrated mode.
+    */
+  private[graft] val IvfSkewFactor = 8L
+
+  /** One decoded view of the assignment store's drift sidecar — the
+    * SINGLE place the three refit predicates are written, shared by
+    * [[maybeRefitIvf]] (the trigger) and the `ivf_drift` gateway view
+    * (the ledger), so the surface an analyst reads can never disagree
+    * with the policy the maintainer runs.
+    */
+  private[graft] final case class IvfDriftSnapshot(fitN: Long, fitSum: BigInt,
+      incN: Long, incSum: BigInt, rows: Long, k: Int,
+      cellCounts: Map[Int, Long], lastTrigger: Option[String]) {
+    def trackedIncN: Long = cellCounts.valuesIterator.sum
+    def hotCell: Option[(Int, Long)] =
+      if (cellCounts.isEmpty) None
+      else Some(cellCounts.minBy { case (c, n) => (-n, c) }) // deterministic: max count, min cid
+    def growth: Boolean = fitN > 0 &&
+      rows.toDouble >= graft.operators.Ivf.RefitGrowthFactor * fitN
+    def drift: Boolean = fitN > 0 && fitSum > 0 &&
+      incN * 100 >= fitN * IvfDriftMinIncPct &&
+      incSum * 100 * BigInt(fitN) < fitSum * BigInt(incN) * IvfDriftMeanPct
+    def skew: Boolean = fitN > 0 && k >= 2 &&
+      trackedIncN * 100 >= fitN * IvfDriftMinIncPct &&
+      hotCell.exists(_._2 * k >= IvfSkewFactor * trackedIncN)
+  }
+
+  /** Decode the drift sidecar; None when the store has no fit baseline
+    * (pre-bootstrap or pre-drift-era sidecar).
+    */
+  private[graft] def driftSnapshot(meta: Map[String, String]): Option[IvfDriftSnapshot] =
+    for {
+      fitN <- meta.get(IvfFitNKey).flatMap(_.toLongOption)
+      fitSum <- meta.get(IvfFitIdotSumKey).map(BigInt(_))
+      rows <- meta.get(graft.IndexStore.StoreRowsKey).flatMap(_.toLongOption)
+    } yield IvfDriftSnapshot(fitN, fitSum,
+      meta.get(IvfIncNKey).flatMap(_.toLongOption).getOrElse(0L),
+      meta.get(IvfIncIdotSumKey).map(BigInt(_)).getOrElse(BigInt(0)),
+      rows,
+      meta.get(IvfKKey).flatMap(_.toIntOption).getOrElse(0),
+      parseCellCounts(meta.getOrElse(IvfIncCellCountsKey, "")),
+      meta.get(IvfLastRefitTriggerKey))
+
+  private def parseCellCounts(enc: String): Map[Int, Long] =
+    if (enc == null || enc.isEmpty) Map.empty
+    else enc.split(',').iterator.map { kv =>
+      val Array(c, n) = kv.split(':')
+      c.toInt -> n.toLong
+    }.toMap
+
+  private def encodeCellCounts(m: Map[Int, Long]): String =
+    m.toSeq.sortBy(_._1).map { case (c, n) => s"$c:$n" }.mkString(",")
+
+  /** Merge a batch's per-cell appended counts into the tracked map. The
+    * batch side is a k-bounded collect (one row per non-empty cell).
+    */
+  private def advancedCellCounts(meta: Map[String, String],
+      asg: DataFrame): String = {
+    import org.apache.spark.sql.functions._
+    val batch = asg.groupBy(col("cid")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val prev = parseCellCounts(meta.getOrElse(IvfIncCellCountsKey, ""))
+    encodeCellCounts(prev ++ batch.map { case (c, n) =>
+      c -> (prev.getOrElse(c, 0L) + n)
+    })
+  }
+
   /** `(vec_id, embedding, eq, cid, idot)` rows of `e` under model `m`:
     * each vector's argmax-integer-dot cell (deterministic cid tiebreak —
     * the identical assignment rule as [[graft.operators.Ivf.ranked]])
@@ -897,7 +1075,8 @@ object IndexMaintenance {
       graft.IndexStore.writeMeta(s, assignPath, meta ++ Map(
         IvfKKey -> k.toString,
         IvfFitIdotSumKey -> sum.toString, IvfFitNKey -> n.toString,
-        IvfIncIdotSumKey -> "0", IvfIncNKey -> "0"))
+        IvfIncIdotSumKey -> "0", IvfIncNKey -> "0",
+        IvfIncCellCountsKey -> ""))
     }
   }
 
@@ -943,7 +1122,8 @@ object IndexMaintenance {
         graft.IndexStore.append(s, corpusDir, IvfAssignStoreName, asg,
           incrementCount = bn,
           extraMeta = Map(markerKey(stream) -> batchId.toString,
-            IvfIncIdotSumKey -> incSum.toString, IvfIncNKey -> incN.toString))
+            IvfIncIdotSumKey -> incSum.toString, IvfIncNKey -> incN.toString,
+            IvfIncCellCountsKey -> advancedCellCounts(meta0, asg)))
       } finally asg.unpersist()
       maybeRefitIvf(s, corpusDir)
       true
@@ -963,25 +1143,20 @@ object IndexMaintenance {
   private def maybeRefitIvf(s: SparkSession, corpusDir: String): Unit = {
     val (assignPath, modelPath) = ivfPaths(s, corpusDir)
     val meta = graft.IndexStore.readMeta(s, assignPath).getOrElse(return)
-    val fitN = meta.get(IvfFitNKey).map(_.toLong).getOrElse(return)
-    val fitSum = meta.get(IvfFitIdotSumKey).map(BigInt(_)).getOrElse(return)
-    val incN = meta.get(IvfIncNKey).map(_.toLong).getOrElse(0L)
-    val incSum = meta.get(IvfIncIdotSumKey).map(BigInt(_)).getOrElse(BigInt(0))
-    val rows = meta.get(graft.IndexStore.StoreRowsKey).map(_.toLong).getOrElse(return)
-    val growth = fitN > 0 &&
-      rows.toDouble >= graft.operators.Ivf.RefitGrowthFactor * fitN
-    val drift = fitN > 0 && fitSum > 0 &&
-      incN * 100 >= fitN * IvfDriftMinIncPct &&
-      incSum * 100 * BigInt(fitN) < fitSum * BigInt(incN) * IvfDriftMeanPct
-    if (!growth && !drift) {
-      if (incN > 0)
-        log.info(s"IVF assignments for $corpusDir: $incN appended since fit " +
-          s"($fitN rows) — below both refit triggers")
+    // Occupancy skew is judged over the TRACKED appends (the cell-count
+    // map may have started later than the Inc sums on a pre-skew store,
+    // so its own total — not IvfIncN — is the share's denominator).
+    val snap = driftSnapshot(meta).getOrElse(return)
+    if (!snap.growth && !snap.drift && !snap.skew) {
+      if (snap.incN > 0)
+        log.info(s"IVF assignments for $corpusDir: ${snap.incN} appended since " +
+          s"fit (${snap.fitN} rows) — below all three refit triggers")
       return
     }
-    log.warn(s"IVF refit for $corpusDir: trigger=${if (growth) "growth" else "drift"} " +
-      s"(fitN=$fitN, rows=$rows, incN=$incN)")
-    val k = meta.get(IvfKKey).map(_.toInt).getOrElse(0)
+    val trigger = if (snap.growth) "growth" else if (snap.drift) "drift" else "skew"
+    val (fitN, incN, rows, k) = (snap.fitN, snap.incN, snap.rows, snap.k)
+    log.warn(s"IVF refit for $corpusDir: trigger=$trigger " +
+      s"(fitN=$fitN, rows=$rows, incN=$incN, hotCell=${snap.hotCell}/${snap.trackedIncN})")
     val store = s.read.parquet(assignPath).select(
       org.apache.spark.sql.functions.col("vec_id"),
       org.apache.spark.sql.functions.col("embedding"))
@@ -1009,11 +1184,88 @@ object IndexMaintenance {
       graft.IndexStore.StoreRowsKey -> n.toString,
       graft.IndexStore.CorpusCountKey -> n.toString,
       IvfFitIdotSumKey -> sum.toString, IvfFitNKey -> n.toString,
-      IvfIncIdotSumKey -> "0", IvfIncNKey -> "0"))
+      IvfIncIdotSumKey -> "0", IvfIncNKey -> "0",
+      IvfIncCellCountsKey -> "", IvfLastRefitTriggerKey -> trigger))
     if (!fs.delete(p, true))
       throw new java.io.IOException(s"IVF refit: delete $assignPath failed")
     if (!fs.rename(new org.apache.hadoop.fs.Path(staging), p))
       throw new java.io.IOException(s"IVF refit: rename $staging -> $assignPath failed")
+  }
+
+  /** The maintained inverted file as a queryable frame — the gateway's
+    * `ivf_assignments` view ("which cell does vector v live in / how big
+    * is cell c"): `(vec_id, cid, idot)` from the durable assignment store
+    * when one is configured and bootstrapped, otherwise computed
+    * in-session under the shared q53/q68 model (same assignment rule, so
+    * the two provenances agree row-for-row on the same corpus). The raw
+    * embedding columns stay OUT of the view: the gateway is an
+    * interactive surface and cell membership/occupancy is the analyst
+    * question; vectors are served by the ANN operators.
+    */
+  def ivfAssignmentsView(s: SparkSession, corpusDir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val stored = graft.IndexStore.configuredDir(s).map(root =>
+      graft.IndexStore.storePath(root, corpusDir, IvfAssignStoreName))
+      .filter(graft.IndexStore.committed(s, _))
+    stored match {
+      case Some(path) =>
+        s.read.parquet(path).select(col("vec_id"), col("cid"), col("idot"))
+      case None =>
+        val e = graft.Tables.load(s, corpusDir, "embeddings")
+        val eqf = graft.operators.Ivf.quantize(e)
+        val model = graft.operators.Similarity.ivfModel(s, corpusDir, eqf)
+        graft.operators.Ivf.ranked(eqf,
+            graft.operators.Ivf.centsDF(s, model.cents))
+          .filter(col("rk") === 1)
+          .select(col("vec_id"), col("cid"), col("idot"))
+    }
+  }
+
+  private val driftViewSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("fit_n", org.apache.spark.sql.types.LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("inc_n", org.apache.spark.sql.types.LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("store_rows", org.apache.spark.sql.types.LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.IntegerType, nullable = false),
+    org.apache.spark.sql.types.StructField("fit_idot_sum", org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0), nullable = false),
+    org.apache.spark.sql.types.StructField("inc_idot_sum", org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0), nullable = false),
+    org.apache.spark.sql.types.StructField("tracked_inc_n", org.apache.spark.sql.types.LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("hot_cell", org.apache.spark.sql.types.IntegerType, nullable = true),
+    org.apache.spark.sql.types.StructField("hot_cell_count", org.apache.spark.sql.types.LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("growth_pending", org.apache.spark.sql.types.BooleanType, nullable = false),
+    org.apache.spark.sql.types.StructField("drift_pending", org.apache.spark.sql.types.BooleanType, nullable = false),
+    org.apache.spark.sql.types.StructField("skew_pending", org.apache.spark.sql.types.BooleanType, nullable = false),
+    org.apache.spark.sql.types.StructField("last_refit_trigger", org.apache.spark.sql.types.StringType, nullable = true)))
+
+  /** The drift ledger as a queryable 1-row frame — the gateway's
+    * `ivf_drift` view ("how stale is the ANN index / is a refit
+    * pending / why did it last refit"). Decoded through the SAME
+    * [[driftSnapshot]] the maintainer's triggers run on, so what the
+    * analyst reads IS the policy. Schema-stable empty when no store is
+    * configured, the store is un-bootstrapped, or its sidecar predates
+    * the drift statistic.
+    */
+  def ivfDriftView(s: SparkSession, corpusDir: String): DataFrame = {
+    val snap = for {
+      root <- graft.IndexStore.configuredDir(s)
+      path = graft.IndexStore.storePath(root, corpusDir, IvfAssignStoreName)
+      if graft.IndexStore.committed(s, path)
+      meta <- graft.IndexStore.readMeta(s, path)
+      sn <- driftSnapshot(meta)
+    } yield sn
+    val rows = snap.toSeq.map { sn =>
+      org.apache.spark.sql.Row(sn.fitN, sn.incN, sn.rows, sn.k,
+        new java.math.BigDecimal(sn.fitSum.bigInteger),
+        new java.math.BigDecimal(sn.incSum.bigInteger),
+        sn.trackedIncN,
+        sn.hotCell.map(c => Int.box(c._1)).orNull,
+        sn.hotCell.map(_._2).getOrElse(0L),
+        sn.growth, sn.drift, sn.skew,
+        sn.lastTrigger.orNull)
+    }
+    s.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+      driftViewSchema)
   }
 
   /** Attach an IVF assignment maintainer to a `(vec_id, embedding, …)`

@@ -1332,6 +1332,60 @@ class IndexStoreSpec extends SparkSpec {
       }, "drift refit must reproduce the deterministic batch fit")
   }
 
+  test("IVF skew trigger: a new hot cell refits when the mean-dot trigger cannot see it") {
+    val root = tmp("graft_idx_ivf_skew")
+    val sA = spark.newSession()
+    sA.conf.set(IndexStore.DirConf, root)
+    val e = Tables.load(sA, dir, "embeddings")
+    streaming.IndexMaintenance.bootstrapIvfAssignments(sA, dir, e)
+    val assignPath = IndexStore.storePath(root, dir,
+      streaming.IndexMaintenance.IvfAssignStoreName)
+    def meta = IndexStore.readMeta(sA, assignPath).get
+    assert(meta(streaming.IndexMaintenance.IvfFitNKey) == "500")
+
+    // the hot mode: replicas of the store's BEST-assigned vector — every
+    // append lands in one cell with an ABOVE-baseline-mean dot, so the
+    // mean-dot drift statistic moves the wrong way for its trigger while
+    // one cell absorbs 100% of the appended mass
+    val hot = sA.read.parquet(assignPath)
+      .orderBy(col("idot").desc).select("embedding").limit(1)
+      .collect()(0).getSeq[Float](0)
+    import sA.implicits._
+    def hotBatch(ids: Range) =
+      ids.map(i => (i.toLong, hot)).toDF("vec_id", "embedding")
+
+    // 20 rows = 4% of the fit corpus: skewed but UNARMED — no refit, the
+    // per-cell counts accumulate in the sidecar
+    assert(streaming.IndexMaintenance.applyIvfBatch(sA, dir, "skew_spec", 0L,
+      hotBatch(500 until 520)))
+    assert(meta(streaming.IndexMaintenance.IvfFitNKey) == "500",
+      s"4% appended mass must not refit: $meta")
+    val tracked = meta(streaming.IndexMaintenance.IvfIncCellCountsKey)
+    assert(tracked.nonEmpty && tracked.split(",").length == 1 &&
+      tracked.endsWith(":20"), s"one hot cell with 20 appends, got '$tracked'")
+
+    // prove the mean-dot trigger is blind here: with the tracked appends
+    // the drift inequality (incMean < 50% of fitMean) is FALSE
+    val fitSum = BigInt(meta(streaming.IndexMaintenance.IvfFitIdotSumKey))
+    val incSum = BigInt(meta(streaming.IndexMaintenance.IvfIncIdotSumKey))
+    assert(incSum * 100 * BigInt(500) >= fitSum * BigInt(20) * 50,
+      "precondition: the hot batch must NOT satisfy the mean-dot drift trigger")
+
+    // 10 more rows arm the 5% floor; max-cell share 100% >= 8/16 fires
+    assert(streaming.IndexMaintenance.applyIvfBatch(sA, dir, "skew_spec", 1L,
+      hotBatch(520 until 530)))
+    assert(meta(streaming.IndexMaintenance.IvfFitNKey) == "530",
+      s"skew refit must re-baseline over the grown corpus: $meta")
+    assert(meta(streaming.IndexMaintenance.IvfIncNKey) == "0")
+    assert(meta(streaming.IndexMaintenance.IvfIncCellCountsKey) == "",
+      "cell-count tracking restarts against the refit cells")
+    assert(meta(streaming.IndexMaintenance.IvfLastRefitTriggerKey) == "skew")
+    val modelPath = IndexStore.storePath(root, dir,
+      operators.Similarity.IvfModelStoreName)
+    assert(operators.Ivf.load(sA, modelPath).exists(_.n == 530),
+      "the durable model entry must carry the skew refit")
+  }
+
   test("purgeKeys drops the corpus content digest (underivable after a purge)") {
     val root = tmp("graft_idx_purge_digest")
     val sA = spark.newSession()
@@ -1373,5 +1427,69 @@ class IndexStoreSpec extends SparkSpec {
     val meta = IndexStore.readMeta(sA, path)
     assert(meta.exists(_.get(IndexStore.StoreRowsKey).contains("2")),
       s"bare store must gain a StoreRows sidecar on purge, got $meta")
+  }
+
+  test("streaming anchor maintenance: crash replay, store-served substring dedup equals batch q153") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val root = tmp("graft_idx_anchor")
+    val sA = spark.newSession()
+    sA.conf.set(IndexStore.DirConf, root)
+    val docs = Tables.load(sA, dir, "documents")
+    val split = 400L
+    val pre = docs.filter(col("doc_id") < split)
+    streaming.IndexMaintenance.bootstrapAnchorStore(sA, dir, pre)
+    val path = IndexStore.storePath(root, dir,
+      streaming.IndexMaintenance.AnchorStoreName)
+    def meta = IndexStore.readMeta(sA, path).get
+    assert(meta(IndexStore.CorpusCountKey) == "400")
+    assert(meta("k") == operators.Fuzzy.SubstringK.toString)
+
+    // stream the remaining docs PLUS one sub-K short doc (zero anchors,
+    // but it still counts as a document — the serve-side count check must
+    // include it or every short doc would permanently block serving)
+    implicit val sqlCtx = sA.sqlContext
+    import sA.implicits._
+    val tail = docs.filter(col("doc_id") >= split).select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val shortDoc = (900001L, "tiny doc under the anchor width")
+    val input = MemoryStream[(Long, String)]
+    input.addData((tail :+ shortDoc).toSeq)
+    val q = streaming.IndexMaintenance.maintainAnchorIndex(
+      input.toDF().toDF("doc_id", "text"), dir, tmp("graft_idx_anchor_ck"), "anchor_spec")
+    q.processAllAvailable(); q.stop()
+    assert(meta(IndexStore.CorpusCountKey) == "501",
+      s"bootstrap 400 + streamed 101 documents: $meta")
+
+    // crash replay: the applied batch id must skip without moving rows
+    val before = (sA.read.parquet(path).count(), meta)
+    val replayed = streaming.IndexMaintenance.applyAnchorBatch(sA, dir,
+      "anchor_spec", 0L, docs.filter(col("doc_id") >= split).limit(3))
+    assert(!replayed && sA.read.parquet(path).count() == before._1
+      && meta == before._2,
+      "a replayed batch must not re-append anchors or advance the sidecar")
+
+    // serving a LAGGING corpus view refuses loudly (the short doc is
+    // indexed in the store's count but missing from this frame)
+    intercept[IllegalArgumentException] {
+      operators.Fuzzy.substringDedupFromStore(sA, dir, docs).collect()
+    }
+
+    // store-served profile == batch q153 over the same corpus, and the
+    // served lineage reads anchors from the store parquet
+    val full = docs.select("doc_id", "text")
+      .unionByName(Seq(shortDoc).toDF("doc_id", "text"))
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    val served = operators.Fuzzy.substringDedupFromStore(sA, dir, full)
+    assert(scanPaths(served).exists(_.contains(path)),
+      s"served profile must scan the anchor store: ${scanPaths(served)}")
+    val servedRows = key(served)
+    val batchRows = key(operators.Fuzzy.substringDedup(full))
+    Materialize.releaseAll(sA)
+    assert(servedRows == batchRows,
+      "store-served substring dedup must equal the batch profile")
+    assert(servedRows.nonEmpty && servedRows.exists(_._4 > 0),
+      "fixture corpus must profile at least one duplicated span")
   }
 }

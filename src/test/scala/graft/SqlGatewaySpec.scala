@@ -125,7 +125,47 @@ class SqlGatewaySpec extends SparkSpec {
       val lm = post(port,
         "SELECT count(*) AS n FROM lm_bigram WHERE p_micro < 0 OR p_micro > 1000000")
       assert(lm.statusCode() == 200 && lm.body().trim == """{"n":0}""", lm.body())
+
+      // the IVF tier: every fixture vector has exactly one cell
+      // assignment, occupancy sums back to the corpus
+      val nVec = Tables.load(spark, dir, "embeddings").count()
+      val a = post(port,
+        "SELECT count(*) AS n, count(DISTINCT vec_id) AS d FROM ivf_assignments")
+      assert(a.statusCode() == 200 && a.body().trim == s"""{"n":$nVec,"d":$nVec}""",
+        a.body())
+      val occ = post(port,
+        "SELECT count(DISTINCT cid) AS cells, sum(n) AS total FROM " +
+          "(SELECT cid, count(*) AS n FROM ivf_assignments GROUP BY cid)")
+      assert(occ.statusCode() == 200 && occ.body().contains(s""""total":$nVec"""),
+        occ.body())
+      // the drift ledger is schema-stable even with NO index store
+      // configured on this session (empty — nothing is maintained here)
+      val drift = post(port,
+        "SELECT count(*) AS n FROM ivf_drift WHERE growth_pending OR drift_pending OR skew_pending")
+      assert(drift.statusCode() == 200 && drift.body().trim == """{"n":0}""",
+        drift.body())
     }
+  }
+
+  test("ivf_drift view over a MAINTAINED store reports the ledger the triggers run on") {
+    val root = java.nio.file.Files.createTempDirectory("graft_gw_ivf").toFile.getAbsolutePath
+    val sA = spark.newSession()
+    sA.conf.set(IndexStore.DirConf, root)
+    streaming.IndexMaintenance.bootstrapIvfAssignments(sA, dir,
+      Tables.load(sA, dir, "embeddings"))
+    val drift = streaming.IndexMaintenance.ivfDriftView(sA, dir).collect()
+    assert(drift.length == 1, "one ledger row per maintained store")
+    val r = drift(0)
+    assert(r.getLong(r.fieldIndex("fit_n")) == 500 &&
+      r.getLong(r.fieldIndex("inc_n")) == 0 &&
+      r.getInt(r.fieldIndex("k")) == 16 &&
+      !r.getBoolean(r.fieldIndex("growth_pending")) &&
+      !r.getBoolean(r.fieldIndex("drift_pending")) &&
+      !r.getBoolean(r.fieldIndex("skew_pending")), r.toString)
+    // the assignments view serves the STORE tier on this session (same
+    // rows as the in-session computation — one assignment per vector)
+    val asg = streaming.IndexMaintenance.ivfAssignmentsView(sA, dir)
+    assert(asg.count() == 500 && asg.select("vec_id").distinct().count() == 500)
   }
 
   test("errors: bad SQL and unknown format → 400 with a message; empty → 400") {
