@@ -15,7 +15,11 @@ import org.apache.spark.sql.types.LongType
   *    are preserved while cross-replica shingle spaces stay DISJOINT, so
   *    the dedup pair space scales ~linearly (replicating text verbatim
   *    would instead make every doc a 10-way near-dup and square the pair
-  *    space — a different workload, not a bigger one);
+  *    space — a different workload, not a bigger one). A 10% planted
+  *    stratum per replica ([[plantedText]]) is rewritten onto a shared
+  *    global vocabulary instead, so factor-proportional document
+  *    frequencies — and with them the vocabulary-coverage workload
+  *    (q67) — survive the prefixing at every factor;
   *  - `embeddings`: replica r rotates the vector by r positions — norms
   *    and pairwise-similarity distribution preserved, replicas
   *    decorrelated;
@@ -47,6 +51,41 @@ object DataGen {
 
   private def keySpan(df: DataFrame, key: String): Long =
     df.agg(max(col(key)).cast(LongType)).head().getLong(0) + 1
+
+  /** The planted SHARED-vocabulary stratum: [[PlantPerMille]]‰ of every
+    * replica's documents (a pure hash of the shifted doc_id) have their
+    * text rewritten token-for-token onto a small GLOBAL vocabulary
+    * g00..g31 — the only token types whose document frequency grows with
+    * the factor (everything else is replica-prefixed, so per-type df is
+    * capped at one replica's worth). This keeps the vocabulary-coverage
+    * workload (q67) non-vacuous at ANY factor: the global top-k reference
+    * vocabulary is the g-family by construction at factor ≥ 10, planted
+    * docs straddle the 50% OOV threshold (each token is in the top-16-of-
+    * 32 vocab with probability ≈ ½), and unplanted docs fail it — a real
+    * survivor stratum plus a real rejected mass. Replica-prefixed docs
+    * keep their disjoint shingle spaces; the planted docs' shingle space
+    * (g-grams) is bounded at 32³, so its near-dup pair contribution stays
+    * a small constant fraction of the base corpus's own in-replica pair
+    * space.
+    */
+  private val PlantPerMille = 100
+  private val PlantVocab = 32
+
+  private def plantedDoc(docId: Column): Column =
+    pmod(xxhash64(docId, lit("oov_plant")), lit(1000L)) < PlantPerMille
+
+  /** Token-for-token deterministic rewrite onto the g-vocabulary: token j
+    * of a planted doc becomes g<hash(doc_id, j) % 32>, zero-padded so
+    * lexicographic tie-breaks are stable. Token COUNT is preserved (the
+    * length-keyed workload shape survives); content is replica- and
+    * doc-specific (no verbatim cross-replica duplicates — the pair space
+    * must scale with the workload, not square with the factor).
+    */
+  private def plantedText(docId: Column): Column =
+    concat_ws(" ",
+      transform(split(col("text"), "\\s+"), (_, j) =>
+        concat(lit("g"), lpad(pmod(xxhash64(docId, j), lit(PlantVocab.toLong))
+          .cast(org.apache.spark.sql.types.StringType), 2, "0"))))
 
   /** `userMode = "zipf"` remaps events.user_id to a deterministic Zipf(1)
     * distribution over the replicated user span — the heavy-hitter shape a
@@ -115,10 +154,12 @@ object DataGen {
       .withColumn("ts", unix_micros(col("ts")) * 1000L)), 8)
     write("documents", reps { i =>
       val d = docs.withColumn("doc_id", shift("doc_id", dSpan, i))
-      if (i == 0) d
-      else d
-        .withColumn("text", concat_ws(" ",
-          transform(split(col("text"), "\\s+"), t => concat(lit(s"r$i"), t))))
+      val prefixed =
+        if (i == 0) col("text")
+        else concat_ws(" ",
+          transform(split(col("text"), "\\s+"), t => concat(lit(s"r$i"), t)))
+      d.withColumn("text", when(plantedDoc(col("doc_id")), plantedText(col("doc_id")))
+          .otherwise(prefixed))
         .withColumn("n_chars", length(col("text")).cast(LongType))
     }, 8)
     write("embeddings", reps { i =>

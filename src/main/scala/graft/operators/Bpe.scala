@@ -204,9 +204,31 @@ object Bpe {
   /** Word-frequency frame off the shared tf index: freq = total token
     * instances of the word corpus-wide.
     */
-  private[graft] def wordCounts(s: SparkSession, dir: String): DataFrame =
-    CorpusOps.tfIndex(s, dir)
+  /** Resource-bounded-sweep knob: `GRAFT_BPE_TERM_MOD=S` (S > 1) learns
+    * over the deterministic vocabulary slice hex60('bpeslice|'||term) %
+    * S == 0 instead of the full word-frequency table. Applied identically
+    * to the Spark leg and the generated oracle SQL (both read it at spec
+    * construction), so the cross-engine compare stays exact ON THE SLICE.
+    * Unset / 1 — the driver gate's configuration — is the full
+    * vocabulary. Exists for giant-corpus oracle replays where DuckDB's
+    * R-stage merge re-derivation outgrows its temp disk; the Spark side
+    * never needs it. BpeSpec pins that a sliced learn still exercises
+    * every merge-round regime (char+char, compound-symbol sides, reuse of
+    * an earlier round's output).
+    */
+  private[graft] val TermSliceEnv = "GRAFT_BPE_TERM_MOD"
+  private[graft] def termSliceMod: Int =
+    sys.env.get(TermSliceEnv).map(_.trim.toInt).filter(_ > 1).getOrElse(1)
+
+  private[graft] def wordCounts(s: SparkSession, dir: String,
+      mod: Int = termSliceMod): DataFrame = {
+    val wf = CorpusOps.tfIndex(s, dir)
       .groupBy(col("term")).agg(sum(col("tf")).cast(LongType).as("freq"))
+    if (mod <= 1) wf
+    else wf.filter(
+      graft.functions.TextFunctions.hex60(concat(lit("bpeslice|"), col("term")))
+        % mod === 0)
+  }
 
   private val learnCache =
     new graft.SessionCache[(Seq[(Long, String, String, Long)], DataFrame)]
@@ -232,15 +254,24 @@ object Bpe {
     * joined back to the tf index (q140).
     */
   private def oracleStages(rounds: Int): String = {
+    // tf and every s$r are referenced TWICE downstream (tf by wf and the
+    // q140 report; s$r by p${r+1} and s${r+1}) — without MATERIALIZED an
+    // inlining planner re-derives the whole chain per reference, 2^R
+    // corpus re-tokenizations, which is exactly what exhausted DuckDB's
+    // temp disk on the 20×-scale sweep (the centroidsSql seeding chain
+    // documents the same trap).
+    val slice =
+      if (termSliceMod <= 1) ""
+      else s"\nWHERE CAST('0x' || substr(md5('bpeslice|' || term), 1, 15) AS BIGINT) % $termSliceMod = 0"
     val head =
-      s"""WITH tf AS (
+      s"""WITH tf AS MATERIALIZED (
         |  SELECT doc_id, t AS term, count(*) AS tf
         |  FROM (SELECT doc_id,
         |          unnest(string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')) AS t
         |        FROM documents)
         |  GROUP BY doc_id, t),
-        |wf AS (SELECT term, CAST(sum(tf) AS BIGINT) AS freq FROM tf GROUP BY term),
-        |s0 AS (SELECT term, ' ' || regexp_replace(term, '(.)', '\\1 ', 'g') AS sym, freq FROM wf)""".stripMargin
+        |wf AS (SELECT term, CAST(sum(tf) AS BIGINT) AS freq FROM tf$slice GROUP BY term),
+        |s0 AS MATERIALIZED (SELECT term, ' ' || regexp_replace(term, '(.)', '\\1 ', 'g') AS sym, freq FROM wf)""".stripMargin
     val stages = (1 to rounds).map { r =>
       s""",
         |p$r AS (SELECT arr[i] AS l, arr[i+1] AS r, CAST(sum(freq) AS BIGINT) AS cnt
@@ -248,7 +279,7 @@ object Bpe {
         |              FROM (SELECT string_split(trim(sym), ' ') AS arr, freq FROM s${r - 1}))
         |        GROUP BY 1, 2),
         |m$r AS (SELECT l, r, cnt FROM p$r ORDER BY cnt DESC, l ASC, r ASC LIMIT 1),
-        |s$r AS (SELECT term, replace(sym, ' ' || m$r.l || ' ' || m$r.r || ' ',
+        |s$r AS MATERIALIZED (SELECT term, replace(sym, ' ' || m$r.l || ' ' || m$r.r || ' ',
         |                       ' ' || m$r.l || m$r.r || ' ') AS sym, freq
         |        FROM s${r - 1}, m$r)""".stripMargin
     }.mkString

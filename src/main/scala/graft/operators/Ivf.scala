@@ -235,16 +235,30 @@ object Ivf {
     * ([[graft.streaming.IndexMaintenance.maintainIvfAssignments]]): the
     * corpus-wide argmax never recomputes, and `eqf` then only needs the
     * QUERY vectors' quantized rows (it feeds nothing but the probe set).
+    *
+    * `qEmbOpt` supplies an EXTERNAL query frame `(q_id, q_emb)` — the
+    * cross-modal serving path, where queries live in another modality's
+    * table (and id domain) rather than inside `e`. When present, `eqf`
+    * must contain ONLY the query vectors' quantized rows (no
+    * `vec_id < numQueries` slicing is applied — external query ids are
+    * arbitrary), and `cellsOpt` is REQUIRED (corpus cells cannot come
+    * from a query-only `eqf`).
     */
   def annTopK(e: DataFrame, eqf: DataFrame, cents: DataFrame,
               numQueries: Int, probes: Int, topK: Int,
               score: (Column, Column) => Column,
               maxBroadcastElems: Long = Sizing.MaxQueryBroadcastElems,
-              cellsOpt: Option[DataFrame] = None): DataFrame = {
+              cellsOpt: Option[DataFrame] = None,
+              qEmbOpt: Option[DataFrame] = None): DataFrame = {
+    require(qEmbOpt.isEmpty || cellsOpt.isDefined,
+      "annTopK with external queries needs precomputed corpus cells")
     val rk = ranked(eqf, cents)
     val cells = cellsOpt.getOrElse(rk.filter(col("rk") === 1)
       .select(col("vec_id"), col("cid").as("cell")))
-    val probeSet = rk.filter(col("vec_id") < numQueries && col("rk") <= probes)
+    val probeRows =
+      if (qEmbOpt.isDefined) rk.filter(col("rk") <= probes) // eqf IS the query set
+      else rk.filter(col("vec_id") < numQueries && col("rk") <= probes)
+    val probeSet = probeRows
       .select(col("vec_id").as("q_id"), col("cid").as("cell"))
     val cand = probeSet.join(cells, "cell")
       .filter(col("vec_id") =!= col("q_id"))
@@ -254,8 +268,8 @@ object Ivf {
     // q_ids are already < numQueries) but it makes the broadcast
     // query-set-sized BY CONSTRUCTION instead of relying on the optimizer
     // inferring the bound through the join.
-    val qe = e.filter(col("vec_id") < numQueries)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val qe = qEmbOpt.getOrElse(e.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb")))
     // dims probe by-name (only past the no-probe bound); empty query set
     // under an overstated numQueries degrades to one chunk
     val chunks = Sizing.broadcastChunks(numQueries,

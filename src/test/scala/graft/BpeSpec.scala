@@ -70,4 +70,30 @@ class BpeSpec extends SparkSpec {
     assert(Bpe.learn(words, rounds = 4).isEmpty)
     assert(Bpe.referenceLearn(Seq("a" -> 3L, "b" -> 2L), rounds = 4).isEmpty)
   }
+
+  test("sliced-vocabulary learning (the resource-bounded sweep mode) exercises every merge-round regime") {
+    // GRAFT_BPE_TERM_MOD=S restricts giant-corpus oracle sweeps to a
+    // deterministic hash slice of the vocabulary; this pins that the
+    // slice is a REAL BPE workload, not a degenerate one: a full round
+    // budget is spent, and the merge sequence crosses all three regimes —
+    // (char,char) openings, compound-symbol sides, and reuse of an
+    // earlier round's OUTPUT as a later round's input (the compounding
+    // the per-round greedy argmax exists to exploit).
+    val full = Bpe.wordCounts(spark, "/root/testdata/sf0.01", mod = 1).count()
+    val words = Bpe.wordCounts(spark, "/root/testdata/sf0.01", mod = 4)
+    val n = words.count()
+    assert(n > 2 && n < full, s"mod=4 slice is not a proper subset: $n of $full")
+    val (merges, frame) = Bpe.learnWithFrame(words, rounds = 8)
+    Materialize.free(frame)
+    assert(merges.size == 8, s"slice starved the round budget: ${merges.size} merges")
+    assert(merges.head._2.length == 1 && merges.head._3.length == 1,
+      "round 1 must open in the char+char regime")
+    assert(merges.exists(m => m._2.length > 1 || m._3.length > 1),
+      "slice never reached the compound-symbol regime")
+    val outputs = merges.map(m => m._2 + m._3)
+    assert(merges.zipWithIndex.exists { case (m, i) =>
+        outputs.take(i).contains(m._2) || outputs.take(i).contains(m._3)
+      }, "no round consumed an earlier round's output symbol")
+    assert(merges.forall(_._4 > 0), "non-positive pair count in the slice")
+  }
 }

@@ -1292,6 +1292,41 @@ class IndexStoreSpec extends SparkSpec {
     assert(served.nonEmpty)
   }
 
+  test("cross-modal queries served off the maintained IVF assignment store equal the batch path") {
+    val root = tmp("graft_idx_ivf_xm")
+    val sA = spark.newSession()
+    sA.conf.set(IndexStore.DirConf, root)
+    val e = Tables.load(sA, dir, "embeddings")
+    streaming.IndexMaintenance.bootstrapIvfAssignments(sA, dir, e)
+    val modelPath = IndexStore.storePath(root, dir,
+      operators.Similarity.IvfModelStoreName)
+    val model = operators.Ivf.load(sA, modelPath).get
+    // image-side queries paired to the first 8 texts (id domain +10000):
+    // the maintained TEXT-side inverted file serves the other modality
+    val imgQ = operators.Similarity.crossModalImageSide(e.filter(col("vec_id") < 8))
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+    val served = key(operators.Similarity.ivfAnnFromStore(sA, dir,
+      queriesOpt = Some(imgQ)))
+    // batch equivalent: same stored centroids, corpus cells recomputed live
+    val eqf = operators.Ivf.quantize(e)
+    val cents = operators.Ivf.centsDF(sA, model.cents)
+    val cells = operators.Ivf.ranked(eqf, cents).filter(col("rk") === 1)
+      .select(col("vec_id"), col("cid").as("cell"))
+    val batch = key(operators.Ivf.annTopK(
+      e.select(col("vec_id"), col("embedding")),
+      operators.Ivf.quantize(imgQ).select(col("vec_id"), col("eq")),
+      cents, 8, 2, 3, graft.functions.VectorFunctions.dotDec,
+      cellsOpt = Some(cells),
+      qEmbOpt = Some(imgQ.select(col("vec_id").as("q_id"), col("embedding").as("q_emb")))))
+    assert(served == batch, "cross-modal store-served ANN must equal the batch computation")
+    assert(served.nonEmpty)
+    // paired-text sanity: the shared space is real through the store path
+    val top1 = served.filter(_._2 == 1).map(r => (r._1, r._3)).toMap
+    assert(top1.count { case (q, n) => n == q - 10000 } >= 6,
+      s"paired-text top-1 recall collapsed through the store path: $top1")
+  }
+
   test("IVF drift trigger: distribution shift refits long before the growth policy") {
     val root = tmp("graft_idx_ivf_drift")
     val sA = spark.newSession()

@@ -290,6 +290,16 @@ class PlanAssertionsSpec extends SparkSpec {
     assert(p.contains("partial_count") || p.contains("HashAggregate"))
   }
 
+  test("q155/q156: cross-modal IVF-PQ plans stay cell/LUT-join shaped; no all-pairs") {
+    // the only crossJoins in the compound path are broadcast LUT/centroid
+    // frames (16 rows) and the chunked query-set broadcast — a cartesian
+    // or nested-loop join would mean the modality swap broke a size gate
+    for (q <- Seq("q155_crossmodal_ivfpq", "q156_crossmodal_reverse")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product")
+    }
+  }
+
   test("q78/q79: pair-graph profile and containment stay equi-join shaped; no cartesian") {
     for (q <- Seq("q78_dup_degree_profile", "q79_containment_neardup")) {
       val p = plan(q)

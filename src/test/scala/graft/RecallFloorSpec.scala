@@ -55,6 +55,26 @@ class RecallFloorSpec extends SparkSpec {
     assert(nonZero > 0, "IVF-PQ serving reports zero hits everywhere — collapsed index")
   }
 
+  test("q155 cross-modal IVF-PQ recall clears its measured floor at sf0.1") {
+    // measured mean 0.542 (13/24 hits; every query ≥ 1) — the compound
+    // cross-modal loss lands where same-modality q143 does, because the
+    // paired-image neighbor is strongly aligned (≈0.97 cos) and survives
+    // both the cell prune and the ADC shortlist; same 0.30 floor
+    val (mean, nonZero) = meanRecall("q155_crossmodal_ivfpq")
+    assert(mean >= 0.30, f"cross-modal IVF-PQ mean recall $mean%.3f fell below the 0.30 floor")
+    assert(nonZero > 0, "cross-modal IVF-PQ reports zero hits everywhere — collapsed index")
+  }
+
+  test("q156 reverse-leg (image→text) IVF-PQ recall clears its measured floor at sf0.1") {
+    // measured mean 0.458 (11/24; one zero-hit query — the near-uniform
+    // fixture's worst case) — served entirely off the SHARED text-side
+    // index artifacts, so a floor break here means the existing q53/q142
+    // stores stopped generalizing to external-modality queries
+    val (mean, nonZero) = meanRecall("q156_crossmodal_reverse")
+    assert(mean >= 0.25, f"reverse cross-modal mean recall $mean%.3f fell below the 0.25 floor")
+    assert(nonZero > 0, "reverse cross-modal serving reports zero hits everywhere")
+  }
+
   test("q124 int8-quantization recall clears its measured floor at sf0.1") {
     // measured mean 0.917 (min 0.667) — quantization loses far less than
     // the indexes, which is the point of the report; a broken calibration
