@@ -146,5 +146,10 @@ object Tables {
       .createOrReplaceTempView("ivf_assignments")
     streaming.IndexMaintenance.ivfDriftView(spark, dir)
       .createOrReplaceTempView("ivf_drift")
+    // the substring-dedup anchor stream (q153's signal), store-backed when
+    // a maintained anchor store exists — "how duplicated is gram s / which
+    // spans does doc d share" in plain SQL
+    streaming.IndexMaintenance.anchorIndexView(spark, dir)
+      .createOrReplaceTempView("anchor_index")
   }
 }

@@ -1221,6 +1221,28 @@ object IndexMaintenance {
     }
   }
 
+  /** The substring-dedup anchor stream as a queryable frame — the
+    * gateway's `anchor_index` view ("which positional K-grams does doc d
+    * contribute / how duplicated is gram s"): `(doc_id, i, s)` from the
+    * durable anchor store when one is configured and bootstrapped,
+    * otherwise computed in-session from the corpus (the same
+    * [[graft.operators.Fuzzy.anchorRows]] the maintainer appends with, so
+    * the two provenances agree row-for-row on the same corpus).
+    */
+  def anchorIndexView(s: SparkSession, corpusDir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val stored = graft.IndexStore.configuredDir(s).map(root =>
+      graft.IndexStore.storePath(root, corpusDir, AnchorStoreName))
+      .filter(graft.IndexStore.committed(s, _))
+    stored match {
+      case Some(path) =>
+        s.read.parquet(path).select(col("doc_id"), col("i"), col("s"))
+      case None =>
+        graft.operators.Fuzzy.anchorRows(
+          graft.Tables.load(s, corpusDir, "documents"))
+    }
+  }
+
   private val driftViewSchema = org.apache.spark.sql.types.StructType(Seq(
     org.apache.spark.sql.types.StructField("fit_n", org.apache.spark.sql.types.LongType, nullable = false),
     org.apache.spark.sql.types.StructField("inc_n", org.apache.spark.sql.types.LongType, nullable = false),

@@ -1301,7 +1301,7 @@ class IndexStoreSpec extends SparkSpec {
     val modelPath = IndexStore.storePath(root, dir,
       operators.Similarity.IvfModelStoreName)
     val model = operators.Ivf.load(sA, modelPath).get
-    // image-side queries paired to the first 8 texts (id domain +10000):
+    // image-side queries paired to the first 8 texts (id domain +XmOffset):
     // the maintained TEXT-side inverted file serves the other modality
     val imgQ = operators.Similarity.crossModalImageSide(e.filter(col("vec_id") < 8))
     def key(df: org.apache.spark.sql.DataFrame) = df.collect()
@@ -1323,7 +1323,7 @@ class IndexStoreSpec extends SparkSpec {
     assert(served.nonEmpty)
     // paired-text sanity: the shared space is real through the store path
     val top1 = served.filter(_._2 == 1).map(r => (r._1, r._3)).toMap
-    assert(top1.count { case (q, n) => n == q - 10000 } >= 6,
+    assert(top1.count { case (q, n) => n == q - operators.Similarity.XmOffset } >= 6,
       s"paired-text top-1 recall collapsed through the store path: $top1")
   }
 

@@ -87,7 +87,7 @@ class RecallFloorSpec extends SparkSpec {
   test("q154 cross-modal retrieval surfaces the paired image for most queries at sf0.1") {
     // The shared-space synthesis is a 3:1 contraction toward the paired
     // text vector (~0.97 cosine for near-random unit vectors), so each
-    // text query's OWN image (neighbor_id = q_id + 10000) must rank in
+    // text query's OWN image (neighbor_id = q_id + XmOffset) must rank in
     // the top-k almost always — measured 8/8 top-1 at sf0.01 and sf0.1.
     // The floor (≥ 6/8) is the shared-space sanity tripwire: a broken
     // modality mix or id-domain drift collapses the pairing long before
@@ -97,7 +97,7 @@ class RecallFloorSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1)))
     val queries = rows.map(_._1).distinct
     assert(queries.length == 8, s"expected 8 query groups, got ${queries.length}")
-    val paired = queries.count(q => rows.contains((q, q + 10000L)))
+    val paired = queries.count(q => rows.contains((q, q + operators.Similarity.XmOffset)))
     assert(paired >= 6, s"paired image surfaced for only $paired/8 queries")
   }
 }

@@ -144,6 +144,14 @@ class SqlGatewaySpec extends SparkSpec {
         "SELECT count(*) AS n FROM ivf_drift WHERE growth_pending OR drift_pending OR skew_pending")
       assert(drift.statusCode() == 200 && drift.body().trim == """{"n":0}""",
         drift.body())
+      // the anchor stream: positional K-gram rows, one row per in-doc
+      // position ≥ K chars — spot-check a structural invariant (positions
+      // are 1-based and dense per doc: max i == count per doc)
+      val anch = post(port,
+        "SELECT count(*) AS n FROM (SELECT doc_id, count(*) AS c, max(i) AS m " +
+          "FROM anchor_index GROUP BY doc_id) WHERE c <> m")
+      assert(anch.statusCode() == 200 && anch.body().trim == """{"n":0}""",
+        anch.body())
     }
   }
 
