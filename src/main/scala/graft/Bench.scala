@@ -167,7 +167,13 @@ object Bench {
       warmEnd.storageMb > coldEnd.storageMb * 5 / 4 + 16
     val gcPressure = warm.nonEmpty &&
       (warmEnd.gcMs - warmStart.gcMs) > (warmWall * 1000 * 0.10)
-    val flags = s"""{"shared_box":$sharedBox,"state_accum":$stateAccum,"gc_pressure":$gcPressure}"""
+    // Raw end-of-pass storage occupancy rides NEXT TO the boolean: the
+    // growth gate deliberately tolerates a large steady cache, so an
+    // adjudicator can still see near-threshold growth (or a cold-pass
+    // plateau leak the gate cannot catch) even when state_accum is false.
+    val flags = s"""{"shared_box":$sharedBox,"state_accum":$stateAccum,""" +
+      s""""gc_pressure":$gcPressure,"storage_mb_cold_end":${coldEnd.storageMb},""" +
+      s""""storage_mb_warm_end":${warmEnd.storageMb}}"""
     // Locale.ROOT: the f-interpolator uses the default locale, which under
     // comma-decimal locales would print "1,234" and corrupt the JSON line.
     def fmt(v: Double) =

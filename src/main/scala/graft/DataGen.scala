@@ -53,7 +53,8 @@ object DataGen {
     df.agg(max(col(key)).cast(LongType)).head().getLong(0) + 1
 
   /** The planted SHARED-vocabulary stratum: [[PlantPerMille]]‰ of every
-    * replica's documents (a pure hash of the shifted doc_id) have their
+    * replica-i≥1's documents (a pure hash of the shifted doc_id; replica 0
+    * is exempt — see the write site) have their
     * text rewritten token-for-token onto a small GLOBAL vocabulary
     * g00..g31 — the only token types whose document frequency grows with
     * the factor (everything else is replica-prefixed, so per-type df is
@@ -154,13 +155,21 @@ object DataGen {
       .withColumn("ts", unix_micros(col("ts")) * 1000L)), 8)
     write("documents", reps { i =>
       val d = docs.withColumn("doc_id", shift("doc_id", dSpan, i))
-      val prefixed =
-        if (i == 0) col("text")
-        else concat_ws(" ",
+      // Replica 0 is EXEMPT from planting: generate(factor=1) reproduces
+      // the source corpus byte-for-byte, and the driver's own (un-planted)
+      // sf0.1 fixture stays workload-homologous with generated sf1/sf2 —
+      // the scaling-exponent comparison reads the same base workload at
+      // every point. Cost: per-type g-token df is (factor−1)/factor of
+      // fully-proportional — immaterial to the q67 threshold workload at
+      // factor ≥ 2, and the stratum still grows linearly with the factor.
+      if (i == 0) d
+      else {
+        val prefixed = concat_ws(" ",
           transform(split(col("text"), "\\s+"), t => concat(lit(s"r$i"), t)))
-      d.withColumn("text", when(plantedDoc(col("doc_id")), plantedText(col("doc_id")))
-          .otherwise(prefixed))
-        .withColumn("n_chars", length(col("text")).cast(LongType))
+        d.withColumn("text", when(plantedDoc(col("doc_id")), plantedText(col("doc_id")))
+            .otherwise(prefixed))
+          .withColumn("n_chars", length(col("text")).cast(LongType))
+      }
     }, 8)
     write("embeddings", reps { i =>
       val e = emb.withColumn("vec_id", shift("vec_id", vSpan, i))

@@ -270,9 +270,16 @@ object Ivf {
     // inferring the bound through the join.
     val qe = qEmbOpt.getOrElse(e.filter(col("vec_id") < numQueries)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb")))
-    // dims probe by-name (only past the no-probe bound); empty query set
-    // under an overstated numQueries degrades to one chunk
-    val chunks = Sizing.broadcastChunks(numQueries,
+    // Chunking derives from the ACTUAL query-frame size: on the internal
+    // path qe is the `vec_id < numQueries` slice, so numQueries bounds it
+    // by construction — but an EXTERNAL frame's size is unrelated to that
+    // parameter (ivfAnnFromStore leaves it at its default), and deriving
+    // from numQueries there would broadcast an arbitrarily large frame in
+    // ONE piece, silently bypassing maxBroadcastElems. One count() action
+    // on the external path only; dims probe by-name (only past the
+    // no-probe bound); an empty query set degrades to one chunk.
+    val nq: Long = if (qEmbOpt.isDefined) qe.count() else numQueries.toLong
+    val chunks = Sizing.broadcastChunks(nq,
       qe.select(size(col("q_emb"))).limit(1).collect()
         .headOption.map(_.getInt(0)).getOrElse(1), maxBroadcastElems)
     val w = Window.partitionBy(col("q_id")).orderBy(col("sim_dec").desc, col("vec_id").asc)

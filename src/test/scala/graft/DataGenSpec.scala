@@ -36,14 +36,25 @@ class DataGenSpec extends SparkSpec {
       docs2.except(docs.select(col("doc_id"), col("text"))).isEmpty,
       "two generations of the same factor must be identical")
 
+    // replica 0 reproduces the source corpus byte-for-byte (the ADVICE-r14
+    // exemption: factor=1 generation = the source, and the driver's
+    // un-planted sf0.1 fixture stays homologous with generated sf1/sf2)
+    val rep0 = docs.filter(col("doc_id") < span).select(col("doc_id"), col("text"))
+    assert(rep0.except(base.select(col("doc_id"), col("text"))).isEmpty &&
+      base.select(col("doc_id"), col("text")).except(rep0).isEmpty,
+      "replica 0 must be byte-identical to the source corpus")
+
     // partition the output into planted / unplanted by content shape
     val withKind = docs.withColumn("tok", split(col("text"), "\\s+"))
       .withColumn("is_g", forall(col("tok"), t => t.rlike("^g[0-9]{2}$")))
     val planted = withKind.filter(col("is_g")).cache()
     val nPlanted = planted.count()
-    // hash-rate tolerance: 10% ± 3 percentage points on 2·nBase docs
-    val rate = nPlanted.toDouble / (2 * nBase)
+    // hash-rate tolerance: 10% ± 3 percentage points of the PLANT-ELIGIBLE
+    // mass (replicas i ≥ 1 — here just replica 1's nBase docs)
+    val rate = nPlanted.toDouble / nBase
     assert(rate > 0.07 && rate < 0.13, f"plant rate $rate%.3f outside the 10%% band")
+    assert(planted.filter(col("doc_id") < span).count() == 0,
+      "replica 0 must carry no planted docs")
 
     // the g-vocabulary is exactly the bounded global family
     val gTypes = planted.select(explode(col("tok")).as("t")).distinct().collect().map(_.getString(0))
