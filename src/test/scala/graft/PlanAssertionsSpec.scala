@@ -300,6 +300,33 @@ class PlanAssertionsSpec extends SparkSpec {
     }
   }
 
+  test("q157: the metadata predicate pushes to the documents scan, below the ADC join") {
+    val qe = SparkEntry.queries("q157_filtered_ann")(spark, dir).queryExecution
+    val p = qe.executedPlan.toString
+    // the lang predicate must reach the documents PARQUET SCAN (the
+    // candidate leg is id-filtered before probes/ADC ever see it), not
+    // run as a post-ADC or post-rerank filter
+    assert(p.contains("PushedFilters") && p.contains("EqualTo(lang,en)"),
+      "documents lang predicate did not push to the scan")
+    assert(!p.contains("CartesianProduct"), "q157 plans a cartesian product")
+    // candidates stay probed-cell-bounded: every window is keyed (the
+    // salted top-k / per-vector argmax shapes), never a global sort
+    val windows = qe.sparkPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w.partitionSpec.size
+    }
+    assert(windows.forall(_ >= 1), s"q157 has a global window: $windows")
+  }
+
+  test("q158: probe sweep is one assignment pass + keyed top-k; no cartesian") {
+    val qe = SparkEntry.queries("q158_probe_sweep")(spark, dir).queryExecution
+    assert(!qe.executedPlan.toString.contains("CartesianProduct"),
+      "q158 plans a cartesian product")
+    val windows = qe.sparkPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w.partitionSpec.size
+    }
+    assert(windows.forall(_ >= 1), s"q158 has a global window: $windows")
+  }
+
   test("q78/q79: pair-graph profile and containment stay equi-join shaped; no cartesian") {
     for (q <- Seq("q78_dup_degree_profile", "q79_containment_neardup")) {
       val p = plan(q)

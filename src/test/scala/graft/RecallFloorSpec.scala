@@ -100,4 +100,37 @@ class RecallFloorSpec extends SparkSpec {
     val paired = queries.count(q => rows.contains((q, q + operators.Similarity.XmOffset)))
     assert(paired >= 6, s"paired image surfaced for only $paired/8 queries")
   }
+
+  test("q157 filtered ANN clears its measured floor at sf0.1") {
+    // measured mean 0.708 (17/24 hits, every query ≥ 1) against the exact
+    // FILTERED top-k — the deeper probe (4 of 16 cells, the filtered-
+    // search adjustment) recovers the candidate mass the predicate thins
+    // away. The floor (0.40) is the constrained-serving tripwire: a
+    // predicate leg that accidentally post-filters the shortlist (instead
+    // of composing into the candidate leg) visibly drops below it on a
+    // selective filter.
+    val (mean, nonZero) = meanRecall("q157_filtered_ann")
+    assert(mean >= 0.40, f"filtered-ANN mean recall $mean%.3f fell below the 0.40 floor")
+    assert(nonZero > 0, "filtered ANN reports zero hits everywhere — collapsed candidate leg")
+  }
+
+  test("q158 probe sweep: recall and candidate counts are monotone in nprobe at sf0.1") {
+    // Structural monotonicity — deeper probes see a SUPERSET of
+    // candidates, so both the cost (n_cand) and the quality (recall)
+    // columns must be non-decreasing; candidates strictly grow on this
+    // fixture (every added cell carries members). Measured at sf0.1:
+    // n_cand 1000→8025, recall 0.29→0.96 across probes 1→8. A broken
+    // min-depth tag (candidates leaking across levels) breaks one of the
+    // two directions immediately.
+    val rows = SparkEntry.queries("q158_probe_sweep")(spark, dir)
+      .orderBy("probes")
+      .select("probes", "n_cand", "recall_micro").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(rows.map(_._1).toSeq == Seq(1, 2, 4, 8), s"unexpected levels: ${rows.map(_._1).mkString(",")}")
+    assert(rows.sliding(2).forall { case Array(a, b) => b._2 > a._2 },
+      s"candidate counts not strictly increasing: ${rows.map(_._2).mkString(",")}")
+    assert(rows.sliding(2).forall { case Array(a, b) => b._3 >= a._3 },
+      s"recall not non-decreasing: ${rows.map(_._3).mkString(",")}")
+    assert(rows.last._3 > 0, "probe sweep reports zero recall at the deepest level")
+  }
 }
