@@ -146,6 +146,10 @@ object Tables {
       .createOrReplaceTempView("ivf_assignments")
     streaming.IndexMaintenance.ivfDriftView(spark, dir)
       .createOrReplaceTempView("ivf_drift")
+    // round-15: the fine quantizer's staleness ledger — ADC residual
+    // baseline vs appended mass, pending-trigger flag, refit provenance
+    streaming.IndexMaintenance.pqDriftView(spark, dir)
+      .createOrReplaceTempView("pq_drift")
     // the substring-dedup anchor stream (q153's signal), store-backed when
     // a maintained anchor store exists — "how duplicated is gram s / which
     // spans does doc d share" in plain SQL

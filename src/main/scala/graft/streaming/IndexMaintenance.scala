@@ -946,6 +946,77 @@ object IndexMaintenance {
     */
   private[graft] val IvfSkewFactor = 8L
 
+  // ---- PQ codebook drift (the fine quantizer's staleness statistic) ----
+  // The coarse IVF model has growth/drift/skew maintenance; without these
+  // keys the PQ families only refresh under the wholesale ≥2× policy, and
+  // ADC quantization error drifts SILENTLY between refreshes (round-14
+  // gap #4). The statistic: exact integer Σ|selfdot − bestcode-dot| over
+  // a deterministic hash probe sample ([[graft.operators.Similarity
+  // .pqResidualStats]]) — the reconstruction loss ADC scoring pays —
+  // with a fit baseline stamped at bootstrap/refit and per-batch
+  // increments advanced in the SAME sidecar write as the batch marker
+  // (replay-safe like every other key here).
+
+  private[graft] val PqFitResSumKey = "pqFitResSum"
+  private[graft] val PqFitResNKey = "pqFitResN"
+  private[graft] val PqIncResSumKey = "pqIncResSum"
+  private[graft] val PqIncResNKey = "pqIncResN"
+  /** The probe-sample modulus the baseline was computed under — batches
+    * must sample under the SAME modulus for the means to be comparable.
+    */
+  private[graft] val PqResModKey = "pqResMod"
+  private[graft] val PqLastRefitTriggerKey = "pqLastRefitTrigger"
+
+  /** Refit when the appended sample's MEAN residual exceeds this multiple
+    * of the fit baseline's mean (cross-multiplied BigInt compare, exact):
+    * new data the codebooks reconstruct 2× worse than their training
+    * distribution is drifted enough that ADC ordering degrades. Armed
+    * under the same ≥ [[IvfDriftMinIncPct]]% appended-mass floor as the
+    * coarse triggers — a handful of outliers must not refit the family.
+    */
+  private[graft] val PqResidFactor = 2L
+
+  /** Residual probe-sample target: the statistic needs a stable mean, not
+    * the corpus — 64k sampled rows bound the per-refresh scoring pass at
+    * any corpus size (the sums are distributed; only two scalars ever
+    * reach the driver).
+    */
+  private[graft] val PqResSampleTarget = 65536L
+
+  /** Decoded PQ drift sidecar — the single place the residual predicate
+    * is written, shared by [[maybeRefitPq]] and the `pq_drift` gateway
+    * view (the ledger the trigger can never disagree with).
+    */
+  private[graft] final case class PqDriftSnapshot(fitN: Long, fitSum: BigInt,
+      incN: Long, incSum: BigInt, mod: Int, lastTrigger: Option[String]) {
+    def residual: Boolean = fitN > 0 && fitSum > 0 &&
+      incN * 100 >= fitN * IvfDriftMinIncPct &&
+      incSum * BigInt(fitN) > BigInt(PqResidFactor) * fitSum * BigInt(incN)
+  }
+
+  private[graft] def pqDriftSnapshot(meta: Map[String, String]): Option[PqDriftSnapshot] =
+    for {
+      fitN <- meta.get(PqFitResNKey).flatMap(_.toLongOption)
+      fitSum <- meta.get(PqFitResSumKey).map(BigInt(_))
+      mod <- meta.get(PqResModKey).flatMap(_.toIntOption)
+    } yield PqDriftSnapshot(fitN, fitSum,
+      meta.get(PqIncResNKey).flatMap(_.toLongOption).getOrElse(0L),
+      meta.get(PqIncResSumKey).map(BigInt(_)).getOrElse(BigInt(0)),
+      mod, meta.get(PqLastRefitTriggerKey))
+
+  /** The committed text-side PQ codebook family, or None when any entry
+    * is absent/torn (PQ maintenance not bootstrapped — the batch path
+    * then advances nothing).
+    */
+  private def storedPqModels(s: SparkSession, corpusDir: String): Option[Seq[graft.operators.Ivf.Model]] =
+    graft.IndexStore.configuredDir(s).flatMap { root =>
+      val loaded = (0 until graft.operators.Similarity.pqSubvectors).map { m =>
+        graft.operators.Ivf.load(s, graft.IndexStore.storePath(root, corpusDir,
+          graft.operators.Similarity.pqModelStoreName(m)))
+      }
+      if (loaded.forall(_.isDefined)) Some(loaded.map(_.get)) else None
+    }
+
   /** One decoded view of the assignment store's drift sidecar — the
     * SINGLE place the three refit predicates are written, shared by
     * [[maybeRefitIvf]] (the trigger) and the `ivf_drift` gateway view
@@ -1059,7 +1130,8 @@ object IndexMaintenance {
     * recorded fit baseline.
     */
   private[graft] def bootstrapIvfAssignments(s: SparkSession, corpusDir: String,
-      e: DataFrame, k: Int = graft.operators.Similarity.ivfFixtureCells): Unit = {
+      e: DataFrame, k: Int = graft.operators.Similarity.ivfFixtureCells,
+      maintainPq: Boolean = true): Unit = {
     val (assignPath, modelPath) = ivfPaths(s, corpusDir)
     val eqf = graft.operators.Ivf.quantize(e)
       .select(org.apache.spark.sql.functions.col("vec_id"),
@@ -1071,12 +1143,26 @@ object IndexMaintenance {
     // servedFrom rebuilt or served fresh — either way the store is the
     // current corpus's assignments under the current model).
     val (n, sum) = assignStats(s.read.parquet(assignPath))
+    // PQ tier (on by default): fit-or-load the shared text-side codebook
+    // family and stamp its residual baseline over the deterministic probe
+    // sample, so appends can watch ADC quantization drift from batch one.
+    val pqBaseline: Map[String, String] =
+      if (!maintainPq) Map.empty
+      else {
+        val models = graft.operators.Similarity.pqModels(s, corpusDir, eqf)
+        val mod = math.max(1L, n / PqResSampleTarget).toInt
+        val (rn, rsum) = graft.operators.Similarity.pqResidualStats(models,
+          eqf.filter(graft.operators.Similarity.pqResSampleFilter(mod)))
+        Map(PqResModKey -> mod.toString,
+          PqFitResNKey -> rn.toString, PqFitResSumKey -> rsum.toString,
+          PqIncResNKey -> "0", PqIncResSumKey -> "0")
+      }
     graft.IndexStore.readMeta(s, assignPath).foreach { meta =>
       graft.IndexStore.writeMeta(s, assignPath, meta ++ Map(
         IvfKKey -> k.toString,
         IvfFitIdotSumKey -> sum.toString, IvfFitNKey -> n.toString,
         IvfIncIdotSumKey -> "0", IvfIncNKey -> "0",
-        IvfIncCellCountsKey -> ""))
+        IvfIncCellCountsKey -> "") ++ pqBaseline)
     }
   }
 
@@ -1119,13 +1205,33 @@ object IndexMaintenance {
         val (bn, bsum) = assignStats(asg)
         val incN = meta0.get(IvfIncNKey).map(_.toLong).getOrElse(0L) + bn
         val incSum = meta0.get(IvfIncIdotSumKey).map(BigInt(_)).getOrElse(BigInt(0)) + bsum
+        // PQ residual advance — only when the store carries a baseline
+        // (pqResMod) AND the codebook family is committed; rides the same
+        // sidecar write as the batch marker, so a replay advances nothing.
+        val pqInc: Map[String, String] =
+          meta0.get(PqResModKey).flatMap(_.toIntOption) match {
+            case Some(mod) => storedPqModels(s, corpusDir) match {
+              case Some(models) =>
+                val sampled = asg
+                  .select(org.apache.spark.sql.functions.col("vec_id"),
+                    org.apache.spark.sql.functions.col("eq"))
+                  .filter(graft.operators.Similarity.pqResSampleFilter(mod))
+                val (rn, rsum) = graft.operators.Similarity.pqResidualStats(models, sampled)
+                Map(
+                  PqIncResNKey -> (meta0.get(PqIncResNKey).map(_.toLong).getOrElse(0L) + rn).toString,
+                  PqIncResSumKey -> (meta0.get(PqIncResSumKey).map(BigInt(_)).getOrElse(BigInt(0)) + rsum).toString)
+              case None => Map.empty
+            }
+            case None => Map.empty
+          }
         graft.IndexStore.append(s, corpusDir, IvfAssignStoreName, asg,
           incrementCount = bn,
           extraMeta = Map(markerKey(stream) -> batchId.toString,
             IvfIncIdotSumKey -> incSum.toString, IvfIncNKey -> incN.toString,
-            IvfIncCellCountsKey -> advancedCellCounts(meta0, asg)))
+            IvfIncCellCountsKey -> advancedCellCounts(meta0, asg)) ++ pqInc)
       } finally asg.unpersist()
       maybeRefitIvf(s, corpusDir)
+      maybeRefitPq(s, corpusDir)
       true
     }
 
@@ -1190,6 +1296,48 @@ object IndexMaintenance {
       throw new java.io.IOException(s"IVF refit: delete $assignPath failed")
     if (!fs.rename(new org.apache.hadoop.fs.Path(staging), p))
       throw new java.io.IOException(s"IVF refit: rename $staging -> $assignPath failed")
+  }
+
+  /** Evaluate the PQ residual trigger and refit the codebook family in
+    * place when it fires: re-fit the four subvector codebooks over the
+    * STORE's own quantized vectors (the store carries `eq` precisely so
+    * refits need no external corpus), overwrite the durable
+    * `pq_model_<m>` entries, drop the session cache, and stamp a fresh
+    * residual baseline (recomputed under the NEW codebooks over the full
+    * store's probe sample) with zeroed increments and trigger provenance.
+    * Unlike the coarse refit, NO store rewrite happens — PQ codes are
+    * derived at serve time from the codebooks, so the assignment rows are
+    * untouched and the swap is just model entries + one sidecar write
+    * (crash between them: the sidecar still holds the old baseline, the
+    * next batch re-evaluates against the new codebooks' residuals and
+    * re-fires — idempotent, refit is deterministic).
+    */
+  private def maybeRefitPq(s: SparkSession, corpusDir: String): Unit = {
+    val (assignPath, _) = ivfPaths(s, corpusDir)
+    val meta = graft.IndexStore.readMeta(s, assignPath).getOrElse(return)
+    val snap = pqDriftSnapshot(meta).getOrElse(return)
+    if (!snap.residual) {
+      if (snap.incN > 0)
+        log.info(s"PQ codebooks for $corpusDir: ${snap.incN} sampled rows appended " +
+          s"since fit (${snap.fitN} baseline) — below the residual trigger")
+      return
+    }
+    log.warn(s"PQ refit for $corpusDir: trigger=residual " +
+      s"(fit mean=${snap.fitSum}/${snap.fitN}, appended mean=${snap.incSum}/${snap.incN})")
+    val eqf = s.read.parquet(assignPath).select(
+      org.apache.spark.sql.functions.col("vec_id"),
+      org.apache.spark.sql.functions.col("eq"))
+    val models = graft.operators.Similarity.refitPqModels(s, corpusDir, eqf)
+    val storeRows = meta.get(graft.IndexStore.StoreRowsKey).flatMap(_.toLongOption)
+      .getOrElse(eqf.count())
+    val mod = math.max(1L, storeRows / PqResSampleTarget).toInt
+    val (rn, rsum) = graft.operators.Similarity.pqResidualStats(models,
+      eqf.filter(graft.operators.Similarity.pqResSampleFilter(mod)))
+    graft.IndexStore.writeMeta(s, assignPath, meta ++ Map(
+      PqResModKey -> mod.toString,
+      PqFitResNKey -> rn.toString, PqFitResSumKey -> rsum.toString,
+      PqIncResNKey -> "0", PqIncResSumKey -> "0",
+      PqLastRefitTriggerKey -> "residual"))
   }
 
   /** The maintained inverted file as a queryable frame — the gateway's
@@ -1288,6 +1436,42 @@ object IndexMaintenance {
       new java.util.ArrayList[org.apache.spark.sql.Row](
         scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
       driftViewSchema)
+  }
+
+  private val pqDriftViewSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("fit_res_n", org.apache.spark.sql.types.LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("inc_res_n", org.apache.spark.sql.types.LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("res_mod", org.apache.spark.sql.types.IntegerType, nullable = false),
+    org.apache.spark.sql.types.StructField("fit_res_sum", org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0), nullable = false),
+    org.apache.spark.sql.types.StructField("inc_res_sum", org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0), nullable = false),
+    org.apache.spark.sql.types.StructField("residual_pending", org.apache.spark.sql.types.BooleanType, nullable = false),
+    org.apache.spark.sql.types.StructField("last_refit_trigger", org.apache.spark.sql.types.StringType, nullable = true)))
+
+  /** The PQ residual ledger as a queryable 1-row frame — the gateway's
+    * `pq_drift` view ("how stale are the ADC codebooks / is a refit
+    * pending / did one fire"), decoded through the SAME
+    * [[pqDriftSnapshot]] the trigger runs on. Schema-stable empty when no
+    * store is configured/bootstrapped or the sidecar predates the PQ
+    * statistic.
+    */
+  def pqDriftView(s: SparkSession, corpusDir: String): DataFrame = {
+    val snap = for {
+      root <- graft.IndexStore.configuredDir(s)
+      path = graft.IndexStore.storePath(root, corpusDir, IvfAssignStoreName)
+      if graft.IndexStore.committed(s, path)
+      meta <- graft.IndexStore.readMeta(s, path)
+      sn <- pqDriftSnapshot(meta)
+    } yield sn
+    val rows = snap.toSeq.map { sn =>
+      org.apache.spark.sql.Row(sn.fitN, sn.incN, sn.mod,
+        new java.math.BigDecimal(sn.fitSum.bigInteger),
+        new java.math.BigDecimal(sn.incSum.bigInteger),
+        sn.residual, sn.lastTrigger.orNull)
+    }
+    s.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+      pqDriftViewSchema)
   }
 
   /** Attach an IVF assignment maintainer to a `(vec_id, embedding, …)`

@@ -1421,6 +1421,86 @@ class IndexStoreSpec extends SparkSpec {
       "the durable model entry must carry the skew refit")
   }
 
+  test("PQ residual trigger: a norm/distribution shift refits the codebooks while every IVF trigger stays silent") {
+    val root = tmp("graft_idx_pq_drift")
+    val sA = spark.newSession()
+    sA.conf.set(IndexStore.DirConf, root)
+    val e = Tables.load(sA, dir, "embeddings")
+    streaming.IndexMaintenance.bootstrapIvfAssignments(sA, dir, e)
+    val assignPath = IndexStore.storePath(root, dir,
+      streaming.IndexMaintenance.IvfAssignStoreName)
+    def meta = IndexStore.readMeta(sA, assignPath).get
+    // bootstrap stamped the PQ residual baseline next to the IVF one
+    assert(meta(streaming.IndexMaintenance.PqFitResNKey) == "500", meta.toString)
+    assert(BigInt(meta(streaming.IndexMaintenance.PqFitResSumKey)) > 0,
+      "fixture codebooks must have a positive reconstruction residual")
+    assert(meta(streaming.IndexMaintenance.PqResModKey) == "1")
+
+    // the shift: 50 rows (10% — over the 5% arming floor) of 3×-scaled
+    // vectors. Coarse triggers are all BLIND to it: growth 550 < 1000;
+    // the mean assignment dot TRIPLES (drift fires on a drop); argmax
+    // cells are scale-invariant, so the appends spread like the base
+    // corpus (no hot cell). But the codebooks reconstruct 3×-norm
+    // vectors badly — |selfdot − codedot| ≈ 9s − 3d vs the baseline
+    // s − d — so ADC ordering is degrading with NO coarse symptom:
+    // exactly the gap the residual statistic exists to see.
+    val scaled = e.filter(col("vec_id") < 50)
+      .select((col("vec_id") + 1000).as("vec_id"),
+        expr("transform(embedding, x -> CAST(x * 3.0 AS FLOAT))").as("embedding"))
+    assert(streaming.IndexMaintenance.applyIvfBatch(sA, dir, "pq_spec", 0L, scaled))
+    // IVF: no refit — baseline untouched, inc sums advanced
+    assert(meta(streaming.IndexMaintenance.IvfFitNKey) == "500",
+      s"no coarse trigger may fire: $meta")
+    assert(!meta.contains(streaming.IndexMaintenance.IvfLastRefitTriggerKey))
+    // PQ: refit fired — fresh baseline over all 550, zeroed increments,
+    // provenance recorded, durable entries carry the 550-row fit
+    assert(meta(streaming.IndexMaintenance.PqLastRefitTriggerKey) == "residual", meta.toString)
+    assert(meta(streaming.IndexMaintenance.PqFitResNKey) == "550")
+    assert(meta(streaming.IndexMaintenance.PqIncResNKey) == "0")
+    for (m <- 0 until operators.Similarity.pqSubvectors)
+      assert(operators.Ivf.load(sA, IndexStore.storePath(root, dir,
+        operators.Similarity.pqModelStoreName(m))).exists(_.n == 550),
+        s"pq_model_$m must carry the residual refit")
+
+    // the refit is the DETERMINISTIC batch fit over the store's own
+    // quantized vectors — all four subvector codebooks reproduce exactly
+    val eqStore = sA.read.parquet(assignPath).select("vec_id", "eq")
+    for (m <- 0 until operators.Similarity.pqSubvectors) {
+      val fresh = operators.Ivf.fit(
+        eqStore.select(col("vec_id"), expr(s"slice(eq, ${m * 16 + 1}, 16)").as("eq")),
+        k = 16, dim = 16)
+      val loaded = operators.Ivf.load(sA, IndexStore.storePath(root, dir,
+        operators.Similarity.pqModelStoreName(m))).get
+      assert(fresh.cents.map(_._1) == loaded.cents.map(_._1) &&
+        fresh.cents.zip(loaded.cents).forall { case ((_, a), (_, b)) =>
+          java.util.Arrays.equals(a, b)
+        }, s"subvector $m refit must reproduce the deterministic batch fit")
+    }
+
+    // replay safety: the applied batch id skips without advancing the
+    // PQ increments (they ride the marker's sidecar write)
+    val before = meta
+    assert(!streaming.IndexMaintenance.applyIvfBatch(sA, dir, "pq_spec", 0L, scaled))
+    assert(meta == before, "a replayed batch must not advance the residual sums")
+
+    // the pq_drift ledger reads exactly what the trigger just did
+    val ledger = streaming.IndexMaintenance.pqDriftView(sA, dir).collect()
+    assert(ledger.length == 1)
+    assert(ledger(0).getAs[String]("last_refit_trigger") == "residual")
+    assert(!ledger(0).getAs[Boolean]("residual_pending"))
+
+    // serving continuity across the refit: a FRESH session on the same
+    // store serves q142 off the refreshed durable codebooks — no refit at
+    // serve time (the entries keep their 550-row fit), full 8-row report
+    val sB = spark.newSession()
+    sB.conf.set(IndexStore.DirConf, root)
+    val report = SparkEntry.queries("q142_pq_recall")(sB, dir).collect()
+    assert(report.length == 8, "q142 must serve the full report off the refit store")
+    assert(operators.Ivf.load(sB, IndexStore.storePath(root, dir,
+      operators.Similarity.pqModelStoreName(0))).exists(_.n == 550),
+      "serving q142 must not silently refit the maintained codebooks")
+  }
+
   test("purgeKeys drops the corpus content digest (underivable after a purge)") {
     val root = tmp("graft_idx_purge_digest")
     val sA = spark.newSession()

@@ -144,6 +144,10 @@ class SqlGatewaySpec extends SparkSpec {
         "SELECT count(*) AS n FROM ivf_drift WHERE growth_pending OR drift_pending OR skew_pending")
       assert(drift.statusCode() == 200 && drift.body().trim == """{"n":0}""",
         drift.body())
+      val pqd = post(port,
+        "SELECT count(*) AS n FROM pq_drift WHERE residual_pending")
+      assert(pqd.statusCode() == 200 && pqd.body().trim == """{"n":0}""",
+        pqd.body())
       // the anchor stream: positional K-gram rows, one row per in-doc
       // position ≥ K chars — spot-check a structural invariant (positions
       // are 1-based and dense per doc: max i == count per doc)
@@ -174,6 +178,15 @@ class SqlGatewaySpec extends SparkSpec {
     // rows as the in-session computation — one assignment per vector)
     val asg = streaming.IndexMaintenance.ivfAssignmentsView(sA, dir)
     assert(asg.count() == 500 && asg.select("vec_id").distinct().count() == 500)
+    // the PQ residual ledger rides the same sidecar: fresh baseline, no
+    // pending trigger, no refit yet
+    val pq = streaming.IndexMaintenance.pqDriftView(sA, dir).collect()
+    assert(pq.length == 1, "one PQ ledger row per maintained store")
+    val p = pq(0)
+    assert(p.getLong(p.fieldIndex("fit_res_n")) == 500 &&
+      p.getLong(p.fieldIndex("inc_res_n")) == 0 &&
+      !p.getBoolean(p.fieldIndex("residual_pending")) &&
+      p.isNullAt(p.fieldIndex("last_refit_trigger")), p.toString)
   }
 
   test("errors: bad SQL and unknown format → 400 with a message; empty → 400") {
