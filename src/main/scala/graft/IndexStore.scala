@@ -387,7 +387,8 @@ object IndexStore {
     * invalidate (fresh sessions always reload from the store).
     */
   def purgeKeys(s: SparkSession, corpusDir: String, name: String,
-      keyCol: String, keys: Seq[Long], countDecrement: Long = -1L): Long = {
+      keyCol: String, keys: Seq[Long], countDecrement: Long = -1L,
+      extraMeta: Map[String, String] = Map.empty): Long = {
     require(keys.nonEmpty, "purgeKeys: empty key list")
     val root = configuredDir(s).getOrElse(throw new IllegalStateException(
       s"IndexStore.purgeKeys: no index store configured — set $DirConf"))
@@ -431,9 +432,13 @@ object IndexStore {
       case _ => m
     }
     // the content digest covered the purged docs' text, which is gone —
-    // drop it rather than publish a digest the store no longer matches
+    // drop it rather than publish a digest the store no longer matches.
+    // `extraMeta` (e.g. the embedding-tier purge's ledger decrements)
+    // rides the SAME staged sidecar as the row rewrite, so a crash can
+    // never publish purged rows with un-decremented ledgers or vice versa.
     writeMeta(s, staging,
-      (decremented - CorpusHashKey) ++ Map(StoreRowsKey -> survivors.toString))
+      (decremented - CorpusHashKey) ++
+        Map(StoreRowsKey -> survivors.toString) ++ extraMeta)
     if (!fs.delete(p, true))
       throw new java.io.IOException(s"IndexStore.purgeKeys: delete $path failed")
     if (!fs.rename(new Path(staging), p))

@@ -1340,6 +1340,120 @@ object IndexMaintenance {
       PqLastRefitTriggerKey -> "residual"))
   }
 
+  /** Right-to-be-forgotten across the EMBEDDING tier — the deletion leg
+    * [[graft.IndexStore.purgeKeys]] started for the text/BM25 stores,
+    * extended to every vector-derived artifact (round-14 gap #5: a purged
+    * document must stop being SERVABLE AS A NEIGHBOR, not just stop being
+    * retrievable as text). `ids` is the takedown request's identity set —
+    * the shared id domain ties documents to their vectors (`vec_id`) and
+    * media (`media_id`), so one request purges every tier it touches.
+    *
+    * Per committed store (absent tiers skip — nothing was built there):
+    *
+    *  - **IVF assignment store**: the purged rows' contribution to the
+    *    maintenance ledgers is decremented IN THE SAME staged sidecar
+    *    write as the row rewrite (purgeKeys' crash-clean swap — a crash
+    *    can never publish purged rows with un-decremented ledgers):
+    *    appended-mass sums (IncN/IncSum), the per-cell occupancy ledger
+    *    (clamped at zero per cell), and the PQ residual increments
+    *    (re-scored under the CURRENT codebooks over the purged sampled
+    *    rows). Decrements clamp at zero — purged FIT-corpus rows have no
+    *    increment to remove, and the fit baseline deliberately stays: it
+    *    describes the model's training set, which deletion does not
+    *    rewrite; triggers only get more conservative after a purge.
+    *  - **SRP bucket store**: all 16 tables' bucket rows for the purged
+    *    vec_ids; corpus count decremented by the DISTINCT purged vectors
+    *    present, so the next tracked load/append agrees with the
+    *    surviving corpus instead of rebuilding; session bucket frame
+    *    invalidated.
+    *  - **media-fp store**: the purged media_ids' fingerprints; session
+    *    fingerprint frame invalidated so q136-store-aware refills.
+    *
+    * Returns removed STORE-ROW counts per store name. Idempotent: a
+    * replayed purge removes 0 rows and decrements nothing (the clamps
+    * and the already-rewritten rows make the second pass a no-op), so an
+    * at-least-once deletion pipeline is safe. Scale: each leg is one
+    * store scan + a request-sized broadcast `isin` — purge requests are
+    * human-scale, never corpus-scale.
+    */
+  def purgeEmbeddingTier(s: SparkSession, corpusDir: String,
+      ids: Seq[Long]): Map[String, Long] = {
+    require(ids.nonEmpty, "purgeEmbeddingTier: empty id list")
+    import org.apache.spark.sql.functions._
+    val root = graft.IndexStore.configuredDir(s).getOrElse(throw
+      new IllegalStateException("purgeEmbeddingTier requires a configured " +
+        s"index store (${graft.IndexStore.DirConf})"))
+    val results = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+
+    val assignPath = graft.IndexStore.storePath(root, corpusDir, IvfAssignStoreName)
+    if (graft.IndexStore.committed(s, assignPath)) {
+      val meta = graft.IndexStore.readMeta(s, assignPath).getOrElse(Map.empty)
+      val purged = s.read.parquet(assignPath).filter(col("vec_id").isin(ids: _*))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      try {
+        val (pn, psum) = assignStats(purged)
+        val decMeta: Map[String, String] =
+          if (pn == 0) Map.empty
+          else {
+            val incN = meta.get(IvfIncNKey).flatMap(_.toLongOption).getOrElse(0L)
+            val incSum = meta.get(IvfIncIdotSumKey).map(BigInt(_)).getOrElse(BigInt(0))
+            val purgedCells = purged.groupBy(col("cid")).agg(count(lit(1)).as("n"))
+              .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+            val newCells = parseCellCounts(meta.getOrElse(IvfIncCellCountsKey, ""))
+              .flatMap { case (c, n) =>
+                val d = n - purgedCells.getOrElse(c, 0L)
+                if (d > 0) Some(c -> d) else None
+              }
+            val pqDec: Map[String, String] =
+              meta.get(PqResModKey).flatMap(_.toIntOption) match {
+                case Some(mod) => storedPqModels(s, corpusDir) match {
+                  case Some(models) =>
+                    val (rn, rsum) = graft.operators.Similarity.pqResidualStats(models,
+                      purged.select(col("vec_id"), col("eq"))
+                        .filter(graft.operators.Similarity.pqResSampleFilter(mod)))
+                    val pin = meta.get(PqIncResNKey).flatMap(_.toLongOption).getOrElse(0L)
+                    val pis = meta.get(PqIncResSumKey).map(BigInt(_)).getOrElse(BigInt(0))
+                    Map(PqIncResNKey -> math.max(0L, pin - rn).toString,
+                      PqIncResSumKey -> (pis - rsum).max(BigInt(0)).toString)
+                  case None => Map.empty
+                }
+                case None => Map.empty
+              }
+            Map(IvfIncNKey -> math.max(0L, incN - pn).toString,
+              IvfIncIdotSumKey -> (incSum - psum).max(BigInt(0)).toString,
+              IvfIncCellCountsKey -> encodeCellCounts(newCells)) ++ pqDec
+          }
+        results += IvfAssignStoreName -> graft.IndexStore.purgeKeys(s, corpusDir,
+          IvfAssignStoreName, "vec_id", ids, countDecrement = pn, extraMeta = decMeta)
+      } finally purged.unpersist()
+    }
+
+    val srpName = graft.operators.Similarity.SrpStoreName
+    val srpPath = graft.IndexStore.storePath(root, corpusDir, srpName)
+    if (graft.IndexStore.committed(s, srpPath)) {
+      val present = s.read.parquet(srpPath).filter(col("vec_id").isin(ids: _*))
+        .select(col("vec_id")).distinct().count()
+      results += srpName -> graft.IndexStore.purgeKeys(s, corpusDir, srpName,
+        "vec_id", ids, countDecrement = present)
+      graft.operators.Similarity.invalidateSrpIndex(s, corpusDir)
+    }
+
+    val mfpName = graft.operators.MultimodalOps.MediaFpStoreName
+    val mfpPath = graft.IndexStore.storePath(root, corpusDir, mfpName)
+    if (graft.IndexStore.committed(s, mfpPath)) {
+      val present = s.read.parquet(mfpPath).filter(col("media_id").isin(ids: _*))
+        .select(col("media_id")).distinct().count()
+      results += mfpName -> graft.IndexStore.purgeKeys(s, corpusDir, mfpName,
+        "media_id", ids, countDecrement = present)
+      graft.operators.MultimodalOps.invalidateImageFpCache(s, corpusDir)
+    }
+
+    if (results.isEmpty)
+      IndexMaintenance.log.warn(s"purgeEmbeddingTier: no committed " +
+        s"embedding-tier store for $corpusDir under $root — nothing purged")
+    results.toMap
+  }
+
   /** The maintained inverted file as a queryable frame — the gateway's
     * `ivf_assignments` view ("which cell does vector v live in / how big
     * is cell c"): `(vec_id, cid, idot)` from the durable assignment store

@@ -1501,6 +1501,126 @@ class IndexStoreSpec extends SparkSpec {
       "serving q142 must not silently refit the maintained codebooks")
   }
 
+  test("embedding-tier purge: one takedown propagates to IVF/SRP/media stores, decrements the ledgers, and purged ids never serve as neighbors") {
+    val root = tmp("graft_idx_tier_purge")
+    val sA = spark.newSession()
+    sA.conf.set(IndexStore.DirConf, root)
+    val e = Tables.load(sA, dir, "embeddings")
+    // maintained IVF tier: fit on 470, append 30 (ids 470..499) so the
+    // append ledgers are non-zero and decrementable
+    streaming.IndexMaintenance.bootstrapIvfAssignments(sA, dir,
+      e.filter(col("vec_id") < 470))
+    assert(streaming.IndexMaintenance.applyIvfBatch(sA, dir, "purge_spec", 0L,
+      e.select("vec_id", "embedding").filter(col("vec_id") >= 470)))
+    // SRP + media tiers over the full corpus
+    operators.Similarity.buildSrpIndex(sA, dir, e)
+    operators.MultimodalOps.buildMediaFpIndex(sA, dir,
+      multimodal.Multimodal.synthesizeImages(Tables.load(sA, dir, "documents")))
+    val assignPath = IndexStore.storePath(root, dir,
+      streaming.IndexMaintenance.IvfAssignStoreName)
+    def meta = IndexStore.readMeta(sA, assignPath).get
+    assert(meta(streaming.IndexMaintenance.IvfIncNKey) == "30")
+    assert(meta(streaming.IndexMaintenance.PqIncResNKey) == "30")
+
+    // the takedown: 10 fit-corpus ids + 10 appended ids (none queries)
+    val purged = ((100L until 110L) ++ (480L until 490L)).toSeq
+    // expected occupancy ledger after the purge: per-cell clamped
+    // subtraction of ALL purged-present rows' cells (fit rows included —
+    // deliberately conservative: the skew statistic only ever shrinks
+    // from a deletion, never inflates)
+    def parseCells(enc: String): Map[Int, Long] =
+      enc.split(",").filter(_.nonEmpty).map { kv =>
+        val Array(c, n) = kv.split(":"); c.toInt -> n.toLong
+      }.toMap
+    val trackedBefore = parseCells(meta(streaming.IndexMaintenance.IvfIncCellCountsKey))
+    val purgedCells = sA.read.parquet(assignPath)
+      .filter(col("vec_id").isin(purged: _*))
+      .groupBy(col("cid")).count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val expectedCells = trackedBefore.flatMap { case (c, n) =>
+      val d = n - purgedCells.getOrElse(c, 0L)
+      if (d > 0) Some(c -> d) else None
+    }
+    val removed = streaming.IndexMaintenance.purgeEmbeddingTier(sA, dir, purged)
+    assert(removed(streaming.IndexMaintenance.IvfAssignStoreName) == 20, removed.toString)
+    assert(removed(operators.Similarity.SrpStoreName) == 20L * 16, removed.toString)
+    // images exist for EVEN doc_ids only (250 of 500) → 10 of the 20
+    // purged ids have a fingerprint to remove
+    assert(removed(operators.MultimodalOps.MediaFpStoreName) == 10, removed.toString)
+
+    // ledger decrements rode the staged swap: appended mass 30 − 20
+    // purged-and-present (clamped semantics — 10 of the 20 were fit
+    // rows, but the tracked sums only ever shrink toward zero)
+    assert(meta(streaming.IndexMaintenance.IvfIncNKey) == "10", meta.toString)
+    assert(meta(streaming.IndexMaintenance.PqIncResNKey) == "10", meta.toString)
+    assert(parseCells(meta(streaming.IndexMaintenance.IvfIncCellCountsKey)) == expectedCells,
+      s"occupancy ledger must carry the exact clamped decrement: $meta")
+    // fit baseline deliberately survives (it describes the training set)
+    assert(meta(streaming.IndexMaintenance.IvfFitNKey) == "470")
+
+    // IVF serving parity on the surviving corpus: the store answers
+    // exactly the batch computation under the stored model, and no
+    // purged id appears as a neighbor
+    val eSurv = e.filter(!col("vec_id").isin(purged: _*))
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+    val served = key(operators.Similarity.ivfAnnFromStore(sA, dir))
+    assert(served.nonEmpty)
+    assert(served.map(_._3).toSet.intersect(purged.toSet).isEmpty,
+      "a purged id is still servable as an ANN neighbor")
+    val model = operators.Ivf.load(sA, IndexStore.storePath(root, dir,
+      operators.Similarity.IvfModelStoreName)).get
+    val batch = key(operators.Ivf.annTopK(eSurv,
+      operators.Ivf.quantize(eSurv).select("vec_id", "eq"),
+      operators.Ivf.centsDF(sA, model.cents), 8, 2, 3,
+      functions.VectorFunctions.dotDec))
+    assert(served == batch, "store-served filtered corpus must equal the batch path")
+
+    // SRP: the decremented corpus count matches the survivors, so the
+    // tracked load SERVES (no rebuild), and serving equals a fresh
+    // recompute over the surviving corpus under the same plane family
+    val bkStored = operators.Similarity.buildSrpIndex(sA, dir, eSurv)
+    assert(bkStored.count() == eSurv.count() * 16)
+    def srpKey(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+    val servedSrp = srpKey(operators.Similarity.srpAnnTopK(eSurv, bkStored, 8, 8, 3))
+    assert(servedSrp.map(_._3).toSet.intersect(purged.toSet).isEmpty,
+      "a purged id is still servable as an SRP neighbor")
+    val freshSrp = srpKey(operators.Similarity.srpAnnTopK(eSurv,
+      operators.Similarity.srpRows(eSurv), 8, 8, 3))
+    assert(servedSrp == freshSrp, "purged SRP store must equal a fresh survivor build")
+
+    // media: the store's fingerprints equal a fresh decode of the
+    // surviving images — q136-store-aware serves the survivor set
+    val mfpPath = IndexStore.storePath(root, dir,
+      operators.MultimodalOps.MediaFpStoreName)
+    val storedFps = sA.read.parquet(mfpPath).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(storedFps.size == 240 &&
+      storedFps.map(_._1).intersect(purged.toSet).isEmpty)
+    val freshFps = operators.MultimodalOps.imageFps(
+        multimodal.Multimodal.synthesizeImages(
+          Tables.load(sA, dir, "documents").filter(!col("doc_id").isin(purged: _*))))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(storedFps == freshFps, "purged media store must equal a fresh survivor decode")
+
+    // idempotent replay: a re-delivered purge removes nothing and the
+    // ledgers stay put (an at-least-once deletion pipeline is safe)
+    val before = meta
+    val replay = streaming.IndexMaintenance.purgeEmbeddingTier(sA, dir, purged)
+    assert(replay.values.forall(_ == 0), replay.toString)
+    assert(meta == before)
+
+    // crash-window refusal: between purgeKeys' delete and rename there is
+    // NO committed store — serving refuses loudly instead of answering
+    // from a half-purged index
+    val succ = new org.apache.hadoop.fs.Path(assignPath, "_SUCCESS")
+    succ.getFileSystem(sA.sparkContext.hadoopConfiguration).delete(succ, false)
+    assertThrows[IllegalArgumentException] {
+      operators.Similarity.ivfAnnFromStore(sA, dir)
+    }
+  }
+
   test("purgeKeys drops the corpus content digest (underivable after a purge)") {
     val root = tmp("graft_idx_purge_digest")
     val sA = spark.newSession()
