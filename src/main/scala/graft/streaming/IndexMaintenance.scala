@@ -1008,11 +1008,12 @@ object IndexMaintenance {
     * is absent/torn (PQ maintenance not bootstrapped — the batch path
     * then advances nothing).
     */
-  private def storedPqModels(s: SparkSession, corpusDir: String): Option[Seq[graft.operators.Ivf.Model]] =
+  private def storedPqModels(s: SparkSession, corpusDir: String,
+      family: String = ""): Option[Seq[graft.operators.Ivf.Model]] =
     graft.IndexStore.configuredDir(s).flatMap { root =>
       val loaded = (0 until graft.operators.Similarity.pqSubvectors).map { m =>
         graft.operators.Ivf.load(s, graft.IndexStore.storePath(root, corpusDir,
-          graft.operators.Similarity.pqModelStoreName(m)))
+          graft.operators.Similarity.pqModelStoreName(m, family)))
       }
       if (loaded.forall(_.isDefined)) Some(loaded.map(_.get)) else None
     }
@@ -1113,13 +1114,26 @@ object IndexMaintenance {
     (r.getLong(0), BigInt(r.getDecimal(1).toBigInteger))
   }
 
-  private def ivfPaths(s: SparkSession, corpusDir: String): (String, String) = {
+  /** The maintained model FAMILIES: "" is the text-side family
+    * (`ivf_assign` + `ivf_model` + `pq_model_<m>`); "_xm" the cross-modal
+    * image-side one (`ivf_assign_xm` + `xm_ivf_model` + `pq_model_<m>_xm`
+    * — q155's serving artifacts). One maintenance stack, parameterized,
+    * so the image-side index follows ITS corpus exactly as the text-side
+    * one does (round-14 gap #4: the xm family only refreshed wholesale).
+    */
+  private[graft] val Families = Set("", "_xm")
+
+  private def ivfPaths(s: SparkSession, corpusDir: String,
+      family: String = ""): (String, String) = {
+    require(Families(family), s"unknown index family '$family'")
     val root = graft.IndexStore.configuredDir(s).getOrElse(throw
       new IllegalStateException("the IVF assignment maintainer requires a " +
         s"configured index store (${graft.IndexStore.DirConf})"))
-    (graft.IndexStore.storePath(root, corpusDir, IvfAssignStoreName),
-      graft.IndexStore.storePath(root, corpusDir,
-        graft.operators.Similarity.IvfModelStoreName))
+    val modelName =
+      if (family.isEmpty) graft.operators.Similarity.IvfModelStoreName
+      else graft.operators.Similarity.XmIvfModelStoreName
+    (graft.IndexStore.storePath(root, corpusDir, IvfAssignStoreName + family),
+      graft.IndexStore.storePath(root, corpusDir, modelName))
   }
 
   /** Bootstrap the assignment store from an existing embeddings corpus
@@ -1131,13 +1145,13 @@ object IndexMaintenance {
     */
   private[graft] def bootstrapIvfAssignments(s: SparkSession, corpusDir: String,
       e: DataFrame, k: Int = graft.operators.Similarity.ivfFixtureCells,
-      maintainPq: Boolean = true): Unit = {
-    val (assignPath, modelPath) = ivfPaths(s, corpusDir)
+      maintainPq: Boolean = true, family: String = ""): Unit = {
+    val (assignPath, modelPath) = ivfPaths(s, corpusDir, family)
     val eqf = graft.operators.Ivf.quantize(e)
       .select(org.apache.spark.sql.functions.col("vec_id"),
         org.apache.spark.sql.functions.col("eq"))
     val model = graft.operators.Ivf.servedModel(s, modelPath, eqf, k)
-    graft.IndexStore.servedFrom(s, corpusDir, IvfAssignStoreName,
+    graft.IndexStore.servedFrom(s, corpusDir, IvfAssignStoreName + family,
       corpusCount = e.count())(ivfAssignRows(e, model))
     // Baseline stats over the COMMITTED rows (idempotent whether
     // servedFrom rebuilt or served fresh — either way the store is the
@@ -1149,7 +1163,7 @@ object IndexMaintenance {
     val pqBaseline: Map[String, String] =
       if (!maintainPq) Map.empty
       else {
-        val models = graft.operators.Similarity.pqModels(s, corpusDir, eqf)
+        val models = graft.operators.Similarity.pqModels(s, corpusDir, eqf, tag = family)
         val mod = math.max(1L, n / PqResSampleTarget).toInt
         val (rn, rsum) = graft.operators.Similarity.pqResidualStats(models,
           eqf.filter(graft.operators.Similarity.pqResSampleFilter(mod)))
@@ -1185,10 +1199,11 @@ object IndexMaintenance {
     * advances nothing).
     */
   private[graft] def applyIvfBatch(s: SparkSession, corpusDir: String,
-      stream: String, batchId: Long, batch: DataFrame): Boolean =
-    shouldApply(batchId, lastApplied(s, corpusDir, IvfAssignStoreName, stream),
+      stream: String, batchId: Long, batch: DataFrame,
+      family: String = ""): Boolean =
+    shouldApply(batchId, lastApplied(s, corpusDir, IvfAssignStoreName + family, stream),
       stream, corpusDir) && {
-      val (assignPath, modelPath) = ivfPaths(s, corpusDir)
+      val (assignPath, modelPath) = ivfPaths(s, corpusDir, family)
       require(graft.IndexStore.committed(s, assignPath) &&
         graft.IndexStore.committed(s, modelPath),
         s"bootstrap the IVF assignment store for $corpusDir " +
@@ -1210,7 +1225,7 @@ object IndexMaintenance {
         // sidecar write as the batch marker, so a replay advances nothing.
         val pqInc: Map[String, String] =
           meta0.get(PqResModKey).flatMap(_.toIntOption) match {
-            case Some(mod) => storedPqModels(s, corpusDir) match {
+            case Some(mod) => storedPqModels(s, corpusDir, family) match {
               case Some(models) =>
                 val sampled = asg
                   .select(org.apache.spark.sql.functions.col("vec_id"),
@@ -1224,14 +1239,14 @@ object IndexMaintenance {
             }
             case None => Map.empty
           }
-        graft.IndexStore.append(s, corpusDir, IvfAssignStoreName, asg,
+        graft.IndexStore.append(s, corpusDir, IvfAssignStoreName + family, asg,
           incrementCount = bn,
           extraMeta = Map(markerKey(stream) -> batchId.toString,
             IvfIncIdotSumKey -> incSum.toString, IvfIncNKey -> incN.toString,
             IvfIncCellCountsKey -> advancedCellCounts(meta0, asg)) ++ pqInc)
       } finally asg.unpersist()
-      maybeRefitIvf(s, corpusDir)
-      maybeRefitPq(s, corpusDir)
+      maybeRefitIvf(s, corpusDir, family)
+      maybeRefitPq(s, corpusDir, family)
       true
     }
 
@@ -1246,8 +1261,9 @@ object IndexMaintenance {
     * fresh sidecar carries the new fit baseline, zeroed Inc sums, and the
     * surviving batch markers.
     */
-  private def maybeRefitIvf(s: SparkSession, corpusDir: String): Unit = {
-    val (assignPath, modelPath) = ivfPaths(s, corpusDir)
+  private def maybeRefitIvf(s: SparkSession, corpusDir: String,
+      family: String = ""): Unit = {
+    val (assignPath, modelPath) = ivfPaths(s, corpusDir, family)
     val meta = graft.IndexStore.readMeta(s, assignPath).getOrElse(return)
     // Occupancy skew is judged over the TRACKED appends (the cell-count
     // map may have started later than the Inc sums on a pre-skew store,
@@ -1271,7 +1287,8 @@ object IndexMaintenance {
         org.apache.spark.sql.functions.col("eq"))
     val model = graft.operators.Ivf.fit(eqf, k)
     graft.operators.Ivf.save(s, modelPath, model)
-    graft.operators.Similarity.invalidateIvfModel(s, corpusDir)
+    // the session model caches key the xm family under dir + "_xm"
+    graft.operators.Similarity.invalidateIvfModel(s, corpusDir + family)
     // crash-clean reassign swap
     val staging = assignPath + ".refitting"
     val p = new org.apache.hadoop.fs.Path(assignPath)
@@ -1312,8 +1329,9 @@ object IndexMaintenance {
     * next batch re-evaluates against the new codebooks' residuals and
     * re-fires — idempotent, refit is deterministic).
     */
-  private def maybeRefitPq(s: SparkSession, corpusDir: String): Unit = {
-    val (assignPath, _) = ivfPaths(s, corpusDir)
+  private def maybeRefitPq(s: SparkSession, corpusDir: String,
+      family: String = ""): Unit = {
+    val (assignPath, _) = ivfPaths(s, corpusDir, family)
     val meta = graft.IndexStore.readMeta(s, assignPath).getOrElse(return)
     val snap = pqDriftSnapshot(meta).getOrElse(return)
     if (!snap.residual) {
@@ -1327,7 +1345,7 @@ object IndexMaintenance {
     val eqf = s.read.parquet(assignPath).select(
       org.apache.spark.sql.functions.col("vec_id"),
       org.apache.spark.sql.functions.col("eq"))
-    val models = graft.operators.Similarity.refitPqModels(s, corpusDir, eqf)
+    val models = graft.operators.Similarity.refitPqModels(s, corpusDir, eqf, tag = family)
     val storeRows = meta.get(graft.IndexStore.StoreRowsKey).flatMap(_.toLongOption)
       .getOrElse(eqf.count())
     val mod = math.max(1L, storeRows / PqResSampleTarget).toInt
@@ -1385,10 +1403,12 @@ object IndexMaintenance {
         s"index store (${graft.IndexStore.DirConf})"))
     val results = scala.collection.mutable.LinkedHashMap.empty[String, Long]
 
-    val assignPath = graft.IndexStore.storePath(root, corpusDir, IvfAssignStoreName)
-    if (graft.IndexStore.committed(s, assignPath)) {
+    def purgeIvfFamily(family: String, famIds: Seq[Long]): Unit = {
+      val storeName = IvfAssignStoreName + family
+      val assignPath = graft.IndexStore.storePath(root, corpusDir, storeName)
+      if (!graft.IndexStore.committed(s, assignPath)) return
       val meta = graft.IndexStore.readMeta(s, assignPath).getOrElse(Map.empty)
-      val purged = s.read.parquet(assignPath).filter(col("vec_id").isin(ids: _*))
+      val purged = s.read.parquet(assignPath).filter(col("vec_id").isin(famIds: _*))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
       try {
         val (pn, psum) = assignStats(purged)
@@ -1406,7 +1426,7 @@ object IndexMaintenance {
               }
             val pqDec: Map[String, String] =
               meta.get(PqResModKey).flatMap(_.toIntOption) match {
-                case Some(mod) => storedPqModels(s, corpusDir) match {
+                case Some(mod) => storedPqModels(s, corpusDir, family) match {
                   case Some(models) =>
                     val (rn, rsum) = graft.operators.Similarity.pqResidualStats(models,
                       purged.select(col("vec_id"), col("eq"))
@@ -1423,10 +1443,14 @@ object IndexMaintenance {
               IvfIncIdotSumKey -> (incSum - psum).max(BigInt(0)).toString,
               IvfIncCellCountsKey -> encodeCellCounts(newCells)) ++ pqDec
           }
-        results += IvfAssignStoreName -> graft.IndexStore.purgeKeys(s, corpusDir,
-          IvfAssignStoreName, "vec_id", ids, countDecrement = pn, extraMeta = decMeta)
+        results += storeName -> graft.IndexStore.purgeKeys(s, corpusDir,
+          storeName, "vec_id", famIds, countDecrement = pn, extraMeta = decMeta)
       } finally purged.unpersist()
     }
+    purgeIvfFamily("", ids)
+    // the image-side family lives in the OFFSET id domain: the same
+    // takedown purges the documents' paired image vectors there
+    purgeIvfFamily("_xm", ids.map(_ + graft.operators.Similarity.XmOffset))
 
     val srpName = graft.operators.Similarity.SrpStoreName
     val srpPath = graft.IndexStore.storePath(root, corpusDir, srpName)
@@ -1597,13 +1621,14 @@ object IndexMaintenance {
     * index that followed the corpus all day.
     */
   def maintainIvfAssignments(embeddings: DataFrame, corpusDir: String,
-      checkpoint: String, stream: String = "ivf_maintenance"): StreamingQuery = {
+      checkpoint: String, stream: String = "ivf_maintenance",
+      family: String = ""): StreamingQuery = {
     val owner = embeddings.sparkSession
     embeddings.writeStream
       .queryName(stream)
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-        applyIvfBatch(owner, corpusDir, stream, batchId, batch)
+        applyIvfBatch(owner, corpusDir, stream, batchId, batch, family)
         ()
       }
       .start()

@@ -1327,6 +1327,90 @@ class IndexStoreSpec extends SparkSpec {
       s"paired-text top-1 recall collapsed through the store path: $top1")
   }
 
+  test("image-side (xm) family maintenance: exactly-once appends, own store entries, q155's serving leg off the store equals batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val root = tmp("graft_idx_xm_maint")
+    val sA = spark.newSession()
+    sA.conf.set(IndexStore.DirConf, root)
+    val e = Tables.load(sA, dir, "embeddings")
+    val img = operators.Similarity.crossModalImageSide(e)
+    val off = operators.Similarity.XmOffset
+    // bootstrap the IMAGE-side family on the first 470 paired images:
+    // own assignment store (ivf_assign_xm), own coarse model
+    // (xm_ivf_model), own PQ codebooks (pq_model_<m>_xm)
+    streaming.IndexMaintenance.bootstrapIvfAssignments(sA, dir,
+      img.filter(col("vec_id") < off + 470), family = "_xm")
+    val assignPath = IndexStore.storePath(root, dir,
+      streaming.IndexMaintenance.IvfAssignStoreName + "_xm")
+    val modelPath = IndexStore.storePath(root, dir,
+      operators.Similarity.XmIvfModelStoreName)
+    def meta = IndexStore.readMeta(sA, assignPath).get
+    assert(meta(streaming.IndexMaintenance.IvfFitNKey) == "470")
+    assert(meta(streaming.IndexMaintenance.PqFitResNKey) == "470")
+    for (m <- 0 until operators.Similarity.pqSubvectors)
+      assert(operators.Ivf.load(sA, IndexStore.storePath(root, dir,
+        operators.Similarity.pqModelStoreName(m, "_xm"))).isDefined,
+        s"xm PQ codebook $m must bootstrap alongside the coarse model")
+    // the TEXT-side family is untouched — separate store entries entirely
+    assert(!IndexStore.committed(sA, IndexStore.storePath(root, dir,
+      streaming.IndexMaintenance.IvfAssignStoreName)))
+
+    // maintain the remaining 30 image vectors through the streaming leg
+    implicit val sqlCtx = sA.sqlContext
+    import sA.implicits._
+    val rows = img.filter(col("vec_id") >= off + 470).orderBy("vec_id")
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+    val input = MemoryStream[(Long, Seq[Double])]
+    input.addData(rows.toSeq)
+    val q = streaming.IndexMaintenance.maintainIvfAssignments(
+      input.toDF().toDF("vec_id", "embedding"), dir, tmp("graft_idx_xm_ck"),
+      "xm_spec", family = "_xm")
+    q.processAllAvailable(); q.stop()
+    assert(sA.read.parquet(assignPath).count() == 500)
+    assert(meta(streaming.IndexMaintenance.IvfIncNKey) == "30")
+    // exactly-once: a replay of the applied batch id is a full no-op
+    val before = (sA.read.parquet(assignPath).count(), meta)
+    assert(!streaming.IndexMaintenance.applyIvfBatch(sA, dir, "xm_spec", 0L,
+      img.filter(col("vec_id") >= off + 470).limit(5), family = "_xm"))
+    assert(sA.read.parquet(assignPath).count() == before._1 && meta == before._2,
+      "a replayed xm batch must not re-append or advance the ledgers")
+
+    // q155's serving leg: TEXT queries probe the maintained IMAGE store
+    val model = operators.Ivf.load(sA, modelPath).get
+    val txtQ = e.filter(col("vec_id") < 8).select(col("vec_id"),
+      col("embedding").cast("array<double>").as("embedding"))
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+    val served = key(operators.Similarity.ivfAnnFromStore(sA, dir,
+      queriesOpt = Some(txtQ), family = "_xm"))
+    // batch equivalent: same stored centroids, image cells recomputed live
+    val cents = operators.Ivf.centsDF(sA, model.cents)
+    val cells = operators.Ivf.ranked(
+        operators.Ivf.quantize(img).select(col("vec_id"), col("eq")), cents)
+      .filter(col("rk") === 1).select(col("vec_id"), col("cid").as("cell"))
+    val batch = key(operators.Ivf.annTopK(
+      img.select(col("vec_id"), col("embedding")),
+      operators.Ivf.quantize(txtQ).select(col("vec_id"), col("eq")),
+      cents, 8, 2, 3, graft.functions.VectorFunctions.dotDec,
+      cellsOpt = Some(cells),
+      qEmbOpt = Some(txtQ.select(col("vec_id").as("q_id"), col("embedding").as("q_emb")))))
+    assert(served == batch, "xm store-served ANN must equal the batch computation")
+    assert(served.nonEmpty)
+    // paired-image sanity through the maintained store
+    val top1 = served.filter(_._2 == 1).map(r => (r._1, r._3)).toMap
+    assert(top1.count { case (qid, n) => n == qid + off } >= 6,
+      s"paired-image top-1 recall collapsed through the xm store path: $top1")
+
+    // a document takedown reaches the OFFSET id domain: purging doc ids
+    // removes their paired image vectors from the xm store too
+    val removed = streaming.IndexMaintenance.purgeEmbeddingTier(sA, dir, Seq(100L, 101L))
+    assert(removed(streaming.IndexMaintenance.IvfAssignStoreName + "_xm") == 2,
+      removed.toString)
+    assert(sA.read.parquet(assignPath)
+      .filter(col("vec_id").isin(off + 100L, off + 101L)).count() == 0,
+      "purged docs' paired image vectors must leave the xm store")
+  }
+
   test("IVF drift trigger: distribution shift refits long before the growth policy") {
     val root = tmp("graft_idx_ivf_drift")
     val sA = spark.newSession()
