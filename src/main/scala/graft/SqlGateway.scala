@@ -88,8 +88,11 @@ object SqlGateway {
   /** Start the gateway on `host:port` (port 0 = ephemeral; host defaults to
     * loopback). Tables must already be registered on `spark` (temp views /
     * catalog tables) — the gateway adds no catalog state of its own.
+    * `corpusDir` enables the `/ann` vector-serving route (the corpus the
+    * maintained index stores are keyed under); empty = route answers 400.
     */
-  def start(spark: SparkSession, port: Int = 0, host: String = "127.0.0.1"): Gateway = {
+  def start(spark: SparkSession, port: Int = 0, host: String = "127.0.0.1",
+      corpusDir: String = ""): Gateway = {
     // The gateway serves the ENGINE's SQL dialect, which includes its
     // custom expressions (vec_dot_long, minhash_sigs) — the way the
     // reference's /play serves ClickHouse's own function library, not
@@ -102,6 +105,7 @@ object SqlGateway {
     }
     server.createContext("/ping", (ex: HttpExchange) => respond(ex, 200, "text/plain", "Ok.\n"))
     server.createContext("/play", (ex: HttpExchange) => respond(ex, 200, "text/html", PlayHtml))
+    server.createContext("/ann", (ex: HttpExchange) => handleAnn(spark, deadlines, corpusDir, ex))
     server.createContext("/", (ex: HttpExchange) => handleQuery(spark, deadlines, ex))
     server.start()
     new Gateway(server, deadlines)
@@ -212,6 +216,112 @@ object SqlGateway {
         respond(ex, 500, "text/plain", clip(e.toString) + "\n")
     } finally ex.close()
 
+  /** The `/ann` vector-serving route — the `/play` analog for the vector
+    * tier (round-14 gap: the gateway exposed `ivf_assignments`/`ivf_drift`
+    * state but an analyst could not RUN a similarity query). Serves
+    * [[graft.operators.Similarity.ivfAnnFromStore]] off the MAINTAINED
+    * durable index (stored centroids + stored cell assignments — zero
+    * corpus-wide argmax per request) under the same discipline as `/`:
+    * per-request job group, execution deadline, bounded result cap.
+    *
+    * Protocol:
+    *  - `GET /ann?doc_id=<id>` — top-k neighbors of a STORED vector (the
+    *    id's embedding is read from the assignment store; an absent id
+    *    answers 0 rows).
+    *  - `POST /ann` with a JSON array body (`[0.12, -0.3, …]`, exactly
+    *    the index dimension) — top-k neighbors of an INLINE vector: the
+    *    cross-modal query shape (an external-modality embedding probing
+    *    the stored cells, q156's serving leg as an HTTP request).
+    *  - `k` (top-k, ≤ 100), `probes` (probed cells, ≤ 64), `family`
+    *    ("" = text-side store, "_xm" = the image-side family),
+    *    `max_execution_time`, `format` as on `/`.
+    *  - Rows: `(q_id, rk, neighbor_id, sim)` — exact DECIMAL-fold rerank
+    *    scores, the q53 serving contract.
+    */
+  private def handleAnn(spark: SparkSession, deadlines: ScheduledExecutorService,
+      corpusDir: String, ex: HttpExchange): Unit =
+    try {
+      if (corpusDir.isEmpty) {
+        respond(ex, 400, "text/plain",
+          "ann route disabled: gateway started without a corpus dir\n")
+        return
+      }
+      val params = queryParams(ex)
+      val k = intParam(params, "k", 3, 1, 100)
+      val probes = intParam(params, "probes", 2, 1, 64)
+      val family = params.getOrElse("family", "")
+      if (family.nonEmpty && family != "_xm")
+        throw new BadRequest(s"unknown index family '$family' ('' | _xm)")
+      val timeoutSec = intParam(params, "max_execution_time", DefaultTimeoutSec, 1, MaxTimeoutSec)
+      val format = params.getOrElse("format", "JSONEachRow")
+      val bodyBytes = ex.getRequestBody.readNBytes(MaxBodyBytes + 1)
+      if (bodyBytes.length > MaxBodyBytes) {
+        ex.getResponseHeaders.set("Connection", "close")
+        respond(ex, 413, "text/plain", s"request body exceeds $MaxBodyBytes bytes\n")
+        ex.close()
+        return
+      }
+      val body = new String(bodyBytes, UTF_8).trim
+      import org.apache.spark.sql.functions.col
+      val qFrame: DataFrame =
+        if (body.nonEmpty) {
+          if (!body.startsWith("[") || !body.endsWith("]"))
+            throw new BadRequest("inline query must be a JSON array of numbers")
+          val vec = body.stripPrefix("[").stripSuffix("]").split(",").map { t =>
+            t.trim.toDoubleOption.getOrElse(throw new BadRequest(s"bad vector element '${t.trim.take(40)}'"))
+          }
+          if (vec.length != graft.operators.Ivf.Dim)
+            throw new BadRequest(s"query vector has ${vec.length} dims; index dim is ${graft.operators.Ivf.Dim}")
+          import spark.implicits._
+          // the inline query's synthetic id sits OUTSIDE every corpus id
+          // domain so the self-pair guard can never suppress a real hit
+          Seq((-1L, vec.toSeq)).toDF("vec_id", "embedding")
+        } else params.get("doc_id").flatMap(_.toLongOption) match {
+          case Some(id) =>
+            val root = IndexStore.configuredDir(spark).getOrElse(throw new BadRequest(
+              s"no index store configured on the gateway session (${IndexStore.DirConf})"))
+            val path = IndexStore.storePath(root, corpusDir,
+              streaming.IndexMaintenance.IvfAssignStoreName + family)
+            if (!IndexStore.committed(spark, path))
+              throw new BadRequest(s"no maintained index store for family '$family' — bootstrap it first")
+            spark.read.parquet(path).filter(col("vec_id") === id)
+              .select(col("vec_id"), col("embedding"))
+          case None => throw new BadRequest("provide doc_id=<id> or an inline JSON vector body")
+        }
+      val group = "graft-gateway-ann-" + java.util.UUID.randomUUID()
+      val timedOut = new AtomicBoolean(false)
+      val sc = spark.sparkContext
+      sc.setJobGroup(group, s"SqlGateway /ann k=$k probes=$probes family=$family",
+        interruptOnCancel = true)
+      val deadline = deadlines.schedule({ () =>
+        timedOut.set(true)
+        sc.cancelJobGroup(group)
+      }: Runnable, timeoutSec.toLong, TimeUnit.SECONDS)
+      try {
+        val df = graft.operators.Similarity.ivfAnnFromStore(spark, corpusDir,
+          probes = probes, topK = k, queriesOpt = Some(qFrame), family = family)
+        val (payload, rows, truncated) = render(df, format, HardMaxRows)
+        ex.getResponseHeaders.set("X-Graft-Rows", rows.toString)
+        ex.getResponseHeaders.set("X-Graft-Truncated", truncated.toString)
+        val mime = if (format == "JSONEachRow") "application/x-ndjson" else "text/tab-separated-values"
+        respond(ex, 200, mime, payload)
+      } catch {
+        case _: Throwable if timedOut.get() =>
+          respond(ex, 504, "text/plain",
+            s"query cancelled: exceeded max_execution_time=${timeoutSec}s\n")
+      } finally {
+        deadline.cancel(false)
+        sc.clearJobGroup()
+      }
+    } catch {
+      // an un-bootstrapped store or a bad request is the caller's 400
+      case e @ (_: org.apache.spark.sql.AnalysisException |
+                _: IllegalArgumentException | _: IllegalStateException) =>
+        respond(ex, 400, "text/plain", clip(e.getMessage) + "\n")
+      case scala.util.control.NonFatal(e) =>
+        respond(ex, 500, "text/plain", clip(e.toString) + "\n")
+    } finally ex.close()
+
   /** Materialize ≤ cap rows (cap+1 is the truncation probe — the extra row
     * never reaches the payload). `limit` keeps the whole thing one bounded
     * `CollectLimit` action regardless of the submitted SQL.
@@ -314,7 +424,7 @@ object SqlGateway {
     spark.sparkContext.setLogLevel("WARN")
     Tables.registerAll(spark, sfDir)
     Tables.registerIndexViews(spark, sfDir)
-    val gw = start(spark, port)
+    val gw = start(spark, port, corpusDir = sfDir)
     println(s"graft SQL gateway listening on http://127.0.0.1:${gw.port}/play")
     Thread.currentThread.join()
   }

@@ -28,6 +28,12 @@ class SqlGatewaySpec extends SparkSpec {
       HttpResponse.BodyHandlers.ofString())
   }
 
+  private def postPath(port: Int, path: String, body: String): HttpResponse[String] =
+    client.send(
+      HttpRequest.newBuilder(new URI(s"http://127.0.0.1:$port$path"))
+        .POST(HttpRequest.BodyPublishers.ofString(body, UTF_8)).build(),
+      HttpResponse.BodyHandlers.ofString())
+
   private def get(port: Int, path: String): HttpResponse[String] =
     client.send(
       HttpRequest.newBuilder(new URI(s"http://127.0.0.1:$port$path")).GET().build(),
@@ -187,6 +193,58 @@ class SqlGatewaySpec extends SparkSpec {
       p.getLong(p.fieldIndex("inc_res_n")) == 0 &&
       !p.getBoolean(p.fieldIndex("residual_pending")) &&
       p.isNullAt(p.fieldIndex("last_refit_trigger")), p.toString)
+  }
+
+  test("/ann serves top-k off the maintained store: stored id, inline vector, cross-modal family, errors") {
+    import org.apache.spark.sql.functions.col
+    val root = java.nio.file.Files.createTempDirectory("graft_gw_ann").toFile.getAbsolutePath
+    spark.conf.set(IndexStore.DirConf, root)
+    try {
+      val e = Tables.load(spark, dir, "embeddings")
+      streaming.IndexMaintenance.bootstrapIvfAssignments(spark, dir, e)
+      // the image-side family too — the cross-modal request shape
+      streaming.IndexMaintenance.bootstrapIvfAssignments(spark, dir,
+        operators.Similarity.crossModalImageSide(e), family = "_xm")
+      Tables.registerAll(spark, dir)
+      val gw = SqlGateway.start(spark, corpusDir = dir)
+      try {
+        val port = gw.port
+        // stored-id query: rows match the library serving path exactly
+        val r = get(port, "/ann?doc_id=3&k=3")
+        assert(r.statusCode() == 200, r.body())
+        val lines = r.body().trim.split("\n")
+        assert(lines.length == 3 && lines.forall(_.contains("\"q_id\":3")), r.body())
+        val expect = operators.Similarity.ivfAnnFromStore(spark, dir, topK = 3,
+            queriesOpt = Some(e.filter(col("vec_id") === 3)
+              .select(col("vec_id"), col("embedding"))))
+          .select("neighbor_id").collect().map(_.getLong(0)).toSeq
+        val gotIds = lines.map(l =>
+          "\"neighbor_id\":(-?\\d+)".r.findFirstMatchIn(l).get.group(1).toLong).toSeq
+        assert(gotIds == expect, s"got $gotIds expected $expect")
+        // inline vector (id −1, outside every corpus domain): doc 5's own
+        // embedding must retrieve doc 5 as top-1 — the self-pair guard
+        // can't fire across domains
+        val vec = e.filter(col("vec_id") === 5).select("embedding")
+          .collect()(0).getSeq[Float](0)
+        val body = vec.map(_.toString).mkString("[", ",", "]")
+        val ri = postPath(port, "/ann?k=2", body)
+        assert(ri.statusCode() == 200, ri.body())
+        val riLines = ri.body().trim.split("\n")
+        assert(riLines.length == 2 && riLines.forall(_.contains("\"q_id\":-1")), ri.body())
+        assert(riLines.head.contains("\"neighbor_id\":5"), ri.body())
+        // cross-modal: the same TEXT vector against the IMAGE-side family
+        // retrieves the paired image (vec_id 5 + 2^40) as top-1
+        val rx = postPath(port, "/ann?family=_xm&k=1", body)
+        assert(rx.statusCode() == 200, rx.body())
+        assert(rx.body().contains(s""""neighbor_id":${5L + operators.Similarity.XmOffset}"""),
+          rx.body())
+        // errors are the caller's 400, not a 500 or a hang
+        assert(get(port, "/ann?doc_id=3&family=bogus").statusCode() == 400)
+        assert(postPath(port, "/ann", "[1.0,2.0]").statusCode() == 400) // wrong dim
+        assert(get(port, "/ann").statusCode() == 400) // no query at all
+        assert(postPath(port, "/ann", "not json").statusCode() == 400)
+      } finally gw.stop()
+    } finally spark.conf.unset(IndexStore.DirConf)
   }
 
   test("errors: bad SQL and unknown format → 400 with a message; empty → 400") {
