@@ -235,6 +235,10 @@ object SqlGateway {
     *  - `k` (top-k, ≤ 100), `probes` (probed cells, ≤ 64), `family`
     *    ("" = text-side store, "_xm" = the image-side family),
     *    `max_execution_time`, `format` as on `/`.
+    *  - `lang=<v>` — attribute-constrained serving (q157's predicate leg
+    *    off the maintained store): neighbors restricted to documents of
+    *    that language, the allowed ids composed into the candidate leg
+    *    BEFORE rerank (never a post-filtered shortlist).
     *  - Rows: `(q_id, rk, neighbor_id, sim)` — exact DECIMAL-fold rerank
     *    scores, the q53 serving contract.
     */
@@ -288,6 +292,19 @@ object SqlGateway {
               .select(col("vec_id"), col("embedding"))
           case None => throw new BadRequest("provide doc_id=<id> or an inline JSON vector body")
         }
+      // optional attribute constraint (q157's predicate leg at the
+      // serving tier): lang=<v> restricts neighbors to documents of that
+      // language — the allowed-id frame semi-joins the stored cells
+      // BEFORE the probe join, never post-filtering the shortlist. For
+      // the image-side family the ids map into the offset domain.
+      val candIds = params.get("lang").map { lang =>
+        val ids = Tables.load(spark, corpusDir, "documents")
+          .filter(col("lang") === lang)
+          .select(col("doc_id").as("vec_id"))
+        if (family == "_xm")
+          ids.select((col("vec_id") + graft.operators.Similarity.XmOffset).as("vec_id"))
+        else ids
+      }
       val group = "graft-gateway-ann-" + java.util.UUID.randomUUID()
       val timedOut = new AtomicBoolean(false)
       val sc = spark.sparkContext
@@ -299,7 +316,8 @@ object SqlGateway {
       }: Runnable, timeoutSec.toLong, TimeUnit.SECONDS)
       try {
         val df = graft.operators.Similarity.ivfAnnFromStore(spark, corpusDir,
-          probes = probes, topK = k, queriesOpt = Some(qFrame), family = family)
+          probes = probes, topK = k, queriesOpt = Some(qFrame), family = family,
+          candIdsOpt = candIds)
         val (payload, rows, truncated) = render(df, format, HardMaxRows)
         ex.getResponseHeaders.set("X-Graft-Rows", rows.toString)
         ex.getResponseHeaders.set("X-Graft-Truncated", truncated.toString)

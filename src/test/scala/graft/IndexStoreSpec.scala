@@ -1327,6 +1327,37 @@ class IndexStoreSpec extends SparkSpec {
       s"paired-text top-1 recall collapsed through the store path: $top1")
   }
 
+  test("attribute-constrained serving off the maintained store equals the batch filtered computation") {
+    val root = tmp("graft_idx_filt_serve")
+    val sA = spark.newSession()
+    sA.conf.set(IndexStore.DirConf, root)
+    val e = Tables.load(sA, dir, "embeddings")
+    streaming.IndexMaintenance.bootstrapIvfAssignments(sA, dir, e)
+    val flt = Tables.load(sA, dir, "documents")
+      .filter(col("lang") === "en").select(col("doc_id").as("vec_id"))
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+    val served = key(operators.Similarity.ivfAnnFromStore(sA, dir, probes = 4,
+      candIdsOpt = Some(flt)))
+    assert(served.nonEmpty)
+    // every neighbor satisfies the predicate (no post-filter could have
+    // produced short rows instead)
+    val allowed = flt.collect().map(_.getLong(0)).toSet
+    assert(served.forall(r => allowed(r._3)), "an excluded id served as a neighbor")
+    // batch equivalent: stored model, cells recomputed live and id-filtered
+    // BEFORE the probe join — q157's candidate leg
+    val model = operators.Ivf.load(sA, IndexStore.storePath(root, dir,
+      operators.Similarity.IvfModelStoreName)).get
+    val cents = operators.Ivf.centsDF(sA, model.cents)
+    val eqf = operators.Ivf.quantize(e).select(col("vec_id"), col("eq"))
+    val cells = operators.Ivf.ranked(eqf, cents).filter(col("rk") === 1)
+      .select(col("vec_id"), col("cid").as("cell")).join(flt, "vec_id")
+    val batch = key(operators.Ivf.annTopK(
+      e.select(col("vec_id"), col("embedding")), eqf, cents, 8, 4, 3,
+      functions.VectorFunctions.dotDec, cellsOpt = Some(cells)))
+    assert(served == batch, "store-served filtered ANN must equal the batch path")
+  }
+
   test("image-side (xm) family maintenance: exactly-once appends, own store entries, q155's serving leg off the store equals batch") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val root = tmp("graft_idx_xm_maint")

@@ -238,6 +238,18 @@ class SqlGatewaySpec extends SparkSpec {
         assert(rx.statusCode() == 200, rx.body())
         assert(rx.body().contains(s""""neighbor_id":${5L + operators.Similarity.XmOffset}"""),
           rx.body())
+        // attribute-constrained serving: lang=zh restricts neighbors to
+        // that language's documents — composed into the candidate leg,
+        // so the response still carries FULL rows (k of them when the
+        // filtered cells have the mass), all satisfying the predicate
+        val zhIds = Tables.load(spark, dir, "documents")
+          .filter(col("lang") === "zh").select("doc_id")
+          .collect().map(_.getLong(0)).toSet
+        val rl = get(port, "/ann?doc_id=3&k=3&probes=4&lang=zh")
+        assert(rl.statusCode() == 200, rl.body())
+        val rlIds = rl.body().trim.split("\n").map(l =>
+          "\"neighbor_id\":(-?\\d+)".r.findFirstMatchIn(l).get.group(1).toLong)
+        assert(rlIds.nonEmpty && rlIds.forall(zhIds), s"non-zh neighbor served: ${rlIds.mkString(",")}")
         // errors are the caller's 400, not a 500 or a hang
         assert(get(port, "/ann?doc_id=3&family=bogus").statusCode() == 400)
         assert(postPath(port, "/ann", "[1.0,2.0]").statusCode() == 400) // wrong dim
