@@ -272,7 +272,11 @@ object SqlGateway {
           if (!body.startsWith("[") || !body.endsWith("]"))
             throw new BadRequest("inline query must be a JSON array of numbers")
           val vec = body.stripPrefix("[").stripSuffix("]").split(",").map { t =>
-            t.trim.toDoubleOption.getOrElse(throw new BadRequest(s"bad vector element '${t.trim.take(40)}'"))
+            // toDoubleOption parses "NaN"/"Infinity" — reject non-finite
+            // elements as a 400 instead of letting them flow into
+            // quantize/dot where they'd poison every score silently
+            t.trim.toDoubleOption.filter(_.isFinite)
+              .getOrElse(throw new BadRequest(s"bad vector element '${t.trim.take(40)}'"))
           }
           if (vec.length != graft.operators.Ivf.Dim)
             throw new BadRequest(s"query vector has ${vec.length} dims; index dim is ${graft.operators.Ivf.Dim}")

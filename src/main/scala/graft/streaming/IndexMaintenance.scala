@@ -887,6 +887,13 @@ object IndexMaintenance {
     */
   private[graft] val IvfAssignStoreName = "ivf_assign"
 
+  /** The maintained IVF/PQ index families: "" = the text-side family,
+    * "_xm" = the cross-modal image-side one (ids in the 2^40-offset
+    * domain). Every per-family maintenance surface (ledger views,
+    * unified purge) iterates this list so a new family extends them all.
+    */
+  private[graft] val IndexFamilies: Seq[String] = Seq("", "_xm")
+
   /** Sidecar keys of the drift statistic. Fit* = assignment-quality
     * baseline recorded when the current model was fit (Σ idot and row
     * count over the fit corpus, exact — the sum rides DECIMAL(38,0) and
@@ -900,6 +907,20 @@ object IndexMaintenance {
   private[graft] val IvfFitNKey = "ivfFitN"
   private[graft] val IvfIncIdotSumKey = "ivfIncIdotSum"
   private[graft] val IvfIncNKey = "ivfIncN"
+
+  /** Fit-epoch counters, the exact fit/appended attribution for purges.
+    * Each assignment row carries the epoch CURRENT when it was appended
+    * (`ivf_epoch` / `pq_epoch` columns; fit-corpus rows carry 0, below
+    * every sidecar epoch). A row contributes to an Inc ledger iff its
+    * epoch equals the sidecar's current fit epoch — bootstrap stamps 1,
+    * each refit bumps (re-baselining everything already in the store
+    * without a row rewrite on the PQ side), so a purge can decrement the
+    * Inc sums by EXACTLY the purged rows still counted there instead of
+    * by all purged-present rows (which understated appended mass and
+    * could defer the refit triggers unboundedly — round-15 advice).
+    */
+  private[graft] val IvfFitEpochKey = "ivfFitEpoch"
+  private[graft] val PqFitEpochKey = "pqFitEpoch"
 
   /** Refit when the appended batches' MEAN assignment similarity falls
     * below this percentage of the fit baseline's mean — new data landing
@@ -1091,15 +1112,18 @@ object IndexMaintenance {
     import org.apache.spark.sql.functions._
     val s = emb.sparkSession
     graft.plans.GraftExtensions.register(s)
+    // fit-epoch tags ride along when the caller attached them (bootstrap
+    // and appends always do; see [[IvfFitEpochKey]])
+    val extras = Seq("ivf_epoch", "pq_epoch").filter(emb.columns.contains)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("vec_id")).orderBy(col("idot").desc, col("cid").asc)
     graft.operators.Ivf.quantize(emb)
-      .select(col("vec_id"), col("embedding"), col("eq"))
+      .select((Seq("vec_id", "embedding", "eq") ++ extras).map(col): _*)
       .crossJoin(broadcast(graft.operators.Ivf.centsDF(s, m.cents)))
       .withColumn("idot", call_function("vec_dot_long", col("eq"), col("ceq")))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") === 1)
-      .select(col("vec_id"), col("embedding"), col("eq"), col("cid"), col("idot"))
+      .select((Seq("vec_id", "embedding", "eq", "cid", "idot") ++ extras).map(col): _*)
   }
 
   /** `(rows, Σ idot)` of an assignment frame — the drift statistic's
@@ -1152,7 +1176,9 @@ object IndexMaintenance {
         org.apache.spark.sql.functions.col("eq"))
     val model = graft.operators.Ivf.servedModel(s, modelPath, eqf, k)
     graft.IndexStore.servedFrom(s, corpusDir, IvfAssignStoreName + family,
-      corpusCount = e.count())(ivfAssignRows(e, model))
+      corpusCount = e.count())(ivfAssignRows(
+      e.withColumn("ivf_epoch", org.apache.spark.sql.functions.lit(0))
+        .withColumn("pq_epoch", org.apache.spark.sql.functions.lit(0)), model))
     // Baseline stats over the COMMITTED rows (idempotent whether
     // servedFrom rebuilt or served fresh — either way the store is the
     // current corpus's assignments under the current model).
@@ -1176,7 +1202,8 @@ object IndexMaintenance {
         IvfKKey -> k.toString,
         IvfFitIdotSumKey -> sum.toString, IvfFitNKey -> n.toString,
         IvfIncIdotSumKey -> "0", IvfIncNKey -> "0",
-        IvfIncCellCountsKey -> "") ++ pqBaseline)
+        IvfIncCellCountsKey -> "",
+        IvfFitEpochKey -> "1", PqFitEpochKey -> "1") ++ pqBaseline)
     }
   }
 
@@ -1214,7 +1241,14 @@ object IndexMaintenance {
           "re-bootstrap (bootstrapIvfAssignments) before appending")
       val model = graft.operators.Ivf.load(s, modelPath).getOrElse(throw
         new IllegalStateException(s"torn IVF model store at $modelPath — re-bootstrap"))
-      val asg = ivfAssignRows(batch, model)
+      // appended rows carry the CURRENT fit epochs: they count toward the
+      // Inc ledgers until the next matching refit re-baselines them, and
+      // a purge decrements exactly the rows whose epoch still matches
+      val ivfEpoch = meta0.get(IvfFitEpochKey).flatMap(_.toIntOption).getOrElse(1)
+      val pqEpoch = meta0.get(PqFitEpochKey).flatMap(_.toIntOption).getOrElse(1)
+      val asg = ivfAssignRows(batch
+          .withColumn("ivf_epoch", org.apache.spark.sql.functions.lit(ivfEpoch))
+          .withColumn("pq_epoch", org.apache.spark.sql.functions.lit(pqEpoch)), model)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
       try {
         val (bn, bsum) = assignStats(asg)
@@ -1279,9 +1313,20 @@ object IndexMaintenance {
     val (fitN, incN, rows, k) = (snap.fitN, snap.incN, snap.rows, snap.k)
     log.warn(s"IVF refit for $corpusDir: trigger=$trigger " +
       s"(fitN=$fitN, rows=$rows, incN=$incN, hotCell=${snap.hotCell}/${snap.trackedIncN})")
-    val store = s.read.parquet(assignPath).select(
-      org.apache.spark.sql.functions.col("vec_id"),
-      org.apache.spark.sql.functions.col("embedding"))
+    val store0 = s.read.parquet(assignPath)
+    // the rewrite re-baselines every row for the COARSE ledger
+    // (ivf_epoch 0 < the bumped fit epoch) but must NOT touch the PQ
+    // attribution — the codebooks were not refit, so each row's pq_epoch
+    // rides through the reassignment untouched
+    val store = (if (store0.columns.contains("pq_epoch"))
+        store0.select(
+          org.apache.spark.sql.functions.col("vec_id"),
+          org.apache.spark.sql.functions.col("embedding"),
+          org.apache.spark.sql.functions.col("pq_epoch"))
+      else store0.select(
+        org.apache.spark.sql.functions.col("vec_id"),
+        org.apache.spark.sql.functions.col("embedding")))
+      .withColumn("ivf_epoch", org.apache.spark.sql.functions.lit(0))
     val eqf = graft.operators.Ivf.quantize(store)
       .select(org.apache.spark.sql.functions.col("vec_id"),
         org.apache.spark.sql.functions.col("eq"))
@@ -1308,7 +1353,9 @@ object IndexMaintenance {
       graft.IndexStore.CorpusCountKey -> n.toString,
       IvfFitIdotSumKey -> sum.toString, IvfFitNKey -> n.toString,
       IvfIncIdotSumKey -> "0", IvfIncNKey -> "0",
-      IvfIncCellCountsKey -> "", IvfLastRefitTriggerKey -> trigger))
+      IvfIncCellCountsKey -> "", IvfLastRefitTriggerKey -> trigger,
+      IvfFitEpochKey -> (meta.get(IvfFitEpochKey).flatMap(_.toIntOption)
+        .getOrElse(1) + 1).toString))
     if (!fs.delete(p, true))
       throw new java.io.IOException(s"IVF refit: delete $assignPath failed")
     if (!fs.rename(new org.apache.hadoop.fs.Path(staging), p))
@@ -1355,7 +1402,12 @@ object IndexMaintenance {
       PqResModKey -> mod.toString,
       PqFitResNKey -> rn.toString, PqFitResSumKey -> rsum.toString,
       PqIncResNKey -> "0", PqIncResSumKey -> "0",
-      PqLastRefitTriggerKey -> "residual"))
+      PqLastRefitTriggerKey -> "residual",
+      // re-baseline WITHOUT a row rewrite: bumping the epoch moves every
+      // stored row (epoch ≤ old) out of the Inc attribution in one
+      // sidecar write — exactly mirroring the zeroed increments above
+      PqFitEpochKey -> (meta.get(PqFitEpochKey).flatMap(_.toIntOption)
+        .getOrElse(1) + 1).toString))
   }
 
   /** Right-to-be-forgotten across the EMBEDDING tier — the deletion leg
@@ -1408,12 +1460,26 @@ object IndexMaintenance {
       val assignPath = graft.IndexStore.storePath(root, corpusDir, storeName)
       if (!graft.IndexStore.committed(s, assignPath)) return
       val meta = graft.IndexStore.readMeta(s, assignPath).getOrElse(Map.empty)
-      val purged = s.read.parquet(assignPath).filter(col("vec_id").isin(famIds: _*))
+      val purgedAll = s.read.parquet(assignPath).filter(col("vec_id").isin(famIds: _*))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
       try {
+        // EXACT attribution (round-15 advice): only rows whose epoch tag
+        // matches the sidecar's current fit epoch are still counted in an
+        // Inc ledger — purged FIT-corpus rows (epoch 0, or pre-refit
+        // epochs) decrement nothing, so repeated purges of fit rows can
+        // no longer understate appended mass and defer the refit
+        // triggers. Stores written before the epoch columns fall back to
+        // the old conservative all-present decrement.
+        val ivfEpoch = meta.get(IvfFitEpochKey).flatMap(_.toIntOption).getOrElse(1)
+        val pqEpoch = meta.get(PqFitEpochKey).flatMap(_.toIntOption).getOrElse(1)
+        val hasEpochs = purgedAll.columns.contains("ivf_epoch")
+        val purged =
+          if (hasEpochs) purgedAll.filter(col("ivf_epoch") === ivfEpoch)
+          else purgedAll
+        val pnAll = purgedAll.count()
         val (pn, psum) = assignStats(purged)
         val decMeta: Map[String, String] =
-          if (pn == 0) Map.empty
+          if (pnAll == 0) Map.empty
           else {
             val incN = meta.get(IvfIncNKey).flatMap(_.toLongOption).getOrElse(0L)
             val incSum = meta.get(IvfIncIdotSumKey).map(BigInt(_)).getOrElse(BigInt(0))
@@ -1428,8 +1494,11 @@ object IndexMaintenance {
               meta.get(PqResModKey).flatMap(_.toIntOption) match {
                 case Some(mod) => storedPqModels(s, corpusDir, family) match {
                   case Some(models) =>
+                    val pqPurged =
+                      if (hasEpochs) purgedAll.filter(col("pq_epoch") === pqEpoch)
+                      else purgedAll
                     val (rn, rsum) = graft.operators.Similarity.pqResidualStats(models,
-                      purged.select(col("vec_id"), col("eq"))
+                      pqPurged.select(col("vec_id"), col("eq"))
                         .filter(graft.operators.Similarity.pqResSampleFilter(mod)))
                     val pin = meta.get(PqIncResNKey).flatMap(_.toLongOption).getOrElse(0L)
                     val pis = meta.get(PqIncResSumKey).map(BigInt(_)).getOrElse(BigInt(0))
@@ -1444,8 +1513,8 @@ object IndexMaintenance {
               IvfIncCellCountsKey -> encodeCellCounts(newCells)) ++ pqDec
           }
         results += storeName -> graft.IndexStore.purgeKeys(s, corpusDir,
-          storeName, "vec_id", famIds, countDecrement = pn, extraMeta = decMeta)
-      } finally purged.unpersist()
+          storeName, "vec_id", famIds, countDecrement = pnAll, extraMeta = decMeta)
+      } finally purgedAll.unpersist()
     }
     purgeIvfFamily("", ids)
     // the image-side family lives in the OFFSET id domain: the same
@@ -1530,6 +1599,7 @@ object IndexMaintenance {
   }
 
   private val driftViewSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("family", org.apache.spark.sql.types.StringType, nullable = false),
     org.apache.spark.sql.types.StructField("fit_n", org.apache.spark.sql.types.LongType, nullable = false),
     org.apache.spark.sql.types.StructField("inc_n", org.apache.spark.sql.types.LongType, nullable = false),
     org.apache.spark.sql.types.StructField("store_rows", org.apache.spark.sql.types.LongType, nullable = false),
@@ -1553,23 +1623,24 @@ object IndexMaintenance {
     * the drift statistic.
     */
   def ivfDriftView(s: SparkSession, corpusDir: String): DataFrame = {
-    val snap = for {
-      root <- graft.IndexStore.configuredDir(s)
-      path = graft.IndexStore.storePath(root, corpusDir, IvfAssignStoreName)
+    // One row per COMMITTED index family (like [[pqDriftView]]): the
+    // image-side (_xm) store's growth/drift/skew ledger is maintained by
+    // the same triggers and must be just as queryable.
+    val rows = for {
+      root <- graft.IndexStore.configuredDir(s).toSeq
+      family <- IndexFamilies
+      path = graft.IndexStore.storePath(root, corpusDir, IvfAssignStoreName + family)
       if graft.IndexStore.committed(s, path)
-      meta <- graft.IndexStore.readMeta(s, path)
-      sn <- driftSnapshot(meta)
-    } yield sn
-    val rows = snap.toSeq.map { sn =>
-      org.apache.spark.sql.Row(sn.fitN, sn.incN, sn.rows, sn.k,
-        new java.math.BigDecimal(sn.fitSum.bigInteger),
-        new java.math.BigDecimal(sn.incSum.bigInteger),
-        sn.trackedIncN,
-        sn.hotCell.map(c => Int.box(c._1)).orNull,
-        sn.hotCell.map(_._2).getOrElse(0L),
-        sn.growth, sn.drift, sn.skew,
-        sn.lastTrigger.orNull)
-    }
+      meta <- graft.IndexStore.readMeta(s, path).toSeq
+      sn <- driftSnapshot(meta).toSeq
+    } yield org.apache.spark.sql.Row(family, sn.fitN, sn.incN, sn.rows, sn.k,
+      new java.math.BigDecimal(sn.fitSum.bigInteger),
+      new java.math.BigDecimal(sn.incSum.bigInteger),
+      sn.trackedIncN,
+      sn.hotCell.map(c => Int.box(c._1)).orNull,
+      sn.hotCell.map(_._2).getOrElse(0L),
+      sn.growth, sn.drift, sn.skew,
+      sn.lastTrigger.orNull)
     s.createDataFrame(
       new java.util.ArrayList[org.apache.spark.sql.Row](
         scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
@@ -1577,6 +1648,7 @@ object IndexMaintenance {
   }
 
   private val pqDriftViewSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("family", org.apache.spark.sql.types.StringType, nullable = false),
     org.apache.spark.sql.types.StructField("fit_res_n", org.apache.spark.sql.types.LongType, nullable = false),
     org.apache.spark.sql.types.StructField("inc_res_n", org.apache.spark.sql.types.LongType, nullable = false),
     org.apache.spark.sql.types.StructField("res_mod", org.apache.spark.sql.types.IntegerType, nullable = false),
@@ -1593,19 +1665,22 @@ object IndexMaintenance {
     * statistic.
     */
   def pqDriftView(s: SparkSession, corpusDir: String): DataFrame = {
-    val snap = for {
-      root <- graft.IndexStore.configuredDir(s)
-      path = graft.IndexStore.storePath(root, corpusDir, IvfAssignStoreName)
+    // One row per COMMITTED index family — the image-side (_xm) codebooks
+    // are maintained by the same applyIvfBatch/maybeRefitPq stack, so
+    // their residual ledger must be just as visible to operators as the
+    // text-side one ("a ledger the trigger can never disagree with" has
+    // to hold for every family the trigger runs on).
+    val rows = for {
+      root <- graft.IndexStore.configuredDir(s).toSeq
+      family <- IndexFamilies
+      path = graft.IndexStore.storePath(root, corpusDir, IvfAssignStoreName + family)
       if graft.IndexStore.committed(s, path)
-      meta <- graft.IndexStore.readMeta(s, path)
-      sn <- pqDriftSnapshot(meta)
-    } yield sn
-    val rows = snap.toSeq.map { sn =>
-      org.apache.spark.sql.Row(sn.fitN, sn.incN, sn.mod,
-        new java.math.BigDecimal(sn.fitSum.bigInteger),
-        new java.math.BigDecimal(sn.incSum.bigInteger),
-        sn.residual, sn.lastTrigger.orNull)
-    }
+      meta <- graft.IndexStore.readMeta(s, path).toSeq
+      sn <- pqDriftSnapshot(meta).toSeq
+    } yield org.apache.spark.sql.Row(family, sn.fitN, sn.incN, sn.mod,
+      new java.math.BigDecimal(sn.fitSum.bigInteger),
+      new java.math.BigDecimal(sn.incSum.bigInteger),
+      sn.residual, sn.lastTrigger.orNull)
     s.createDataFrame(
       new java.util.ArrayList[org.apache.spark.sql.Row](
         scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),

@@ -1639,17 +1639,18 @@ class IndexStoreSpec extends SparkSpec {
 
     // the takedown: 10 fit-corpus ids + 10 appended ids (none queries)
     val purged = ((100L until 110L) ++ (480L until 490L)).toSeq
-    // expected occupancy ledger after the purge: per-cell clamped
-    // subtraction of ALL purged-present rows' cells (fit rows included —
-    // deliberately conservative: the skew statistic only ever shrinks
-    // from a deletion, never inflates)
+    // expected occupancy ledger after the purge: per-cell subtraction of
+    // exactly the purged rows still ATTRIBUTED to the append ledger
+    // (ivf_epoch == current fit epoch) — fit-corpus rows were never
+    // counted there, so purging them must not shrink the skew statistic
+    val purgedAppended = (480L until 490L).toSeq
     def parseCells(enc: String): Map[Int, Long] =
       enc.split(",").filter(_.nonEmpty).map { kv =>
         val Array(c, n) = kv.split(":"); c.toInt -> n.toLong
       }.toMap
     val trackedBefore = parseCells(meta(streaming.IndexMaintenance.IvfIncCellCountsKey))
     val purgedCells = sA.read.parquet(assignPath)
-      .filter(col("vec_id").isin(purged: _*))
+      .filter(col("vec_id").isin(purgedAppended: _*))
       .groupBy(col("cid")).count().collect()
       .map(r => r.getInt(0) -> r.getLong(1)).toMap
     val expectedCells = trackedBefore.flatMap { case (c, n) =>
@@ -1663,11 +1664,13 @@ class IndexStoreSpec extends SparkSpec {
     // purged ids have a fingerprint to remove
     assert(removed(operators.MultimodalOps.MediaFpStoreName) == 10, removed.toString)
 
-    // ledger decrements rode the staged swap: appended mass 30 − 20
-    // purged-and-present (clamped semantics — 10 of the 20 were fit
-    // rows, but the tracked sums only ever shrink toward zero)
-    assert(meta(streaming.IndexMaintenance.IvfIncNKey) == "10", meta.toString)
-    assert(meta(streaming.IndexMaintenance.PqIncResNKey) == "10", meta.toString)
+    // ledger decrements rode the staged swap: appended mass 30 − 10
+    // purged APPENDED rows — the 10 purged fit rows carry epoch 0 and
+    // were never in the Inc ledgers, so they decrement nothing (exact
+    // attribution; the old all-present decrement understated appended
+    // mass and could defer the refit triggers unboundedly)
+    assert(meta(streaming.IndexMaintenance.IvfIncNKey) == "20", meta.toString)
+    assert(meta(streaming.IndexMaintenance.PqIncResNKey) == "20", meta.toString)
     assert(parseCells(meta(streaming.IndexMaintenance.IvfIncCellCountsKey)) == expectedCells,
       s"occupancy ledger must carry the exact clamped decrement: $meta")
     // fit baseline deliberately survives (it describes the training set)
