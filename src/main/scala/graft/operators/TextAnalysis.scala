@@ -373,8 +373,17 @@ object TextAnalysis {
       extraMeta: Map[String, String] = Map.empty): Unit = {
     graft.IndexStore.append(s, dir, ShingleStoreName, docShingleSets(newDocs),
       newDocs.count(), extraMeta)
+    invalidateShingleIndex(s, dir)
+  }
+
+  /** Drop the session shingle frame (and its derived component caches)
+    * after any durable-store mutation — appends and purges alike must not
+    * leave a pre-mutation frame servable.
+    */
+  private[graft] def invalidateShingleIndex(s: org.apache.spark.sql.SparkSession,
+      dir: String): Unit = {
     shingleIndexCache.remove(s, dir).foreach(_.unpersist())
-    // downstream derived caches: the grown corpus has different components
+    // downstream derived caches: the mutated corpus has different components
     Dedup.invalidateComponents(s, dir)
   }
 

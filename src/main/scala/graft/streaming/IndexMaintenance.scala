@@ -647,7 +647,7 @@ object IndexMaintenance {
     graft.IndexStore.servedFrom(s, corpusDir, DsirStoreName,
       params = dsirParams, corpusCount = docs.count())(
       graft.operators.CorpusOps.dsirProfileRows(docs))
-    ()
+    clearPurgeStale(s, corpusDir, DsirStoreName)
   }
 
   /** Apply one micro-batch to the DSIR profile store; false = replay,
@@ -710,11 +710,15 @@ object IndexMaintenance {
     require(graft.IndexStore.committed(s, path),
       s"bootstrap the DSIR store at $path before serving weights from it")
     requireDsirGeometry(s, corpusDir)
+    requireNotPurgeStale(s, corpusDir, DsirStoreName, "bootstrapDsirStore")
     import org.apache.spark.sql.functions._
+    // net-zero buckets (all their mass purged via negated increments —
+    // [[purgeAll]]) must vanish exactly as in a fresh survivor build
     val prof = s.read.parquet(path)
       .groupBy(col("b"))
       .agg(sum(col("c_raw")).cast(org.apache.spark.sql.types.LongType).as("c_raw"),
         sum(col("c_tgt")).cast(org.apache.spark.sql.types.LongType).as("c_tgt"))
+      .filter(col("c_raw") > 0)
     graft.operators.CorpusOps.dsirWeights(prof)
   }
 
@@ -751,6 +755,7 @@ object IndexMaintenance {
           .cast(org.apache.spark.sql.types.LongType)
           .as("c")))
     recordDigest(s, corpusDir, LmStoreName, dig)
+    clearPurgeStale(s, corpusDir, LmStoreName)
   }
 
   /** Apply one micro-batch of documents to the bigram store; false =
@@ -812,6 +817,7 @@ object IndexMaintenance {
       graft.IndexStore.committed(s, tfPath),
       "bootstrap BOTH the lm_bigrams and tf_index stores before serving " +
         s"the LM model ($lmPath, $tfPath)")
+    requireNotPurgeStale(s, corpusDir, LmStoreName, "bootstrapLmStore")
     // The model mixes two stores — bigram numerators from lm_bigrams,
     // unigram smoothing denominators from tf_index — which is only sound
     // when both cover the SAME corpus snapshot. If only one maintainer is
@@ -854,9 +860,13 @@ object IndexMaintenance {
           "count equality alone; re-bootstrap to restore the digest tripwire")
     }
     import org.apache.spark.sql.functions._
+    // drop net-zero bigram types: a purge appends NEGATED counts
+    // ([[purgeAll]]), so a bigram seen only in purged docs sums to 0 and
+    // must vanish exactly as in a fresh build over the surviving corpus
     val bg = s.read.parquet(lmPath)
       .groupBy(col("a"), col("b"))
       .agg(sum(col("c")).cast(org.apache.spark.sql.types.LongType).as("c12"))
+      .filter(col("c12") > 0)
     val uni = s.read.parquet(tfPath)
       .groupBy(col("term")).agg(sum(col("tf")).as("n"))
     graft.operators.CorpusOps.lmModelOverBigrams(bg, uni)
@@ -1545,6 +1555,222 @@ object IndexMaintenance {
       IndexMaintenance.log.warn(s"purgeEmbeddingTier: no committed " +
         s"embedding-tier store for $corpusDir under $root — nothing purged")
     results.toMap
+  }
+
+  // ------------------------------------------------ unified takedown ----
+
+  /** Doc-keyed tombstone registry [[purgeAll]] maintains: an id recorded
+    * here already had its model-tier contribution removed (or its store
+    * tripped stale), so a later request containing it decrements nothing
+    * twice — the additive stores (LM bigrams, DSIR profiles) have no
+    * per-doc rows whose absence could make a replay a natural no-op the
+    * way the doc-keyed tiers do.
+    */
+  private[graft] val PurgeTombstoneStoreName = "purge_tombstones"
+
+  /** Sidecar marker set on an additive model store when a purge could
+    * NOT decrement it exactly (a purged id was provably ingested — rows
+    * in the doc-keyed tf store — but its content was available neither
+    * in the corpus frame nor in the caller's `docsOpt`). Serving refuses
+    * until a re-bootstrap rebuilds the counts from the surviving corpus.
+    */
+  private[graft] val ModelStaleKey = "modelStaleFromPurge"
+
+  /** Per-store crash-replay guard for [[purgeAll]]'s non-row legs: each
+    * leg stamps the request digest in the same sidecar write as its
+    * decrement, so a purge replayed after a mid-sequence crash skips the
+    * legs that already landed and completes the rest exactly once.
+    */
+  private[graft] val LastPurgeReqKey = "lastPurgeReq"
+
+  /** Refuse to serve an additive model store whose counts a purge left
+    * inexact ([[ModelStaleKey]]). The trip is one-way by design: only a
+    * re-bootstrap over the surviving corpus restores exactness.
+    */
+  private def requireNotPurgeStale(s: SparkSession, corpusDir: String,
+      name: String, rebootstrap: String): Unit =
+    if (graft.IndexStore.storedMeta(s, corpusDir, name)
+        .exists(_.contains(ModelStaleKey)))
+      throw new IllegalStateException(
+        s"$name for $corpusDir is stale from a document purge whose ids' " +
+          "content was unavailable — the additive counts still carry the " +
+          s"purged docs' mass. Re-bootstrap over the surviving corpus " +
+          s"($rebootstrap) before serving")
+
+  /** Drop the purge-staleness trip after a re-bootstrap rebuilt `name`'s
+    * counts from the corpus it was just handed.
+    */
+  private def clearPurgeStale(s: SparkSession, corpusDir: String,
+      name: String): Unit =
+    for (root <- graft.IndexStore.configuredDir(s)) {
+      val p = graft.IndexStore.storePath(root, corpusDir, name)
+      graft.IndexStore.readMeta(s, p).filter(_.contains(ModelStaleKey))
+        .foreach(meta => graft.IndexStore.writeMeta(s, p, meta - ModelStaleKey))
+    }
+
+  private def purgeReqDigest(corpusDir: String, ids: Seq[Long]): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.update(corpusDir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    ids.sorted.foreach(id => md.update(java.nio.ByteBuffer.allocate(8).putLong(id).array()))
+    md.digest().map("%02x".format(_)).mkString
+  }
+
+  /** Right-to-be-forgotten across EVERY maintained tier — ONE entry point
+    * composing the doc-keyed text stores (tf/BM25, shingle sets, anchor
+    * index, chunk fingerprints), the embedding tier
+    * ([[purgeEmbeddingTier]]: IVF both families, SRP, media
+    * fingerprints), and — the round-15 gap — the ADDITIVE model tier (LM
+    * bigram counts, DSIR bucket profiles), whose per-doc contributions
+    * have no rows to delete.
+    *
+    * Model-tier semantics: both models are sums of per-doc counts, so
+    * the decrement is EXACT whenever the purged docs' content is known —
+    * the purged contributions are recomputed (`bigramBags` /
+    * `dsirProfileRows` over exactly those docs) and appended NEGATED;
+    * serving sums, so the surviving totals equal a fresh build over the
+    * surviving corpus. The corpus count decrements and the XOR content
+    * digest un-advances (`h ^ d` removes what `h ^ d` added) in the same
+    * sidecar write, so [[lmModelFromStore]]'s cross-store snapshot check
+    * keeps holding post-purge instead of forcing a re-bootstrap. Content
+    * comes from `docsOpt` (pass the takedown request's own documents —
+    * required for ids ingested by streaming that are not in the corpus
+    * parquet) or the corpus `documents` table. If a requested id was
+    * provably ingested (tf-store rows) but its content is in neither,
+    * exactness is impossible: the model stores trip [[ModelStaleKey]]
+    * and serving refuses until re-bootstrap — never a silently divergent
+    * model.
+    *
+    * Idempotency: completed requests are fully absorbed by the tombstone
+    * registry (replay purges nothing and decrements nothing); a replay
+    * after a mid-sequence crash skips completed legs via
+    * [[LastPurgeReqKey]] (stamped in the same staged sidecar write as
+    * each leg's effect) and runs only the remainder. Scale: every leg is
+    * one store scan + a request-sized broadcast `isin`; the model-tier
+    * decrement is O(purged docs' tokens).
+    *
+    * Returns removed row counts per store (model-tier entries report the
+    * count of docs whose contribution was decremented).
+    */
+  def purgeAll(s: SparkSession, corpusDir: String, ids: Seq[Long],
+      docsOpt: Option[DataFrame] = None): Map[String, Long] = {
+    require(ids.nonEmpty, "purgeAll: empty id list")
+    import org.apache.spark.sql.functions._
+    val root = graft.IndexStore.configuredDir(s).getOrElse(throw
+      new IllegalStateException("purgeAll requires a configured index " +
+        s"store (${graft.IndexStore.DirConf})"))
+    val results = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    val req = purgeReqDigest(corpusDir, ids)
+    def path(name: String) = graft.IndexStore.storePath(root, corpusDir, name)
+
+    // ids a previous COMPLETED purge already absorbed (request-bounded)
+    val tombstoned: Set[Long] =
+      if (!graft.IndexStore.committed(s, path(PurgeTombstoneStoreName))) Set.empty
+      else s.read.parquet(path(PurgeTombstoneStoreName))
+        .filter(col("doc_id").isin(ids: _*))
+        .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val fresh = ids.filterNot(tombstoned)
+    if (fresh.isEmpty) return Map.empty
+
+    val decDocs = docsOpt.getOrElse(graft.Tables.load(s, corpusDir, "documents"))
+      .filter(col("doc_id").isin(fresh: _*))
+      .select(col("doc_id"), col("text"), col("lang"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    try {
+      val (nDec, digDec) = countAndDigest(decDocs)
+      val decIds: Set[Long] =
+        decDocs.select(col("doc_id")).collect().map(_.getLong(0)).toSet
+      // requested, not yet absorbed, content unknown — were any actually
+      // ingested? The doc-keyed tf store is the witness (it and the
+      // additive models ride the same stream).
+      val unknown = fresh.filterNot(decIds)
+      val tfCommitted = graft.IndexStore.committed(s, path(TfStoreName))
+      val unknownIngested = unknown.nonEmpty && tfCommitted &&
+        !s.read.parquet(path(TfStoreName))
+          .filter(col("doc_id").isin(unknown: _*)).isEmpty
+
+      // --- additive model tier: exact negated-increment decrement, or
+      //     the staleness trip when exactness is impossible ---
+      def modelLeg(name: String, negRows: => DataFrame): Unit = {
+        if (!graft.IndexStore.committed(s, path(name))) return
+        val meta = graft.IndexStore.readMeta(s, path(name)).getOrElse(Map.empty)
+        if (meta.get(LastPurgeReqKey).contains(req)) { results += name -> 0L; return }
+        if (unknownIngested) {
+          graft.IndexStore.writeMeta(s, path(name),
+            meta + (ModelStaleKey -> "purge") + (LastPurgeReqKey -> req))
+          results += name -> 0L
+          return
+        }
+        if (nDec == 0) { results += name -> 0L; return }
+        val decCount = meta.get(graft.IndexStore.CorpusCountKey)
+          .flatMap(_.toLongOption)
+          .map(c => Map(graft.IndexStore.CorpusCountKey ->
+            math.max(0L, c - nDec).toString)).getOrElse(Map.empty)
+        val decDigest = meta.get(graft.IndexStore.CorpusHashKey)
+          .flatMap(_.toLongOption)
+          .map(h => Map(graft.IndexStore.CorpusHashKey -> (h ^ digDec).toString))
+          .getOrElse(Map.empty)
+        graft.IndexStore.append(s, corpusDir, name, negRows,
+          extraMeta = decCount ++ decDigest ++ Map(LastPurgeReqKey -> req))
+        results += name -> nDec
+      }
+      modelLeg(LmStoreName,
+        graft.operators.CorpusOps.bigramBags(decDocs)
+          .groupBy(col("a"), col("b"))
+          .agg((-sum(col("c"))).cast(org.apache.spark.sql.types.LongType).as("c")))
+      modelLeg(DsirStoreName, {
+        requireDsirGeometry(s, corpusDir)
+        graft.operators.CorpusOps.dsirProfileRows(decDocs)
+          .select(col("b"), (-col("c_raw")).cast(org.apache.spark.sql.types.LongType).as("c_raw"),
+            (-col("c_tgt")).cast(org.apache.spark.sql.types.LongType).as("c_tgt"))
+      })
+
+      // --- doc-keyed text tier: staged-rewrite row purges. The document
+      //     count decrements by the known purged docs plus the witnessed
+      //     unknown ones (distinct present — the best available bound for
+      //     ids whose content is gone); the XOR digest un-advances only
+      //     when the decrement is exact, else purgeKeys drops it. ---
+      def textLeg(name: String, keyCol: String, trackDocs: Boolean): Unit = {
+        if (!graft.IndexStore.committed(s, path(name))) return
+        val meta = graft.IndexStore.readMeta(s, path(name)).getOrElse(Map.empty)
+        if (meta.get(LastPurgeReqKey).contains(req)) { results += name -> 0L; return }
+        val decCount =
+          if (!trackDocs) -1L
+          else {
+            val unknownPresent =
+              if (unknown.isEmpty) 0L
+              else s.read.parquet(path(name))
+                .filter(col(keyCol).isin(unknown: _*))
+                .select(col(keyCol)).distinct().count()
+            nDec + unknownPresent
+          }
+        val digMeta =
+          if (!trackDocs || unknownIngested) Map.empty[String, String]
+          else meta.get(graft.IndexStore.CorpusHashKey).flatMap(_.toLongOption)
+            .map(h => Map(graft.IndexStore.CorpusHashKey -> (h ^ digDec).toString))
+            .getOrElse(Map.empty)
+        results += name -> graft.IndexStore.purgeKeys(s, corpusDir, name,
+          keyCol, ids, countDecrement = decCount,
+          extraMeta = digMeta ++ Map(LastPurgeReqKey -> req))
+      }
+      textLeg(TfStoreName, "doc_id", trackDocs = true)
+      textLeg(graft.operators.TextAnalysis.ShingleStoreName, "doc_id", trackDocs = true)
+      graft.operators.TextAnalysis.invalidateShingleIndex(s, corpusDir)
+      textLeg(AnchorStoreName, "doc_id", trackDocs = true)
+      textLeg(ChunkStoreName, "doc_id", trackDocs = false)
+
+      // --- embedding tier (idempotent by row absence) + media leg ---
+      results ++= purgeEmbeddingTier(s, corpusDir, ids)
+
+      // --- absorb the request: tombstones land LAST, so their presence
+      //     proves every leg above completed ---
+      import s.implicits._
+      val tombRows = fresh.toDF("doc_id")
+      if (graft.IndexStore.committed(s, path(PurgeTombstoneStoreName)))
+        graft.IndexStore.append(s, corpusDir, PurgeTombstoneStoreName, tombRows)
+      else
+        graft.IndexStore.servedFrom(s, corpusDir, PurgeTombstoneStoreName)(tombRows)
+      results.toMap
+    } finally decDocs.unpersist()
   }
 
   /** The maintained inverted file as a queryable frame — the gateway's

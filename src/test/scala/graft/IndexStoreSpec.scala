@@ -1845,4 +1845,214 @@ class IndexStoreSpec extends SparkSpec {
     assert(servedRows.nonEmpty && servedRows.exists(_._4 > 0),
       "fixture corpus must profile at least one duplicated span")
   }
+
+  test("unified takedown: purgeAll spans text/model/embedding/media tiers, store-served operators equal batch over the survivors, replay is a no-op") {
+    val root = tmp("graft_idx_purge_unified")
+    val sA = spark.newSession()
+    sA.conf.set(IndexStore.DirConf, root)
+    val docs = Tables.load(sA, dir, "documents")
+    val e = Tables.load(sA, dir, "embeddings")
+
+    // every maintained tier, bootstrapped over the full corpus
+    streaming.IndexMaintenance.bootstrapTfStore(sA, dir, docs)
+    streaming.IndexMaintenance.bootstrapLmStore(sA, dir, docs)
+    streaming.IndexMaintenance.bootstrapDsirStore(sA, dir, docs)
+    operators.TextAnalysis.buildShingleIndex(sA, dir, docs)
+    streaming.IndexMaintenance.bootstrapAnchorStore(sA, dir, docs)
+    streaming.IndexMaintenance.bootstrapChunkStore(sA, dir, docs)
+    streaming.IndexMaintenance.bootstrapIvfAssignments(sA, dir, e)
+    operators.Similarity.buildSrpIndex(sA, dir, e)
+    operators.MultimodalOps.buildMediaFpIndex(sA, dir,
+      multimodal.Multimodal.synthesizeImages(docs))
+
+    val purged = (100L until 110L).toSeq
+    val removed = streaming.IndexMaintenance.purgeAll(sA, dir, purged)
+    // one call reported every tier: doc-keyed rows, model decrements,
+    // embedding rows, media fingerprints (even doc_ids only -> 5 of 10)
+    assert(removed(streaming.IndexMaintenance.LmStoreName) == 10, removed.toString)
+    assert(removed(streaming.IndexMaintenance.DsirStoreName) == 10, removed.toString)
+    assert(removed(operators.TextAnalysis.ShingleStoreName) == 10, removed.toString)
+    assert(removed(streaming.IndexMaintenance.TfStoreName) > 0, removed.toString)
+    assert(removed(streaming.IndexMaintenance.AnchorStoreName) > 0, removed.toString)
+    assert(removed(streaming.IndexMaintenance.ChunkStoreName) > 0, removed.toString)
+    assert(removed(streaming.IndexMaintenance.IvfAssignStoreName) == 10, removed.toString)
+    assert(removed(operators.Similarity.SrpStoreName) == 160, removed.toString)
+    assert(removed(operators.MultimodalOps.MediaFpStoreName) == 5, removed.toString)
+
+    val surv = docs.filter(!col("doc_id").isin(purged: _*))
+    val nSurv = surv.count()
+
+    // BM25 (q130 serving path) == batch scoring body over the survivors
+    def bmKey(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    val servedBm = streaming.IndexMaintenance.bm25FromStore(sA, dir, 8L, 16, 10)
+      .collect().map(bmKey).toSeq
+    val nT = sA.range(1).select(lit(nSurv).cast("long").as("n"))
+    val batchBm = operators.CorpusOps.bm25TopKOverTf(
+        operators.CorpusOps.tfRows(surv), nT, 8L, 16, 10)
+      .collect().map(bmKey).toSeq
+    assert(servedBm == batchBm && servedBm.nonEmpty,
+      "post-purge store-served BM25 must equal the batch answer over the survivors")
+
+    // q146 LM model == batch model over the survivors, type for type —
+    // the EXACT decrement: negated bigram counts summed back out, purged-
+    // only bigram types vanished, corpus count + digest un-advanced
+    val servedLm = streaming.IndexMaintenance.lmModelFromStore(sA, dir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    val batchLm = operators.CorpusOps.lmModelOverBigrams(
+        operators.CorpusOps.bigramBags(surv)
+          .groupBy(col("a"), col("b"))
+          .agg(sum(col("c")).cast("long").as("c12")),
+        operators.CorpusOps.tfRows(surv)
+          .groupBy(col("term")).agg(sum(col("tf")).as("n")))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    assert(servedLm == batchLm && servedLm.nonEmpty,
+      "post-purge store-served LM model must equal a fresh survivor build")
+
+    // q144 DSIR weights == batch weights over the survivors
+    val servedW = streaming.IndexMaintenance.dsirWeightsFromStore(sA, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val batchW = operators.CorpusOps.dsirWeights(
+        operators.CorpusOps.dsirProfileRows(surv))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(servedW == batchW && servedW.nonEmpty,
+      "post-purge store-served DSIR weights must equal a fresh survivor build")
+
+    // q153 substring dedup served off the purged anchor store == batch
+    // over the survivors (the corpus-count gate proves the decrement)
+    def subKey(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    val servedSub = subKey(operators.Fuzzy.substringDedupFromStore(sA, dir, surv))
+    val batchSub = subKey(operators.Fuzzy.substringDedup(surv))
+    Materialize.releaseAll(sA)
+    assert(servedSub == batchSub && servedSub.nonEmpty,
+      "post-purge store-served substring dedup must equal the survivor batch")
+
+    // ANN: purged ids never serve as neighbors, and the store answers the
+    // batch computation over the survivors under the stored model
+    def annKey(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+    val eSurv = e.filter(!col("vec_id").isin(purged: _*))
+    val servedAnn = annKey(operators.Similarity.ivfAnnFromStore(sA, dir))
+    assert(servedAnn.nonEmpty &&
+      servedAnn.map(_._3).toSet.intersect(purged.toSet).isEmpty,
+      "a purged id is still servable as an ANN neighbor")
+    val model = operators.Ivf.load(sA, IndexStore.storePath(root, dir,
+      operators.Similarity.IvfModelStoreName)).get
+    val batchAnn = annKey(operators.Ivf.annTopK(eSurv,
+      operators.Ivf.quantize(eSurv).select("vec_id", "eq"),
+      operators.Ivf.centsDF(sA, model.cents), 8, 2, 3,
+      functions.VectorFunctions.dotDec))
+    assert(servedAnn == batchAnn,
+      "post-purge store-served ANN must equal the survivor batch path")
+
+    // media fingerprints == a fresh decode of the surviving images
+    val mfpPath = IndexStore.storePath(root, dir,
+      operators.MultimodalOps.MediaFpStoreName)
+    val storedFps = sA.read.parquet(mfpPath).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val freshFps = operators.MultimodalOps.imageFps(
+        multimodal.Multimodal.synthesizeImages(surv))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(storedFps == freshFps,
+      "post-purge media store must equal a fresh survivor decode")
+
+    // chunk store: no purged carrier remains
+    assert(sA.read.parquet(IndexStore.storePath(root, dir,
+        streaming.IndexMaintenance.ChunkStoreName))
+      .filter(col("doc_id").isin(purged: _*)).count() == 0)
+
+    // the request was absorbed: tombstones landed last
+    val tombPath = IndexStore.storePath(root, dir,
+      streaming.IndexMaintenance.PurgeTombstoneStoreName)
+    assert(sA.read.parquet(tombPath).count() == 10)
+
+    // full replay: nothing decrements twice, nothing is removed again
+    val lmMetaBefore = IndexStore.storedMeta(sA, dir,
+      streaming.IndexMaintenance.LmStoreName).get
+    val replay = streaming.IndexMaintenance.purgeAll(sA, dir, purged)
+    assert(replay.isEmpty, replay.toString)
+    assert(IndexStore.storedMeta(sA, dir,
+      streaming.IndexMaintenance.LmStoreName).get == lmMetaBefore,
+      "a replayed purge must not advance the model-tier ledgers")
+
+    // an OVERLAPPING second request decrements only its fresh ids, and the
+    // model tier still equals a fresh build over the now-smaller corpus
+    val second = (105L until 115L).toSeq // 5 absorbed + 5 new
+    val removed2 = streaming.IndexMaintenance.purgeAll(sA, dir, second)
+    assert(removed2(streaming.IndexMaintenance.LmStoreName) == 5, removed2.toString)
+    val surv2 = docs.filter(!col("doc_id").isin((100L until 115L).toSeq: _*))
+    val servedLm2 = streaming.IndexMaintenance.lmModelFromStore(sA, dir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    val batchLm2 = operators.CorpusOps.lmModelOverBigrams(
+        operators.CorpusOps.bigramBags(surv2)
+          .groupBy(col("a"), col("b"))
+          .agg(sum(col("c")).cast("long").as("c12")),
+        operators.CorpusOps.tfRows(surv2)
+          .groupBy(col("term")).agg(sum(col("tf")).as("n")))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    assert(servedLm2 == batchLm2,
+      "overlapping purge must decrement exactly the fresh ids' mass")
+  }
+
+  test("purgeAll staleness trip: purging an ingested id with unknown content trips the additive models; re-bootstrap restores service") {
+    val root = tmp("graft_idx_purge_stale")
+    val sA = spark.newSession()
+    sA.conf.set(IndexStore.DirConf, root)
+    val docs = Tables.load(sA, dir, "documents")
+    streaming.IndexMaintenance.bootstrapTfStore(sA, dir, docs)
+    streaming.IndexMaintenance.bootstrapLmStore(sA, dir, docs)
+    streaming.IndexMaintenance.bootstrapDsirStore(sA, dir, docs)
+
+    // a streamed-in document whose content the corpus parquet does NOT
+    // hold — after ingestion, the stores carry its mass
+    import sA.implicits._
+    val newDoc = Seq((100000L, "zq vr zq qq ww zz xx", "en"))
+      .toDF("doc_id", "text", "lang")
+    assert(streaming.IndexMaintenance.applyTfBatch(sA, dir, "trip_spec", 0L, newDoc))
+    assert(streaming.IndexMaintenance.applyLmBatch(sA, dir, "trip_spec", 0L, newDoc))
+    assert(streaming.IndexMaintenance.applyDsirBatch(sA, dir, "trip_spec", 0L, newDoc))
+
+    // purge it WITHOUT its content: the doc-keyed tf store witnesses the
+    // ingestion, so the additive models trip stale instead of silently
+    // keeping the purged mass
+    val removed = streaming.IndexMaintenance.purgeAll(sA, dir, Seq(100000L))
+    assert(removed(streaming.IndexMaintenance.LmStoreName) == 0)
+    assert(removed(streaming.IndexMaintenance.TfStoreName) > 0,
+      "the doc-keyed tf rows must still purge")
+    val exLm = intercept[IllegalStateException] {
+      streaming.IndexMaintenance.lmModelFromStore(sA, dir)
+    }
+    assert(exLm.getMessage.contains("stale from a document purge"), exLm.getMessage)
+    val exDs = intercept[IllegalStateException] {
+      streaming.IndexMaintenance.dsirWeightsFromStore(sA, dir)
+    }
+    assert(exDs.getMessage.contains("stale from a document purge"), exDs.getMessage)
+
+    // re-bootstrap over the surviving corpus restores exact service
+    streaming.IndexMaintenance.bootstrapLmStore(sA, dir, docs)
+    streaming.IndexMaintenance.bootstrapDsirStore(sA, dir, docs)
+    val servedM = streaming.IndexMaintenance.lmModelFromStore(sA, dir)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getAs[Long]("p_micro")).toMap
+    val batchM = operators.CorpusOps.lmBigramModel(sA, dir)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getAs[Long]("p_micro")).toMap
+    assert(servedM == batchM,
+      "re-bootstrap must restore the exact LM model over the survivors")
+    assert(streaming.IndexMaintenance.dsirWeightsFromStore(sA, dir).count() > 0)
+
+    // the EXACT path for a streamed-in doc: purging WITH its content
+    // (docsOpt) decrements precisely and never trips
+    val newDoc2 = Seq((100001L, "aa bb aa cc", "ru")).toDF("doc_id", "text", "lang")
+    assert(streaming.IndexMaintenance.applyTfBatch(sA, dir, "trip_spec", 1L, newDoc2))
+    assert(streaming.IndexMaintenance.applyLmBatch(sA, dir, "trip_spec", 1L, newDoc2))
+    assert(streaming.IndexMaintenance.applyDsirBatch(sA, dir, "trip_spec", 1L, newDoc2))
+    val removed2 = streaming.IndexMaintenance.purgeAll(sA, dir, Seq(100001L),
+      docsOpt = Some(newDoc2))
+    assert(removed2(streaming.IndexMaintenance.LmStoreName) == 1, removed2.toString)
+    val servedM2 = streaming.IndexMaintenance.lmModelFromStore(sA, dir)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getAs[Long]("p_micro")).toMap
+    assert(servedM2 == batchM,
+      "an exact streamed-doc purge must restore the pre-append model")
+  }
 }
