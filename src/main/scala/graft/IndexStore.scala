@@ -330,7 +330,7 @@ object IndexStore {
     * contract as for [[append]].
     */
   def compact(s: SparkSession, corpusDir: String, name: String,
-      targetRowsPerFile: Long = 4L << 20): Unit = {
+      targetRowsPerFile: Long = 4L << 20, clusterBy: Option[String] = None): Unit = {
     require(targetRowsPerFile > 0, s"bad targetRowsPerFile $targetRowsPerFile")
     val root = configuredDir(s).getOrElse(throw new IllegalStateException(
       s"IndexStore.compact: no index store configured — set $DirConf"))
@@ -352,8 +352,18 @@ object IndexStore {
     val p = new Path(path)
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     fs.delete(new Path(staging), true) // a prior crash's orphan
-    s.read.parquet(path).repartition(files.toInt)
-      .write.mode("overwrite").parquet(staging)
+    // clusterBy keeps (or establishes) a sort-clustered layout through
+    // the rewrite — range-disjoint files + monotone row groups, so a
+    // point lookup on that column prunes to O(1) row groups from the
+    // parquet min/max stats instead of scanning the store (the
+    // maintained IVF assignment store compacts with clusterBy=vec_id:
+    // /ann's doc_id serving path is exactly such a lookup)
+    val base = s.read.parquet(path)
+    (clusterBy match {
+      case Some(c) => base.repartitionByRange(files.toInt,
+          org.apache.spark.sql.functions.col(c)).sortWithinPartitions(c)
+      case None => base.repartition(files.toInt)
+    }).write.mode("overwrite").parquet(staging)
     val compactedRows = s.read.parquet(staging).count() // O(few files)
     if (compactedRows != actual) {
       fs.delete(new Path(staging), true)

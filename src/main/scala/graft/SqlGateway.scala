@@ -79,6 +79,21 @@ object SqlGateway {
     */
   val MaxBodyBytes: Int = 1 << 20
 
+  /** Session-cached `(doc_id, lang)` attribute frame behind `/ann?lang=`:
+    * the constraint leg rides the session tier like every other shared
+    * index instead of re-reading the documents table per HTTP request —
+    * one narrow two-column scan on first use, an InMemoryTableScan on
+    * every repeat.
+    */
+  private val attrCache = new graft.SessionCache[DataFrame]
+
+  private[graft] def attrFrame(spark: SparkSession, corpusDir: String): DataFrame =
+    attrCache.getOrElseUpdate(spark, corpusDir)(
+      Tables.load(spark, corpusDir, "documents")
+        .select(org.apache.spark.sql.functions.col("doc_id"),
+          org.apache.spark.sql.functions.col("lang"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER))
+
   final class Gateway private[SqlGateway] (server: HttpServer,
       deadlines: ScheduledExecutorService) {
     def port: Int = server.getAddress.getPort
@@ -302,7 +317,7 @@ object SqlGateway {
       // BEFORE the probe join, never post-filtering the shortlist. For
       // the image-side family the ids map into the offset domain.
       val candIds = params.get("lang").map { lang =>
-        val ids = Tables.load(spark, corpusDir, "documents")
+        val ids = attrFrame(spark, corpusDir)
           .filter(col("lang") === lang)
           .select(col("doc_id").as("vec_id"))
         if (family == "_xm")

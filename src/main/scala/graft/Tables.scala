@@ -155,5 +155,14 @@ object Tables {
     // spans does doc d share" in plain SQL
     streaming.IndexMaintenance.anchorIndexView(spark, dir)
       .createOrReplaceTempView("anchor_index")
+    // round-16: the q158 probe-sweep tuning report — recall@k and exact
+    // candidate counts per nprobe over the shared IVF model, so the
+    // serving tier's knob evidence ("why is nprobe set to 2") is
+    // queryable where the operator looks for it. The sweep's scoring is
+    // lazy (runs on first query); the shared IVF model loads from the
+    // durable store when one is configured (fits in-session otherwise,
+    // same as the BPE view's learn above).
+    operators.Similarity.probeSweepReport(spark, dir)
+      .createOrReplaceTempView("ann_tuning")
   }
 }

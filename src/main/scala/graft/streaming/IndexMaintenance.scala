@@ -1136,6 +1136,26 @@ object IndexMaintenance {
       .select((Seq("vec_id", "embedding", "eq", "cid", "idot") ++ extras).map(col): _*)
   }
 
+  /** Target rows per file for the vec_id-clustered assignment-store
+    * layout (~130k rows ≈ tens of MB with raw + quantized embeddings).
+    */
+  private val AssignRowsPerFile = 1L << 17
+
+  /** Range-partition + sort an assignment frame by `vec_id` before it
+    * lands in the store: files become id-range-disjoint and row groups
+    * monotone, so a point lookup (`/ann?doc_id=`) prunes to O(1) row
+    * groups from parquet min/max stats instead of scanning a corpus-sized
+    * store — the same sorted-write discipline as the warehouse fact
+    * layout, applied to the inverted file. Appends are already id-ranged
+    * (append-only streams), so each batch's files stay disjoint from the
+    * bootstrap's.
+    */
+  private def sortedByVecId(df: DataFrame, rows: Long): DataFrame = {
+    val parts = math.max(1L, (rows + AssignRowsPerFile - 1) / AssignRowsPerFile).toInt
+    df.repartitionByRange(parts, org.apache.spark.sql.functions.col("vec_id"))
+      .sortWithinPartitions("vec_id")
+  }
+
   /** `(rows, Σ idot)` of an assignment frame — the drift statistic's
     * per-batch increment, summed in DECIMAL(38,0) (idot ≤ ~6.4e9 per row;
     * a Long sum would overflow near 1.4e9 rows).
@@ -1185,10 +1205,11 @@ object IndexMaintenance {
       .select(org.apache.spark.sql.functions.col("vec_id"),
         org.apache.spark.sql.functions.col("eq"))
     val model = graft.operators.Ivf.servedModel(s, modelPath, eqf, k)
+    val nCorpus = e.count()
     graft.IndexStore.servedFrom(s, corpusDir, IvfAssignStoreName + family,
-      corpusCount = e.count())(ivfAssignRows(
+      corpusCount = nCorpus)(sortedByVecId(ivfAssignRows(
       e.withColumn("ivf_epoch", org.apache.spark.sql.functions.lit(0))
-        .withColumn("pq_epoch", org.apache.spark.sql.functions.lit(0)), model))
+        .withColumn("pq_epoch", org.apache.spark.sql.functions.lit(0)), model), nCorpus))
     // Baseline stats over the COMMITTED rows (idempotent whether
     // servedFrom rebuilt or served fresh — either way the store is the
     // current corpus's assignments under the current model).
@@ -1283,7 +1304,8 @@ object IndexMaintenance {
             }
             case None => Map.empty
           }
-        graft.IndexStore.append(s, corpusDir, IvfAssignStoreName + family, asg,
+        graft.IndexStore.append(s, corpusDir, IvfAssignStoreName + family,
+          sortedByVecId(asg, bn),
           incrementCount = bn,
           extraMeta = Map(markerKey(stream) -> batchId.toString,
             IvfIncIdotSumKey -> incSum.toString, IvfIncNKey -> incN.toString,
@@ -1349,7 +1371,8 @@ object IndexMaintenance {
     val p = new org.apache.hadoop.fs.Path(assignPath)
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(staging), true)
-    ivfAssignRows(store, model).write.mode("overwrite").parquet(staging)
+    sortedByVecId(ivfAssignRows(store, model), rows)
+      .write.mode("overwrite").parquet(staging)
     val reassigned = s.read.parquet(staging).count()
     if (reassigned != rows) {
       fs.delete(new org.apache.hadoop.fs.Path(staging), true)

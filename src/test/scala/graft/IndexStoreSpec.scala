@@ -2055,4 +2055,69 @@ class IndexStoreSpec extends SparkSpec {
     assert(servedM2 == batchM,
       "an exact streamed-doc purge must restore the pre-append model")
   }
+
+  test("vec_id-clustered assignment store: a point lookup prunes to one candidate row group on a multi-batch store, and through a clustered compact") {
+    val root = tmp("graft_idx_point")
+    val sA = spark.newSession()
+    sA.conf.set(IndexStore.DirConf, root)
+    val e = Tables.load(sA, dir, "embeddings")
+    // fit on 440 vectors, then three streamed batches of 20 — the store
+    // spans four separately-written file sets
+    streaming.IndexMaintenance.bootstrapIvfAssignments(sA, dir,
+      e.filter(col("vec_id") < 440))
+    for ((lo, b) <- Seq((440L, 0L), (460L, 1L), (480L, 2L)))
+      assert(streaming.IndexMaintenance.applyIvfBatch(sA, dir, "pt_spec", b,
+        e.select("vec_id", "embedding")
+          .filter(col("vec_id") >= lo && col("vec_id") < lo + 20)))
+    val path = IndexStore.storePath(root, dir,
+      streaming.IndexMaintenance.IvfAssignStoreName)
+
+    // per-row-group (min, max) of vec_id straight from the parquet
+    // footers — the statistics a pushed `vec_id = id` predicate consults
+    import scala.jdk.CollectionConverters._
+    val hconf = sA.sparkContext.hadoopConfiguration
+    def vecGroups(): Seq[(Long, Long)] =
+      new java.io.File(path).listFiles().toSeq
+        .filter(_.getName.endsWith(".parquet")).flatMap { f =>
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            new org.apache.hadoop.fs.Path(f.getAbsolutePath), hconf)
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          try r.getFooter.getBlocks.asScala.toSeq.map { blk =>
+            val st = blk.getColumns.asScala
+              .find(_.getPath.toDotString == "vec_id").get.getStatistics
+            (st.genericGetMin.asInstanceOf[Long], st.genericGetMax.asInstanceOf[Long])
+          } finally r.close()
+        }
+    def candidates(gs: Seq[(Long, Long)], id: Long): Int =
+      gs.count { case (mn, mx) => mn <= id && id <= mx }
+
+    val gs = vecGroups()
+    assert(gs.size >= 4, s"multi-batch store must span several row groups: $gs")
+    // stored-id point lookups admit exactly ONE candidate group each —
+    // ids across the bootstrap and every batch prove the file sets are
+    // id-range disjoint (NOT append-ordered accident: within-write sort
+    // plus range partitioning)
+    for (id <- Seq(5L, 250L, 439L, 445L, 465L, 499L))
+      assert(candidates(gs, id) == 1,
+        s"point lookup vec_id=$id must prune to 1 group, got ${candidates(gs, id)} of ${gs.size}")
+    // serving semantics unchanged: the lookup still answers
+    assert(sA.read.parquet(path).filter(col("vec_id") === 445L).count() == 1)
+    def annKey(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+    val before = annKey(operators.Similarity.ivfAnnFromStore(sA, dir))
+    assert(before.nonEmpty)
+
+    // a CLUSTERED compact merges the accumulated file sets and keeps the
+    // pruning property (a plain compact would launder the layout away)
+    IndexStore.compact(sA, dir, streaming.IndexMaintenance.IvfAssignStoreName,
+      targetRowsPerFile = 100, clusterBy = Some("vec_id"))
+    val gs2 = vecGroups()
+    assert(gs2.size >= 5, s"compacted store must split into ~100-row files: $gs2")
+    for (id <- Seq(5L, 250L, 445L, 499L))
+      assert(candidates(gs2, id) == 1,
+        s"post-compact lookup vec_id=$id must prune to 1 group, got ${candidates(gs2, id)} of ${gs2.size}")
+    // the serve is byte-identical through the compact
+    assert(annKey(operators.Similarity.ivfAnnFromStore(sA, dir)) == before,
+      "clustered compaction must not change what the store serves")
+  }
 }

@@ -433,4 +433,32 @@ class SqlGatewaySpec extends SparkSpec {
       assert(slow.body().contains("max_execution_time"))
     }
   }
+
+  test("ann_tuning view: the probe-sweep knob evidence is queryable at the gateway; /ann attribute frame rides the session cache") {
+    withGateway { (_, port) =>
+      Tables.registerIndexViews(spark, dir)
+      // the full sweep: one row per probe level, monotone recall and
+      // candidate counts (deeper probes see a superset)
+      val n = post(port, "SELECT count(*) AS n FROM ann_tuning")
+      assert(n.statusCode() == 200 && n.body().trim == """{"n":4}""", n.body())
+      val mono = post(port,
+        "SELECT count(*) AS bad FROM (SELECT recall_micro - " +
+          "lag(recall_micro) OVER (ORDER BY probes) AS d, n_cand - " +
+          "lag(n_cand) OVER (ORDER BY probes) AS dc FROM ann_tuning) " +
+          "WHERE d < 0 OR dc < 0")
+      assert(mono.statusCode() == 200 && mono.body().trim == """{"bad":0}""",
+        mono.body())
+
+      // the /ann?lang= attribute frame is session-cached: the SAME frame
+      // instance serves every request, and after first use its scan is an
+      // InMemoryTableScan, not a fresh documents read
+      val a = SqlGateway.attrFrame(spark, dir)
+      val b = SqlGateway.attrFrame(spark, dir)
+      assert(a eq b, "repeat requests must reuse the cached attribute frame")
+      a.count() // materialize the cache
+      val plan = a.queryExecution.executedPlan.toString
+      assert(plan.contains("InMemoryTableScan"),
+        s"cached attribute frame must serve from memory:\n$plan")
+    }
+  }
 }
