@@ -133,4 +133,39 @@ class RecallFloorSpec extends SparkSpec {
       s"recall not non-decreasing: ${rows.map(_._3).mkString(",")}")
     assert(rows.last._3 > 0, "probe sweep reports zero recall at the deepest level")
   }
+
+  test("q159 filtered probe sweep: monotone, thinner candidates, and a deeper optimum than the unfiltered curve at sf0.1") {
+    // Measured at sf0.1 — filtered (lang=en): n_cand 409→3251, recall
+    // 0.25→0.875 across probes 1→8; unfiltered (q158): n_cand 1000→8025,
+    // recall 0.29→0.96. The constraint thins every probed cell (~40% of
+    // the unfiltered candidate mass), so at the same depth the filtered
+    // curve sits at-or-below the unfiltered one and is strictly below at
+    // the deepest level: reaching a given recall under the filter needs
+    // DEEPER probes — exactly why q157 serves at 4/16 where the
+    // unfiltered path serves at 2/16.
+    def curve(name: String) = SparkEntry.queries(name)(spark, dir)
+      .orderBy("probes")
+      .select("probes", "n_cand", "recall_micro").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    val flt = curve("q159_filtered_sweep")
+    val unf = curve("q158_probe_sweep")
+    assert(flt.map(_._1).toSeq == Seq(1, 2, 4, 8), s"unexpected levels: ${flt.mkString(",")}")
+    // structural monotonicity, as for q158
+    assert(flt.sliding(2).forall { case Array(a, b) => b._2 > a._2 },
+      s"filtered candidate counts not strictly increasing: ${flt.map(_._2).mkString(",")}")
+    assert(flt.sliding(2).forall { case Array(a, b) => b._3 >= a._3 },
+      s"filtered recall not non-decreasing: ${flt.map(_._3).mkString(",")}")
+    // the predicate composes into the candidate leg: every level scores
+    // strictly fewer candidates than the unfiltered sweep
+    for (((p, cF, _), (_, cU, _)) <- flt.zip(unf))
+      assert(cF < cU, s"filtered candidates at probes=$p must be fewer: $cF vs $cU")
+    // deeper-optimum relation: at-or-below everywhere, strictly below at
+    // the deepest level, yet well above the collapsed-leg floor
+    for (((p, _, rF), (_, _, rU)) <- flt.zip(unf))
+      assert(rF <= rU, s"filtered recall at probes=$p exceeds unfiltered: $rF vs $rU")
+    assert(flt.last._3 < unf.last._3,
+      s"filtered recall at the deepest level must sit strictly below unfiltered: ${flt.last._3} vs ${unf.last._3}")
+    assert(flt.last._3 >= 500000,
+      s"filtered recall collapsed at the deepest level: ${flt.last._3}")
+  }
 }
