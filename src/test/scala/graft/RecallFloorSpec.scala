@@ -168,4 +168,30 @@ class RecallFloorSpec extends SparkSpec {
     assert(flt.last._3 >= 500000,
       s"filtered recall collapsed at the deepest level: ${flt.last._3}")
   }
+
+  test("q160 MaxSim rerank: recall floor vs exact all-docs late interaction at sf0.1") {
+    // The ANN-style referent (like q80/q101 for the vector indexes): how
+    // much of the EXACT late-interaction top-k (same token budgets, every
+    // doc scored) survives the shared-token first stage. Measured 80/80
+    // at candidate depth 200 (69/80 at 50 — the depth constant's
+    // justification); a BM25 first stage measured 7/80, which is why the
+    // candidate leg reads the scorer's own token evidence. The exact side
+    // is measurement-only — the product path is always
+    // posting-list-bounded.
+    import org.apache.spark.sql.functions._
+    val docs = Tables.load(spark, dir, "documents").select(col("doc_id"))
+    val queries = docs.filter(col("doc_id") < 8).select(col("doc_id").as("q_id"))
+    val allPairs = docs.crossJoin(broadcast(queries))
+      .filter(col("doc_id") =!= col("q_id"))
+      .select(col("q_id"), col("doc_id"))
+    val exact = operators.CorpusOps.maxSimTopK(spark, dir, candOpt = Some(allPairs))
+      .select("q_id", "doc_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rer = SparkEntry.queries("q160_maxsim_topk")(spark, dir)
+      .select("q_id", "doc_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rer.size == 80 && exact.size == 80,
+      s"both sides must fill k=10 for all 8 queries: rerank=${rer.size} exact=${exact.size}")
+    val hits = rer.intersect(exact).size
+    info(s"q160 stage-1 recall vs exact MaxSim: $hits/80")
+    assert(hits >= 64, s"rerank recalls only $hits/80 of the exact late-interaction top-k")
+  }
 }
