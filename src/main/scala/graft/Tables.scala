@@ -164,5 +164,9 @@ object Tables {
     // same as the BPE view's learn above).
     operators.Similarity.probeSweepReport(spark, dir)
       .createOrReplaceTempView("ann_tuning")
+    // the tokenizer's staleness ledger — compression baseline vs appended
+    // mass, pending-trigger flag, refit provenance (mirrors pq_drift)
+    streaming.IndexMaintenance.bpeDriftView(spark, dir)
+      .createOrReplaceTempView("bpe_drift")
   }
 }

@@ -115,6 +115,40 @@ object Bpe {
     (out.toList, cur)
   }
 
+  /** Apply an ALREADY-LEARNED merge sequence to a `(term, freq)`
+    * word-frequency frame → `(term, syms, freq)` — the store-served
+    * encoding path ([[graft.streaming.IndexMaintenance.applyBpeBatch]]'s
+    * compression probe and `bpeEncodedFromStore`): R per-row merge
+    * rewrites with NO argmax reads and no per-round materialization —
+    * one lazy plan, vocabulary-sized.
+    */
+  private[graft] def applyMerges(words: DataFrame,
+      merges: Seq[(Long, String, String, Long)]): DataFrame = {
+    val spark = words.sparkSession
+    merges.foldLeft(charFrame(words)) { case (cur, (_, l, r, _)) =>
+      val pair = broadcast(spark.createDataFrame(
+        java.util.List.of(org.apache.spark.sql.Row(l, r)),
+        StructType(Seq(StructField("ml", StringType), StructField("mr", StringType)))))
+      cur.crossJoin(pair)
+        .select(col("term"), expr(MergeFoldSql).as("syms"), col("freq"))
+    }
+  }
+
+  /** `(Σ freq·|syms|, Σ freq·|chars(term)|)` of an encoded
+    * `(term, syms, freq)` frame — the compression-ratio ledger unit
+    * (symbols per character, frequency-weighted), summed in
+    * DECIMAL(38,0) like every maintenance ledger.
+    */
+  private[graft] def compressionStats(enc: DataFrame): (BigInt, BigInt) = {
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+    val r = enc.agg(
+      coalesce(sum((col("freq") * size(col("syms"))).cast(dec)),
+        lit(java.math.BigDecimal.ZERO)),
+      coalesce(sum((col("freq") * length(col("term"))).cast(dec)),
+        lit(java.math.BigDecimal.ZERO))).head()
+    (BigInt(r.getDecimal(0).toBigInteger), BigInt(r.getDecimal(1).toBigInteger))
+  }
+
   /** Learn `rounds` merges over a `(term, freq)` word-frequency frame.
     * Returns the merge table (round, left, right, pair_count) — bounded:
     * one row per round, each from a 1-row collect.

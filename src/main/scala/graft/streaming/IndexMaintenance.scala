@@ -881,6 +881,227 @@ object IndexMaintenance {
       graft.operators.CorpusOps.bigramBags(docs),
       lmModelFromStore(s, corpusDir))
 
+  // ------------------------------------------------ BPE model store -----
+
+  /** Durable `(term, freq)` word-frequency store behind
+    * [[maintainBpeModel]] — ADDITIVE like the DSIR profiles and LM
+    * bigrams (serving sums per term), so appends are O(batch) and a
+    * purge decrements exactly ([[purgeAll]]'s negated increments).
+    */
+  private[graft] val BpeWordStoreName = "bpe_words"
+
+  /** Durable learned merge sequence (round, left_sym, right_sym,
+    * pair_count) — the fit artifact, overwritten wholesale by a refit
+    * (bounded: [[graft.operators.Bpe.Rounds]] rows).
+    */
+  private[graft] val BpeModelStoreName = "bpe_merges"
+
+  /** Compression-ratio ledger (on the WORD store's sidecar, where the
+    * batch markers live): Fit* = frequency-weighted (Σ freq·|syms|,
+    * Σ freq·|chars|) of the vocabulary encoded under the merges at fit
+    * time; Inc* = the same sums over batches appended SINCE, each batch
+    * encoded under the STORED merges at ingest. The trigger is the
+    * statistic an operator would watch: new text that the learned merges
+    * compress ≥ [[BpeDriftPct]]% worse than the fit corpus (symbols per
+    * character, cross-multiplied BigInt compare — exact), armed once the
+    * appended char mass reaches [[BpeDriftMinIncPct]]% of the fit's.
+    */
+  private[graft] val BpeFitSymsKey = "bpeFitSyms"
+  private[graft] val BpeFitCharsKey = "bpeFitChars"
+  private[graft] val BpeIncSymsKey = "bpeIncSyms"
+  private[graft] val BpeIncCharsKey = "bpeIncChars"
+  private[graft] val BpeLastRefitTriggerKey = "bpeLastRefitTrigger"
+  private[graft] val BpeDriftMinIncPct = 5L
+  private[graft] val BpeDriftPct = 10L
+
+  private def bpeWordRows(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    graft.operators.CorpusOps.tfRows(docs)
+      .groupBy(col("term"))
+      .agg(sum(col("tf")).cast(org.apache.spark.sql.types.LongType).as("freq"))
+  }
+
+  /** The summed (purge-aware: net-zero terms vanish) word-frequency frame
+    * off the durable store.
+    */
+  private def bpeStoreWords(s: SparkSession, corpusDir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val root = graft.IndexStore.configuredDir(s).getOrElse(throw
+      new IllegalStateException(s"BPE store access requires ${graft.IndexStore.DirConf}"))
+    s.read.parquet(graft.IndexStore.storePath(root, corpusDir, BpeWordStoreName))
+      .groupBy(col("term"))
+      .agg(sum(col("freq")).cast(org.apache.spark.sql.types.LongType).as("freq"))
+      .filter(col("freq") > 0)
+  }
+
+  private def writeBpeMerges(s: SparkSession, corpusDir: String,
+      merges: Seq[(Long, String, String, Long)]): Unit = {
+    val root = graft.IndexStore.configuredDir(s).get
+    val path = graft.IndexStore.storePath(root, corpusDir, BpeModelStoreName)
+    import s.implicits._
+    merges.toDF("round", "left_sym", "right_sym", "pair_count")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+    graft.IndexStore.writeMeta(s, path, Map(
+      graft.IndexStore.StoreRowsKey -> merges.length.toString,
+      "rounds" -> graft.operators.Bpe.Rounds.toString))
+  }
+
+  /** The stored merge sequence (bounded: ≤ Rounds rows). */
+  private[graft] def storedBpeMerges(s: SparkSession,
+      corpusDir: String): Option[Seq[(Long, String, String, Long)]] =
+    graft.IndexStore.configuredDir(s).flatMap { root =>
+      val path = graft.IndexStore.storePath(root, corpusDir, BpeModelStoreName)
+      if (!graft.IndexStore.committed(s, path)) None
+      else Some(s.read.parquet(path)
+        .orderBy(org.apache.spark.sql.functions.col("round"))
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+        .toSeq)
+    }
+
+  /** Bootstrap the durable BPE tier from an existing corpus: word counts
+    * (additive store), the learned merge sequence, and the compression
+    * baseline — required before attaching [[maintainBpeModel]].
+    */
+  private[graft] def bootstrapBpeStore(s: SparkSession, corpusDir: String,
+      docs: DataFrame): Unit = {
+    val (n, dig) = countAndDigest(docs)
+    graft.IndexStore.servedFrom(s, corpusDir, BpeWordStoreName,
+      corpusCount = n)(bpeWordRows(docs))
+    recordDigest(s, corpusDir, BpeWordStoreName, dig)
+    clearPurgeStale(s, corpusDir, BpeWordStoreName)
+    val words = bpeStoreWords(s, corpusDir)
+    val merges = graft.operators.Bpe.learn(words)
+    writeBpeMerges(s, corpusDir, merges)
+    val (sy, ch) = graft.operators.Bpe.compressionStats(
+      graft.operators.Bpe.applyMerges(words, merges))
+    val root = graft.IndexStore.configuredDir(s).get
+    val wordPath = graft.IndexStore.storePath(root, corpusDir, BpeWordStoreName)
+    graft.IndexStore.readMeta(s, wordPath).foreach { meta =>
+      graft.IndexStore.writeMeta(s, wordPath, meta ++ Map(
+        BpeFitSymsKey -> sy.toString, BpeFitCharsKey -> ch.toString,
+        BpeIncSymsKey -> "0", BpeIncCharsKey -> "0"))
+    }
+  }
+
+  /** Apply one micro-batch of `(doc_id, text, …)` documents to the BPE
+    * tier; false = replay, skipped. O(batch) word counting plus an
+    * O(batch · Rounds) encode of the batch's words under the STORED
+    * merges — the compression increment rides the batch marker's sidecar
+    * write, so a replay advances nothing.
+    */
+  private[graft] def applyBpeBatch(s: SparkSession, corpusDir: String,
+      stream: String, batchId: Long, docs: DataFrame): Boolean =
+    shouldApply(batchId, lastApplied(s, corpusDir, BpeWordStoreName, stream),
+      stream, corpusDir) && {
+      val root = graft.IndexStore.configuredDir(s).getOrElse(throw
+        new IllegalStateException("maintainBpeModel requires a configured " +
+          s"index store (${graft.IndexStore.DirConf})"))
+      val wordPath = graft.IndexStore.storePath(root, corpusDir, BpeWordStoreName)
+      require(graft.IndexStore.committed(s, wordPath) &&
+        graft.IndexStore.committed(s,
+          graft.IndexStore.storePath(root, corpusDir, BpeModelStoreName)),
+        s"bootstrap the BPE stores for $corpusDir (bootstrapBpeStore) " +
+          "before attaching a maintainer")
+      val merges = storedBpeMerges(s, corpusDir).getOrElse(throw
+        new IllegalStateException(s"torn BPE model store for $corpusDir — re-bootstrap"))
+      val (n, dig) = countAndDigest(docs)
+      val w = bpeWordRows(docs)
+      val (sy, ch) = graft.operators.Bpe.compressionStats(
+        graft.operators.Bpe.applyMerges(w, merges))
+      val meta0 = graft.IndexStore.readMeta(s, wordPath).getOrElse(Map.empty)
+      def adv(key: String, d: BigInt) =
+        key -> (meta0.get(key).map(BigInt(_)).getOrElse(BigInt(0)) + d).toString
+      graft.IndexStore.append(s, corpusDir, BpeWordStoreName, w,
+        incrementCount = n,
+        extraMeta = Map(markerKey(stream) -> batchId.toString,
+          adv(BpeIncSymsKey, sy), adv(BpeIncCharsKey, ch)) ++
+          advancedDigest(graft.IndexStore.readMeta(s, wordPath), dig))
+      maybeRefitBpe(s, corpusDir)
+      true
+    }
+
+  /** Evaluate the compression-drift trigger and refit the merge sequence
+    * in place when it fires: re-learn over the store's own summed word
+    * counts, overwrite the model entry, re-stamp the baseline with zeroed
+    * increments and trigger provenance. A crash between the model write
+    * and the sidecar restamp leaves the old baseline against the new
+    * merges — the next batch re-evaluates and re-fires; the refit is
+    * deterministic, so the retry converges (the PQ-refit argument).
+    */
+  private def maybeRefitBpe(s: SparkSession, corpusDir: String): Unit = {
+    val root = graft.IndexStore.configuredDir(s).getOrElse(return)
+    val wordPath = graft.IndexStore.storePath(root, corpusDir, BpeWordStoreName)
+    val meta = graft.IndexStore.readMeta(s, wordPath).getOrElse(return)
+    val fitSy = meta.get(BpeFitSymsKey).map(BigInt(_)).getOrElse(return)
+    val fitCh = meta.get(BpeFitCharsKey).map(BigInt(_)).getOrElse(return)
+    val incSy = meta.get(BpeIncSymsKey).map(BigInt(_)).getOrElse(BigInt(0))
+    val incCh = meta.get(BpeIncCharsKey).map(BigInt(_)).getOrElse(BigInt(0))
+    val armed = fitCh > 0 && incCh * 100 >= fitCh * BpeDriftMinIncPct
+    val fired = armed && fitSy > 0 &&
+      incSy * fitCh * 100 > fitSy * incCh * (100 + BpeDriftPct)
+    if (!fired) {
+      if (incCh > 0)
+        log.info(s"BPE model for $corpusDir: appended compression " +
+          s"$incSy/$incCh vs fit $fitSy/$fitCh — below the refit trigger")
+      return
+    }
+    log.warn(s"BPE refit for $corpusDir: trigger=compression " +
+      s"(fit=$fitSy/$fitCh, appended=$incSy/$incCh)")
+    val words = bpeStoreWords(s, corpusDir)
+    val merges = graft.operators.Bpe.learn(words)
+    writeBpeMerges(s, corpusDir, merges)
+    val (sy, ch) = graft.operators.Bpe.compressionStats(
+      graft.operators.Bpe.applyMerges(words, merges))
+    graft.IndexStore.writeMeta(s, wordPath, meta ++ Map(
+      BpeFitSymsKey -> sy.toString, BpeFitCharsKey -> ch.toString,
+      BpeIncSymsKey -> "0", BpeIncCharsKey -> "0",
+      BpeLastRefitTriggerKey -> "compression"))
+  }
+
+  /** Attach a BPE-model maintainer to a `(doc_id, text, …)` stream: word
+    * counts land exactly once behind the batch marker, the compression
+    * statistic advances in the same sidecar write, and a fired trigger
+    * re-learns the merge sequence — so the tokenizer artifact (q138) and
+    * the encoding report (q140) follow the corpus instead of silently
+    * staling as it grows (the PQ-codebook failure mode, closed for the
+    * tokenizer).
+    */
+  def maintainBpeModel(docs: DataFrame, corpusDir: String,
+      checkpoint: String, stream: String = "bpe_maintenance"): StreamingQuery = {
+    val owner = docs.sparkSession
+    docs.writeStream
+      .queryName(stream)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        applyBpeBatch(owner, corpusDir, stream, batchId, batch)
+        ()
+      }
+      .start()
+  }
+
+  /** q138 served off the durable tier: the stored merge table as a frame
+    * (round, left_sym, right_sym, pair_count).
+    */
+  def bpeMergesFromStore(s: SparkSession, corpusDir: String): DataFrame = {
+    requireNotPurgeStale(s, corpusDir, BpeWordStoreName, "bootstrapBpeStore")
+    import s.implicits._
+    storedBpeMerges(s, corpusDir).getOrElse(throw new IllegalStateException(
+      s"no committed BPE model store for $corpusDir — bootstrapBpeStore first"))
+      .toDF("round", "left_sym", "right_sym", "pair_count")
+  }
+
+  /** q140's vocabulary encoding served off the durable tier: the summed
+    * word store encoded under the stored merges — `(term, syms, freq)`.
+    */
+  def bpeEncodedFromStore(s: SparkSession, corpusDir: String): DataFrame = {
+    requireNotPurgeStale(s, corpusDir, BpeWordStoreName, "bootstrapBpeStore")
+    val merges = storedBpeMerges(s, corpusDir).getOrElse(throw
+      new IllegalStateException(
+        s"no committed BPE model store for $corpusDir — bootstrapBpeStore first"))
+    graft.operators.Bpe.applyMerges(bpeStoreWords(s, corpusDir), merges)
+  }
+
   // ------------------------------------------ IVF assignment store ------
 
   /** Durable `(vec_id, embedding, eq, cid, idot)` assignments of every
@@ -1746,6 +1967,10 @@ object IndexMaintenance {
           .select(col("b"), (-col("c_raw")).cast(org.apache.spark.sql.types.LongType).as("c_raw"),
             (-col("c_tgt")).cast(org.apache.spark.sql.types.LongType).as("c_tgt"))
       })
+      modelLeg(BpeWordStoreName,
+        graft.operators.CorpusOps.tfRows(decDocs)
+          .groupBy(col("term"))
+          .agg((-sum(col("tf"))).cast(org.apache.spark.sql.types.LongType).as("freq")))
 
       // --- doc-keyed text tier: staged-rewrite row purges. The document
       //     count decrements by the known purged docs plus the witnessed
@@ -1934,6 +2159,47 @@ object IndexMaintenance {
       new java.util.ArrayList[org.apache.spark.sql.Row](
         scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
       pqDriftViewSchema)
+  }
+
+  private val bpeDriftViewSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("fit_syms", org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0), nullable = false),
+    org.apache.spark.sql.types.StructField("fit_chars", org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0), nullable = false),
+    org.apache.spark.sql.types.StructField("inc_syms", org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0), nullable = false),
+    org.apache.spark.sql.types.StructField("inc_chars", org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0), nullable = false),
+    org.apache.spark.sql.types.StructField("drift_pending", org.apache.spark.sql.types.BooleanType, nullable = false),
+    org.apache.spark.sql.types.StructField("last_refit_trigger", org.apache.spark.sql.types.StringType, nullable = true)))
+
+  /** The BPE compression ledger as a queryable 1-row frame — the
+    * gateway's `bpe_drift` view ("how stale is the tokenizer / is a
+    * refit pending / did one fire"), decoded through the SAME arithmetic
+    * [[maybeRefitBpe]] triggers on. Schema-stable empty when no store is
+    * configured/bootstrapped.
+    */
+  def bpeDriftView(s: SparkSession, corpusDir: String): DataFrame = {
+    val rows = for {
+      root <- graft.IndexStore.configuredDir(s).toSeq
+      path = graft.IndexStore.storePath(root, corpusDir, BpeWordStoreName)
+      if graft.IndexStore.committed(s, path)
+      meta <- graft.IndexStore.readMeta(s, path).toSeq
+      fitSy <- meta.get(BpeFitSymsKey).map(BigInt(_)).toSeq
+      fitCh <- meta.get(BpeFitCharsKey).map(BigInt(_)).toSeq
+    } yield {
+      val incSy = meta.get(BpeIncSymsKey).map(BigInt(_)).getOrElse(BigInt(0))
+      val incCh = meta.get(BpeIncCharsKey).map(BigInt(_)).getOrElse(BigInt(0))
+      val armed = fitCh > 0 && incCh * 100 >= fitCh * BpeDriftMinIncPct
+      val pending = armed && fitSy > 0 &&
+        incSy * fitCh * 100 > fitSy * incCh * (100 + BpeDriftPct)
+      org.apache.spark.sql.Row(
+        new java.math.BigDecimal(fitSy.bigInteger),
+        new java.math.BigDecimal(fitCh.bigInteger),
+        new java.math.BigDecimal(incSy.bigInteger),
+        new java.math.BigDecimal(incCh.bigInteger),
+        pending, meta.get(BpeLastRefitTriggerKey).orNull)
+    }
+    s.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+      bpeDriftViewSchema)
   }
 
   /** Attach an IVF assignment maintainer to a `(vec_id, embedding, …)`

@@ -1864,6 +1864,7 @@ class IndexStoreSpec extends SparkSpec {
     operators.Similarity.buildSrpIndex(sA, dir, e)
     operators.MultimodalOps.buildMediaFpIndex(sA, dir,
       multimodal.Multimodal.synthesizeImages(docs))
+    streaming.IndexMaintenance.bootstrapBpeStore(sA, dir, docs)
 
     val purged = (100L until 110L).toSeq
     val removed = streaming.IndexMaintenance.purgeAll(sA, dir, purged)
@@ -1908,6 +1909,18 @@ class IndexStoreSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
     assert(servedLm == batchLm && servedLm.nonEmpty,
       "post-purge store-served LM model must equal a fresh survivor build")
+
+    // the BPE word mass: the summed store equals the batch word counts
+    // over the survivors (the tokenizer's training set forgot the purged
+    // docs exactly); the merge table itself is a fit artifact and stays
+    assert(removed(streaming.IndexMaintenance.BpeWordStoreName) == 10, removed.toString)
+    val storedWords = streaming.IndexMaintenance.bpeEncodedFromStore(sA, dir)
+      .select("term", "freq").collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val survWords = operators.CorpusOps.tfRows(surv).groupBy(col("term"))
+      .agg(sum(col("tf")).cast("long").as("freq"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(storedWords == survWords,
+      "post-purge BPE word store must equal the survivor word counts")
 
     // q144 DSIR weights == batch weights over the survivors
     val servedW = streaming.IndexMaintenance.dsirWeightsFromStore(sA, dir)
@@ -2119,5 +2132,106 @@ class IndexStoreSpec extends SparkSpec {
     // the serve is byte-identical through the compact
     assert(annKey(operators.Similarity.ivfAnnFromStore(sA, dir)) == before,
       "clustered compaction must not change what the store serves")
+  }
+
+  test("streaming BPE maintenance: exactly-once word increments, compression-drift refit, store-served merges and encoding equal batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val root = tmp("graft_idx_bpe")
+    val docs = Tables.load(spark, dir, "documents")
+    val t = docs.selectExpr("(max(doc_id) * 6) div 10 AS t").collect()(0).getLong(0)
+    val sA = spark.newSession()
+    sA.conf.set(IndexStore.DirConf, root)
+    val pre = Tables.load(sA, dir, "documents").filter(col("doc_id") < t)
+    streaming.IndexMaintenance.bootstrapBpeStore(sA, dir, pre)
+
+    def mergeKey(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    def wordsOf(d: org.apache.spark.sql.DataFrame) =
+      operators.CorpusOps.tfRows(d).groupBy(col("term"))
+        .agg(sum(col("tf")).cast("long").as("freq"))
+    // the stored model equals a batch learn over exactly the fit corpus
+    assert(mergeKey(streaming.IndexMaintenance.bpeMergesFromStore(sA, dir)) ==
+      operators.Bpe.learn(wordsOf(pre)),
+      "bootstrapped merges must equal a batch learn over the fit corpus")
+
+    // stream the remaining docs in two micro-batches with a replay probe
+    implicit val sqlCtx = sA.sqlContext
+    import sA.implicits._
+    val inc = docs.filter(col("doc_id") >= t).select("doc_id", "text")
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getString(1)))
+    val (b1, b2) = inc.splitAt(inc.length / 2)
+    val input = MemoryStream[(Long, String)]
+    val ckpt = tmp("graft_idx_bpe_ck")
+    input.addData(b1.toSeq)
+    val q1 = streaming.IndexMaintenance.maintainBpeModel(
+      input.toDF().toDF("doc_id", "text"), dir, ckpt, "bpe_spec")
+    q1.processAllAvailable(); q1.stop()
+    val wordPath = IndexStore.storePath(root, dir,
+      streaming.IndexMaintenance.BpeWordStoreName)
+    def meta = IndexStore.readMeta(sA, wordPath).get
+    val before = (sA.read.parquet(wordPath).count(), meta)
+    assert(!streaming.IndexMaintenance.applyBpeBatch(sA, dir, "bpe_spec", 0L,
+      Tables.load(sA, dir, "documents").filter(col("doc_id") >= t).limit(3)
+        .select("doc_id", "text")))
+    assert((sA.read.parquet(wordPath).count(), meta) == before,
+      "a replayed batch must not re-append or advance the compression ledger")
+    input.addData(b2.toSeq)
+    val q2 = streaming.IndexMaintenance.maintainBpeModel(
+      input.toDF().toDF("doc_id", "text"), dir, ckpt, "bpe_spec")
+    q2.processAllAvailable(); q2.stop()
+
+    // the summed store equals the batch word counts over the full corpus
+    val stored = streaming.IndexMaintenance.bpeEncodedFromStore(sA, dir)
+      .select("term", "freq").collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val batchW = wordsOf(docs).collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(stored == batchW, "summed word store must equal the batch word counts")
+    // fixture text compresses like the fit corpus: no refit fired
+    assert(!meta.contains(streaming.IndexMaintenance.BpeLastRefitTriggerKey),
+      s"homogeneous appends must not fire the compression trigger: $meta")
+    val ledger0 = streaming.IndexMaintenance.bpeDriftView(sA, dir).collect()
+    assert(ledger0.length == 1 && !ledger0(0).getAs[Boolean]("drift_pending"))
+
+    // drift: on a FRESH store fit over the full corpus (so the increment
+    // ledger holds ONLY the drift mass), a batch of unseen words the
+    // learned merges cannot compress (ratio 1 sym/char vs the fit
+    // baseline) with enough char mass to arm the trigger
+    val root2 = tmp("graft_idx_bpe_drift")
+    val sB = spark.newSession()
+    sB.conf.set(IndexStore.DirConf, root2)
+    streaming.IndexMaintenance.bootstrapBpeStore(sB, dir,
+      Tables.load(sB, dir, "documents"))
+    val wordPath2 = IndexStore.storePath(root2, dir,
+      streaming.IndexMaintenance.BpeWordStoreName)
+    def meta2 = IndexStore.readMeta(sB, wordPath2).get
+    val fitSy = BigInt(meta2(streaming.IndexMaintenance.BpeFitSymsKey))
+    val fitCh = BigInt(meta2(streaming.IndexMaintenance.BpeFitCharsKey))
+    assert(fitSy * 110 < fitCh * 100,
+      s"fixture sanity: the fit corpus must compress below 1/1.1 syms/char ($fitSy/$fitCh)")
+    val word = "qzxvjw" // letters the merge table has never paired
+    val reps = (fitCh / 6 / 10).toInt + 10 // ≥ 10% of fit char mass
+    val driftDoc = Seq((900000L, Array.fill(reps)(word).mkString(" ")))
+      .toDF("doc_id", "text")
+    assert(streaming.IndexMaintenance.applyBpeBatch(sB, dir, "bpe_drift", 0L, driftDoc))
+    assert(meta2(streaming.IndexMaintenance.BpeLastRefitTriggerKey) == "compression",
+      s"the drift batch must fire the compression refit: $meta2")
+    assert(meta2(streaming.IndexMaintenance.BpeIncCharsKey) == "0",
+      "a refit must re-baseline with zeroed increments")
+    // the refit model equals a batch learn over the grown word mass, and
+    // it now spends merges on the drift word (the staleness being closed)
+    val grownWords = wordsOf(docs.select("doc_id", "text").unionByName(driftDoc))
+    val refit = mergeKey(streaming.IndexMaintenance.bpeMergesFromStore(sB, dir))
+    assert(refit == operators.Bpe.learn(grownWords),
+      "refit merges must equal a batch learn over the grown corpus")
+    assert(refit.exists(m => word.contains(m._2 + m._3)),
+      s"the refit vocabulary must learn the drifted word's pairs: $refit")
+    // serving continuity: a FRESH session serves the refit model from the
+    // durable tier with no re-learn at serve time
+    val sC = spark.newSession()
+    sC.conf.set(IndexStore.DirConf, root2)
+    assert(mergeKey(streaming.IndexMaintenance.bpeMergesFromStore(sC, dir)) == refit)
+    val enc = streaming.IndexMaintenance.bpeEncodedFromStore(sC, dir)
+      .filter(col("term") === word).select("syms").collect()
+    assert(enc.length == 1 && enc(0).getSeq[String](0).length < word.length,
+      s"the refit encoding must compress the drifted word: ${enc.toSeq}")
   }
 }
