@@ -126,6 +126,30 @@ object IndexStore {
     p.getFileSystem(s.sparkContext.hadoopConfiguration).exists(p)
   }
 
+  /** Read a committed store entry under SNAPSHOT-ISOLATION discipline:
+    * when the sidecar records a row count, the parquet must match it — a
+    * mismatch means a maintenance append's data files landed but its
+    * sidecar (with the batch marker) did not, so the batch is NOT
+    * committed and serving its rows would be a torn read of an
+    * uncommitted write. Refuses loudly instead; the maintainer's replay
+    * (or a rebuild) heals the store. Staged-swap siblings (`.refitting` /
+    * `.purging` / `.compacting`) never affect this read — they are
+    * separate directories until their atomic rename. Cost: one
+    * footer-count pass over the entry's files.
+    */
+  def verifiedRead(s: SparkSession, path: String): DataFrame = {
+    require(committed(s, path), s"no committed index store at $path")
+    readMeta(s, path).flatMap(_.get(StoreRowsKey)).map(_.toLong).foreach { recorded =>
+      val actual = actualStoreRows(s, path)
+      if (actual != recorded)
+        throw new IllegalStateException(
+          s"index store at $path is torn: $actual rows vs $recorded recorded — " +
+            "a maintenance write landed data without its sidecar; replay the " +
+            "maintainer (or rebuild) before serving")
+    }
+    s.read.parquet(path)
+  }
+
   // ------------------------------------------------------------ sidecar --
 
   private def metaFile(path: String) = new Path(path, "_graft_meta")

@@ -307,7 +307,7 @@ object SqlGateway {
               streaming.IndexMaintenance.IvfAssignStoreName + family)
             if (!IndexStore.committed(spark, path))
               throw new BadRequest(s"no maintained index store for family '$family' — bootstrap it first")
-            spark.read.parquet(path).filter(col("vec_id") === id)
+            IndexStore.verifiedRead(spark, path).filter(col("vec_id") === id)
               .select(col("vec_id"), col("embedding"))
           case None => throw new BadRequest("provide doc_id=<id> or an inline JSON vector body")
         }

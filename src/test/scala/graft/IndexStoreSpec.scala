@@ -2234,4 +2234,70 @@ class IndexStoreSpec extends SparkSpec {
     assert(enc.length == 1 && enc(0).getSeq[String](0).length < word.length,
       s"the refit encoding must compress the drifted word: ${enc.toSeq}")
   }
+
+  test("snapshot isolation: serving during maintenance sees the old or new committed store, never a torn state") {
+    val root = tmp("graft_idx_snap")
+    val sA = spark.newSession()
+    sA.conf.set(IndexStore.DirConf, root)
+    val e = Tables.load(sA, dir, "embeddings")
+    streaming.IndexMaintenance.bootstrapIvfAssignments(sA, dir,
+      e.filter(col("vec_id") < 480))
+    val assignPath = IndexStore.storePath(root, dir,
+      streaming.IndexMaintenance.IvfAssignStoreName)
+    def serve() = operators.Similarity.ivfAnnFromStore(sA, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+    val v0 = serve()
+    assert(v0.nonEmpty)
+
+    // 1. staged-swap siblings (a refit/purge/compact mid-flight, staging
+    // fully written but not yet swapped) never leak into a read — the
+    // serve answers the OLD committed snapshot bit for bit
+    def copyDir(from: java.io.File, to: java.io.File): Unit = {
+      to.mkdirs()
+      from.listFiles().foreach { f =>
+        val t = new java.io.File(to, f.getName)
+        if (f.isDirectory) copyDir(f, t)
+        else java.nio.file.Files.copy(f.toPath, t.toPath)
+      }
+    }
+    for (suffix <- Seq(".refitting", ".purging", ".compacting")) {
+      val staging = new java.io.File(assignPath + suffix)
+      copyDir(new java.io.File(assignPath), staging)
+      assert(serve() == v0,
+        s"a fully-written $suffix staging sibling must not perturb the serve")
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      rm(staging)
+    }
+
+    // 2. a COMMITTED maintenance append is the new snapshot: visible
+    // atomically (rows + marker landed in one staged sidecar write)
+    assert(streaming.IndexMaintenance.applyIvfBatch(sA, dir, "snap_spec", 0L,
+      e.select("vec_id", "embedding")
+        .filter(col("vec_id") >= 480 && col("vec_id") < 490)))
+    val v1 = serve()
+    assert(sA.read.parquet(assignPath).count() == 490)
+
+    // 3. torn append (data files landed, sidecar lost — the crash window
+    // between an append's parquet commit and its marker write): reads
+    // REFUSE loudly instead of serving rows of an uncommitted batch
+    val part = new java.io.File(assignPath).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val extra = new java.io.File(assignPath, "part-torn-extra.parquet")
+    java.nio.file.Files.copy(part.toPath, extra.toPath)
+    val ex = intercept[IllegalStateException] { serve() }
+    assert(ex.getMessage.contains("torn"), ex.getMessage)
+    // healing the tear (here: the duplicate file removed; in production,
+    // the maintainer's replay or a rebuild) restores the exact snapshot
+    extra.delete()
+    assert(serve() == v1, "healing the tear must restore the committed snapshot")
+
+    // 4. the delete-before-rename window of a staged swap: NO committed
+    // store — loud refusal, never a half-swapped answer
+    val succ = new java.io.File(assignPath, "_SUCCESS")
+    assert(succ.delete())
+    assertThrows[IllegalArgumentException] { serve() }
+  }
 }
