@@ -98,7 +98,15 @@ object Bench {
     // collapse: driver warm 260 s vs 103 s isolated).
     def run(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      finally Materialize.releaseAll(spark)
+      finally {
+        Materialize.releaseAll(spark)
+        // dead-broadcast backpressure: past 70% heap occupancy, reclaim
+        // the finished query's broadcast/LUT blocks deterministically
+        // instead of letting them pile into the next query's allocations
+        // (the sf2-at-16g warm>cold signature — SCALE.md r15)
+        Materialize.reclaimDeadBroadcasts()
+        ()
+      }
     val blockStats = new BenchBlockListener
     spark.sparkContext.addSparkListener(blockStats)
     // Warm up codegen/classloading once so per-query numbers measure the

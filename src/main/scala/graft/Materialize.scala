@@ -92,4 +92,28 @@ object Materialize {
     */
   def releaseAll(s: SparkSession): Unit =
     registry.remove(key(s)).foreach(_.foreach(_.unpersist(blocking = false)))
+
+  /** Deterministic release of DEAD broadcast state (the per-serve LUT /
+    * codebook / chunked-rerank broadcasts of the PQ-ANN family). Spark
+    * only frees a TorrentBroadcast's blocks when the ContextCleaner's
+    * weak reference enqueues — i.e. after a GC actually runs — and under
+    * G1 a broadcast piece (4 MB against the 8 MB regions of a 16 g heap)
+    * is a HUMONGOUS allocation the collector reclaims lazily. A
+    * serve-heavy session can therefore fill the old gen with dead
+    * broadcast pieces faster than the collector volunteers, degrading
+    * every later serve (measured: sf2-in-one-JVM at 16 g drove the PQ
+    * family from 4.5 to 21.8 s and the warm pass over cold — SCALE.md
+    * round-15 adjudication). This hook makes the cleanup deterministic:
+    * once heap occupancy crosses `heapPctFloor` percent, force the
+    * collection that lets the cleaner run NOW, instead of allocating
+    * against a full heap. No-op (and free) below the floor. Returns
+    * whether it fired.
+    */
+  def reclaimDeadBroadcasts(heapPctFloor: Int = 70): Boolean = {
+    val rt = Runtime.getRuntime
+    val used = rt.totalMemory() - rt.freeMemory()
+    val fire = used * 100 >= rt.maxMemory().toDouble * heapPctFloor
+    if (fire) System.gc()
+    fire
+  }
 }

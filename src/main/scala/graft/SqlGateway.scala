@@ -349,6 +349,10 @@ object SqlGateway {
       } finally {
         deadline.cancel(false)
         sc.clearJobGroup()
+        // each /ann serve leaves LUT/codebook/rerank broadcasts behind;
+        // reclaim them deterministically once the heap is 70% occupied
+        // instead of degrading the next request (SCALE.md r15)
+        graft.Materialize.reclaimDeadBroadcasts()
       }
     } catch {
       // an un-bootstrapped store or a bad request is the caller's 400
