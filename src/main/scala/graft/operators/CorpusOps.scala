@@ -781,13 +781,24 @@ object CorpusOps {
     // tokens are the retrieval evidence on both sides
     val dfAll = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val wTop = Window.partitionBy(col("doc_id")).orderBy(col("df").asc, col("term").asc)
-    val ranked = tf.join(dfAll, "term")
-      .withColumn("trk", row_number().over(wTop))
-      .filter(col("trk") <= MaxSimTokens)
-    val dtok = ranked.select(col("doc_id"), maxSimTokenVec(col("term")).as("dv"))
-    val qtok = ranked.filter(col("doc_id") < nq)
+    val ranked = graft.Materialize.ephemeral(
+      tf.join(dfAll, "term")
+        .withColumn("trk", row_number().over(wTop))
+        .filter(col("trk") <= MaxSimTokens)
+        .select(col("doc_id"), col("term")))
+    // synthesize each token vector ONCE PER DISTINCT TERM, not per
+    // (doc, token) row — the 64 md5s per vector are the dominant cost
+    // when repeated across every doc's budget (measured 11 s vs ~2 s at
+    // sf0.1), and a term-keyed join is exactly how a real embedding
+    // table would attach anyway (at 100 TB the vocabulary is join-sized,
+    // not broadcast-sized — AQE picks the strategy)
+    val tv = ranked.select(col("term")).distinct()
+      .select(col("term"), maxSimTokenVec(col("term")).as("tv"))
+    val dtok = ranked.join(tv, "term")
+      .select(col("doc_id"), col("tv").as("dv"))
+    val qtok = ranked.filter(col("doc_id") < nq).join(tv, "term")
       .select(col("doc_id").as("q_id"), col("term").as("qterm"),
-        maxSimTokenVec(col("term")).as("qv"))
+        col("tv").as("qv"))
     // first stage — ColBERT's candidate generation translated to the
     // hash-token space: docs sharing the query's budgeted tokens, ranked
     // by shared-token count (the posting-list leg over the SAME evidence
