@@ -164,6 +164,11 @@ object Tables {
     // same as the BPE view's learn above).
     operators.Similarity.probeSweepReport(spark, dir)
       .createOrReplaceTempView("ann_tuning")
+    // the q162 dimension-truncation curve (Matryoshka serving): recall@k
+    // per prefix dimension — the evidence behind "serve at d=16 or d=32",
+    // same lazy-scoring pattern as ann_tuning
+    operators.Similarity.mrlSweepReport(spark, dir)
+      .createOrReplaceTempView("mrl_tuning")
     // the tokenizer's staleness ledger — compression baseline vs appended
     // mass, pending-trigger flag, refit provenance (mirrors pq_drift)
     streaming.IndexMaintenance.bpeDriftView(spark, dir)

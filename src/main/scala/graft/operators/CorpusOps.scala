@@ -97,6 +97,12 @@ object CorpusOps {
   /** q130/q131 retrieval depth. */
   private val Bm25K = 10
 
+  /** q163 pseudo-relevance feedback: how many stage-1 docs feed the
+    * expansion model, and how many expansion terms each query gains.
+    */
+  private val PrfDocs = 5
+  private val PrfTerms = 8
+
   /** q131 reciprocal-rank-fusion constant (the standard RRF k=60). */
   private val RrfK = 60
 
@@ -847,6 +853,108 @@ object CorpusOps {
         |SELECT q_id, rk, doc_id, n_terms, bm25_micro FROM bmr WHERE rk <= $Bm25K
         |ORDER BY q_id, rk""".stripMargin) { (s, dir) =>
       bm25TopK(s, dir)
+    },
+
+    // ----- pseudo-relevance-feedback query expansion (RM3-style) ----------
+    // The second-round retrieval a production lexical stack runs when
+    // recall matters: stage 1 is q130's BM25 top-k (the CACHED leg —
+    // zero re-scoring); the top-PrfDocs feedback docs vote expansion
+    // terms, weighted tf·idf_micro (Σ_fb tf · (10⁶·N div df) — raw-tf
+    // voting would elect stopwords, whose corpus-wide posting lists both
+    // destroy the posting-list cost bound at 100 TB and carry no signal;
+    // the idf factor keeps every elected term's df bounded). Terms
+    // already in the query bag are excluded (anti join), the top-PrfTerms
+    // survive (weight DESC, term ASC). Stage 2 re-scores BM25 over the
+    // EXPANDED bag with rational RM3 interpolation — original terms
+    // weight 2, expansion terms weight 1 (λ = 2/3) — as a per-term
+    // integer multiplier on the same cleared-rational micro-score, so the
+    // whole operator stays integer-exact end to end. Scale: the feedback
+    // and expansion frames are query-batch-sized; stage-2 candidate work
+    // is Σ posting lengths over ≤ Bm25QTerms + PrfTerms terms per query —
+    // the q130 bound, slightly widened, never the corpus.
+    QuerySpec("q163_prf_expansion")(
+      s"""WITH ${bm25OracleCtes(Bm25NumQueries, Bm25QTerms)},
+        |fb AS (SELECT q_id, doc_id FROM bmr WHERE rk <= $PrfDocs),
+        |ex0 AS (SELECT fb.q_id, tf.term,
+        |          CAST(sum(CAST(tf.tf AS BIGINT) * ((1000000 * nt.n) // df.df)) AS BIGINT) AS w
+        |        FROM fb JOIN tf ON tf.doc_id = fb.doc_id
+        |        JOIN df USING (term), nt
+        |        WHERE NOT EXISTS (SELECT 1 FROM qt
+        |                          WHERE qt.q_id = fb.q_id AND qt.term = tf.term)
+        |        GROUP BY fb.q_id, tf.term),
+        |ex AS (SELECT q_id, term FROM (
+        |         SELECT q_id, term,
+        |           row_number() OVER (PARTITION BY q_id ORDER BY w DESC, term ASC) AS erk
+        |         FROM ex0) WHERE erk <= $PrfTerms),
+        |bag AS (SELECT q_id, term, 2 AS mw FROM qt
+        |        UNION ALL SELECT q_id, term, 1 AS mw FROM ex),
+        |bagdf AS (SELECT bag.q_id, bag.term, bag.mw, df.df FROM bag JOIN df USING (term)),
+        |sc2 AS (SELECT b.q_id, tf.doc_id, count(*) AS n_terms,
+        |         CAST(sum(CAST(b.mw AS HUGEINT) * (
+        |           (CAST((1000000 * nt.n) // b.df AS HUGEINT) * tf.tf * 44 * tot.t)
+        |           // ((CAST(20 AS HUGEINT) * tf.tf * tot.t) + (CAST(6 AS HUGEINT) * tot.t)
+        |              + (CAST(18 AS HUGEINT) * dl.dl * nt.n)))
+        |         ) AS BIGINT) AS prf_micro
+        |       FROM bagdf b JOIN tf ON tf.term = b.term AND tf.doc_id <> b.q_id
+        |       JOIN dl ON dl.doc_id = tf.doc_id, nt, tot
+        |       GROUP BY b.q_id, tf.doc_id),
+        |pr AS (SELECT q_id, doc_id, n_terms, prf_micro,
+        |         row_number() OVER (PARTITION BY q_id
+        |           ORDER BY prf_micro DESC, doc_id ASC) AS rk
+        |       FROM sc2)
+        |SELECT q_id, rk, doc_id, n_terms, prf_micro FROM pr WHERE rk <= $Bm25K
+        |ORDER BY q_id, rk""".stripMargin) { (s, dir) =>
+      val tf = tfIndex(s, dir)
+      val dfF = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).cast(LongType).as("dl"))
+      val tot = tf.agg(sum(col("tf")).cast(LongType).as("t"))
+      val nT = Tables.load(s, dir, "documents")
+        .agg(count(lit(1)).cast(LongType).as("n"))
+      // the q130 query bags, re-derived with the same rarest-qt rule the
+      // cached leg used (window over the bounded query batch)
+      val wq = Window.partitionBy(col("doc_id")).orderBy(col("df").asc, col("term").asc)
+      val qterms = tf.filter(col("doc_id") < Bm25NumQueries)
+        .join(dfF, "term")
+        .withColumn("qrk", row_number().over(wq))
+        .filter(col("qrk") <= Bm25QTerms)
+        .select(col("doc_id").as("q_id"), col("term"))
+      // stage 1: the CACHED q130 leg; feedback docs = its top-PrfDocs
+      val fb = bm25TopK(s, dir).filter(col("rk") <= PrfDocs)
+        .select(col("q_id"), col("doc_id"))
+      // expansion vote: tf·idf_micro over feedback docs, original-bag
+      // terms excluded — everything here is query-batch-sized
+      val ex0 = fb.join(tf, "doc_id")
+        .join(qterms, Seq("q_id", "term"), "left_anti")
+        .join(dfF, "term")
+        .crossJoin(broadcast(nT))
+        .withColumn("v", col("tf").cast(LongType) * expr("(1000000 * n) div df"))
+        .groupBy(col("q_id"), col("term"))
+        .agg(sum(col("v")).cast(LongType).as("w"))
+      val wex = Window.partitionBy(col("q_id")).orderBy(col("w").desc, col("term").asc)
+      val exTerms = ex0.withColumn("erk", row_number().over(wex))
+        .filter(col("erk") <= PrfTerms)
+        .select(col("q_id"), col("term"))
+      // RM3 interpolation as integer multipliers: orig 2, expansion 1
+      val bag = qterms.withColumn("mw", lit(2L))
+        .unionByName(exTerms.withColumn("mw", lit(1L)))
+        .join(dfF, "term")
+      val scored = bag
+        .join(tf, "term")
+        .filter(col("doc_id") =!= col("q_id"))
+        .join(dl, "doc_id")
+        .crossJoin(broadcast(nT)).crossJoin(broadcast(tot))
+        .withColumn("s_micro", expr(
+          "CAST((CAST((1000000 * n) div df AS DECIMAL(38,0)) * tf * 44 * t) div " +
+            "((CAST(20 AS DECIMAL(38,0)) * tf * t) + (CAST(6 AS DECIMAL(38,0)) * t)" +
+            " + (CAST(18 AS DECIMAL(38,0)) * dl * n)) AS BIGINT)"))
+        .groupBy(col("q_id"), col("doc_id"))
+        .agg(count(lit(1)).as("n_terms"),
+          sum(col("s_micro") * col("mw")).cast(LongType).as("prf_micro"))
+      TopK.perKeyTopK(scored, keys = Seq(col("q_id")),
+          order = Seq(col("prf_micro").desc, col("doc_id").asc), k = Bm25K,
+          saltFrom = col("doc_id"))
+        .select(col("q_id"), col("rk"), col("doc_id"), col("n_terms"), col("prf_micro"))
+        .orderBy(col("q_id"), col("rk"))
     },
 
     // ----- hybrid retrieval: reciprocal-rank fusion of BM25 + cosine ------

@@ -457,6 +457,64 @@ class CorpusOpsSpec extends SparkSpec {
       s"BM25 disagreement; first diff: ${got.toSeq.zip(expected).find(p => p._1 != p._2)}")
   }
 
+  test("q163: PRF expansion equals an independent BigInt recomputation and moves rankings") {
+    // Full second-round re-derivation from raw text: stage-1 BM25
+    // recomputed (the q130 BigInt path), top-PrfDocs feedback docs vote
+    // expansion terms by tf·idf_micro (original-bag terms excluded),
+    // top-PrfTerms join the bag at RM3 weight 1 vs the originals' 2, and
+    // the weighted rescore + top-10 must agree with the operator
+    // row-for-row. Also pins that expansion actually MOVES a ranking
+    // (some query's top-10 differs from its plain-BM25 top-10) — an
+    // expansion leg that silently contributes nothing would still be
+    // self-consistent, but not useful.
+    val rows = q("q163_prf_expansion").collect()
+    assert(rows.nonEmpty)
+    val docs = Tables.load(spark, dir, "documents").select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).trim.replaceAll("\\s+", " ")
+        .toLowerCase.split(" ").toSeq).toMap
+    val tf = docs.toSeq.flatMap { case (d, ts) =>
+      ts.groupBy(identity).map { case (t, g) => ((d, t), BigInt(g.size)) }
+    }.toMap
+    val dfm = tf.keys.groupBy(_._2).map { case (t, g) => t -> BigInt(g.size) }
+    val nDocs = BigInt(docs.size)
+    val totTok = tf.values.sum
+    val dl = docs.map { case (d, ts) => d -> BigInt(ts.size) }
+    def scoreTerm(d: Long, t: String): BigInt = {
+      val idf = (BigInt(1000000) * nDocs) / dfm(t)
+      (idf * tf((d, t)) * 44 * totTok) /
+        (BigInt(20) * tf((d, t)) * totTok + 6 * totTok + 18 * dl(d) * nDocs)
+    }
+    var moved = false
+    val expected = (0L until 8L).flatMap { qd =>
+      val bag = docs(qd).distinct.map(t => (dfm(t), t)).sortBy(p => (p._1, p._2))
+        .take(16).map(_._2).toSet
+      def bm25Top(k: Int): Seq[Long] =
+        docs.keys.filter(_ != qd).toSeq.flatMap { d =>
+          val terms = bag.toSeq.filter(t => tf.contains((d, t)))
+          if (terms.isEmpty) None else Some((d, terms.map(scoreTerm(d, _)).sum))
+        }.sortBy { case (d, s) => (-s, d) }.take(k).map(_._1)
+      val fb = bm25Top(5)
+      val votes = fb.flatMap(d => docs(d).distinct.filterNot(bag)
+          .map(t => t -> tf((d, t)) * ((BigInt(1000000) * nDocs) / dfm(t))))
+        .groupBy(_._1).map { case (t, g) => t -> g.map(_._2).sum }
+      val exp = votes.toSeq.sortBy { case (t, w) => (-w, t) }.take(8).map(_._1).toSet
+      val weighted = bag.map(_ -> BigInt(2)).toMap ++ exp.map(_ -> BigInt(1)).toMap
+      val scored = docs.keys.filter(_ != qd).toSeq.flatMap { d =>
+        val terms = weighted.keys.toSeq.filter(t => tf.contains((d, t)))
+        if (terms.isEmpty) None
+        else Some((d, terms.size.toLong, terms.map(t => weighted(t) * scoreTerm(d, t)).sum))
+      }
+      val top = scored.sortBy { case (d, _, s) => (-s, d) }.take(10)
+      if (top.map(_._1) != bm25Top(10)) moved = true
+      top.zipWithIndex.map { case ((d, nt, s), i) => (qd, i + 1L, d, nt, s.toLong) }
+    }
+    val got = rows.map(r =>
+      (r.getLong(0), r.getInt(1).toLong, r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == expected,
+      s"PRF disagreement; first diff: ${got.toSeq.zip(expected).find(p => p._1 != p._2)}")
+    assert(moved, "expansion changed no query's top-10 — the PRF leg is inert on this fixture")
+  }
+
   test("q131: fusion equals recomputed RRF over its own two legs, complete and ordered") {
     val fused = q("q131_hybrid_rrf").collect()
     assert(fused.nonEmpty)

@@ -114,6 +114,40 @@ class RecallFloorSpec extends SparkSpec {
     assert(nonZero > 0, "filtered ANN reports zero hits everywhere — collapsed candidate leg")
   }
 
+  test("q161 binary-Hamming prefilter + exact rerank clears its measured floor at sf0.1") {
+    // measured mean 0.458 (11/24 hits, EVERY query ≥ 1) — one sign bit
+    // per dimension is the lossiest rung of the ladder, and the
+    // near-uniform fixture embeddings are its worst case (tiny angular
+    // margins), yet the 64-candidate exact rerank still recovers
+    // half the true top-k. Floor 0.30, the q142 convention: collapsed
+    // packing (all-equal codes → shortlist degenerates to min-vec_id)
+    // drops to chance and trips this.
+    val (mean, nonZero) = meanRecall("q161_binary_hamming")
+    assert(mean >= 0.30, f"binary-Hamming mean recall $mean%.3f fell below the 0.30 floor")
+    assert(nonZero > 0, "binary-Hamming serving reports zero hits everywhere — collapsed packing")
+  }
+
+  test("q162 Matryoshka truncation sweep: full-dim leg exact, recall monotone in dims at sf0.1") {
+    // dims=Dim recall ≡ 1.0 is STRUCTURAL (the full-prefix integer dot
+    // orders identically to the exact decimal score, and the baseline is
+    // that same leg), so anything below 10⁶ there means the cumulative
+    // segment sums broke. Monotonicity in dims is fixture-measured at
+    // sf0.1 (0 → 0.042 → 0.208 → 1.0): longer prefixes carry more of the
+    // dot on these near-uniform embeddings. (At sf0.01 the 8→16 step
+    // inverts by one hit — small-sample noise — so the monotone pin
+    // lives at sf0.1 only.)
+    val rows = SparkEntry.queries("q162_matryoshka_recall")(spark, dir)
+      .orderBy("dims")
+      .select("dims", "recall_micro").collect()
+      .map(r => (r.getInt(0), r.getLong(1)))
+    assert(rows.map(_._1).toSeq == operators.Similarity.MrlDims,
+      s"unexpected levels: ${rows.map(_._1).mkString(",")}")
+    assert(rows.last._2 == 1000000L,
+      s"full-dim leg recall ${rows.last._2} ≠ 10⁶ — cumulative segment sums diverged from the exact dot")
+    assert(rows.sliding(2).forall { case Array(a, b) => b._2 >= a._2 },
+      s"recall not non-decreasing in dims: ${rows.map(_._2).mkString(",")}")
+  }
+
   test("q158 probe sweep: recall and candidate counts are monotone in nprobe at sf0.1") {
     // Structural monotonicity — deeper probes see a SUPERSET of
     // candidates, so both the cost (n_cand) and the quality (recall)

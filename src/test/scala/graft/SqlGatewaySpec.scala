@@ -449,6 +449,14 @@ class SqlGatewaySpec extends SparkSpec {
       assert(mono.statusCode() == 200 && mono.body().trim == """{"bad":0}""",
         mono.body())
 
+      // the q162 dimension-truncation curve rides the same pattern: one
+      // row per prefix-dim level, and the full-dim leg is structurally
+      // exact (recall_micro = 10⁶) — the "serve at which d" evidence
+      val m = post(port,
+        "SELECT count(*) AS n, max(recall_micro) AS mx FROM mrl_tuning")
+      assert(m.statusCode() == 200 && m.body().trim == """{"n":4,"mx":1000000}""",
+        m.body())
+
       // the /ann?lang= attribute frame is session-cached: the SAME frame
       // instance serves every request, and after first use its scan is an
       // InMemoryTableScan, not a fresh documents read
