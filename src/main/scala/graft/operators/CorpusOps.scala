@@ -580,13 +580,41 @@ object CorpusOps {
     */
   private val bm25LegCache = new graft.SessionCache[org.apache.spark.sql.DataFrame]
   private val vecLegCache = new graft.SessionCache[org.apache.spark.sql.DataFrame]
+  private val bm25StatsCache = new graft.SessionCache[(org.apache.spark.sql.DataFrame,
+    org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame)]
+
+  /** Session-cached corpus statistics over the shared tf index — the
+    * `(df, dl, tot, n)` frames every BM25-family scorer folds into its
+    * rational: document frequencies (vocabulary-sized), doc lengths
+    * (corpus-row-sized — both tiny next to the tf index itself), and the
+    * two 1-row scalars. Built once per (session, corpus) so q130's cold
+    * leg and q163's second scoring round stop re-shuffling the tf index
+    * for the same aggregates. The store-served path
+    * ([[graft.streaming.IndexMaintenance.bm25FromStore]]) deliberately
+    * does NOT use this cache — its tf provenance is the durable store,
+    * whose stats must follow every append/purge.
+    */
+  private[graft] def bm25Stats(s: org.apache.spark.sql.SparkSession, dir: String):
+      (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
+       org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) =
+    bm25StatsCache.getOrElseUpdate(s, dir) {
+      val ser = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
+      val tf = tfIndex(s, dir)
+      (tf.groupBy(col("term")).agg(count(lit(1)).as("df")).persist(ser),
+       tf.groupBy(col("doc_id")).agg(sum(col("tf")).cast(LongType).as("dl")).persist(ser),
+       tf.agg(sum(col("tf")).cast(LongType).as("t")).persist(ser),
+       Tables.load(s, dir, "documents")
+         .agg(count(lit(1)).cast(LongType).as("n")).persist(ser))
+    }
 
   private[graft] def bm25TopK(s: org.apache.spark.sql.SparkSession, dir: String,
       nq: Long = Bm25NumQueries, qt: Int = Bm25QTerms,
       k: Int = Bm25K): org.apache.spark.sql.DataFrame = {
-    def build = bm25TopKOverTf(tfIndex(s, dir),
-      Tables.load(s, dir, "documents").agg(count(lit(1)).cast(LongType).as("n")),
-      nq, qt, k)
+    def build = {
+      val (dfF, dl, tot, nT) = bm25Stats(s, dir)
+      bm25TopKOverTf(tfIndex(s, dir), nT, nq, qt, k,
+        statsOpt = Some((dfF, dl, tot)))
+    }
     if (nq == Bm25NumQueries && qt == Bm25QTerms && k == Bm25K)
       bm25LegCache.getOrElseUpdate(s, dir)(
         build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER))
@@ -613,10 +641,16 @@ object CorpusOps {
     */
   private[graft] def bm25TopKOverTf(tf: org.apache.spark.sql.DataFrame,
       nT: org.apache.spark.sql.DataFrame, nq: Long, qt: Int,
-      k: Int): org.apache.spark.sql.DataFrame = {
-    val dfF = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).cast(LongType).as("dl"))
-    val tot = tf.agg(sum(col("tf")).cast(LongType).as("t"))
+      k: Int,
+      statsOpt: Option[(org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
+        org.apache.spark.sql.DataFrame)] = None): org.apache.spark.sql.DataFrame = {
+    // (df, dl, tot) derive from `tf` by default (the store-served path's
+    // stats must follow its tf provenance); the fixture path passes the
+    // session-cached frames ([[bm25Stats]]) so they compute once
+    val (dfF, dl, tot) = statsOpt.getOrElse((
+      tf.groupBy(col("term")).agg(count(lit(1)).as("df")),
+      tf.groupBy(col("doc_id")).agg(sum(col("tf")).cast(LongType).as("dl")),
+      tf.agg(sum(col("tf")).cast(LongType).as("t"))))
     // query bags: rarest-qt pruning; the window partitions by query doc —
     // a bag is doc-length-bounded, and the query set is a bounded batch
     val wq = Window.partitionBy(col("doc_id")).orderBy(col("df").asc, col("term").asc)
@@ -905,11 +939,7 @@ object CorpusOps {
         |SELECT q_id, rk, doc_id, n_terms, prf_micro FROM pr WHERE rk <= $Bm25K
         |ORDER BY q_id, rk""".stripMargin) { (s, dir) =>
       val tf = tfIndex(s, dir)
-      val dfF = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-      val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).cast(LongType).as("dl"))
-      val tot = tf.agg(sum(col("tf")).cast(LongType).as("t"))
-      val nT = Tables.load(s, dir, "documents")
-        .agg(count(lit(1)).cast(LongType).as("n"))
+      val (dfF, dl, tot, nT) = bm25Stats(s, dir)
       // the q130 query bags, re-derived with the same rarest-qt rule the
       // cached leg used (window over the bounded query batch)
       val wq = Window.partitionBy(col("doc_id")).orderBy(col("df").asc, col("term").asc)
