@@ -327,6 +327,36 @@ class PlanAssertionsSpec extends SparkSpec {
     assert(windows.forall(_ >= 1), s"q158 has a global window: $windows")
   }
 
+  test("q161: packed queries broadcast against one code scan; shortlist is salted") {
+    val p = plan("q161_binary_hamming")
+    // the Hamming prefilter is the q39 shape over 16-byte codes: the
+    // packed query set broadcasts, the corpus codes stream through ONE
+    // scan — a shuffle of the corpus here would defeat the whole
+    // bit-packed first-pass design
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "packed query codes must broadcast against the corpus scan")
+    assert(p.contains("__lrn"), "Hamming shortlist must be the salted two-phase top-k")
+  }
+
+  test("q162: one fan-out over cumulative sums; every window keyed by (dims, q_id)") {
+    val qe = SparkEntry.queries("q162_matryoshka_recall")(spark, dir).queryExecution
+    val p = qe.executedPlan.toString
+    // levels explode AFTER the per-pair products/sums — exactly one
+    // generator (the 4-row stack), not one scoring pass per level
+    assert("Generate".r.findAllIn(p).size <= 1,
+      "q162 must fan levels out of ONE scored frame")
+    val windows = qe.sparkPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w.partitionSpec.size
+    }
+    assert(windows.forall(_ >= 1), s"q162 has a global window: $windows")
+  }
+
+  test("q163: both scoring rounds stay posting-join shaped; no cartesian beyond 1-row scalars") {
+    val p = plan("q163_prf_expansion")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(p.contains("__lrn"), "PRF top-k must be the salted two-phase form")
+  }
+
   test("q78/q79: pair-graph profile and containment stay equi-join shaped; no cartesian") {
     for (q <- Seq("q78_dup_degree_profile", "q79_containment_neardup")) {
       val p = plan(q)
