@@ -250,6 +250,9 @@ object SqlGateway {
     *  - `k` (top-k, ≤ 100), `probes` (probed cells, ≤ 64), `family`
     *    ("" = text-side store, "_xm" = the image-side family),
     *    `max_execution_time`, `format` as on `/`.
+    *  - `prefilter=ivf|binary` — the candidate stage: probed-cell IVF
+    *    (default) or the q161 binary rung (one scan of 16-byte sign
+    *    codes, Hamming shortlist, exact rerank; `probes` is ignored).
     *  - `lang=<v>` — attribute-constrained serving (q157's predicate leg
     *    off the maintained store): neighbors restricted to documents of
     *    that language, the allowed ids composed into the candidate leg
@@ -271,6 +274,13 @@ object SqlGateway {
       val family = params.getOrElse("family", "")
       if (family.nonEmpty && family != "_xm")
         throw new BadRequest(s"unknown index family '$family' ('' | _xm)")
+      // prefilter=ivf (default): probed-cell candidates off the stored
+      // centroids; prefilter=binary: the q161 rung — one scan of 16-byte
+      // sign codes + exact rerank (no cells, so `probes` is ignored) —
+      // the cheap first-pass a binary-quantized tier serves
+      val prefilter = params.getOrElse("prefilter", "ivf")
+      if (prefilter != "ivf" && prefilter != "binary")
+        throw new BadRequest(s"unknown prefilter '$prefilter' (ivf | binary)")
       val timeoutSec = intParam(params, "max_execution_time", DefaultTimeoutSec, 1, MaxTimeoutSec)
       val format = params.getOrElse("format", "JSONEachRow")
       val bodyBytes = ex.getRequestBody.readNBytes(MaxBodyBytes + 1)
@@ -334,9 +344,14 @@ object SqlGateway {
         sc.cancelJobGroup(group)
       }: Runnable, timeoutSec.toLong, TimeUnit.SECONDS)
       try {
-        val df = graft.operators.Similarity.ivfAnnFromStore(spark, corpusDir,
-          probes = probes, topK = k, queriesOpt = Some(qFrame), family = family,
-          candIdsOpt = candIds)
+        val df =
+          if (prefilter == "binary")
+            graft.operators.Similarity.binaryAnnFromStore(spark, corpusDir,
+              topK = k, queriesOpt = Some(qFrame), family = family,
+              candIdsOpt = candIds)
+          else graft.operators.Similarity.ivfAnnFromStore(spark, corpusDir,
+            probes = probes, topK = k, queriesOpt = Some(qFrame), family = family,
+            candIdsOpt = candIds)
         val (payload, rows, truncated) = render(df, format, HardMaxRows)
         ex.getResponseHeaders.set("X-Graft-Rows", rows.toString)
         ex.getResponseHeaders.set("X-Graft-Truncated", truncated.toString)

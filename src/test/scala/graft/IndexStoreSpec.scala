@@ -1292,6 +1292,34 @@ class IndexStoreSpec extends SparkSpec {
     assert(served.nonEmpty)
   }
 
+  test("binary ANN off the maintained assignment store equals batch; purged ids never serve") {
+    val root = tmp("graft_idx_binserve")
+    val sA = spark.newSession()
+    sA.conf.set(IndexStore.DirConf, root)
+    val e = Tables.load(sA, dir, "embeddings")
+    streaming.IndexMaintenance.bootstrapIvfAssignments(sA, dir, e)
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+    // serving parity: the stored vectors answer exactly the batch
+    // Hamming-prefilter + exact-rerank computation
+    val served = key(operators.Similarity.binaryAnnFromStore(sA, dir))
+    val batch = key(operators.Similarity.binaryTopK(e, e.filter(col("vec_id") < 8)))
+    assert(served.nonEmpty && served == batch,
+      "store-served binary ANN must equal the batch path")
+    // takedown: purge every current top-1 neighbor; the binary serve
+    // must follow the store's membership — no purged id as a neighbor,
+    // and exact parity with the batch computation on the survivors
+    val victims = served.filter(_._2 == 1).map(_._3).distinct
+    assert(victims.nonEmpty)
+    streaming.IndexMaintenance.purgeEmbeddingTier(sA, dir, victims)
+    val after = key(operators.Similarity.binaryAnnFromStore(sA, dir))
+    assert(after.map(_._3).toSet.intersect(victims.toSet).isEmpty,
+      "a purged id is still servable as a binary-ANN neighbor")
+    val eSurv = e.filter(!col("vec_id").isin(victims: _*))
+    assert(after == key(operators.Similarity.binaryTopK(eSurv, eSurv.filter(col("vec_id") < 8))),
+      "post-purge binary serve must equal the batch path on the surviving corpus")
+  }
+
   test("cross-modal queries served off the maintained IVF assignment store equal the batch path") {
     val root = tmp("graft_idx_ivf_xm")
     val sA = spark.newSession()

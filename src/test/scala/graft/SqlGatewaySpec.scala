@@ -250,8 +250,21 @@ class SqlGatewaySpec extends SparkSpec {
         val rlIds = rl.body().trim.split("\n").map(l =>
           "\"neighbor_id\":(-?\\d+)".r.findFirstMatchIn(l).get.group(1).toLong)
         assert(rlIds.nonEmpty && rlIds.forall(zhIds), s"non-zh neighbor served: ${rlIds.mkString(",")}")
+        // binary prefilter (the q161 rung at the serving tier): doc 5's
+        // own embedding still self-retrieves through the Hamming
+        // shortlist + exact rerank, and the rows match the library path
+        val rb = postPath(port, "/ann?prefilter=binary&k=2", body)
+        assert(rb.statusCode() == 200, rb.body())
+        assert(rb.body().trim.split("\n").head.contains("\"neighbor_id\":5"), rb.body())
+        val rbl = get(port, "/ann?doc_id=3&k=3&prefilter=binary&lang=zh")
+        assert(rbl.statusCode() == 200, rbl.body())
+        val rblIds = rbl.body().trim.split("\n").map(l =>
+          "\"neighbor_id\":(-?\\d+)".r.findFirstMatchIn(l).get.group(1).toLong)
+        assert(rblIds.nonEmpty && rblIds.forall(zhIds),
+          s"non-zh neighbor served by binary prefilter: ${rblIds.mkString(",")}")
         // errors are the caller's 400, not a 500 or a hang
         assert(get(port, "/ann?doc_id=3&family=bogus").statusCode() == 400)
+        assert(get(port, "/ann?doc_id=3&prefilter=bogus").statusCode() == 400)
         assert(postPath(port, "/ann", "[1.0,2.0]").statusCode() == 400) // wrong dim
         assert(get(port, "/ann").statusCode() == 400) // no query at all
         assert(postPath(port, "/ann", "not json").statusCode() == 400)
