@@ -148,6 +148,29 @@ class RecallFloorSpec extends SparkSpec {
       s"recall not non-decreasing in dims: ${rows.map(_._2).mkString(",")}")
   }
 
+  test("q164 binary-shortlist sweep: recall and rerank counts monotone in depth at sf0.1") {
+    // Structural monotonicity (deeper shortlists see a superset) plus the
+    // exact rerank-cost column: n_cand = nq × depth here (every query has
+    // full candidate mass). Measured recall at sf0.1: 0.25 → 0.33 → 0.42
+    // → 0.46 → 0.71 across depths 8→128 — the curve is still climbing at
+    // q161's 64-deep operating point because the near-uniform fixture is
+    // the 1-bit code's worst case (tiny angular margins); the report is
+    // exactly the evidence an operator reads before buying more rerank
+    // dots. A shortlist that stopped being depth-nested (a broken tag)
+    // breaks one of the two monotone directions immediately.
+    val rows = SparkEntry.queries("q164_binary_sweep")(spark, dir)
+      .orderBy("short_k")
+      .select("short_k", "n_cand", "recall_micro").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(rows.map(_._1).toSeq == operators.Similarity.BinSweepLevels,
+      s"unexpected levels: ${rows.map(_._1).mkString(",")}")
+    assert(rows.sliding(2).forall { case Array(a, b) => b._2 > a._2 },
+      s"rerank candidate counts not strictly increasing: ${rows.map(_._2).mkString(",")}")
+    assert(rows.sliding(2).forall { case Array(a, b) => b._3 >= a._3 },
+      s"recall not non-decreasing in depth: ${rows.map(_._3).mkString(",")}")
+    assert(rows.last._3 > 0, "binary sweep reports zero recall at the deepest level")
+  }
+
   test("q158 probe sweep: recall and candidate counts are monotone in nprobe at sf0.1") {
     // Structural monotonicity — deeper probes see a SUPERSET of
     // candidates, so both the cost (n_cand) and the quality (recall)
