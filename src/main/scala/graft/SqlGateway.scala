@@ -253,6 +253,8 @@ object SqlGateway {
     *  - `prefilter=ivf|binary` — the candidate stage: probed-cell IVF
     *    (default) or the q161 binary rung (one scan of 16-byte sign
     *    codes, Hamming shortlist, exact rerank; `probes` is ignored).
+    *    `short_k` (≤ 1024) sizes the binary path's rerank shortlist —
+    *    the q164 sweep is its tuning evidence.
     *  - `lang=<v>` — attribute-constrained serving (q157's predicate leg
     *    off the maintained store): neighbors restricted to documents of
     *    that language, the allowed ids composed into the candidate leg
@@ -281,6 +283,9 @@ object SqlGateway {
       val prefilter = params.getOrElse("prefilter", "ivf")
       if (prefilter != "ivf" && prefilter != "binary")
         throw new BadRequest(s"unknown prefilter '$prefilter' (ivf | binary)")
+      // binary path's one knob (q164's sweep is its tuning evidence):
+      // how many Hamming candidates the exact rerank buys back
+      val shortK = intParam(params, "short_k", 64, 1, 1024)
       val timeoutSec = intParam(params, "max_execution_time", DefaultTimeoutSec, 1, MaxTimeoutSec)
       val format = params.getOrElse("format", "JSONEachRow")
       val bodyBytes = ex.getRequestBody.readNBytes(MaxBodyBytes + 1)
@@ -347,8 +352,8 @@ object SqlGateway {
         val df =
           if (prefilter == "binary")
             graft.operators.Similarity.binaryAnnFromStore(spark, corpusDir,
-              topK = k, queriesOpt = Some(qFrame), family = family,
-              candIdsOpt = candIds)
+              shortK = shortK, topK = k, queriesOpt = Some(qFrame),
+              family = family, candIdsOpt = candIds)
           else graft.operators.Similarity.ivfAnnFromStore(spark, corpusDir,
             probes = probes, topK = k, queriesOpt = Some(qFrame), family = family,
             candIdsOpt = candIds)
