@@ -250,11 +250,13 @@ object SqlGateway {
     *  - `k` (top-k, ≤ 100), `probes` (probed cells, ≤ 64), `family`
     *    ("" = text-side store, "_xm" = the image-side family),
     *    `max_execution_time`, `format` as on `/`.
-    *  - `prefilter=ivf|binary` — the candidate stage: probed-cell IVF
-    *    (default) or the q161 binary rung (one scan of 16-byte sign
-    *    codes, Hamming shortlist, exact rerank; `probes` is ignored).
-    *    `short_k` (≤ 1024) sizes the binary path's rerank shortlist —
-    *    the q164 sweep is its tuning evidence.
+    *  - `prefilter=ivf|binary|mrl` — the candidate stage: probed-cell
+    *    IVF (default), the q161 binary rung (one scan of 16-byte sign
+    *    codes, Hamming shortlist, exact rerank), or the q162 Matryoshka
+    *    rung (prefix-`dims` integer dots, exact rerank); `probes` is
+    *    ignored off the ivf path. `short_k` (≤ 1024) sizes the rerank
+    *    shortlist (q164's sweep is its evidence); `dims` (≤ 64, default
+    *    16) is the mrl prefix length (q162's curve).
     *  - `lang=<v>` — attribute-constrained serving (q157's predicate leg
     *    off the maintained store): neighbors restricted to documents of
     *    that language, the allowed ids composed into the candidate leg
@@ -281,11 +283,13 @@ object SqlGateway {
       // sign codes + exact rerank (no cells, so `probes` is ignored) —
       // the cheap first-pass a binary-quantized tier serves
       val prefilter = params.getOrElse("prefilter", "ivf")
-      if (prefilter != "ivf" && prefilter != "binary")
-        throw new BadRequest(s"unknown prefilter '$prefilter' (ivf | binary)")
-      // binary path's one knob (q164's sweep is its tuning evidence):
-      // how many Hamming candidates the exact rerank buys back
+      if (prefilter != "ivf" && prefilter != "binary" && prefilter != "mrl")
+        throw new BadRequest(s"unknown prefilter '$prefilter' (ivf | binary | mrl)")
+      // the cheap-first-pass knobs: short_k (q164's sweep is its tuning
+      // evidence) sizes the rerank shortlist; dims (q162's curve) is the
+      // mrl path's prefix length
       val shortK = intParam(params, "short_k", 64, 1, 1024)
+      val dims = intParam(params, "dims", 16, 1, graft.operators.Ivf.Dim)
       val timeoutSec = intParam(params, "max_execution_time", DefaultTimeoutSec, 1, MaxTimeoutSec)
       val format = params.getOrElse("format", "JSONEachRow")
       val bodyBytes = ex.getRequestBody.readNBytes(MaxBodyBytes + 1)
@@ -349,14 +353,20 @@ object SqlGateway {
         sc.cancelJobGroup(group)
       }: Runnable, timeoutSec.toLong, TimeUnit.SECONDS)
       try {
-        val df =
-          if (prefilter == "binary")
+        val df = prefilter match {
+          case "binary" =>
             graft.operators.Similarity.binaryAnnFromStore(spark, corpusDir,
               shortK = shortK, topK = k, queriesOpt = Some(qFrame),
               family = family, candIdsOpt = candIds)
-          else graft.operators.Similarity.ivfAnnFromStore(spark, corpusDir,
-            probes = probes, topK = k, queriesOpt = Some(qFrame), family = family,
-            candIdsOpt = candIds)
+          case "mrl" =>
+            graft.operators.Similarity.mrlAnnFromStore(spark, corpusDir, dims,
+              shortK = shortK, topK = k, queriesOpt = Some(qFrame),
+              family = family, candIdsOpt = candIds)
+          case _ =>
+            graft.operators.Similarity.ivfAnnFromStore(spark, corpusDir,
+              probes = probes, topK = k, queriesOpt = Some(qFrame), family = family,
+              candIdsOpt = candIds)
+        }
         val (payload, rows, truncated) = render(df, format, HardMaxRows)
         ex.getResponseHeaders.set("X-Graft-Rows", rows.toString)
         ex.getResponseHeaders.set("X-Graft-Truncated", truncated.toString)

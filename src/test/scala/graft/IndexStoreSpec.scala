@@ -1306,6 +1306,12 @@ class IndexStoreSpec extends SparkSpec {
     val batch = key(operators.Similarity.binaryTopK(e, e.filter(col("vec_id") < 8)))
     assert(served.nonEmpty && served == batch,
       "store-served binary ANN must equal the batch path")
+    // the Matryoshka rung rides the same store frames: prefix-16 integer
+    // prefilter + full-dim exact rerank, store == batch
+    val mServed = key(operators.Similarity.mrlAnnFromStore(sA, dir, dims = 16))
+    val mBatch = key(operators.Similarity.mrlTopK(e, e.filter(col("vec_id") < 8), dims = 16))
+    assert(mServed.nonEmpty && mServed == mBatch,
+      "store-served MRL ANN must equal the batch path")
     // takedown: purge every current top-1 neighbor; the binary serve
     // must follow the store's membership — no purged id as a neighbor,
     // and exact parity with the batch computation on the survivors

@@ -262,9 +262,15 @@ class SqlGatewaySpec extends SparkSpec {
           "\"neighbor_id\":(-?\\d+)".r.findFirstMatchIn(l).get.group(1).toLong)
         assert(rblIds.nonEmpty && rblIds.forall(zhIds),
           s"non-zh neighbor served by binary prefilter: ${rblIds.mkString(",")}")
+        // mrl prefilter: prefix-16 integer dots shortlist, exact rerank —
+        // the stored vector still self-retrieves as top-1
+        val rm = postPath(port, "/ann?prefilter=mrl&dims=16&k=2", body)
+        assert(rm.statusCode() == 200, rm.body())
+        assert(rm.body().trim.split("\n").head.contains("\"neighbor_id\":5"), rm.body())
         // errors are the caller's 400, not a 500 or a hang
         assert(get(port, "/ann?doc_id=3&family=bogus").statusCode() == 400)
         assert(get(port, "/ann?doc_id=3&prefilter=bogus").statusCode() == 400)
+        assert(get(port, "/ann?doc_id=3&prefilter=mrl&dims=200").statusCode() == 400)
         assert(postPath(port, "/ann", "[1.0,2.0]").statusCode() == 400) // wrong dim
         assert(get(port, "/ann").statusCode() == 400) // no query at all
         assert(postPath(port, "/ann", "not json").statusCode() == 400)
