@@ -503,6 +503,131 @@ object Dedup {
         .orderBy(col("a_doc"), col("b_doc"))
     },
 
+    // ----- LSH banding-parameter sweep (the dedup family's q158) ----------
+    // The S-curve evidence behind the banding design: candidate-pair cost
+    // AND true-pair recall per (bands × rows) configuration of the SAME
+    // 16-permutation signature — bands ∈ {1,2,4,8,16}, rows = 16/bands.
+    // The q37 production point (4×4) should sit where recall saturates
+    // before the candidate volume explodes; this report is how an
+    // operator verifies that on THEIR corpus before a 100-TB dedup run.
+    // Single-generation discipline via a structural nesting: band
+    // boundaries are aligned blocks, so a collision at b bands implies a
+    // collision at every finer split — the finest level (16 1-row bands,
+    // i.e. ∃j: mⱼ agree) generates each candidate pair ONCE, the per-pair
+    // minima-match bitmap decides every coarser level's membership in
+    // plain boolean expressions, and a 5-row fan-out prices the curve.
+    // Recall is priced against the EXACT ≥τ pair set (q36's inverted
+    // index — the one uncapped exact baseline), with a dynamic
+    // denominator like q159. Everything is integer/boolean-exact.
+    QuerySpec("q165_lsh_band_sweep") {
+      val levels = Seq(1, 2, 4, 8, 16)
+      val minCols = (1 to NumPerms)
+        .map(j => s"min((${permA(j - 1)} * hb + ${permB(j - 1)}) % $MersenneP) AS m$j")
+        .mkString(",\n        |    ")
+      val b16Arms = (1 to NumPerms)
+        .map(j => s"SELECT doc_id, $j AS j, m$j AS mj FROM sig")
+        .mkString("\n        |    UNION ALL ")
+      val flags = (1 to NumPerms)
+        .map(j => s"(sa.m$j = sb.m$j) AS f$j").mkString(", ")
+      def memberSql(bands: Int): String = {
+        val r = NumPerms / bands
+        (0 until bands).map { i =>
+          (1 to r).map(k => s"p.f${i * r + k}").mkString("(", " AND ", ")")
+        }.mkString("(", " OR ", ")")
+      }
+      val memberCase = levels
+        .map(b => s"WHEN ${b} THEN ${memberSql(b)}").mkString(" ")
+      s"""WITH $shingleCtes,
+        |shh AS (SELECT doc_id, s % $MersenneP AS hb FROM sh),
+        |sig AS (SELECT doc_id,
+        |    $minCols
+        |  FROM shh GROUP BY doc_id),
+        |b16 AS (
+        |    $b16Arms),
+        |cand AS (SELECT DISTINCT x.doc_id AS a_doc, y.doc_id AS b_doc
+        |         FROM b16 x JOIN b16 y
+        |           ON x.j = y.j AND x.mj = y.mj AND x.doc_id < y.doc_id),
+        |pm AS MATERIALIZED (SELECT c.a_doc, c.b_doc, $flags
+        |      FROM cand c
+        |      JOIN sig sa ON sa.doc_id = c.a_doc
+        |      JOIN sig sb ON sb.doc_id = c.b_doc),
+        |lv(bands) AS (VALUES ${levels.map(l => s"($l)").mkString(", ")}),
+        |mem AS (SELECT l.bands, p.a_doc, p.b_doc
+        |        FROM lv l JOIN pm p ON CASE l.bands $memberCase END),
+        |ex AS (SELECT i.a_doc, i.b_doc FROM inter i
+        |       JOIN nsh na ON i.a_doc = na.doc_id
+        |       JOIN nsh nb ON i.b_doc = nb.doc_id
+        |       WHERE $jaccardExpr >= $JaccardThreshold),
+        |nt AS (SELECT CAST(count(*) AS BIGINT) AS n_true FROM ex),
+        |nc AS (SELECT bands, count(*) AS n_cand FROM mem GROUP BY bands),
+        |h AS (SELECT m.bands, count(*) AS n_hits
+        |      FROM mem m JOIN ex ON ex.a_doc = m.a_doc AND ex.b_doc = m.b_doc
+        |      GROUP BY m.bands)
+        |SELECT l.bands, coalesce(nc.n_cand, CAST(0 AS BIGINT)) AS n_cand,
+        |  coalesce(h.n_hits, CAST(0 AS BIGINT)) AS n_hits, nt.n_true,
+        |  coalesce((coalesce(h.n_hits, CAST(0 AS BIGINT)) * 1000000)
+        |    // nullif(nt.n_true, 0), 0) AS recall_micro
+        |FROM lv l LEFT JOIN nc ON nc.bands = l.bands
+        |  LEFT JOIN h ON h.bands = l.bands, nt
+        |ORDER BY l.bands""".stripMargin
+    } { (s, dir) =>
+      import s.implicits._
+      graft.plans.GraftExtensions.register(s)
+      val levels = Seq(1, 2, 4, 8, 16)
+      val dss = TextAnalysis.shingleIndex(s, dir)
+      val sig = dss
+        .withColumn("sigs", call_function("minhash_sigs", col("ss"),
+          typedLit(permA), typedLit(permB), lit(MersenneP)))
+        .filter(col("sigs").isNotNull)
+        .select(col("doc_id"), col("sigs"))
+        .transform(graft.Materialize.ephemeral)
+      // finest-level candidate generation: one (j, mⱼ)-keyed equi-join —
+      // every coarser configuration's candidates are a subset (aligned
+      // blocks: an r-row band matches only if all its 1-row bands do)
+      val b16 = sig.select(col("doc_id"), posexplode(col("sigs")).as(Seq("j", "mj")))
+      val cand = b16.as("x").join(b16.as("y"),
+          col("x.j") === col("y.j") && col("x.mj") === col("y.mj") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("a_doc"), col("y.doc_id").as("b_doc"))
+        .distinct()
+      // per-pair minima-match bitmap, then 5-level membership fan-out —
+      // pair-bounded work after the one candidate join
+      val pm = cand
+        .join(sig.select(col("doc_id").as("a_doc"), col("sigs").as("sa")), "a_doc")
+        .join(sig.select(col("doc_id").as("b_doc"), col("sigs").as("sb")), "b_doc")
+        .withColumn("f", zip_with(col("sa"), col("sb"), (x, y) => x === y))
+      def member(bands: Int): org.apache.spark.sql.Column = {
+        val r = NumPerms / bands
+        (0 until bands).map { i =>
+          (0 until r).map(k => col("f").getItem(i * r + k)).reduce(_ && _)
+        }.reduce(_ || _)
+      }
+      val mem = pm
+        .select(col("a_doc"), col("b_doc"),
+          explode(array(levels.map(b =>
+            struct(lit(b).as("bands"), member(b).as("m"))): _*)).as("t"))
+        .filter(col("t.m"))
+        .select(col("t.bands").as("bands"), col("a_doc"), col("b_doc"))
+      val exact = pairJaccard(dss)
+        .filter(col("jac_raw") >= JaccardThreshold)
+        .select(col("a_doc"), col("b_doc"))
+      val nCand = mem.groupBy(col("bands")).agg(count(lit(1)).as("n_cand"))
+      val hits = mem.join(exact, Seq("a_doc", "b_doc"))
+        .groupBy(col("bands")).agg(count(lit(1)).as("n_hits"))
+      val nTrue = exact.groupBy().agg(count(lit(1)).as("n_true"))
+      levels.toDF("bands")
+        .join(nCand, Seq("bands"), "left")
+        .join(hits, Seq("bands"), "left")
+        .crossJoin(broadcast(nTrue))
+        .select(col("bands"),
+          coalesce(col("n_cand"), lit(0L)).as("n_cand"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          col("n_true"))
+        .withColumn("recall_micro",
+          coalesce(expr("(n_hits * CAST(1000000 AS BIGINT)) div nullif(n_true, 0)"), lit(0L)))
+        .orderBy(col("bands"))
+    },
+
     // ----- incremental near-dup: new batch vs existing corpus -------------
     // The daily production dedup job: check an APPEND-ONLY increment (here
     // the top-20%-of-doc_id slice, threshold = floor(0.8·max(doc_id)) so
