@@ -84,7 +84,7 @@ object CorpusOps {
     * id domain), so the lexical and vector retrieval legs rank the same
     * query items and q131 can fuse them.
     */
-  private val Bm25NumQueries = 8L
+  private[graft] val Bm25NumQueries = 8L
 
   /** q130 query-term budget: each query bag keeps its RAREST `Bm25QTerms`
     * terms (df ASC, term ASC — the idf direction, deterministic). This is
@@ -92,16 +92,16 @@ object CorpusOps {
     * work is Σ_{t∈bag} df(t) per query — a capped number of posting lists,
     * never the corpus.
     */
-  private val Bm25QTerms = 16
+  private[graft] val Bm25QTerms = 16
 
   /** q130/q131 retrieval depth. */
-  private val Bm25K = 10
+  private[graft] val Bm25K = 10
 
   /** q163 pseudo-relevance feedback: how many stage-1 docs feed the
     * expansion model, and how many expansion terms each query gains.
     */
-  private val PrfDocs = 5
-  private val PrfTerms = 8
+  private[graft] val PrfDocs = 5
+  private[graft] val PrfTerms = 8
 
   /** q131 reciprocal-rank-fusion constant (the standard RRF k=60). */
   private val RrfK = 60
@@ -382,6 +382,15 @@ object CorpusOps {
     lowDfPostingsCache.remove(s, dir).foreach(_.unpersist())
     tfidfWeightCache.remove(s, dir).foreach(_.unpersist())
     tfIndexCache.remove(s, dir).foreach(_.unpersist())
+    // the retrieval tiers DERIVED from the tf index drop with it: the
+    // (df, dl, tot, n) stats and both cached rank legs are corpus-wide
+    // aggregates/functions of the pre-append corpus (the store-served
+    // paths bypass these caches by design — their stats follow the store)
+    bm25StatsCache.remove(s, dir).foreach { case (a, b, c, d) =>
+      Seq(a, b, c, d).foreach(_.unpersist())
+    }
+    bm25LegCache.remove(s, dir).foreach(_.unpersist())
+    vecLegCache.remove(s, dir).foreach(_.unpersist())
   }
 
   /** q96's chunk projection as a library transform over any
@@ -647,34 +656,109 @@ object CorpusOps {
     // (df, dl, tot) derive from `tf` by default (the store-served path's
     // stats must follow its tf provenance); the fixture path passes the
     // session-cached frames ([[bm25Stats]]) so they compute once
-    val (dfF, dl, tot) = statsOpt.getOrElse((
-      tf.groupBy(col("term")).agg(count(lit(1)).as("df")),
-      tf.groupBy(col("doc_id")).agg(sum(col("tf")).cast(LongType).as("dl")),
-      tf.agg(sum(col("tf")).cast(LongType).as("t"))))
-    // query bags: rarest-qt pruning; the window partitions by query doc —
-    // a bag is doc-length-bounded, and the query set is a bounded batch
+    val (dfF, dl, tot) = statsOpt.getOrElse(tfStats(tf))
+    bm25OverBags(tf, nT, rarestBags(tf.filter(col("doc_id") < nq), dfF, qt),
+      dl, tot, k, "bm25_micro")
+  }
+
+  /** (df, dl, tot) aggregates of ANY `(doc_id, term, tf)` frame — the
+    * stats provenance of the store-served scorers, whose statistics must
+    * follow the durable store's rows through every append and purge (the
+    * fixture path uses the session-cached [[bm25Stats]] instead).
+    */
+  private[graft] def tfStats(tf: org.apache.spark.sql.DataFrame):
+      (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
+       org.apache.spark.sql.DataFrame) = (
+    tf.groupBy(col("term")).agg(count(lit(1)).as("df")),
+    tf.groupBy(col("doc_id")).agg(sum(col("tf")).cast(LongType).as("dl")),
+    tf.agg(sum(col("tf")).cast(LongType).as("t")))
+
+  /** The rarest-`qt` query bag of every doc in a (pre-filtered) tf slice:
+    * `(q_id, term, mw = 1, df)` — q130's query-term pruning (df ASC, term
+    * ASC, deterministic) as a reusable frame. This is ALSO the scale
+    * bound: candidate work downstream is Σ_{t∈bag} df(t) per query, a
+    * capped number of posting lists, never the corpus. The window
+    * partitions by query doc, so it is doc-length-bounded over a bounded
+    * query batch.
+    */
+  private[graft] def rarestBags(qtf: org.apache.spark.sql.DataFrame,
+      dfF: org.apache.spark.sql.DataFrame, qt: Int): org.apache.spark.sql.DataFrame = {
     val wq = Window.partitionBy(col("doc_id")).orderBy(col("df").asc, col("term").asc)
-    val qterms = tf.filter(col("doc_id") < nq)
-      .join(dfF, "term")
+    qtf.join(dfF, "term")
       .withColumn("qrk", row_number().over(wq))
       .filter(col("qrk") <= qt)
-      .select(col("doc_id").as("q_id"), col("term"), col("df"))
-    val scored = qterms
+      .select(col("doc_id").as("q_id"), col("term"), lit(1L).as("mw"), col("df"))
+  }
+
+  /** The cleared-rational BM25 micro-score (k1 = 6/5, b = 3/4) — ONE
+    * integer division per (term, doc), exact across engines; see the
+    * [[bm25TopK]] scaladoc for the derivation and overflow bound.
+    */
+  private val Bm25MicroExpr: String =
+    "CAST((CAST((1000000 * n) div df AS DECIMAL(38,0)) * tf * 44 * t) div " +
+      "((CAST(20 AS DECIMAL(38,0)) * tf * t) + (CAST(6 AS DECIMAL(38,0)) * t)" +
+      " + (CAST(18 AS DECIMAL(38,0)) * dl * n)) AS BIGINT)"
+
+  /** BM25 scoring over an EXPLICIT weighted query bag `(q_id, term, mw,
+    * df)` — the seam under [[bm25TopKOverTf]] (mw = 1), q163's RM3 stage
+    * 2 (mw = 2 original / 1 expansion), and the `/search` serving path
+    * (a user-supplied token bag with q_id = −1, outside every doc-id
+    * domain, so the self-pair guard can never suppress a real hit).
+    * Identical rational-cleared integer arithmetic and salted top-k as
+    * q130; candidates are always the union of the bag terms' posting
+    * lists — the inverted-index cost bound at any corpus size.
+    */
+  private[graft] def bm25OverBags(tf: org.apache.spark.sql.DataFrame,
+      nT: org.apache.spark.sql.DataFrame, bags: org.apache.spark.sql.DataFrame,
+      dl: org.apache.spark.sql.DataFrame, tot: org.apache.spark.sql.DataFrame,
+      k: Int, scoreName: String): org.apache.spark.sql.DataFrame = {
+    val scored = bags
       .join(tf, "term")
       .filter(col("doc_id") =!= col("q_id"))
       .join(dl, "doc_id")
       .crossJoin(broadcast(nT)).crossJoin(broadcast(tot))
-      .withColumn("s_micro", expr(
-        "CAST((CAST((1000000 * n) div df AS DECIMAL(38,0)) * tf * 44 * t) div " +
-          "((CAST(20 AS DECIMAL(38,0)) * tf * t) + (CAST(6 AS DECIMAL(38,0)) * t)" +
-          " + (CAST(18 AS DECIMAL(38,0)) * dl * n)) AS BIGINT)"))
+      .withColumn("s_micro", expr(Bm25MicroExpr))
       .groupBy(col("q_id"), col("doc_id"))
-      .agg(count(lit(1)).as("n_terms"), sum(col("s_micro")).cast(LongType).as("bm25_micro"))
+      .agg(count(lit(1)).as("n_terms"),
+        sum(col("s_micro") * col("mw")).cast(LongType).as(scoreName))
     TopK.perKeyTopK(scored, keys = Seq(col("q_id")),
-      order = Seq(col("bm25_micro").desc, col("doc_id").asc), k = k,
+      order = Seq(col(scoreName).desc, col("doc_id").asc), k = k,
       saltFrom = col("doc_id"))
-      .select(col("q_id"), col("rk"), col("doc_id"), col("n_terms"), col("bm25_micro"))
+      .select(col("q_id"), col("rk"), col("doc_id"), col("n_terms"), col(scoreName))
       .orderBy(col("q_id"), col("rk"))
+  }
+
+  /** RM3 pseudo-relevance-feedback expansion of a weighted bag — q163's
+    * stages 1½–2 input as a library transform: `feedback` is the
+    * caller's stage-1 top docs per query; expansion votes are
+    * tf·idf_micro over the feedback docs (raw-tf voting would elect
+    * stopwords, whose corpus-wide posting lists both destroy the
+    * posting-list cost bound and carry no signal), original-bag terms
+    * excluded, top-`prfTerms` survive (weight DESC, term ASC). Returns
+    * the EXPANDED bag — original terms mw = 2, expansion terms mw = 1
+    * (λ = 2/3) — ready for [[bm25OverBags]]. Every frame here is
+    * query-batch-sized.
+    */
+  private[graft] def rm3ExpandBag(tf: org.apache.spark.sql.DataFrame,
+      nT: org.apache.spark.sql.DataFrame, dfF: org.apache.spark.sql.DataFrame,
+      bags: org.apache.spark.sql.DataFrame,
+      feedback: org.apache.spark.sql.DataFrame,
+      prfTerms: Int): org.apache.spark.sql.DataFrame = {
+    val ex0 = feedback.join(tf, "doc_id")
+      .join(bags.select(col("q_id"), col("term")), Seq("q_id", "term"), "left_anti")
+      .join(dfF, "term")
+      .crossJoin(broadcast(nT))
+      .withColumn("v", col("tf").cast(LongType) * expr("(1000000 * n) div df"))
+      .groupBy(col("q_id"), col("term"))
+      .agg(sum(col("v")).cast(LongType).as("w"))
+    val wex = Window.partitionBy(col("q_id")).orderBy(col("w").desc, col("term").asc)
+    val exTerms = ex0.withColumn("erk", row_number().over(wex))
+      .filter(col("erk") <= prfTerms)
+      .select(col("q_id"), col("term"))
+    bags.select(col("q_id"), col("term"), lit(2L).as("mw"), col("df"))
+      .unionByName(exTerms
+        .join(dfF, "term")
+        .select(col("q_id"), col("term"), lit(1L).as("mw"), col("df")))
   }
 
   /** Shared DuckDB CTE block for the VECTOR leg (q131/q134): cosine ranks
@@ -711,6 +795,19 @@ object CorpusOps {
       .select(col("q_id"), col("doc_id").as("item"), col("rk").cast(LongType).as("rk_lex"))
     val vec = vecLeg(s, dir)
       .select(col("q_id"), col("neighbor_id").as("item"), col("rk").cast(LongType).as("rk_vec"))
+    rrfFuse(lex, vec)
+  }
+
+  /** RRF fusion of two ARBITRARY rank lists — q131's integer fusion
+    * (10⁶ div (60 + rk) per leg, a missing leg contributes 0) factored
+    * over explicit `(q_id, item, rk_lex)` / `(q_id, item, rk_vec)`
+    * frames, so the `/search?fuse=rrf` serving path fuses its
+    * store-served lexical leg with the store-served vector leg through
+    * the IDENTICAL arithmetic as the batch operator. Everything is
+    * rank-list-sized (≤ 2k rows per query).
+    */
+  private[graft] def rrfFuse(lex: org.apache.spark.sql.DataFrame,
+      vec: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val w = Window.partitionBy(col("q_id")).orderBy(col("rrf_micro").desc, col("item").asc)
     lex.join(vec, Seq("q_id", "item"), "full_outer")
       .withColumn("rrf_micro",
@@ -785,9 +882,9 @@ object CorpusOps {
     * order statistic drowns the shared-term signal (measured: overlap
     * with the lexical side collapses to chance).
     */
-  private val MaxSimTokens = 16
+  private[graft] val MaxSimTokens = 16
   private val MaxSimDim = 64
-  private val MaxSimCand = 200
+  private[graft] val MaxSimCand = 200
 
   /** The deterministic token-embedding column for `term` (ArrayType[Long],
     * [[MaxSimDim]] wide, each dim in [-1000, 1000]).
@@ -811,9 +908,15 @@ object CorpusOps {
     */
   private[graft] def maxSimTopK(s: org.apache.spark.sql.SparkSession, dir: String,
       nq: Long = Bm25NumQueries, k: Int = Bm25K,
-      candOpt: Option[org.apache.spark.sql.DataFrame] = None): org.apache.spark.sql.DataFrame = {
+      candOpt: Option[org.apache.spark.sql.DataFrame] = None,
+      tfOpt: Option[org.apache.spark.sql.DataFrame] = None): org.apache.spark.sql.DataFrame = {
     graft.plans.GraftExtensions.register(s)
-    val tf = tfIndex(s, dir)
+    // tfOpt swaps the tf provenance for the MAINTAINED store
+    // ([[graft.streaming.IndexMaintenance.maxSimFromStore]]): every
+    // downstream frame (df, token budgets, candidates, token vectors)
+    // derives from it, so the store-served answer follows the store's
+    // appends and purges — spec-pinned equal to batch on the same corpus
+    val tf = tfOpt.getOrElse(tfIndex(s, dir))
     // token budget by RARITY (df ASC — the idf direction, same rule as
     // the first stage's query bags): a tf-based budget keeps stopwords,
     // whose shared mass ties every candidate (measured: overlap with the
@@ -873,6 +976,49 @@ object CorpusOps {
         order = Seq(col("maxsim").desc, col("doc_id").asc), k = k,
         saltFrom = col("doc_id"))
       .select(col("q_id"), col("rk"), col("doc_id"), col("maxsim"))
+      .orderBy(col("q_id"), col("rk"))
+  }
+
+  /** q160's budgeted-token MaxSim as a SERVING rerank over EXPLICIT
+    * candidates — the `/search?rerank=maxsim` engine: query tokens are
+    * the bag's terms (already pruned to ≤ qt by the caller), doc tokens
+    * are each candidate doc's rarest-[[MaxSimTokens]] budget from the
+    * SAME tf provenance (window per doc over the candidate docs only —
+    * identical budgets to the corpus-wide ranking, since the rank is
+    * per-doc), token vectors are the deterministic hash embeddings
+    * synthesized once per distinct term. Cost is |cand| × T_q × T_d
+    * integer dots — candidate-set-sized, never the corpus. Returns
+    * `(q_id, rk, doc_id, score)`.
+    */
+  private[graft] def maxSimRerank(tf: org.apache.spark.sql.DataFrame,
+      dfF: org.apache.spark.sql.DataFrame,
+      qBags: org.apache.spark.sql.DataFrame,
+      cand: org.apache.spark.sql.DataFrame, k: Int): org.apache.spark.sql.DataFrame = {
+    graft.plans.GraftExtensions.register(tf.sparkSession)
+    val wTop = Window.partitionBy(col("doc_id")).orderBy(col("df").asc, col("term").asc)
+    val dtokT = tf.join(cand.select(col("doc_id")).distinct(), "doc_id")
+      .join(dfF, "term")
+      .withColumn("trk", row_number().over(wTop))
+      .filter(col("trk") <= MaxSimTokens)
+      .select(col("doc_id"), col("term"))
+    val tv = dtokT.select(col("term"))
+      .union(qBags.select(col("term"))).distinct()
+      .select(col("term"), maxSimTokenVec(col("term")).as("tv"))
+    val dtok = dtokT.join(tv, "term").select(col("doc_id"), col("tv").as("dv"))
+    val qtok = qBags.join(tv, "term")
+      .select(col("q_id"), col("term").as("qterm"), col("tv").as("qv"))
+    val best = cand
+      .join(broadcast(qtok), "q_id") // request-sized: one bag per query
+      .join(dtok, "doc_id")
+      .withColumn("dot", call_function("vec_dot_long", col("qv"), col("dv")))
+      .groupBy(col("q_id"), col("doc_id"), col("qterm"))
+      .agg(max(col("dot")).as("best"))
+    val ms = best.groupBy(col("q_id"), col("doc_id"))
+      .agg(sum(col("best")).cast(LongType).as("score"))
+    TopK.perKeyTopK(ms, keys = Seq(col("q_id")),
+        order = Seq(col("score").desc, col("doc_id").asc), k = k,
+        saltFrom = col("doc_id"))
+      .select(col("q_id"), col("rk"), col("doc_id"), col("score"))
       .orderBy(col("q_id"), col("rk"))
   }
 
@@ -942,49 +1088,15 @@ object CorpusOps {
       val (dfF, dl, tot, nT) = bm25Stats(s, dir)
       // the q130 query bags, re-derived with the same rarest-qt rule the
       // cached leg used (window over the bounded query batch)
-      val wq = Window.partitionBy(col("doc_id")).orderBy(col("df").asc, col("term").asc)
-      val qterms = tf.filter(col("doc_id") < Bm25NumQueries)
-        .join(dfF, "term")
-        .withColumn("qrk", row_number().over(wq))
-        .filter(col("qrk") <= Bm25QTerms)
-        .select(col("doc_id").as("q_id"), col("term"))
+      val qbags = rarestBags(tf.filter(col("doc_id") < Bm25NumQueries), dfF, Bm25QTerms)
       // stage 1: the CACHED q130 leg; feedback docs = its top-PrfDocs
       val fb = bm25TopK(s, dir).filter(col("rk") <= PrfDocs)
         .select(col("q_id"), col("doc_id"))
-      // expansion vote: tf·idf_micro over feedback docs, original-bag
-      // terms excluded — everything here is query-batch-sized
-      val ex0 = fb.join(tf, "doc_id")
-        .join(qterms, Seq("q_id", "term"), "left_anti")
-        .join(dfF, "term")
-        .crossJoin(broadcast(nT))
-        .withColumn("v", col("tf").cast(LongType) * expr("(1000000 * n) div df"))
-        .groupBy(col("q_id"), col("term"))
-        .agg(sum(col("v")).cast(LongType).as("w"))
-      val wex = Window.partitionBy(col("q_id")).orderBy(col("w").desc, col("term").asc)
-      val exTerms = ex0.withColumn("erk", row_number().over(wex))
-        .filter(col("erk") <= PrfTerms)
-        .select(col("q_id"), col("term"))
-      // RM3 interpolation as integer multipliers: orig 2, expansion 1
-      val bag = qterms.withColumn("mw", lit(2L))
-        .unionByName(exTerms.withColumn("mw", lit(1L)))
-        .join(dfF, "term")
-      val scored = bag
-        .join(tf, "term")
-        .filter(col("doc_id") =!= col("q_id"))
-        .join(dl, "doc_id")
-        .crossJoin(broadcast(nT)).crossJoin(broadcast(tot))
-        .withColumn("s_micro", expr(
-          "CAST((CAST((1000000 * n) div df AS DECIMAL(38,0)) * tf * 44 * t) div " +
-            "((CAST(20 AS DECIMAL(38,0)) * tf * t) + (CAST(6 AS DECIMAL(38,0)) * t)" +
-            " + (CAST(18 AS DECIMAL(38,0)) * dl * n)) AS BIGINT)"))
-        .groupBy(col("q_id"), col("doc_id"))
-        .agg(count(lit(1)).as("n_terms"),
-          sum(col("s_micro") * col("mw")).cast(LongType).as("prf_micro"))
-      TopK.perKeyTopK(scored, keys = Seq(col("q_id")),
-          order = Seq(col("prf_micro").desc, col("doc_id").asc), k = Bm25K,
-          saltFrom = col("doc_id"))
-        .select(col("q_id"), col("rk"), col("doc_id"), col("n_terms"), col("prf_micro"))
-        .orderBy(col("q_id"), col("rk"))
+      // expansion vote + RM3 interpolation (orig mw 2, expansion mw 1),
+      // then the shared bag scorer — the same seam `/search?expand=rm3`
+      // serves off the maintained tf store
+      val expanded = rm3ExpandBag(tf, nT, dfF, qbags, fb, PrfTerms)
+      bm25OverBags(tf, nT, expanded, dl, tot, Bm25K, "prf_micro")
     },
 
     // ----- hybrid retrieval: reciprocal-rank fusion of BM25 + cosine ------

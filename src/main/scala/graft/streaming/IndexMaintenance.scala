@@ -501,22 +501,117 @@ object IndexMaintenance {
     */
   def bm25FromStore(s: SparkSession, corpusDir: String,
       nq: Long, qt: Int, k: Int): DataFrame = {
+    val (tf, nT) = storedTfAndN(s, corpusDir)
+    graft.operators.CorpusOps.bm25TopKOverTf(tf, nT, nq, qt, k)
+  }
+
+  /** The committed tf store as serving frames: snapshot-isolated
+    * `(doc_id, term, tf)` rows ([[graft.IndexStore.verifiedRead]] — a
+    * concurrent maintainer's torn append can never serve) plus the
+    * sidecar corpus count N as a 1-row frame (bootstrap-recorded,
+    * advanced by every append, decremented by every purge — BM25's N).
+    * The shared provenance of every store-served lexical leg
+    * ([[bm25FromStore]], [[maxSimFromStore]], [[searchFromStore]]).
+    */
+  private[graft] def storedTfAndN(s: SparkSession, corpusDir: String):
+      (DataFrame, DataFrame) = {
     val root = graft.IndexStore.configuredDir(s).getOrElse(throw
-      new IllegalStateException("bm25FromStore requires a configured index " +
+      new IllegalStateException("tf-store serving requires a configured index " +
         s"store (${graft.IndexStore.DirConf})"))
     val path = graft.IndexStore.storePath(root, corpusDir, TfStoreName)
     require(graft.IndexStore.committed(s, path),
-      s"bootstrap the tf store at $path before serving BM25 from it")
+      s"bootstrap the tf store at $path before serving retrieval from it")
     val n = graft.IndexStore.storedMeta(s, corpusDir, TfStoreName)
       .flatMap(_.get(graft.IndexStore.CorpusCountKey)).flatMap(_.toLongOption)
       .getOrElse(throw new IllegalStateException(
         s"tf store at $path has no corpus count in its sidecar — " +
-          "re-bootstrap with bootstrapTfStore before serving BM25"))
-    val tf = s.read.parquet(path).select("doc_id", "term", "tf")
+          "re-bootstrap with bootstrapTfStore before serving retrieval"))
+    val tf = graft.IndexStore.verifiedRead(s, path).select("doc_id", "term", "tf")
     import org.apache.spark.sql.functions.lit
     val nT = s.range(1).select(
       lit(n).cast(org.apache.spark.sql.types.LongType).as("n"))
-    graft.operators.CorpusOps.bm25TopKOverTf(tf, nT, nq, qt, k)
+    (tf, nT)
+  }
+
+  /** q160's late-interaction MaxSim served off the durable tf store —
+    * the identical operator body as batch
+    * ([[graft.operators.CorpusOps.maxSimTopK]]) with the tf provenance
+    * swapped to the maintained store: token budgets, df ranks,
+    * shared-token candidates and the deterministic token vectors all
+    * derive from the stored rows, so the rerank rung serves the corpus
+    * as of the last committed batch (appends AND takedown purges —
+    * a purged doc contributes no budget, no candidates, no tokens).
+    * Spec-pinned equal to batch across a crash replay.
+    */
+  def maxSimFromStore(s: SparkSession, corpusDir: String,
+      nq: Long = graft.operators.CorpusOps.Bm25NumQueries,
+      k: Int = graft.operators.CorpusOps.Bm25K): DataFrame = {
+    val (tf, _) = storedTfAndN(s, corpusDir)
+    graft.operators.CorpusOps.maxSimTopK(s, corpusDir, nq, k, tfOpt = Some(tf))
+  }
+
+  /** Interactive lexical retrieval off the maintained tf store — the
+    * `/search` gateway's engine (the text-side counterpart of the
+    * `/ann` route's ivfAnnFromStore). A request is EITHER a raw token
+    * bag (`qTerms`, normalized through the same [[graft.functions
+    * .TextFunctions.tokens]] rule the index side tokenizes with, scored
+    * under the synthetic q_id = −1 — outside every corpus id domain, so
+    * the self-pair guard can never suppress a real hit) OR a
+    * more-like-this doc id (`docId` — its rarest-`qt` stored terms form
+    * the bag exactly as batch q130 prunes its queries; a PURGED doc has
+    * no stored rows, so its bag is empty and the request serves 0 rows).
+    *
+    * Knobs compose the maintained retrieval ladder: `expand` runs q163's
+    * RM3 loop (stage-1 feedback docs from the store-served BM25 leg,
+    * tf·idf_micro expansion votes, integer 2/1 interpolation);
+    * `rerank = Some("maxsim")` reranks the BM25 top-[[graft.operators
+    * .CorpusOps.MaxSimCand]] candidates with q160's budgeted-token
+    * MaxSim off the same stored tf evidence. Everything scores with the
+    * store's own (df, dl, tot, N) statistics — which follow every
+    * append and purge — and stays posting-list-bounded: candidate work
+    * is Σ posting lengths over the bag's ≤ qt (+ expansion) terms.
+    * Returns `(q_id, rk, doc_id, score)`.
+    */
+  def searchFromStore(s: SparkSession, corpusDir: String,
+      qTerms: Seq[String] = Nil, docId: Option[Long] = None,
+      k: Int = graft.operators.CorpusOps.Bm25K,
+      qt: Int = graft.operators.CorpusOps.Bm25QTerms,
+      expand: Boolean = false,
+      rerank: Option[String] = None): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(qTerms.nonEmpty != docId.isDefined,
+      "provide exactly one of qTerms / docId")
+    require(rerank.forall(_ == "maxsim"), s"unknown rerank '${rerank.get}' (maxsim)")
+    val ops = graft.operators.CorpusOps
+    val (tf, nT) = storedTfAndN(s, corpusDir)
+    val (dfF, dl, tot) = ops.tfStats(tf)
+    val bags = docId match {
+      case Some(id) => ops.rarestBags(tf.filter(col("doc_id") === id), dfF, qt)
+      case None =>
+        import s.implicits._
+        qTerms.toDF("raw")
+          .select(explode(graft.functions.TextFunctions.tokens(col("raw"))).as("term"))
+          .filter(col("term") =!= "")
+          .distinct()
+          // a term the stored corpus has never seen has no posting list
+          // (and no df) — it cannot contribute score, so it drops here
+          .join(dfF, "term")
+          .select(lit(-1L).as("q_id"), col("term"), lit(1L).as("mw"), col("df"))
+    }
+    val scoredBags =
+      if (!expand) bags
+      else {
+        val fb = ops.bm25OverBags(tf, nT, bags, dl, tot, ops.PrfDocs, "fb_micro")
+          .select(col("q_id"), col("doc_id"))
+        ops.rm3ExpandBag(tf, nT, dfF, bags, fb, ops.PrfTerms)
+      }
+    if (rerank.contains("maxsim")) {
+      val cand = ops.bm25OverBags(tf, nT, scoredBags, dl, tot, ops.MaxSimCand, "score")
+        .select(col("q_id"), col("doc_id"))
+      ops.maxSimRerank(tf, dfF, scoredBags.select(col("q_id"), col("term")), cand, k)
+    } else
+      ops.bm25OverBags(tf, nT, scoredBags, dl, tot, k, "score")
+        .select(col("q_id"), col("rk"), col("doc_id"), col("score"))
   }
 
   // ------------------------------------------- substring anchor store --
