@@ -121,6 +121,7 @@ object SqlGateway {
     server.createContext("/ping", (ex: HttpExchange) => respond(ex, 200, "text/plain", "Ok.\n"))
     server.createContext("/play", (ex: HttpExchange) => respond(ex, 200, "text/html", PlayHtml))
     server.createContext("/ann", (ex: HttpExchange) => handleAnn(spark, deadlines, corpusDir, ex))
+    server.createContext("/search", (ex: HttpExchange) => handleSearch(spark, deadlines, corpusDir, ex))
     server.createContext("/", (ex: HttpExchange) => handleQuery(spark, deadlines, ex))
     server.start()
     new Gateway(server, deadlines)
@@ -251,12 +252,18 @@ object SqlGateway {
     *    ("" = text-side store, "_xm" = the image-side family),
     *    `max_execution_time`, `format` as on `/`.
     *  - `prefilter=ivf|binary|mrl` — the candidate stage: probed-cell
-    *    IVF (default), the q161 binary rung (one scan of 16-byte sign
-    *    codes, Hamming shortlist, exact rerank), or the q162 Matryoshka
-    *    rung (prefix-`dims` integer dots, exact rerank); `probes` is
-    *    ignored off the ivf path. `short_k` (≤ 1024) sizes the rerank
-    *    shortlist (q164's sweep is its evidence); `dims` (≤ 64, default
-    *    16) is the mrl prefix length (q162's curve).
+    *    IVF (default), the q161 binary rung (16-byte sign codes, Hamming
+    *    shortlist, exact rerank), or the q162 Matryoshka rung
+    *    (prefix-`dims` integer dots, exact rerank). On binary/mrl an
+    *    EXPLICIT `probes=N` composes the rung with the stored IVF
+    *    inverted file (the q166/q167 serving posture — the cheap score
+    *    runs over probed-cell candidates only, bounded by probed-cell
+    *    mass); absent, those rungs run their corpus-wide flat scan.
+    *    `short_k` (≤ 1024, binary/mrl only) sizes the rerank shortlist
+    *    (q164's sweep is its evidence); `dims` (≤ 64, default 16, mrl
+    *    only) is the prefix length (q162's curve). A knob that cannot
+    *    affect the selected prefilter answers 400 when explicitly
+    *    provided — never silently ignored.
     *  - `lang=<v>` — attribute-constrained serving (q157's predicate leg
     *    off the maintained store): neighbors restricted to documents of
     *    that language, the allowed ids composed into the candidate leg
@@ -274,22 +281,35 @@ object SqlGateway {
       }
       val params = queryParams(ex)
       val k = intParam(params, "k", 3, 1, 100)
-      val probes = intParam(params, "probes", 2, 1, 64)
       val family = params.getOrElse("family", "")
       if (family.nonEmpty && family != "_xm")
         throw new BadRequest(s"unknown index family '$family' ('' | _xm)")
       // prefilter=ivf (default): probed-cell candidates off the stored
-      // centroids; prefilter=binary: the q161 rung — one scan of 16-byte
-      // sign codes + exact rerank (no cells, so `probes` is ignored) —
-      // the cheap first-pass a binary-quantized tier serves
+      // centroids; prefilter=binary: the q161 rung — 16-byte sign codes
+      // scored by Hamming + exact rerank; prefilter=mrl: the q162 rung —
+      // prefix-`dims` integer dots + exact rerank
       val prefilter = params.getOrElse("prefilter", "ivf")
       if (prefilter != "ivf" && prefilter != "binary" && prefilter != "mrl")
         throw new BadRequest(s"unknown prefilter '$prefilter' (ivf | binary | mrl)")
-      // the cheap-first-pass knobs: short_k (q164's sweep is its tuning
-      // evidence) sizes the rerank shortlist; dims (q162's curve) is the
-      // mrl path's prefix length
+      // Knob relevance is SYMMETRIC: a knob that cannot affect the
+      // selected prefilter is a 400 when explicitly provided, never
+      // silently ignored (and every relevant knob is range-validated).
+      //  - probes: always meaningful — the ivf candidate stage, or the
+      //    q166/q167 composition on binary/mrl (explicit probes bounds
+      //    the cheap first pass by probed-cell mass; absent = the
+      //    corpus-wide flat scan those rungs default to).
+      //  - short_k (q164's sweep is its tuning evidence): sizes the
+      //    binary/mrl rerank shortlist; meaningless on ivf.
+      //  - dims (q162's curve): the mrl prefix length only.
+      if (prefilter == "ivf" && params.contains("short_k"))
+        throw new BadRequest("short_k only applies to prefilter=binary|mrl")
+      if (prefilter != "mrl" && params.contains("dims"))
+        throw new BadRequest("dims only applies to prefilter=mrl")
+      val probes = intParam(params, "probes", 2, 1, 64)
+      val probesOpt = if (params.contains("probes")) Some(probes) else None
       val shortK = intParam(params, "short_k", 64, 1, 1024)
-      val dims = intParam(params, "dims", 16, 1, graft.operators.Ivf.Dim)
+      val dims = intParam(params, "dims", graft.operators.Similarity.MrlIvfDims,
+        1, graft.operators.Ivf.Dim)
       val timeoutSec = intParam(params, "max_execution_time", DefaultTimeoutSec, 1, MaxTimeoutSec)
       val format = params.getOrElse("format", "JSONEachRow")
       val bodyBytes = ex.getRequestBody.readNBytes(MaxBodyBytes + 1)
@@ -357,11 +377,11 @@ object SqlGateway {
           case "binary" =>
             graft.operators.Similarity.binaryAnnFromStore(spark, corpusDir,
               shortK = shortK, topK = k, queriesOpt = Some(qFrame),
-              family = family, candIdsOpt = candIds)
+              family = family, candIdsOpt = candIds, probesOpt = probesOpt)
           case "mrl" =>
             graft.operators.Similarity.mrlAnnFromStore(spark, corpusDir, dims,
               shortK = shortK, topK = k, queriesOpt = Some(qFrame),
-              family = family, candIdsOpt = candIds)
+              family = family, candIdsOpt = candIds, probesOpt = probesOpt)
           case _ =>
             graft.operators.Similarity.ivfAnnFromStore(spark, corpusDir,
               probes = probes, topK = k, queriesOpt = Some(qFrame), family = family,
@@ -386,6 +406,143 @@ object SqlGateway {
       }
     } catch {
       // an un-bootstrapped store or a bad request is the caller's 400
+      case e @ (_: org.apache.spark.sql.AnalysisException |
+                _: IllegalArgumentException | _: IllegalStateException) =>
+        respond(ex, 400, "text/plain", clip(e.getMessage) + "\n")
+      case scala.util.control.NonFatal(e) =>
+        respond(ex, 500, "text/plain", clip(e.toString) + "\n")
+    } finally ex.close()
+
+  /** The `/search` lexical/hybrid retrieval route — the text-side
+    * counterpart of `/ann` (round-16 gap: the vector family could be
+    * served over HTTP but a text query could not run against the
+    * maintained tf store). Serves
+    * [[graft.streaming.IndexMaintenance.searchFromStore]] — BM25 off the
+    * DURABLE tf store under `verifiedRead` snapshot isolation, statistics
+    * (df, dl, tot, N) following every append and purge, so a purged doc
+    * neither serves as a query nor appears in any result — under the
+    * same discipline as `/ann`: per-request job group, execution
+    * deadline, bounded params, broadcast reclaim.
+    *
+    * Protocol:
+    *  - `GET /search?q=<terms>` — the token-bag query (URL-encoded,
+    *    whitespace-separated; normalized through the index side's own
+    *    tokenize rule; rows carry q_id = −1). Terms the stored corpus
+    *    has never seen contribute nothing; an all-unknown bag answers 0
+    *    rows.
+    *  - `GET /search?doc_id=<id>` — more-like-this: the stored doc's
+    *    rarest-`qt` terms form the bag (q130's pruning); a purged or
+    *    absent id answers 0 rows.
+    *  - `k` (top-k, ≤ 100), `qt` (bag budget, ≤ 64), `format`,
+    *    `max_execution_time` as on `/ann`.
+    *  - `expand=rm3` — q163's pseudo-relevance-feedback loop off the
+    *    store (stage-1 feedback docs, tf·idf_micro expansion votes,
+    *    integer 2/1 interpolation).
+    *  - `rerank=maxsim` — q160's budgeted-token late-interaction rerank
+    *    of the BM25 top-[[graft.operators.CorpusOps.MaxSimCand]]
+    *    candidates, token budgets and vectors from the same stored tf
+    *    evidence.
+    *  - `fuse=rrf` — q131's integer reciprocal-rank fusion of the
+    *    lexical leg with the VECTOR leg served off the maintained IVF
+    *    assignment store (`probes` sizes that leg's candidate stage);
+    *    needs `doc_id` (a raw token bag has no stored vector — 400).
+    *    Rows: `(q_id, rk, item, rk_lex, rk_vec, rrf_micro)`.
+    *  - Without fusion, rows are `(q_id, rk, doc_id, score)` — integer
+    *    micro-BM25 (or MaxSim) scores, exact across engines.
+    *  - Knob relevance is symmetric (the `/ann` rule): `probes` without
+    *    `fuse=rrf` is a 400, as are unknown `expand`/`rerank`/`fuse`
+    *    values.
+    */
+  private def handleSearch(spark: SparkSession, deadlines: ScheduledExecutorService,
+      corpusDir: String, ex: HttpExchange): Unit =
+    try {
+      if (corpusDir.isEmpty) {
+        respond(ex, 400, "text/plain",
+          "search route disabled: gateway started without a corpus dir\n")
+        return
+      }
+      val params = queryParams(ex)
+      val k = intParam(params, "k", 10, 1, 100)
+      val qt = intParam(params, "qt", graft.operators.CorpusOps.Bm25QTerms, 1, 64)
+      val expand = params.get("expand") match {
+        case None => false
+        case Some("rm3") => true
+        case Some(other) => throw new BadRequest(s"unknown expand '$other' (rm3)")
+      }
+      val rerank = params.get("rerank") match {
+        case None => None
+        case Some("maxsim") => Some("maxsim")
+        case Some(other) => throw new BadRequest(s"unknown rerank '$other' (maxsim)")
+      }
+      val fuse = params.get("fuse") match {
+        case None => false
+        case Some("rrf") => true
+        case Some(other) => throw new BadRequest(s"unknown fuse '$other' (rrf)")
+      }
+      if (!fuse && params.contains("probes"))
+        throw new BadRequest("probes only applies to fuse=rrf (it sizes the vector leg)")
+      val probes = intParam(params, "probes", 2, 1, 64)
+      val timeoutSec = intParam(params, "max_execution_time", DefaultTimeoutSec, 1, MaxTimeoutSec)
+      val format = params.getOrElse("format", "JSONEachRow")
+      val docIdOpt = params.get("doc_id").map(raw => raw.toLongOption.getOrElse(
+        throw new BadRequest(s"doc_id must be an integer, got '${raw.take(40)}'")))
+      val qOpt = params.get("q").map(_.trim).filter(_.nonEmpty)
+      if (qOpt.isEmpty == docIdOpt.isEmpty)
+        throw new BadRequest("provide exactly one of q=<terms> / doc_id=<id>")
+      if (fuse && docIdOpt.isEmpty)
+        throw new BadRequest("fuse=rrf needs doc_id — a raw token bag has no stored vector")
+      val group = "graft-gateway-search-" + java.util.UUID.randomUUID()
+      val timedOut = new AtomicBoolean(false)
+      val sc = spark.sparkContext
+      sc.setJobGroup(group, s"SqlGateway /search k=$k expand=$expand fuse=$fuse",
+        interruptOnCancel = true)
+      val deadline = deadlines.schedule({ () =>
+        timedOut.set(true)
+        sc.cancelJobGroup(group)
+      }: Runnable, timeoutSec.toLong, TimeUnit.SECONDS)
+      try {
+        import org.apache.spark.sql.functions.col
+        import org.apache.spark.sql.types.LongType
+        val lex = graft.streaming.IndexMaintenance.searchFromStore(spark, corpusDir,
+          qTerms = qOpt.toSeq, docId = docIdOpt, k = k, qt = qt,
+          expand = expand, rerank = rerank)
+        val df =
+          if (!fuse) lex
+          else {
+            // vector leg: the stored embedding of doc_id probes the
+            // maintained IVF store (the /ann doc_id path's frame)
+            val root = IndexStore.configuredDir(spark).getOrElse(throw new BadRequest(
+              s"no index store configured on the gateway session (${IndexStore.DirConf})"))
+            val path = IndexStore.storePath(root, corpusDir,
+              streaming.IndexMaintenance.IvfAssignStoreName)
+            if (!IndexStore.committed(spark, path))
+              throw new BadRequest("no maintained index store — bootstrap it first")
+            val qFrame = IndexStore.verifiedRead(spark, path)
+              .filter(col("vec_id") === docIdOpt.get)
+              .select(col("vec_id"), col("embedding"))
+            val vec = graft.operators.Similarity.ivfAnnFromStore(spark, corpusDir,
+              probes = probes, topK = k, queriesOpt = Some(qFrame))
+            graft.operators.CorpusOps.rrfFuse(
+              lex.select(col("q_id"), col("doc_id").as("item"),
+                col("rk").cast(LongType).as("rk_lex")),
+              vec.select(col("q_id"), col("neighbor_id").as("item"),
+                col("rk").cast(LongType).as("rk_vec")))
+          }
+        val (payload, rows, truncated) = render(df, format, HardMaxRows)
+        ex.getResponseHeaders.set("X-Graft-Rows", rows.toString)
+        ex.getResponseHeaders.set("X-Graft-Truncated", truncated.toString)
+        val mime = if (format == "JSONEachRow") "application/x-ndjson" else "text/tab-separated-values"
+        respond(ex, 200, mime, payload)
+      } catch {
+        case _: Throwable if timedOut.get() =>
+          respond(ex, 504, "text/plain",
+            s"query cancelled: exceeded max_execution_time=${timeoutSec}s\n")
+      } finally {
+        deadline.cancel(false)
+        sc.clearJobGroup()
+        graft.Materialize.reclaimDeadBroadcasts()
+      }
+    } catch {
       case e @ (_: org.apache.spark.sql.AnalysisException |
                 _: IllegalArgumentException | _: IllegalStateException) =>
         respond(ex, 400, "text/plain", clip(e.getMessage) + "\n")

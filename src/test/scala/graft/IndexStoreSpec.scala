@@ -1312,6 +1312,25 @@ class IndexStoreSpec extends SparkSpec {
     val mBatch = key(operators.Similarity.mrlTopK(e, e.filter(col("vec_id") < 8), dims = 16))
     assert(mServed.nonEmpty && mServed == mBatch,
       "store-served MRL ANN must equal the batch path")
+    // IVF-composed serving (probesOpt — the q166/q167 posture): the
+    // stored coarse centroids bound the cheap first pass by probed-cell
+    // mass, and the answer equals the batch computation over the SAME
+    // fixture candidate stage (the bootstrap fit and the session fit are
+    // the same deterministic k-means over the same corpus)
+    val eqf = operators.Ivf.quantize(e)
+    val cand = operators.Similarity.fixtureCellCandidates(sA, dir, eqf)
+    val cServed = key(operators.Similarity.binaryAnnFromStore(sA, dir,
+      probesOpt = Some(2)))
+    val cBatch = key(operators.Similarity.binaryTopK(e,
+      e.filter(col("vec_id") < 8), candOpt = Some(cand)))
+    assert(cServed.nonEmpty && cServed == cBatch,
+      "composed binary×IVF serve must equal the batch candidate-stage path")
+    val cmServed = key(operators.Similarity.mrlAnnFromStore(sA, dir, dims = 16,
+      probesOpt = Some(2)))
+    val cmBatch = key(operators.Similarity.mrlTopK(e,
+      e.filter(col("vec_id") < 8), dims = 16, candOpt = Some(cand)))
+    assert(cmServed.nonEmpty && cmServed == cmBatch,
+      "composed MRL×IVF serve must equal the batch candidate-stage path")
     // takedown: purge every current top-1 neighbor; the binary serve
     // must follow the store's membership — no purged id as a neighbor,
     // and exact parity with the batch computation on the survivors

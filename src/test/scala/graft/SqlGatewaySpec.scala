@@ -488,4 +488,86 @@ class SqlGatewaySpec extends SparkSpec {
         s"cached attribute frame must serve from memory:\n$plan")
     }
   }
+
+  test("/search serves lexical retrieval off the maintained tf store: term bag, more-like-this, expand, rerank, fuse") {
+    import org.apache.spark.sql.functions.col
+    val root = java.nio.file.Files.createTempDirectory("graft_gw_search").toFile.getAbsolutePath
+    spark.conf.set(IndexStore.DirConf, root)
+    try {
+      val docs = Tables.load(spark, dir, "documents")
+      streaming.IndexMaintenance.bootstrapTfStore(spark, dir, docs)
+      streaming.IndexMaintenance.bootstrapIvfAssignments(spark, dir,
+        Tables.load(spark, dir, "embeddings"))
+      Tables.registerAll(spark, dir)
+      val gw = SqlGateway.start(spark, corpusDir = dir)
+      try {
+        val port = gw.port
+        def docIds(body: String): Seq[Long] = body.trim.split("\n").toSeq
+          .filter(_.nonEmpty)
+          .map(l => "\"doc_id\":(-?\\d+)".r.findFirstMatchIn(l).get.group(1).toLong)
+        // more-like-this: rows equal the library serving path (which the
+        // RetrievalServeSpec pins equal to batch q130)
+        val r = get(port, "/search?doc_id=3&k=5")
+        assert(r.statusCode() == 200, r.body())
+        val expect = streaming.IndexMaintenance.searchFromStore(spark, dir,
+            docId = Some(3L), k = 5)
+          .select("doc_id").collect().map(_.getLong(0)).toSeq
+        assert(docIds(r.body()) == expect, s"got ${docIds(r.body())} expected $expect")
+        // term-bag query: q_id = -1 rows, phrase pulled from the corpus
+        val phrase = docs.filter(col("doc_id") === 3L)
+          .selectExpr("array_join(slice(split(lower(trim(regexp_replace(text, '\\\\s+', ' '))), ' '), 1, 3), ' ')")
+          .collect()(0).getString(0)
+        val rq = get(port, "/search?k=5&q=" +
+          java.net.URLEncoder.encode(phrase, UTF_8))
+        assert(rq.statusCode() == 200, rq.body())
+        assert(rq.body().trim.split("\n").forall(_.contains("\"q_id\":-1")), rq.body())
+        assert(docIds(rq.body()).nonEmpty)
+        // knobs answer 200 with rows: expand=rm3, rerank=maxsim, both
+        val rx = get(port, "/search?doc_id=3&k=5&expand=rm3")
+        assert(rx.statusCode() == 200 && docIds(rx.body()).nonEmpty, rx.body())
+        val rr = get(port, "/search?doc_id=3&k=5&rerank=maxsim")
+        assert(rr.statusCode() == 200 && docIds(rr.body()).nonEmpty, rr.body())
+        val rxr = get(port, "/search?doc_id=3&k=5&expand=rm3&rerank=maxsim")
+        assert(rxr.statusCode() == 200 && docIds(rxr.body()).nonEmpty, rxr.body())
+        // fuse=rrf: hybrid rows carry both leg ranks and the fused rank
+        val rf = get(port, "/search?doc_id=3&k=5&fuse=rrf&probes=4")
+        assert(rf.statusCode() == 200, rf.body())
+        val fLines = rf.body().trim.split("\n")
+        assert(fLines.nonEmpty && fLines.forall(l =>
+          l.contains("\"rrf_micro\":") && l.contains("\"item\":")), rf.body())
+        // TSV also renders
+        assert(get(port, "/search?doc_id=3&k=2&format=TSV").statusCode() == 200)
+        // knob validation: symmetric 400s, never silent
+        assert(get(port, "/search").statusCode() == 400) // neither q nor doc_id
+        assert(get(port, "/search?doc_id=3&q=hello").statusCode() == 400) // both
+        assert(get(port, "/search?q=hello&fuse=rrf").statusCode() == 400) // no stored vector
+        assert(get(port, "/search?doc_id=3&probes=4").statusCode() == 400) // probes without fuse
+        assert(get(port, "/search?doc_id=3&expand=bogus").statusCode() == 400)
+        assert(get(port, "/search?doc_id=3&rerank=bogus").statusCode() == 400)
+        assert(get(port, "/search?doc_id=3&fuse=bogus").statusCode() == 400)
+        assert(get(port, "/search?doc_id=3&k=0").statusCode() == 400)
+        // /ann knob symmetry landed with the same change: irrelevant
+        // explicit knobs are 400s...
+        assert(get(port, "/ann?doc_id=3&short_k=32").statusCode() == 400) // ivf path
+        assert(get(port, "/ann?doc_id=3&prefilter=binary&dims=8").statusCode() == 400)
+        // ...and probes now COMPOSES the cheap rungs with the stored
+        // inverted file (the q166/q167 serving posture): rows equal the
+        // library path with the same probes
+        val rc = get(port, "/ann?doc_id=3&k=3&prefilter=binary&probes=2")
+        assert(rc.statusCode() == 200, rc.body())
+        val e = Tables.load(spark, dir, "embeddings")
+        val expectC = operators.Similarity.binaryAnnFromStore(spark, dir, topK = 3,
+            queriesOpt = Some(e.filter(col("vec_id") === 3)
+              .select(col("vec_id"), col("embedding"))),
+            probesOpt = Some(2))
+          .select("neighbor_id").collect().map(_.getLong(0)).toSeq
+        val gotC = rc.body().trim.split("\n").toSeq.map(l =>
+          "\"neighbor_id\":(-?\\d+)".r.findFirstMatchIn(l).get.group(1).toLong)
+        assert(gotC == expectC, s"got $gotC expected $expectC")
+        val rcm = get(port, "/ann?doc_id=3&k=3&prefilter=mrl&dims=16&probes=2")
+        assert(rcm.statusCode() == 200 &&
+          rcm.body().trim.split("\n").length == 3, rcm.body())
+      } finally gw.stop()
+    } finally spark.conf.unset(IndexStore.DirConf)
+  }
 }
