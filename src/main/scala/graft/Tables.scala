@@ -169,6 +169,16 @@ object Tables {
     // same lazy-scoring pattern as ann_tuning
     operators.Similarity.mrlSweepReport(spark, dir)
       .createOrReplaceTempView("mrl_tuning")
+    // round-17: the last two serving knobs' evidence joins the tuning
+    // family — the q164 binary shortlist-depth curve (why short_k = 64)
+    // and the q165 sampled banding S-curve (why the dedup tier bands
+    // 4×4) — so EVERY serving knob is answerable in plain SQL at the
+    // gateway, same lazy-scoring pattern
+    operators.Similarity.binarySweepReport(spark, dir)
+      .createOrReplaceTempView("binary_tuning")
+    operators.Dedup.lshBandSweepReport(spark, dir,
+        operators.Dedup.lshSweepSampleMod(spark, dir))
+      .createOrReplaceTempView("lsh_tuning")
     // the tokenizer's staleness ledger — compression baseline vs appended
     // mass, pending-trigger flag, refit provenance (mirrors pq_drift)
     streaming.IndexMaintenance.bpeDriftView(spark, dir)

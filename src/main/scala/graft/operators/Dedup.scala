@@ -55,6 +55,15 @@ object Dedup {
     * between ~24M and ~0.05M digest computations at sf0.1 — while staying
     * bit-identical in DuckDB.
     */
+  /** q165 sample target: the sweep's doc sample aims at this many docs
+    * (mod = max(1, n div target)), so the report's pair volume — incl.
+    * its deliberately-diagnostic 16×1 level and uncapped exact
+    * denominator — is bounded by ~(2·target)² docs at ANY corpus size.
+    * Below the target (fixture SFs ≤ 0.01) the derived mod is 1 and the
+    * sample IS the corpus.
+    */
+  private[graft] val LshSweepTargetDocs = 1024L
+
   private val MersenneP = 2147483647L
   private val permA: IndexedSeq[Long] =
     (1 to NumPerms).map(j => graft.functions.VectorFunctions.md5Hex60(s"mh_a|$j") % (MersenneP - 1) + 1)
@@ -517,8 +526,23 @@ object Dedup {
     // minima-match bitmap decides every coarser level's membership in
     // plain boolean expressions, and a 5-row fan-out prices the curve.
     // Recall is priced against the EXACT ≥τ pair set (q36's inverted
-    // index — the one uncapped exact baseline), with a dynamic
-    // denominator like q159. Everything is integer/boolean-exact.
+    // index), with a dynamic denominator like q159.
+    //
+    // SAMPLED (round 17): the sweep's two deliberately-diagnostic legs —
+    // the uncapped exact denominator and the 16×1 single-permutation
+    // collision level — grow ~quadratically within collision buckets, so
+    // the REPORT itself could not run at production scale (r16 verdict
+    // "What's wrong" #1). The sweep now runs over a deterministic hash
+    // sample of docs (the q110/q129 draw recipe): mod = max(1,
+    // n_docs div LshSweepTargetDocs), keep doc iff
+    // hex60('lshsweep|' || doc_id) % mod = 0 — BOTH engines derive the
+    // identical mod from the identical count, so the report stays
+    // oracle-exact at every scale while its pair volume is bounded by
+    // ~(2·target)² docs FOREVER. An S-curve is a per-pair Jaccard
+    // property, so a uniform doc sample estimates it unbiasedly;
+    // DedupSimilaritySpec pins sample-vs-full agreement at sf0.1 (at
+    // fixture SFs ≤ 0.01 the derived mod is 1: sample ≡ full corpus).
+    // Everything is integer/boolean-exact.
     QuerySpec("q165_lsh_band_sweep") {
       val levels = Seq(1, 2, 4, 8, 16)
       val minCols = (1 to NumPerms)
@@ -537,8 +561,15 @@ object Dedup {
       }
       val memberCase = levels
         .map(b => s"WHEN ${b} THEN ${memberSql(b)}").mkString(" ")
-      s"""WITH $shingleCtes,
-        |shh AS (SELECT doc_id, s % $MersenneP AS hb FROM sh),
+      s"""WITH $shingleBaseCtes,
+        |smod AS (SELECT greatest(1, count(*) // $LshSweepTargetDocs) AS m FROM documents),
+        |ssh AS MATERIALIZED (SELECT doc_id, s FROM sh
+        |  WHERE ${hex60Sql("'lshsweep|' || CAST(doc_id AS VARCHAR)")} % (SELECT m FROM smod) = 0),
+        |nsh AS (SELECT doc_id, count(*) AS ns FROM ssh GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS a_doc, b.doc_id AS b_doc, count(*) AS n_inter
+        |          FROM ssh a JOIN ssh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2),
+        |shh AS (SELECT doc_id, s % $MersenneP AS hb FROM ssh),
         |sig AS (SELECT doc_id,
         |    $minCols
         |  FROM shh GROUP BY doc_id),
@@ -570,63 +601,7 @@ object Dedup {
         |FROM lv l LEFT JOIN nc ON nc.bands = l.bands
         |  LEFT JOIN h ON h.bands = l.bands, nt
         |ORDER BY l.bands""".stripMargin
-    } { (s, dir) =>
-      import s.implicits._
-      graft.plans.GraftExtensions.register(s)
-      val levels = Seq(1, 2, 4, 8, 16)
-      val dss = TextAnalysis.shingleIndex(s, dir)
-      val sig = dss
-        .withColumn("sigs", call_function("minhash_sigs", col("ss"),
-          typedLit(permA), typedLit(permB), lit(MersenneP)))
-        .filter(col("sigs").isNotNull)
-        .select(col("doc_id"), col("sigs"))
-        .transform(graft.Materialize.ephemeral)
-      // finest-level candidate generation: one (j, mⱼ)-keyed equi-join —
-      // every coarser configuration's candidates are a subset (aligned
-      // blocks: an r-row band matches only if all its 1-row bands do)
-      val b16 = sig.select(col("doc_id"), posexplode(col("sigs")).as(Seq("j", "mj")))
-      val cand = b16.as("x").join(b16.as("y"),
-          col("x.j") === col("y.j") && col("x.mj") === col("y.mj") &&
-            col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("a_doc"), col("y.doc_id").as("b_doc"))
-        .distinct()
-      // per-pair minima-match bitmap, then 5-level membership fan-out —
-      // pair-bounded work after the one candidate join
-      val pm = cand
-        .join(sig.select(col("doc_id").as("a_doc"), col("sigs").as("sa")), "a_doc")
-        .join(sig.select(col("doc_id").as("b_doc"), col("sigs").as("sb")), "b_doc")
-        .withColumn("f", zip_with(col("sa"), col("sb"), (x, y) => x === y))
-      def member(bands: Int): org.apache.spark.sql.Column = {
-        val r = NumPerms / bands
-        (0 until bands).map { i =>
-          (0 until r).map(k => col("f").getItem(i * r + k)).reduce(_ && _)
-        }.reduce(_ || _)
-      }
-      val mem = pm
-        .select(col("a_doc"), col("b_doc"),
-          explode(array(levels.map(b =>
-            struct(lit(b).as("bands"), member(b).as("m"))): _*)).as("t"))
-        .filter(col("t.m"))
-        .select(col("t.bands").as("bands"), col("a_doc"), col("b_doc"))
-      val exact = pairJaccard(dss)
-        .filter(col("jac_raw") >= JaccardThreshold)
-        .select(col("a_doc"), col("b_doc"))
-      val nCand = mem.groupBy(col("bands")).agg(count(lit(1)).as("n_cand"))
-      val hits = mem.join(exact, Seq("a_doc", "b_doc"))
-        .groupBy(col("bands")).agg(count(lit(1)).as("n_hits"))
-      val nTrue = exact.groupBy().agg(count(lit(1)).as("n_true"))
-      levels.toDF("bands")
-        .join(nCand, Seq("bands"), "left")
-        .join(hits, Seq("bands"), "left")
-        .crossJoin(broadcast(nTrue))
-        .select(col("bands"),
-          coalesce(col("n_cand"), lit(0L)).as("n_cand"),
-          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
-          col("n_true"))
-        .withColumn("recall_micro",
-          coalesce(expr("(n_hits * CAST(1000000 AS BIGINT)) div nullif(n_true, 0)"), lit(0L)))
-        .orderBy(col("bands"))
-    },
+    } { (s, dir) => lshBandSweepReport(s, dir, lshSweepSampleMod(s, dir)) },
 
     // ----- incremental near-dup: new batch vs existing corpus -------------
     // The daily production dedup job: check an APPEND-ONLY increment (here
@@ -1200,6 +1175,83 @@ object Dedup {
     * and the task fails with instructions instead of OOMing.
     */
   private[graft] val UncappedMaxDf = 1024
+
+  /** The sweep's derived sample mod — the closed form both engines
+    * compute from the same corpus count (the Ivf.derivedSampleMod
+    * pattern).
+    */
+  private[graft] def lshSweepSampleMod(s: org.apache.spark.sql.SparkSession,
+      dir: String): Long =
+    math.max(1L, Tables.load(s, dir, "documents").count() / LshSweepTargetDocs)
+
+  /** q165's banding-parameter report as a library frame, over the
+    * `sampleMod`-drawn doc sample (`1` = the full corpus — the
+    * measurement referent the sample-vs-full agreement spec compares
+    * against; the production entry point passes [[lshSweepSampleMod]]).
+    * Shared by the CORRECTNESS query and the gateway's `lsh_tuning`
+    * view. See the q165 scaladoc for the single-generation design.
+    */
+  private[graft] def lshBandSweepReport(s: org.apache.spark.sql.SparkSession,
+      dir: String, sampleMod: Long): DataFrame = {
+    import s.implicits._
+    graft.plans.GraftExtensions.register(s)
+    val levels = Seq(1, 2, 4, 8, 16)
+    val dss = TextAnalysis.shingleIndex(s, dir)
+      .filter(graft.functions.TextFunctions.hex60(
+        concat(lit("lshsweep|"), col("doc_id").cast(org.apache.spark.sql.types.StringType)))
+        % sampleMod === 0)
+    val sig = dss
+      .withColumn("sigs", call_function("minhash_sigs", col("ss"),
+        typedLit(permA), typedLit(permB), lit(MersenneP)))
+      .filter(col("sigs").isNotNull)
+      .select(col("doc_id"), col("sigs"))
+      .transform(graft.Materialize.ephemeral)
+    // finest-level candidate generation: one (j, mⱼ)-keyed equi-join —
+    // every coarser configuration's candidates are a subset (aligned
+    // blocks: an r-row band matches only if all its 1-row bands do)
+    val b16 = sig.select(col("doc_id"), posexplode(col("sigs")).as(Seq("j", "mj")))
+    val cand = b16.as("x").join(b16.as("y"),
+        col("x.j") === col("y.j") && col("x.mj") === col("y.mj") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a_doc"), col("y.doc_id").as("b_doc"))
+      .distinct()
+    // per-pair minima-match bitmap, then 5-level membership fan-out —
+    // pair-bounded work after the one candidate join
+    val pm = cand
+      .join(sig.select(col("doc_id").as("a_doc"), col("sigs").as("sa")), "a_doc")
+      .join(sig.select(col("doc_id").as("b_doc"), col("sigs").as("sb")), "b_doc")
+      .withColumn("f", zip_with(col("sa"), col("sb"), (x, y) => x === y))
+    def member(bands: Int): org.apache.spark.sql.Column = {
+      val r = NumPerms / bands
+      (0 until bands).map { i =>
+        (0 until r).map(k => col("f").getItem(i * r + k)).reduce(_ && _)
+      }.reduce(_ || _)
+    }
+    val mem = pm
+      .select(col("a_doc"), col("b_doc"),
+        explode(array(levels.map(b =>
+          struct(lit(b).as("bands"), member(b).as("m"))): _*)).as("t"))
+      .filter(col("t.m"))
+      .select(col("t.bands").as("bands"), col("a_doc"), col("b_doc"))
+    val exact = pairJaccard(dss)
+      .filter(col("jac_raw") >= JaccardThreshold)
+      .select(col("a_doc"), col("b_doc"))
+    val nCand = mem.groupBy(col("bands")).agg(count(lit(1)).as("n_cand"))
+    val hits = mem.join(exact, Seq("a_doc", "b_doc"))
+      .groupBy(col("bands")).agg(count(lit(1)).as("n_hits"))
+    val nTrue = exact.groupBy().agg(count(lit(1)).as("n_true"))
+    levels.toDF("bands")
+      .join(nCand, Seq("bands"), "left")
+      .join(hits, Seq("bands"), "left")
+      .crossJoin(broadcast(nTrue))
+      .select(col("bands"),
+        coalesce(col("n_cand"), lit(0L)).as("n_cand"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        col("n_true"))
+      .withColumn("recall_micro",
+        coalesce(expr("(n_hits * CAST(1000000 AS BIGINT)) div nullif(n_true, 0)"), lit(0L)))
+      .orderBy(col("bands"))
+  }
 
   private[graft] def pairJaccard(dss: DataFrame, dfCap: Option[Int] = None): DataFrame =
     dss.select(col("doc_id"), size(col("ss")).as("ns"), explode(col("ss")).as("s"))

@@ -398,4 +398,49 @@ class DedupSimilaritySpec extends SparkSpec {
       assert(reps.head.getLong(0) == want, s"root $root rep is not the pr-argmax")
     }
   }
+
+  test("q165 sampled banding sweep agrees with the full-corpus sweep at sf0.1") {
+    // The sample-vs-full contract behind the round-17 sampling (r16
+    // verdict "What's wrong" #1): the PRODUCTION q165 runs over the
+    // deterministic hash sample (mod = n div 1024), and this spec pins
+    // that the sampled S-curve supports the SAME banding decisions as
+    // the full sweep it replaced. Measured at sf0.1 (5000 docs, 256
+    // true pairs vs 1255-doc sample, 13 true pairs):
+    //   full recall  [0.641, 0.941, 1.0, 1.0, 1.0]
+    //   samp recall  [0.462, 1.000, 1.0, 1.0, 1.0]
+    // — both saturate by the q37 production point (4×4), both expose
+    // the 16×1 candidate explosion (n_cand/n_true 611× vs 736×).
+    val sfDir = "/root/testdata/sf0.1"
+    def curve(mod: Long): Seq[(Int, Long, Long, Long, Long)] =
+      operators.Dedup.lshBandSweepReport(spark, sfDir, mod).collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .toSeq.sortBy(_._1)
+    val mod = operators.Dedup.lshSweepSampleMod(spark, sfDir)
+    assert(mod > 1, s"sf0.1 must actually sample (mod=$mod)")
+    val full = curve(1L)
+    val samp = curve(mod)
+    assert(full.map(_._1) == samp.map(_._1))
+    // the sample is a real reduction with surviving signal
+    assert(samp.head._4 > 0, "sampled sweep lost every true pair — sample too thin")
+    assert(samp.head._4 < full.head._4, "sample did not reduce the exact denominator")
+    // per-band recall agreement: a 13-pair estimate of a ~0.5 recall has
+    // binomial σ ≈ 0.14, so the tolerance sits at ~2σ
+    full.zip(samp).foreach { case ((b, _, _, _, rf), (_, _, _, _, rs)) =>
+      assert(math.abs(rf - rs) <= 280000L,
+        s"bands=$b: sampled recall $rs vs full $rf diverge past tolerance")
+    }
+    // both curves are monotone and saturate by the 4×4 production point
+    def recalls(c: Seq[(Int, Long, Long, Long, Long)]) = c.map(_._5)
+    Seq(full, samp).foreach { c =>
+      assert(recalls(c) == recalls(c).sorted, "banding recall must be monotone in bands")
+      assert(c.find(_._1 == 4).get._5 == 1000000L,
+        "recall must saturate at the 4x4 production point")
+    }
+    // both expose the 16×1 diagnostic explosion the report exists to show
+    Seq(full, samp).foreach { c =>
+      val r16 = c.find(_._1 == 16).get
+      assert(r16._2 >= 100 * r16._4,
+        s"16x1 candidates ${r16._2} do not dominate true pairs ${r16._4}")
+    }
+  }
 }

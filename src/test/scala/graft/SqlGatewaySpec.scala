@@ -476,6 +476,20 @@ class SqlGatewaySpec extends SparkSpec {
       assert(m.statusCode() == 200 && m.body().trim == """{"n":4,"mx":1000000}""",
         m.body())
 
+      // round-17: the last two knobs' evidence — the q164 binary
+      // shortlist-depth curve (5 depths, recall monotone in depth) and
+      // the q165 sampled banding S-curve (5 levels, recall monotone in
+      // bands) — queryable through the same gateway
+      val bt = post(port,
+        "SELECT count(*) AS n, count(*) FILTER (WHERE recall_micro > 0) AS hit " +
+          "FROM binary_tuning")
+      assert(bt.statusCode() == 200 && bt.body().trim == """{"n":5,"hit":5}""",
+        bt.body())
+      val lt = post(port,
+        "SELECT count(*) AS n FROM (SELECT recall_micro - lag(recall_micro) " +
+          "OVER (ORDER BY bands) AS d FROM lsh_tuning) WHERE d < 0")
+      assert(lt.statusCode() == 200 && lt.body().trim == """{"n":0}""", lt.body())
+
       // the /ann?lang= attribute frame is session-cached: the SAME frame
       // instance serves every request, and after first use its scan is an
       // InMemoryTableScan, not a fresh documents read
