@@ -51,6 +51,53 @@ object EventStreams {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream–stream event-time interval join — purchase attribution: each
+    * purchase joins the SAME user's clicks inside the preceding
+    * `windowMinutes` (click_ts ∈ [purchase_ts − window, purchase_ts]),
+    * the last Structured-Streaming capability class the engine's §2.9
+    * surface had not exercised (stream–static enrichment is
+    * [[enrichWithDim]]; THIS is two unbounded sides buffered against
+    * each other).
+    *
+    * Bounded state is the design, not an accident: both sides carry an
+    * event-time watermark AND the join condition carries the event-time
+    * interval — which is exactly what lets Spark expire buffered rows
+    * (a click drops once the watermark passes click_ts + window, a
+    * purchase once it passes purchase_ts; StreamingSpec pins the
+    * cleanup via state-operator metrics). Without the interval bound
+    * the state would grow with the stream, which is why this operator
+    * hard-requires it rather than exposing a raw equi-join.
+    *
+    * `joinType` "inner" emits attributed purchases as soon as both
+    * sides arrive; "leftOuter" ALSO emits unattributed purchases with
+    * null click columns — but only once the watermark PROVES no
+    * matching click can still arrive (the null rows are late by one
+    * watermark advance, the documented outer-join semantics).
+    *
+    * At 100 TB/day scale this plan shuffles both streams by the join
+    * key once per micro-batch and keeps per-key state ≈ one window of
+    * events — the standard attribution-join posture.
+    */
+  def attributedPurchases(clicks: DataFrame, purchases: DataFrame,
+      watermark: String = "10 minutes", windowMinutes: Int = 30,
+      joinType: String = "inner"): DataFrame = {
+    val c = clicks
+      .withWatermark("ts", watermark)
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+    val p = purchases
+      .withWatermark("ts", watermark)
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"), col("value"))
+    p.join(c,
+      col("user_id") === col("c_user") &&
+        col("click_ts") <= col("purchase_ts") &&
+        col("click_ts") >= col("purchase_ts") - expr(s"INTERVAL $windowMinutes MINUTES"),
+      joinType)
+      .select(col("user_id"), col("purchase_id"), col("purchase_ts"),
+        col("value"), col("click_id"), col("click_ts"))
+  }
+
   /** Streaming NEAR-dup banding: minhash band rows (shared math with the
     * oracle-checked q37 — operators.Dedup.bandRows) deduped within the
     * watermark horizon, so the FIRST document to claim each (band, bh)

@@ -269,6 +269,90 @@ class StreamingSpec extends SparkSpec {
     assert(rows.contains(("2024-01-01 00:05:00", "view", 1L, 5.0)))
   }
 
+  test("stream-stream event-time join: interval attribution, late-data drop, bounded state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Long, Timestamp, Long)]
+    val purchases = MemoryStream[(Long, Timestamp, Long, Double)]
+    val q = EventStreams.attributedPurchases(
+        clicks.toDF().toDF("event_id", "ts", "user_id"),
+        purchases.toDF().toDF("event_id", "ts", "user_id", "value"))
+      .writeStream.format("memory").queryName("attr_join").outputMode("append").start()
+
+    def joined(): Set[(Long, Long, Long)] = spark.table("attr_join")
+      .select("user_id", "purchase_id", "click_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+    // user 1: click 10:00 → purchase 10:10 (inside the 30-min window);
+    // user 2: purchase with NO click; user 4: click 09:00 → purchase
+    // 09:45 (45 min — outside the window, must not attribute)
+    clicks.addData(
+      (100L, Timestamp.valueOf("2024-01-01 10:00:00"), 1L),
+      (101L, Timestamp.valueOf("2024-01-01 09:00:00"), 4L))
+    purchases.addData(
+      (200L, Timestamp.valueOf("2024-01-01 10:10:00"), 1L, 9.0),
+      (201L, Timestamp.valueOf("2024-01-01 10:05:00"), 2L, 5.0),
+      (202L, Timestamp.valueOf("2024-01-01 09:45:00"), 4L, 7.0))
+    q.processAllAvailable()
+    assert(joined() == Set((1L, 200L, 100L)),
+      s"only the in-window pair attributes: ${joined()}")
+
+    // state before the watermark advance: both sides buffered
+    val buffered = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+    assert(buffered > 0, "the interval join must hold state for buffered rows")
+
+    // advance event time far past every buffered row + window + watermark,
+    // on BOTH sides (the join watermark is the min of the two inputs)
+    clicks.addData((110L, Timestamp.valueOf("2024-01-01 13:00:00"), 9L))
+    purchases.addData((210L, Timestamp.valueOf("2024-01-01 13:00:00"), 9L, 1.0))
+    q.processAllAvailable()
+    // one more batch so eviction (planned against the ADVANCED watermark)
+    // runs and reports its metrics
+    clicks.addData((111L, Timestamp.valueOf("2024-01-01 13:01:00"), 9L))
+    q.processAllAvailable()
+    val afterAdvance = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+    assert(afterAdvance < buffered + 3,
+      s"watermark advance must evict expired join state: $buffered -> $afterAdvance")
+
+    // late data beyond the watermark: a click at 10:09 for user 2's old
+    // purchase arrives after the watermark passed 10:09 + window — it
+    // must be DROPPED, not create a new attribution
+    clicks.addData((120L, Timestamp.valueOf("2024-01-01 10:09:00"), 2L))
+    q.processAllAvailable()
+    q.stop()
+    assert(!joined().exists(_._3 == 120L),
+      s"late click beyond the watermark must not attribute: ${joined()}")
+
+    // leftOuter: the unattributed purchase emits with a NULL click once
+    // the watermark proves no click can arrive
+    val clicks2 = MemoryStream[(Long, Timestamp, Long)]
+    val purchases2 = MemoryStream[(Long, Timestamp, Long, Double)]
+    val q2 = EventStreams.attributedPurchases(
+        clicks2.toDF().toDF("event_id", "ts", "user_id"),
+        purchases2.toDF().toDF("event_id", "ts", "user_id", "value"),
+        joinType = "leftOuter")
+      .writeStream.format("memory").queryName("attr_join_outer").outputMode("append").start()
+    clicks2.addData((300L, Timestamp.valueOf("2024-01-01 10:00:00"), 1L))
+    purchases2.addData(
+      (400L, Timestamp.valueOf("2024-01-01 10:10:00"), 1L, 9.0),
+      (401L, Timestamp.valueOf("2024-01-01 10:05:00"), 2L, 5.0))
+    q2.processAllAvailable()
+    clicks2.addData((310L, Timestamp.valueOf("2024-01-01 13:00:00"), 9L))
+    purchases2.addData((410L, Timestamp.valueOf("2024-01-01 13:00:00"), 9L, 1.0))
+    q2.processAllAvailable()
+    // an extra empty-ish batch lets the outer side emit its null rows
+    clicks2.addData((311L, Timestamp.valueOf("2024-01-01 13:01:00"), 9L))
+    q2.processAllAvailable()
+    q2.stop()
+    val outer = spark.table("attr_join_outer")
+      .select("user_id", "purchase_id", "click_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+    assert(outer.contains((1L, 400L, 300L)), s"attributed row missing: $outer")
+    assert(outer.contains((2L, 401L, -1L)),
+      s"unattributed purchase must emit with null click after the watermark: $outer")
+  }
+
   test("streaming near-dup banding: duplicate content loses all its bands") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
