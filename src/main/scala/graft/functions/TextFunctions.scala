@@ -49,9 +49,19 @@ object TextFunctions {
 
   /** Deterministic 60-bit non-negative hash: first 15 hex chars of md5.
     * DuckDB equivalent: `CAST('0x' || substr(md5(x), 1, 15) AS BIGINT)`.
+    *
+    * Since r17 this is the native [[graft.functions.expressions.Md5Long60]]
+    * expression — bit-identical to the previous
+    * `conv(substring(md5(x), 1, 15), 16, 10) :: long` chain (the 60-bit
+    * value is read off the raw digest instead of hex-encoding, substring-
+    * ing, base-converting and re-parsing it; Md5Long60Spec pins the
+    * equality) but with zero intermediate string allocations — this is
+    * the hottest per-row scalar of the dedup/text family (guide §4).
     */
   def hex60(c: Column): Column =
-    conv(substring(md5(c.cast(BinaryType)), 1, 15), 16, 10).cast(LongType)
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.functions.expressions.Md5Long60(
+        org.apache.spark.sql.GraftColumnBridge.expression(c.cast(BinaryType))))
 
   /** Seeded variant for minhash permutation families: hash of "<seed>|x". */
   def hex60Seeded(seed: Int, c: Column): Column =

@@ -46,12 +46,19 @@ object VectorFunctions {
     * accumulator and the DECIMAL(20,0) sum are overflow-free by 6 orders.
     */
   def dotDec(a: Column, b: Column): Column = {
-    def q(c: Column): Column =
-      floor(c.cast(DoubleType) * lit(SimQuantScale)).cast(LongType)
-    val sumLong = aggregate(
-      zip_with(a, b, (x, y) => q(x) * q(y)),
-      lit(0L),
-      (acc, x) => acc + x)
+    // The quantize-multiply-sum core is the fused native loop
+    // [[graft.functions.expressions.QuantDotLong]] since r17 — identical
+    // arithmetic and null semantics to the previous
+    // `aggregate(zip_with(..., floor(x·1e6)·floor(y·1e6)), 0L, +)` chain
+    // (QuantDotLongSpec pins it) without the per-row zipped-array
+    // allocation and interpreted lambdas: this scalar runs corpus ×
+    // query-batch times in every exact similarity leg (guide §4).
+    val sumLong = org.apache.spark.sql.GraftColumnBridge.column(
+      graft.functions.expressions.QuantDotLong(
+        org.apache.spark.sql.GraftColumnBridge.expression(
+          a.cast(ArrayType(DoubleType))),
+        org.apache.spark.sql.GraftColumnBridge.expression(
+          b.cast(ArrayType(DoubleType)))))
     // ·1e-12 as an exact decimal multiply (scale-12 literal), never a
     // double division: (20,0)×(12,12) → DECIMAL(33,12), lossless, then the
     // final cast to (20,12) only narrows unused integer headroom.

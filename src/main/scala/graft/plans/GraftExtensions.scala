@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.expressions.{BloomMightContainLong, FreqItemsMG, FreqItemsMGWeighted, LongVecDot, MinHashSigs, SortedBucketIndex}
+import graft.functions.expressions.{BloomMightContainLong, FreqItemsMG, FreqItemsMGWeighted, LongVecDot, Md5Long60, MinHashSigs, QuantDotLong, SortedBucketIndex}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -104,6 +104,19 @@ object GraftExtensions {
               a.toObjectArray(org.apache.spark.sql.types.StringType)
                 .map(_.toString)
           })
+      }),
+    (FunctionIdentifier("md5_long60"),
+      new ExpressionInfo(classOf[Md5Long60].getName, "md5_long60"),
+      (children: Seq[Expression]) => {
+        requireArity("md5_long60(bytes)", "expects one binary argument", children, 1)
+        Md5Long60(children(0))
+      }),
+    (FunctionIdentifier("vec_qdot_long"),
+      new ExpressionInfo(classOf[QuantDotLong].getName, "vec_qdot_long"),
+      (children: Seq[Expression]) => {
+        requireArity("vec_qdot_long(a, b)", "expects two array<double> arguments",
+          children, 2)
+        QuantDotLong(children(0), children(1))
       }),
     (FunctionIdentifier("bloom_might_contain_long"),
       new ExpressionInfo(classOf[BloomMightContainLong].getName, "bloom_might_contain_long"),
