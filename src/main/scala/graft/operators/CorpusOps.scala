@@ -1334,11 +1334,25 @@ object CorpusOps {
       val n = docs.agg(count(lit(1)).cast(LongType).as("n"))
       val ks = n.select(col("n"), explode(sequence(lit(1), lit(10))).as("k"))
         .select(col("k").cast(LongType).as("k"), expr("(k * n) div 10").as("n_docs"))
-      def growth(fs: org.apache.spark.sql.DataFrame, out: String) =
-        fs.crossJoin(broadcast(ks))
-          .groupBy(col("k"), col("n_docs"))
-          .agg(sum(when(col("first_ord") <= col("n_docs"), 1L).otherwise(0L))
-            .cast(LongType).as(out))
+      // r17: decile-bucket + running sum instead of a 10× fan-out of the
+      // vocabulary-sized first-seen frame (guide §2.3 — aggregate before
+      // you multiply rows). A type with first_ord f is counted at decile k
+      // iff f ≤ ⌊k·n/10⌋ ⟺ k ≥ ⌈10·f/n⌉, so its minimal counted decile is
+      // kmin = (10·f + n − 1) div n; vocab(k) is then the RUNNING SUM of
+      // the 10-row per-kmin histogram — same integers, one hash-agg over
+      // the frame instead of 10 copies of it. The cumulative window runs
+      // over ≤ 10 rows per frame (the spine), never data-sized.
+      def growth(fs: org.apache.spark.sql.DataFrame, out: String) = {
+        val hist = fs.crossJoin(broadcast(n))
+          .select(expr("(10 * first_ord + n - 1) div n").as("kmin"))
+          .groupBy(col("kmin")).agg(count(lit(1)).as("cnt"))
+        val wcum = Window.orderBy(col("k"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ks.join(broadcast(hist), col("k") === col("kmin"), "left")
+          .select(col("k"), col("n_docs"), coalesce(col("cnt"), lit(0L)).as("cnt"))
+          .withColumn(out, sum(col("cnt")).over(wcum).cast(LongType))
+          .drop("cnt")
+      }
       growth(fsu, "vocab_uni")
         .join(growth(fss, "vocab_shingle").drop("n_docs"), "k")
         .select(col("k"), col("n_docs"), col("vocab_uni"), col("vocab_shingle"))

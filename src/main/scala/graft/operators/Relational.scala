@@ -569,6 +569,11 @@ object Relational {
       // rows through the aggregation. rsd=0.01 (vs the 0.05 default) keeps
       // Spark's HLL++ estimate comfortably inside the 5% acceptance band
       // the oracle also applies to DuckDB's own sketch.
+      // r17 note: an ephemeral localCheckpoint of the 3-col projection
+      // (one scan feeding all three legs) was MEASURED SLOWER at sf0.1
+      // (2.7 → 3.1 s — checkpoint write+read beats two extra columnar
+      // scans only when the scan is remote/expensive); left as three
+      // pruned parquet scans deliberately.
       val li = Tables.load(s, dir, "lineitem")
       def exact(c: String, out: String) =
         li.select(col("l_returnflag"), col(c)).distinct()

@@ -371,8 +371,26 @@ class PlanAssertionsSpec extends SparkSpec {
       case w: org.apache.spark.sql.execution.window.WindowExec => w.partitionSpec.size
     }
     assert(windows.forall(_ >= 1), s"q80 has a global window: $windows")
-    assert(windows.contains(2), s"q80: expected the salted (q_id, salt) local window, got $windows")
     assert(!qe.executedPlan.toString.contains("CartesianProduct"))
+    // Since r17 the exact side is the (session, dir)-shared referent
+    // (Similarity.exactFixtureRef) — q80's own plan reads it through an
+    // InMemoryTableScan, so the salted (q_id, salt) two-phase top-k is
+    // asserted on the referent's BUILD plan (descending into the cached
+    // relation), which q80 consumes.
+    def allWindows(p: org.apache.spark.sql.execution.SparkPlan): Seq[Int] =
+      p.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec =>
+          Seq(w.partitionSpec.size)
+        case s: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+          allWindows(s.relation.cachedPlan)
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          allWindows(a.executedPlan)
+      }.flatten
+    val refWindows = allWindows(graft.operators.Similarity.exactFixtureRef(spark, dir)
+      .queryExecution.sparkPlan)
+    assert(refWindows.forall(_ >= 1), s"exact referent has a global window: $refWindows")
+    assert(refWindows.contains(2),
+      s"exact referent: expected the salted (q_id, salt) local window, got $refWindows")
   }
 
   test("q81: funnel is the per-user DP — no window, no step-table self-join blowup") {
