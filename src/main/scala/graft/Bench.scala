@@ -199,15 +199,20 @@ object Bench {
       (if (warm.isEmpty) "" else s""""queries_warm":${toJson(warm)},"value_warm":$warmTotal,""") +
       s""""telemetry":$telemetry,"flags":$flags,""" +
       s""""errors":$errJson,"value":${fmt(total)},"metric":"total"}"""
-    // STDOUT line, sized to parse whole inside the 2000-char tail capture
-    // (every BENCH_r1–r9 artifact has parsed:null from exactly this):
-    // per-query values keyed by the name's unique first segment (q01…q127,
-    // q36a — verified collision-free), warm map only when warm ran (the
-    // plan-comparison signal; cold totals stay), totals at the end.
+    // STDOUT line: per-query values keyed by the name's unique first
+    // segment (q01…q167, q35a/q36a — verified collision-free). r18
+    // measurement-visibility fix (VERDICT r17 item 1): the cold map used
+    // to be REPLACED by "queries":{} whenever the warm pass ran, which
+    // blinded the driver's per-query comparison and its scaling block
+    // (PERF_r17.json: n_common = 0, per_query = {}). Both maps now ride
+    // the stdout line — the r17 tail capture already parsed a 169-entry
+    // short-key map, so two maps (~4.5 KB) are within the capture. The
+    // timing methodology is untouched; this only changes what is printed.
     def short(k: String) = k.split('_').head
     val perQuery =
       if (warm.isEmpty) s""""queries":${toJson(results, short)},"""
-      else s""""queries":{},"queries_warm":${toJson(warm, short)},"value_warm":$warmTotal,"""
+      else s""""queries":${toJson(results, short)},""" +
+        s""""queries_warm":${toJson(warm, short)},"value_warm":$warmTotal,"""
     val line = s"""{"unit":"sec","sf":"$sfDir",""" + perQuery +
       s""""flags":$flags,"errors":$errJson,"value":${fmt(total)},"metric":"total"}"""
     // Sentinel on its own line directly above the JSON: a parser scanning
