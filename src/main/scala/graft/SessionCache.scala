@@ -16,8 +16,25 @@ final class SessionCache[V] {
   private val entries =
     scala.collection.concurrent.TrieMap.empty[(String, String), V]
 
-  def getOrElseUpdate(s: SparkSession, dir: String)(build: => V): V =
-    entries.getOrElseUpdate(SessionCache.key(s, dir), build)
+  /** r18 (ADVICE): NOT TrieMap.getOrElseUpdate — that can evaluate
+    * `build` in two racing threads and silently drop one result, leaking
+    * the losing build's persisted blocks (tangible for the persisted
+    * index frames; the concurrent-serving path hits first access from
+    * many requests). putIfAbsent keeps exactly one winner and the loser's
+    * frames are explicitly unpersisted.
+    */
+  def getOrElseUpdate(s: SparkSession, dir: String)(build: => V): V = {
+    val k = SessionCache.key(s, dir)
+    entries.get(k) match {
+      case Some(v) => v
+      case None =>
+        val built = build
+        entries.putIfAbsent(k, built) match {
+          case Some(winner) => SessionCache.discard(built); winner
+          case None => built
+        }
+    }
+  }
 
   /** Drop the entry (returning it for cleanup, e.g. unpersist) — the
     * invalidation hook for durable-index appends: the next read rebuilds
@@ -34,4 +51,14 @@ object SessionCache {
     */
   private def key(s: SparkSession, dir: String): (String, String) =
     (s.sparkContext.applicationId + "@" + System.identityHashCode(s), dir)
+
+  /** Release whatever a losing race build may have persisted: DataFrames
+    * unpersist (no-op if never persisted); tuples of frames recurse;
+    * plain model values need nothing.
+    */
+  private def discard(v: Any): Unit = v match {
+    case df: org.apache.spark.sql.Dataset[_] => df.unpersist(false); ()
+    case p: Product => p.productIterator.foreach(discard)
+    case _ => ()
+  }
 }

@@ -50,7 +50,8 @@ object VectorFunctions {
     // [[graft.functions.expressions.QuantDotLong]] since r17 — identical
     // arithmetic and null semantics to the previous
     // `aggregate(zip_with(..., floor(x·1e6)·floor(y·1e6)), 0L, +)` chain
-    // (QuantDotLongSpec pins it) without the per-row zipped-array
+    // (Md5Long60Spec pins it, incl. ScaleMicro == SimQuantScale) without
+    // the per-row zipped-array
     // allocation and interpreted lambdas: this scalar runs corpus ×
     // query-batch times in every exact similarity leg (guide §4).
     val sumLong = org.apache.spark.sql.GraftColumnBridge.column(

@@ -25,8 +25,18 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
   * with nulls and `acc + null` poisons the fold, so the chain returns null
   * iff the lengths differ or any element is null — this expression returns
   * null in exactly those cases (and 0 for two empty arrays, as the fold's
-  * `lit(0L)` seed does). QuantDotLongSpec pins expression == chain.
+  * `lit(0L)` seed does). Md5Long60Spec pins expression == chain, and pins
+  * [[QuantDotLong.ScaleMicro]] == VectorFunctions.SimQuantScale (the
+  * declared single source of the grid shared with the DuckDB oracle).
   */
+object QuantDotLong {
+  /** The quantization grid — MUST equal VectorFunctions.SimQuantScale
+    * (spec-pinned): a drift here would silently diverge dotDec from the
+    * oracle SQL's grid.
+    */
+  val ScaleMicro: Double = 1e6
+}
+
 case class QuantDotLong(left: Expression, right: Expression)
     extends BinaryExpression {
 
@@ -54,8 +64,8 @@ case class QuantDotLong(left: Expression, right: Expression)
     var s = 0L
     while (i < n) {
       if (x.isNullAt(i) || y.isNullAt(i)) return null
-      s += math.floor(x.getDouble(i) * 1e6).toLong *
-        math.floor(y.getDouble(i) * 1e6).toLong
+      s += math.floor(x.getDouble(i) * QuantDotLong.ScaleMicro).toLong *
+        math.floor(y.getDouble(i) * QuantDotLong.ScaleMicro).toLong
       i += 1
     }
     s
@@ -67,6 +77,7 @@ case class QuantDotLong(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val s = ctx.freshName("s")
       val bad = ctx.freshName("bad")
+      val scale = QuantDotLong.ScaleMicro // single source, interpolated below
       s"""
          |final int $n = $a.numElements();
          |if ($n != $b.numElements()) {
@@ -76,8 +87,8 @@ case class QuantDotLong(left: Expression, right: Expression)
          |  boolean $bad = false;
          |  for (int $i = 0; $i < $n; $i++) {
          |    if ($a.isNullAt($i) || $b.isNullAt($i)) { $bad = true; break; }
-         |    $s += ((long) java.lang.Math.floor($a.getDouble($i) * 1.0E6)) *
-         |      ((long) java.lang.Math.floor($b.getDouble($i) * 1.0E6));
+         |    $s += ((long) java.lang.Math.floor($a.getDouble($i) * $scale)) *
+         |      ((long) java.lang.Math.floor($b.getDouble($i) * $scale));
          |  }
          |  if ($bad) { ${ev.isNull} = true; } else { ${ev.value} = $s; }
          |}

@@ -344,30 +344,11 @@ object CorpusOps {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     }
 
-  /** df-capped shingle posting rows (doc_id, sg) at cap `dfCap` — the
-    * blocking candidate source of the tf-idf cosine leg.
-    */
-  private def lowDfPostingRows(s: org.apache.spark.sql.SparkSession,
-      dir: String, dfCap: Long): org.apache.spark.sql.DataFrame = {
-    val sh = TextAnalysis.shingleIndex(s, dir)
-      .select(col("doc_id"), explode(col("ss")).as("sg"))
-    val sdf = sh.groupBy(col("sg")).agg(count(lit(1)).as("sdf"))
-    sh.join(sdf.filter(col("sdf") <= dfCap), "sg")
-      .select(col("doc_id"), col("sg"))
-  }
-
-  /** The PRODUCTION-cap ([[CosDfCap]] = Dedup.DfCap) posting rows as a
-    * shared session index — the df-capped inverted lists every blocked
-    * near-dup family member conceptually shares; invalidated with the
-    * shingle index it derives from ([[invalidateTfidfBlocking]]).
-    */
-  private val lowDfPostingsCache = new graft.SessionCache[org.apache.spark.sql.DataFrame]
-
-  private def lowDfPostings(s: org.apache.spark.sql.SparkSession,
-      dir: String): org.apache.spark.sql.DataFrame =
-    lowDfPostingsCache.getOrElseUpdate(s, dir)(
-      lowDfPostingRows(s, dir, CosDfCap)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER))
+  // r18: the df-capped posting rows (lowDfPostingRows/lowDfPostings) are
+  // gone — the tf-idf cosine's blocking now rides [[Dedup.corpusPostings]]
+  // (the same per-session shingle posting frame q36/q36a/q79 share), so
+  // one index serves the whole blocked near-dup family instead of two
+  // overlapping caches of the same rows.
 
   /** Corpus-append invalidation hook (called via
     * [[Dedup.invalidateComponents]]): the capped postings of a grown
@@ -379,7 +360,6 @@ object CorpusOps {
     */
   private[operators] def invalidateTfidfBlocking(
       s: org.apache.spark.sql.SparkSession, dir: String): Unit = {
-    lowDfPostingsCache.remove(s, dir).foreach(_.unpersist())
     tfidfWeightCache.remove(s, dir).foreach(_.unpersist())
     tfIndexCache.remove(s, dir).foreach(_.unpersist())
     // the retrieval tiers DERIVED from the tf index drop with it: the
@@ -515,16 +495,27 @@ object CorpusOps {
     val w = tfidfWeightIndex(s, dir)
     val n2 = w.groupBy(col("doc_id"))
       .agg(sum((col("w").cast(d38) * col("w").cast(d38)).cast(d38)).as("n2"))
-    val low =
-      if (dfCap == CosDfCap) lowDfPostings(s, dir)
-      else lowDfPostingRows(s, dir, dfCap).transform(graft.Materialize.ephemeral)
-    // ≥ minShared distinct low-df shingles per pair (rows are distinct
-    // (doc, shingle) pairs, so count(*) IS the shared-shingle count) —
+    // r18 (guide §2.4 — the pairJaccard posting discipline): candidates
+    // used to come from a (doc, sg)-row SELF-JOIN on sg — two sg-keyed
+    // exchanges of the capped posting rows plus a SortMergeJoin — fed by
+    // lowDfPostingRows' own groupBy(sg).count + join-back (a third
+    // exchange). Now the production path reads [[Dedup.corpusPostings]]
+    // (the SAME session posting frame q36/q36a/q79 block on — CosDfCap =
+    // Dedup.DfCap, same shingle index) and expands each ≤ cap posting
+    // list to its pairs IN-ROW: one cached read, zero new exchanges
+    // before the pair count. df = 1 lists contribute no pairs, so the
+    // between(2, cap) filter is result-identical to the old df ≤ cap.
+    val post =
+      if (dfCap == CosDfCap) Dedup.corpusPostings(s, dir)
+      else Dedup.postingLists(TextAnalysis.shingleIndex(s, dir))
+        .transform(graft.Materialize.ephemeral)
+    // ≥ minShared distinct low-df shingles per pair (each list holds
+    // distinct docs, so per-pair row count IS the shared-shingle count) —
     // prunes coincidence pairs before the expensive term-vector join
-    val cand = low.as("a")
-      .join(low.as("b"), col("a.sg") === col("b.sg") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("a_doc"), col("b.doc_id").as("b_doc"))
+    val cand = post
+      .filter(size(col("ds")).between(2, dfCap))
+      .select(explode(Dedup.pairCombos(col("ds"))).as("p"))
+      .groupBy(col("p.a").as("a_doc"), col("p.b").as("b_doc"))
       .agg(count(lit(1)).as("n_blk"))
       .filter(col("n_blk") >= minShared)
       .select(col("a_doc"), col("b_doc"))
@@ -712,7 +703,10 @@ object CorpusOps {
       nT: org.apache.spark.sql.DataFrame, bags: org.apache.spark.sql.DataFrame,
       dl: org.apache.spark.sql.DataFrame, tot: org.apache.spark.sql.DataFrame,
       k: Int, scoreName: String): org.apache.spark.sql.DataFrame = {
-    val scored = bags
+    val scored = broadcast(bags)
+      // guide §3.1: the bag frame is query-batch-bounded (nq·(qt+prf)
+      // rows) at ANY corpus size — broadcast it so the posting probe
+      // never shuffles the tf side by term
       .join(tf, "term")
       .filter(col("doc_id") =!= col("q_id"))
       .join(dl, "doc_id")
@@ -744,8 +738,16 @@ object CorpusOps {
       bags: org.apache.spark.sql.DataFrame,
       feedback: org.apache.spark.sql.DataFrame,
       prfTerms: Int): org.apache.spark.sql.DataFrame = {
-    val ex0 = feedback.join(tf, "doc_id")
-      .join(bags.select(col("q_id"), col("term")), Seq("q_id", "term"), "left_anti")
+    // r18 (guide §3.1): the bags frame is query-batch-sized (nq · qt rows)
+    // but window-derived, so the planner has no size estimate and fell
+    // back to a SortMergeJoin LeftAnti — an Exchange + Sort of the whole
+    // feedback×tf frame on (q_id, term). Broadcast the bag keys instead.
+    // guide §3.1: feedback is nq·prfDocs rows (window-derived, so the
+    // planner can't size it) — broadcast it so the cached tf index is
+    // probed in place instead of shuffled by doc_id every run
+    val ex0 = broadcast(feedback).join(tf, "doc_id")
+      .join(broadcast(bags.select(col("q_id"), col("term"))),
+        Seq("q_id", "term"), "left_anti")
       .join(dfF, "term")
       .crossJoin(broadcast(nT))
       .withColumn("v", col("tf").cast(LongType) * expr("(1000000 * n) div df"))

@@ -202,6 +202,9 @@ object Dedup {
     componentsCache.remove(s, dir).foreach(_.unpersist())
     verifiedPairsCache.remove(s, dir).foreach(_.unpersist())
     decontPairsCache.remove(s, dir).foreach(_.unpersist())
+    // r18: the shared posting frame is a pure function of the corpus's
+    // shingle rows — it drops with every other corpus-derived index
+    postingCache.remove(s, dir).foreach(_.unpersist())
     CorpusClean.invalidateCleaned(s, dir)
     CorpusOps.invalidateTfidfBlocking(s, dir)
   }
@@ -406,7 +409,7 @@ object Dedup {
         |JOIN nsh nb ON i.b_doc = nb.doc_id
         |WHERE $jaccardExpr >= $JaccardThreshold
         |ORDER BY i.a_doc, i.b_doc""".stripMargin) { (s, dir) =>
-      pairJaccard(TextAnalysis.shingleIndex(s, dir))
+      pairJaccardOverPostings(corpusPostings(s, dir))
         .filter(col("jac_raw") >= JaccardThreshold)
         .select(col("a_doc"), col("b_doc"), col("n_inter"),
           col("n_a").cast(LongType).as("n_a"), col("n_b").cast(LongType).as("n_b"),
@@ -436,7 +439,8 @@ object Dedup {
         |JOIN nsh nb ON c.b_doc = nb.doc_id
         |WHERE $jaccardExpr >= $JaccardThreshold
         |ORDER BY c.a_doc, c.b_doc""".stripMargin) { (s, dir) =>
-      pairJaccardCapped(TextAnalysis.shingleIndex(s, dir), DfCap)
+      pairJaccardCapped(TextAnalysis.shingleIndex(s, dir), DfCap,
+          postOpt = Some(corpusPostings(s, dir)))
         .filter(col("jac_raw") >= JaccardThreshold)
         .select(col("a_doc"), col("b_doc"), col("n_inter"),
           col("n_a").cast(LongType).as("n_a"), col("n_b").cast(LongType).as("n_b"),
@@ -917,7 +921,8 @@ object Dedup {
         |JOIN nsh nb ON c.b_doc = nb.doc_id
         |WHERE (i.n_inter * 1000000) // least(na.ns, nb.ns) >= ${(ContainmentThreshold * 1e6).toLong}
         |ORDER BY c.a_doc, c.b_doc""".stripMargin) { (s, dir) =>
-      pairContainmentCapped(TextAnalysis.shingleIndex(s, dir), DfCap)
+      pairContainmentCapped(TextAnalysis.shingleIndex(s, dir), DfCap,
+          postOpt = Some(corpusPostings(s, dir)))
         .filter(col("contain_micro") >= (ContainmentThreshold * 1e6).toLong)
         .select(col("a_doc"), col("b_doc"), col("n_inter"),
           col("n_a").cast(LongType).as("n_a"), col("n_b").cast(LongType).as("n_b"),
@@ -1040,10 +1045,18 @@ object Dedup {
         .withColumn("h", hex60(col("tok")))
       val bits = tf.groupBy(col("doc_id"))
         .agg(bitSum(0), (1 until SimHashBits).map(bitSum): _*)
-      val fp = bits.select(col("doc_id"),
-        (0 until SimHashBits).map(i =>
-          when(col(s"s$i") > 0, lit(1L << i)).otherwise(lit(0L)).cast(LongType))
-          .reduce(_ + _).as("fp"))
+      // r18 (guide §2.4 — don't compute the same subtree twice): the band
+      // self-join consumes `bands` on BOTH sides, and the r17 plan showed
+      // the entire fingerprint pipeline (scan → tokenize → tf agg → 60
+      // bit-sums) planned twice — once per side. Materialize the per-doc
+      // fingerprint (2 longs × |docs|, trivially small) ONCE; both join
+      // sides now derive from the checkpoint and the heavy subtree runs
+      // exactly once. Freed with the query (Materialize.releaseAll).
+      val fp = graft.Materialize.ephemeral(
+        bits.select(col("doc_id"),
+          (0 until SimHashBits).map(i =>
+            when(col(s"s$i") > 0, lit(1L << i)).otherwise(lit(0L)).cast(LongType))
+            .reduce(_ + _).as("fp")))
       val bandStructs = (0 until SimHashBands).map { b =>
         struct(lit(b).as("band"),
           shiftright(col("fp"), b * SimHashBandBits)
@@ -1097,10 +1110,20 @@ object Dedup {
         .distinct()
         .transform(graft.Materialize.ephemeral)
       val ns = ssrc.groupBy(col("source")).agg(count(lit(1)).cast(LongType).as("ns"))
-      val inter = ssrc.as("a")
-        .join(ssrc.as("b"),
-          col("a.s") === col("b.s") && col("a.source") < col("b.source"))
-        .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      // r18 (guide §2.4 — the pairJaccard posting discipline): the pair
+      // counts used to come from a self-join on s (TWO s-keyed exchanges
+      // of the distinct (source, shingle) frame + a SortMergeJoin). One
+      // posting aggregate per shingle — the source list is bounded by the
+      // SOURCE count, so the in-row pair expansion is ≤ |sources|²/2
+      // structs, skew-free by construction — then a (src_a, src_b) count.
+      // sort_array gives the same strict `a.source < b.source` pairs.
+      val inter = ssrc.groupBy(col("s"))
+        .agg(sort_array(collect_list(col("source"))).as("srcs"))
+        .filter(size(col("srcs")) > 1)
+        .select(explode(flatten(transform(col("srcs"), (x, i) =>
+          transform(slice(col("srcs"), i + lit(2), size(col("srcs"))),
+            y => struct(x.as("a"), y.as("b")))))).as("p"))
+        .groupBy(col("p.a").as("src_a"), col("p.b").as("src_b"))
         .agg(count(lit(1)).as("n_inter"))
       inter
         .join(broadcast(ns.select(col("source").as("src_a"), col("ns").as("n_a"))), "src_a")
@@ -1144,7 +1167,7 @@ object Dedup {
     * shingle's posting list expands to its doc-pair contributions in-row,
     * carrying both docs' set sizes so no post-aggregation join is needed.
     */
-  private def pairCombos(ds: Column): Column =
+  private[graft] def pairCombos(ds: Column): Column =
     flatten(transform(ds, (x, i) =>
       transform(slice(ds, i + lit(2), size(ds)),
         y => struct(x.getField("doc_id").as("a"), x.getField("ns").as("na"),
@@ -1253,12 +1276,42 @@ object Dedup {
       .orderBy(col("bands"))
   }
 
-  private[graft] def pairJaccard(dss: DataFrame, dfCap: Option[Int] = None): DataFrame =
+  /** Sorted posting list per shingle — `(s, ds = sorted array<(doc_id,
+    * ns)>)`. The ONE shingle-keyed shuffle every exact-pair operator
+    * needs; df(s) = size(ds), so the hot-shingle side of the capped
+    * machinery is a filter over this frame, not a second full shuffle.
+    */
+  private[graft] def postingLists(dss: DataFrame): DataFrame =
     dss.select(col("doc_id"), size(col("ss")).as("ns"), explode(col("ss")).as("s"))
       .groupBy(col("s"))
       // collect_list, not collect_set: (s, doc_id) rows are already unique
       // (ss is distinct per doc), so set-dedup work buys nothing.
       .agg(sort_array(collect_list(struct(col("doc_id"), col("ns")))).as("ds"))
+
+  /** The canonical corpus's posting frame, shared per (session, corpus)
+    * like [[TextAnalysis.shingleIndex]] it derives from — r18: q36, q36a
+    * and q79 each re-ran the identical explode + groupBy(s) collect_list
+    * (q36a/q79 TWICE each: once for candidates, once for the hot-shingle
+    * counts). Now the corpus pays that shuffle once per session and every
+    * consumer reads the cached lists.
+    */
+  private val postingCache = new graft.SessionCache[DataFrame]
+
+  private[graft] def corpusPostings(s: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame =
+    postingCache.getOrElseUpdate(s, dir)(
+      postingLists(TextAnalysis.shingleIndex(s, dir))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER))
+
+  private[graft] def pairJaccard(dss: DataFrame, dfCap: Option[Int] = None): DataFrame =
+    pairJaccardOverPostings(postingLists(dss), dfCap)
+
+  /** [[pairJaccard]]'s pair-expansion body over an EXPLICIT posting frame
+    * (the seam that lets q36/q36a/q79 share [[corpusPostings]]).
+    */
+  private[graft] def pairJaccardOverPostings(post: DataFrame,
+      dfCap: Option[Int] = None): DataFrame =
+    post
       .filter(size(col("ds")) > 1 &&
         dfCap.map(c => size(col("ds")) <= c).getOrElse(
           // uncapped misuse fails loudly BEFORE the in-row expansion
@@ -1441,8 +1494,9 @@ object Dedup {
     * below theta the returned pair set is upper-bound-pruned, not exact.
     */
   private[graft] def pairJaccardCapped(dss: DataFrame, dfCap: Int,
-      theta: Double = JaccardThreshold): DataFrame = {
-    val pruned = cappedCandidates(dss, dfCap) { (iUp, nA, nB) =>
+      theta: Double = JaccardThreshold,
+      postOpt: Option[DataFrame] = None): DataFrame = {
+    val pruned = cappedCandidates(dss, dfCap, postOpt) { (iUp, nA, nB) =>
       // jac_upper = i_up / (n_a + n_b − i_up) ≥ true jaccard
       iUp.cast(DoubleType) / (nA + nB - iUp).cast(DoubleType) >= theta
     }
@@ -1455,8 +1509,9 @@ object Dedup {
     * sound. Output adds exact integer `contain_micro` next to `jac_raw`.
     */
   private[graft] def pairContainmentCapped(dss: DataFrame, dfCap: Int,
-      theta: Double = ContainmentThreshold): DataFrame = {
-    val pruned = cappedCandidates(dss, dfCap) { (iUp, nA, nB) =>
+      theta: Double = ContainmentThreshold,
+      postOpt: Option[DataFrame] = None): DataFrame = {
+    val pruned = cappedCandidates(dss, dfCap, postOpt) { (iUp, nA, nB) =>
       iUp.cast(DoubleType) / least(nA, nB).cast(DoubleType) >= theta
     }
     exactVerify(dss, pruned)
@@ -1473,14 +1528,26 @@ object Dedup {
     * so NO broadcast hint: the shingle-keyed equi-join is correct unhinted
     * and AQE upgrades it from measured sizes when it does fit.
     */
-  private def cappedCandidates(dss: DataFrame, dfCap: Int)(
+  private def cappedCandidates(dss: DataFrame, dfCap: Int,
+      postOpt: Option[DataFrame] = None)(
       keep: (Column, Column, Column) => Column): DataFrame = {
-    val rows = dss.select(col("doc_id"), explode(col("ss")).as("s"))
-    val hotShingles = rows.groupBy(col("s")).agg(count(lit(1)).as("df"))
-      .filter(col("df") > dfCap).select(col("s"))
-    val hot = rows.join(hotShingles, "s")
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("h"))
-    pairJaccard(dss, Some(dfCap))
+    // r18 (guide §2.3/§2.4): both legs below used to run their OWN full
+    // explode + s-keyed shuffle of the corpus (posting collect_list for
+    // candidates, groupBy(s).count + join-back for the hot counts — the
+    // join-back shuffled the whole (doc, s) stream a third time). Now ONE
+    // posting frame feeds both: candidates filter it at df ≤ cap, and the
+    // per-doc hot counts explode only the df > cap lists (boilerplate
+    // shingles only, ≤ rows/cap lists by pigeonhole). Query paths pass
+    // the session-shared [[corpusPostings]]; ad-hoc callers (tests,
+    // sampled sweeps) pay one ephemeral materialization instead of two
+    // full shuffles. The (doc, s) multiset inside the hot lists is
+    // exactly the rows the old join-back counted — ss is distinct per
+    // doc — so `h` is unchanged.
+    val post = postOpt.getOrElse(graft.Materialize.ephemeral(postingLists(dss)))
+    val hot = post.filter(size(col("ds")) > dfCap)
+      .select(explode(col("ds")).as("d"))
+      .groupBy(col("d.doc_id").as("doc_id")).agg(count(lit(1)).as("h"))
+    pairJaccardOverPostings(post, Some(dfCap))
       .join(hot.select(col("doc_id").as("a_doc"), col("h").as("h_a")), Seq("a_doc"), "left")
       .join(hot.select(col("doc_id").as("b_doc"), col("h").as("h_b")), Seq("b_doc"), "left")
       .withColumn("i_up", col("n_inter") +

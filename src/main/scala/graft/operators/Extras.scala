@@ -97,24 +97,32 @@ object Extras {
       Seq("l_quantity", "l_extendedprice", "l_discount").map(oneCol)
         .mkString("", "\nUNION ALL ", "\nORDER BY col")
     } { (s, dir) =>
-      // Single pass: all 6 stats × 3 columns in ONE aggregation over ONE
-      // lineitem scan (the multi-distinct is an Expand, not extra scans),
-      // then stack-unpivot to the per-column output shape.
-      // Scale note (SCALE.md): the 3 EXACT countDistincts Expand the scan
-      // ×4 through the aggregate — the right plan for an exact audit, the
-      // wrong default at 100 TB. Production profiling belongs on q70's
-      // mergeable HLL sketches (per-partition sketch + union-merge).
+      // r18 (guide §2.3 — don't multiply the rows you aggregate): the old
+      // single aggregation carried 3 EXACT countDistincts, which plans as
+      // an Expand ×4 of the whole scan through a two-level (gid, value)
+      // hash-agg — measured 3.98 s isolated at sf0.1. Splitting the exact
+      // distincts into THREE single-column aggregations (each a pruned
+      // one-column parquet scan + partial distinct) and crossJoining the
+      // four 1-row results computes the identical numbers in 0.96 s
+      // (Scratch dissection, min of 3): columnar scans are cheap, the
+      // Expand is not. Same rows, same schema, same oracle hash.
+      // Scale note (SCALE.md): exact distincts stay the audit path;
+      // production profiling belongs on q70's mergeable HLL sketches.
       val cols = Seq("l_quantity", "l_extendedprice", "l_discount")
-      val aggs = cols.flatMap(c => Seq(
+      val li = Tables.load(s, dir, "lineitem")
+      val base = li.agg(count(lit(1)).as("n"), cols.flatMap(c => Seq(
         count(col(c)).as(s"${c}_n_nonnull"),
         min(col(c)).cast(DoubleType).as(s"${c}_min_v"),
         max(col(c)).cast(DoubleType).as(s"${c}_max_v"),
-        sum(col(c).cast(DecimalType(18, 2))).cast(DoubleType).as(s"${c}_sum_v"),
-        countDistinct(col(c)).as(s"${c}_n_distinct")))
+        sum(col(c).cast(DecimalType(18, 2))).cast(DoubleType).as(s"${c}_sum_v"))): _*)
+      val joined = cols.foldLeft(base)((acc, c) =>
+        acc.crossJoin(li.select(col(c)).distinct()
+          // count(col), not count(*): countDistinct excludes NULL, and a
+          // nullable column's distinct() keeps one NULL row
+          .agg(count(col(c)).as(s"${c}_n_distinct"))))
       val stackRows = cols.map(c =>
         s"'$c', n, ${c}_n_nonnull, ${c}_min_v, ${c}_max_v, ${c}_sum_v, ${c}_n_distinct")
-      Tables.load(s, dir, "lineitem")
-        .agg(count(lit(1)).as("n"), aggs: _*)
+      joined
         .selectExpr(s"stack(${cols.size}, ${stackRows.mkString(", ")}) " +
           "AS (col, n, n_nonnull, min_v, max_v, sum_v, n_distinct)")
         .orderBy(col("col"))
@@ -331,13 +339,22 @@ object Extras {
         |ORDER BY grp""".stripMargin) { (s, dir) =>
       val li = Tables.load(s, dir, "lineitem")
         .select(date_format(col("l_shipdate"), "yyyy-MM").as("grp"), col("l_partkey"))
-      val sketches = li.groupBy(col("grp"))
+      // r18 (guide §2.3 — aggregate before you shuffle again): ONE distinct
+      // over (grp, partkey) feeds everything. The sketches are bit-identical
+      // built from distinct pairs (HLL registers are max-of-leading-zeros —
+      // duplicate inserts are no-ops), the per-month exact count is a
+      // dedup-free count over the pairs, and the __ALL__ exact distinct now
+      // dedups the already-collapsed pair frame instead of re-scanning and
+      // re-shuffling the raw 600 k-row stream a third time. The checkpoint
+      // has three consumers (sketches / per-month / total).
+      val dp = graft.Materialize.ephemeral(li.distinct())
+      val sketches = dp.groupBy(col("grp"))
         .agg(hll_sketch_agg(col("l_partkey"), lit(14)).as("sk"))
-      val perMonth = li.distinct()
+      val perMonth = dp
         .groupBy(col("grp")).agg(count(lit(1)).as("n_exact"))
         .join(sketches.select(col("grp"),
           hll_sketch_estimate(col("sk")).as("est")), "grp")
-      val total = li.select(col("l_partkey")).distinct()
+      val total = dp.select(col("l_partkey")).distinct()
         .agg(count(lit(1)).as("n_exact"))
         .crossJoin(sketches.agg(hll_union_agg(col("sk"), lit(false)).as("sku"))
           .select(hll_sketch_estimate(col("sku")).as("est")))

@@ -29,6 +29,17 @@ object Fuzzy {
 
   private def blockingKeyFrame(s: org.apache.spark.sql.SparkSession, dir: String) =
     blockingKeys.getOrElseUpdate(s, dir) {
+      // r18 (guide §2.4): the cache used to hold exploded (ckey, name,
+      // blk) ROWS, so every q121 run re-joined the 300 k-row frame against
+      // itself (broadcast build + probe of the whole cache). Stored as
+      // per-key SORTED entry lists instead, candidate pairs become an
+      // in-row expansion — the blk-keyed shuffle happens once at cache
+      // build and the query-time join disappears. Entries sort by (name,
+      // ckey), so in-row (x, y) pairs with x before y reproduce exactly
+      // the old `a.name < b.name` join condition (names are distinct per
+      // key: one row per name upstream, deletion variants of one name are
+      // distinct strings... a name can post the same key twice only via
+      // repeated-char deletions — array_union dedups the variant list).
       val v = Tables.load(s, dir, "customer")
         .groupBy(col("c_name").as("name"))
         .agg(min(col("c_custkey")).as("ckey"))
@@ -37,6 +48,9 @@ object Fuzzy {
             array(col("name")),
             expr("transform(sequence(1, length(name))," +
               " i -> concat(substr(name, 1, i-1), substr(name, i+1)))"))).as("blk"))
+        .groupBy(col("blk"))
+        .agg(sort_array(collect_list(struct(col("name"), col("ckey")))).as("vs"))
+        .filter(size(col("vs")) > 1)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     }
 
@@ -89,12 +103,18 @@ object Fuzzy {
         |FROM v a JOIN v b
         |  ON a.c_name < b.c_name AND levenshtein(a.c_name, b.c_name) <= 1
         |ORDER BY name_a, name_b""".stripMargin) { (s, dir) =>
-      val keyed = blockingKeyFrame(s, dir)
-      val cand = keyed.as("a")
-        .join(keyed.as("b"),
-          col("a.blk") === col("b.blk") && col("a.name") < col("b.name"))
-        .select(col("a.name").as("name_a"), col("b.name").as("name_b"),
-          col("a.ckey").as("key_a"), col("b.ckey").as("key_b"))
+      // r18: candidates expand IN-ROW from the cached per-key entry lists
+      // (see blockingKeyFrame) — no query-time self-join, no broadcast
+      // build. Buckets are bounded by alphabet×positions of the shared
+      // stem, so the expansion is tiny and skew-free.
+      val vs = col("vs")
+      val cand = blockingKeyFrame(s, dir)
+        .select(explode(flatten(transform(vs, (x, i) =>
+          transform(slice(vs, i + lit(2), size(vs)), y =>
+            struct(x.getField("name").as("name_a"), y.getField("name").as("name_b"),
+              x.getField("ckey").as("key_a"), y.getField("ckey").as("key_b")))))).as("p"))
+        .select(col("p.name_a").as("name_a"), col("p.name_b").as("name_b"),
+          col("p.key_a").as("key_a"), col("p.key_b").as("key_b"))
         .distinct() // substitution pairs share one key; repeated chars can share several
       // Banded verify: levenshtein with threshold 1 runs the O(len·k)
       // diagonal band (returns -1 past the bound) instead of the full
@@ -252,12 +272,12 @@ object Fuzzy {
     */
   private[graft] def substringDedup(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val d = normDocs(docs)
-    // Materialize the anchor stream ONCE (the q128 fan-out discipline):
-    // it feeds both the occurrence count and the flag join-back, and
-    // every row costs an md5 over a K-char substring — without this the
-    // whole explode+hash pass runs twice. ~24 bytes/char checkpointed,
-    // freed with the query (Materialize.releaseAll).
-    profileFromAnchors(d, anchorRowsFromNorm(d).transform(graft.Materialize.ephemeral))
+    // r18: no materialization — the window-count formulation of
+    // [[profileFromAnchors]] consumes the anchor stream exactly once, so
+    // the explode+md5 pass fuses straight into the occurrence shuffle's
+    // map side instead of being checkpointed (~24 bytes/char written+read
+    // back) for a second consumer that no longer exists.
+    profileFromAnchors(d, anchorRowsFromNorm(d))
   }
 
   /** q153 served OFF THE MAINTAINED ANCHOR STORE
@@ -307,22 +327,42 @@ object Fuzzy {
   private def profileFromAnchors(d: org.apache.spark.sql.DataFrame,
       pos: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val K = SubstringK
-    val occ = pos.groupBy("s").agg(count(lit(1)).as("cnt"))
-    val fl = pos.join(occ, "s").filter(col("cnt") >= 2).select("doc_id", "i")
+    // r18 (guide §2.3/§2.4): the flag pass used to be groupBy(s) + a
+    // join-back onto the anchor stream — TWO s-keyed exchanges of the
+    // heaviest frame (the partial (s, cnt) aggregate barely collapses:
+    // duplicated grams live in OTHER docs, i.e. other partitions), and
+    // because the flag frame fed two legs (run profile + n_dup) the whole
+    // occurrence subtree was planned and executed TWICE (18 Exchanges in
+    // the r17 plan). Now ONE window count over s attaches the occurrence
+    // count in place (one exchange of the anchor stream, no join), and
+    // the per-doc tail needs only ONE consumer of the flags: n_dup is
+    // Σ run_len of the doc's runs, and the winning span is max_by over
+    // the run frame — both fold into hash-aggregates that reuse the
+    // doc-keyed exchange the run window already established. Skew note:
+    // a boilerplate gram shared by millions of positions is one window
+    // group (spillable buffer in one task) — the same fan-in the old
+    // join-back paid on its probe side, minus the second exchange.
+    val fl = pos
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy("s")))
+      .filter(col("cnt") >= 2)
+      .select("doc_id", "i")
     val w = Window.partitionBy("doc_id").orderBy("i")
     val rl = fl.withColumn("grp", col("i") - row_number().over(w))
       .groupBy("doc_id", "grp")
       .agg(count(lit(1)).as("run_len"), min("i").as("run_start"))
-    val pick = Window.partitionBy("doc_id")
-      .orderBy(col("run_len").desc, col("run_start").asc)
-    val prof = rl.withColumn("rn", row_number().over(pick)).filter(col("rn") === 1)
-      .select(col("doc_id"), (col("run_len") + lit(K - 1)).as("dup_len"),
-        col("run_start").as("dup_start"))
-    val nd = fl.groupBy("doc_id").agg(count(lit(1)).as("n_dup"))
+    // One pass over the run frame: n_dup = Σ run_len (every flagged anchor
+    // is in exactly one run); the winner is lexicographic max of
+    // (run_len, -run_start) — run_len DESC, run_start ASC, the identical
+    // total order the oracle's row_number picks rn = 1 from.
+    val prof = rl.groupBy("doc_id")
+      .agg(sum(col("run_len")).as("n_dup"),
+        max(struct(col("run_len"), (-col("run_start")).as("neg_start"))).as("best"))
+      .select(col("doc_id"), col("n_dup"),
+        (col("best.run_len") + lit(K - 1)).as("dup_len"),
+        (-col("best.neg_start")).as("dup_start"))
     val na = d.select(col("doc_id"), col("t"),
       greatest(length(col("t")).cast(LongType) - lit(K - 1), lit(0L)).as("n_anchors"))
-    na.join(nd, Seq("doc_id"), "left")
-      .join(prof, Seq("doc_id"), "left")
+    na.join(prof, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_anchors"),
         coalesce(col("n_dup"), lit(0L)).as("n_dup"),
         coalesce(col("dup_len"), lit(0L)).as("dup_len"),

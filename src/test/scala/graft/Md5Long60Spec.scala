@@ -76,5 +76,10 @@ class Md5Long60Spec extends SparkSpec {
           .cast(graft.functions.VectorFunctions.SimDec).as("chain"))
       .collect().head
     assert(dec.getDecimal(0) == dec.getDecimal(1))
+    // r18 (ADVICE): the expression's grid and the declared oracle-shared
+    // grid are two constants — pin them together so a drift in either is
+    // a test failure, not a silent oracle divergence.
+    assert(graft.functions.expressions.QuantDotLong.ScaleMicro ==
+      graft.functions.VectorFunctions.SimQuantScale)
   }
 }

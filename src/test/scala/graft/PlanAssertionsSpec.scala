@@ -138,9 +138,15 @@ class PlanAssertionsSpec extends SparkSpec {
     assert(p.contains("minhash_sigs"))
   }
 
-  test("q54: dataset profile scans lineitem exactly once") {
+  test("q54: profile plans no multi-distinct Expand; one pruned scan per exact leg") {
+    // r18: the three exact countDistincts used to ride ONE scan through a
+    // ×4 Expand — measured 4× slower than one stats scan plus three
+    // single-column distinct scans (Scratch dissection, 3.98 → 0.96 s at
+    // sf0.1). The plan therefore reads lineitem exactly 4 times (each
+    // pruned to ≤ 3 columns) and must never re-grow the Expand.
     val p = plan("q54_profile")
-    assert("lineitem\\.parquet".r.findAllIn(p).size == 1, p.take(2000))
+    assert(!p.contains("Expand"), p.take(2000))
+    assert("lineitem\\.parquet".r.findAllIn(p).size == 4, p.take(2000))
   }
 
   test("q64: the corpus-clean composition plans no cartesian product") {
