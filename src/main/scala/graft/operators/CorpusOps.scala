@@ -245,13 +245,23 @@ object CorpusOps {
   /** `(doc_id, a, b, c)` per-doc bigram bags of a corpus — q146's scan
     * projection as a library transform.
     */
-  private[graft] def bigramBags(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+  private[graft] def bigramBags(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    // r18 (guide §4 — fewer per-row string ops): bigrams used to be built
+    // as "a b" strings (concat_ws per pair) and immediately re-split with
+    // two substring_index scans. zip_with over the shifted token array
+    // yields the (a, b) structs directly — exactly the oracle's
+    // (w[i], w[i+1]) formulation, three string traversals per bigram
+    // fewer. Tokens contain no whitespace (tokens() splits on it), so the
+    // old round-trip was lossless and this is value-identical.
+    val w = tokens(col("text"))
     docs
-      .select(col("doc_id"), explode(shingles(tokens(col("text")), 2)).as("sh"))
-      .select(col("doc_id"),
-        substring_index(col("sh"), " ", 1).as("a"),
-        substring_index(col("sh"), " ", -1).as("b"))
+      .select(col("doc_id"), explode(zip_with(
+        slice(w, lit(1), greatest(size(w) - 1, lit(0))),
+        slice(w, lit(2), greatest(size(w) - 1, lit(0))),
+        (x, y) => struct(x.as("a"), y.as("b")))).as("p"))
+      .select(col("doc_id"), col("p.a").as("a"), col("p.b").as("b"))
       .groupBy(col("doc_id"), col("a"), col("b")).agg(count(lit(1)).as("c"))
+  }
 
   /** q146's per-doc mean-transition-probability report over a
     * `(doc_id, a, b, c)` bag frame and a `(a, b, p_micro)` model —
