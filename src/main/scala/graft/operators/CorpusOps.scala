@@ -342,7 +342,7 @@ object CorpusOps {
     */
   private val tfidfWeightCache = new graft.SessionCache[org.apache.spark.sql.DataFrame]
 
-  private def tfidfWeightIndex(s: org.apache.spark.sql.SparkSession,
+  private[graft] def tfidfWeightIndex(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame =
     tfidfWeightCache.getOrElseUpdate(s, dir) {
       val tf = tfIndex(s, dir)
@@ -360,6 +360,33 @@ object CorpusOps {
   // one index serves the whole blocked near-dup family instead of two
   // overlapping caches of the same rows.
 
+  /** Per-doc tf-idf VECTOR rows (doc_id, terms sorted, ws aligned, n2) —
+    * the pair-scoring form of [[tfidfWeightIndex]] (r18, guide §2.3/§8):
+    * scoring a candidate pair becomes two doc-keyed lookups plus ONE
+    * sorted-merge dot ([[graft.functions.expressions.TermVecDot]]),
+    * instead of exploding every pair by its full term vector through two
+    * term-keyed joins and a pair×terms hash-aggregate (26.4M intermediate
+    * rows for 994k pairs at sf1). n2 rides the same row, so the norm join
+    * disappears too. Session-cached like the weight index it derives
+    * from; invalidated with it ([[invalidateTfidfBlocking]]).
+    */
+  private val tfidfVectorCache = new graft.SessionCache[org.apache.spark.sql.DataFrame]
+
+  private[graft] def tfidfVectorIndex(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    tfidfVectorCache.getOrElseUpdate(s, dir) {
+      val d38 = DecimalType(38, 0)
+      tfidfWeightIndex(s, dir)
+        .groupBy(col("doc_id"))
+        .agg(sort_array(collect_list(struct(col("term"), col("w")))).as("tw"),
+          sum((col("w").cast(d38) * col("w").cast(d38)).cast(d38)).as("n2"))
+        .select(col("doc_id"),
+          transform(col("tw"), x => x.getField("term")).as("terms"),
+          transform(col("tw"), x => x.getField("w")).as("ws"),
+          col("n2"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    }
+
   /** Corpus-append invalidation hook (called via
     * [[Dedup.invalidateComponents]]): the capped postings of a grown
     * corpus are a different frame (df counts move) — and so are the
@@ -371,6 +398,7 @@ object CorpusOps {
   private[operators] def invalidateTfidfBlocking(
       s: org.apache.spark.sql.SparkSession, dir: String): Unit = {
     tfidfWeightCache.remove(s, dir).foreach(_.unpersist())
+    tfidfVectorCache.remove(s, dir).foreach(_.unpersist())
     tfIndexCache.remove(s, dir).foreach(_.unpersist())
     // the retrieval tiers DERIVED from the tf index drop with it: the
     // (df, dl, tot, n) stats and both cached rank legs are corpus-wide
@@ -494,17 +522,7 @@ object CorpusOps {
   private[graft] def tfidfCosinePairs(s: org.apache.spark.sql.SparkSession,
       dir: String, dfCap: Long, tau: Double,
       minShared: Long = CosMinShared): org.apache.spark.sql.DataFrame = {
-    val d38 = DecimalType(38, 0)
-    // Session-cached fan-out frames: the weight vectors feed THREE
-    // consumers (both norms and both sides of the numerator join) and
-    // the low-df posting rows TWO (the a/b sides of the candidate
-    // self-join) — and both are corpus INDEXES (the tf-idf vector index
-    // + the production blocking postings), so they persist per (session,
-    // corpus) instead of being rebuilt per run. A non-production dfCap
-    // (the parity-sweep specs) still computes its postings inline.
-    val w = tfidfWeightIndex(s, dir)
-    val n2 = w.groupBy(col("doc_id"))
-      .agg(sum((col("w").cast(d38) * col("w").cast(d38)).cast(d38)).as("n2"))
+    graft.plans.GraftExtensions.register(s)
     // r18 (guide §2.4 — the pairJaccard posting discipline): candidates
     // used to come from a (doc, sg)-row SELF-JOIN on sg — two sg-keyed
     // exchanges of the capped posting rows plus a SortMergeJoin — fed by
@@ -529,19 +547,28 @@ object CorpusOps {
       .agg(count(lit(1)).as("n_blk"))
       .filter(col("n_blk") >= minShared)
       .select(col("a_doc"), col("b_doc"))
-    val wa = w.select(col("doc_id").as("a_doc"), col("term"), col("w").as("wa"))
-    val wb = w.select(col("doc_id").as("b_doc"), col("term"), col("w").as("wb"))
-    val num = cand
-      .join(wa, "a_doc")
-      .join(wb, Seq("b_doc", "term"))
-      .groupBy(col("a_doc"), col("b_doc"))
-      .agg(count(lit(1)).as("n_shared"),
-        sum((col("wa").cast(d38) * col("wb").cast(d38)).cast(d38)).as("num"))
-    num
-      .join(n2.select(col("doc_id").as("a_doc"), col("n2").as("na2")), "a_doc")
-      .join(n2.select(col("doc_id").as("b_doc"), col("n2").as("nb2")), "b_doc")
-      .select(col("a_doc"), col("b_doc"), col("n_shared"),
-        (col("num").cast(DoubleType)
+    // r18 (guide §2.3/§8 — decide with small rows): the numerator used to
+    // explode every candidate pair by doc a's FULL term vector (26.4M
+    // rows for 994k pairs at sf1) through two term-keyed joins and a
+    // pair-keyed hash-agg, with the whole weight index as a broadcast
+    // build side. Now each pair makes two doc-keyed lookups into the
+    // per-doc vector index and ONE sorted-merge dot (TermVecDot) — the
+    // identical DECIMAL(38,0) integer and shared-term count the join
+    // produced (spec-pinned equivalence, TermVecDotSpec), with the norms
+    // riding the same vector row (norm join gone). n_shared ≥ 1 filter
+    // preserves the old inner join's "≥1 shared term" row set exactly,
+    // independent of tau.
+    val vec = tfidfVectorIndex(s, dir)
+    cand
+      .join(vec.select(col("doc_id").as("a_doc"), col("terms").as("a_terms"),
+        col("ws").as("a_ws"), col("n2").as("na2")), "a_doc")
+      .join(vec.select(col("doc_id").as("b_doc"), col("terms").as("b_terms"),
+        col("ws").as("b_ws"), col("n2").as("nb2")), "b_doc")
+      .withColumn("d", call_function("term_vec_dot",
+        col("a_terms"), col("a_ws"), col("b_terms"), col("b_ws")))
+      .filter(col("d.n_shared") > 0)
+      .select(col("a_doc"), col("b_doc"), col("d.n_shared").as("n_shared"),
+        (col("d.num").cast(DoubleType)
           / sqrt(col("na2").cast(DoubleType) * col("nb2").cast(DoubleType)))
           .as("cos_sim"))
       .filter(col("cos_sim") >= tau)

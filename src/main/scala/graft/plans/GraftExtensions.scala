@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.expressions.{BloomMightContainLong, FreqItemsMG, FreqItemsMGWeighted, LongVecDot, Md5Long60, MinHashSigs, QuantDotLong, SortedBucketIndex}
+import graft.functions.expressions.{BloomMightContainLong, FreqItemsMG, FreqItemsMGWeighted, LongVecDot, Md5Long60, MinHashSigs, QuantDotLong, SortedBucketIndex, TermVecDot}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -117,6 +117,13 @@ object GraftExtensions {
         requireArity("vec_qdot_long(a, b)", "expects two array<double> arguments",
           children, 2)
         QuantDotLong(children(0), children(1))
+      }),
+    (FunctionIdentifier("term_vec_dot"),
+      new ExpressionInfo(classOf[TermVecDot].getName, "term_vec_dot"),
+      (children: Seq[Expression]) => {
+        requireArity("term_vec_dot(a_terms, a_ws, b_terms, b_ws)",
+          "expects (array<string>, array<bigint>) twice", children, 4)
+        TermVecDot(children(0), children(1), children(2), children(3))
       }),
     (FunctionIdentifier("bloom_might_contain_long"),
       new ExpressionInfo(classOf[BloomMightContainLong].getName, "bloom_might_contain_long"),
