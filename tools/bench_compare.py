@@ -1,39 +1,37 @@
 #!/usr/bin/env python3
-"""Per-query diff of two graft.Bench JSON lines (files or raw lines).
+"""Compare two bench JSON artifacts (cold + warm per-query maps).
 
-Usage: bench_compare.py BENCH_rN.json BENCH_rM.json [threshold_pct]
-
-Prints queries whose time changed more than threshold (default 25%),
-plus totals and errors. Remember: sf0.1 single-run totals swing ±20%
-from JIT/GC — treat small deltas as noise, compare medians for calls.
+Usage: bench_compare.py A.json B.json [threshold]
+Prints totals, geomean warm ratio, and per-query movers beyond the
+threshold (default 1.15x) in either direction.
 """
-import json, sys
+import json
+import math
+import sys
 
-def load(path):
-    text = open(path).read().strip()
-    # tolerate an "[info] " sbt prefix
-    if "{" in text:
-        text = text[text.index("{"):]
-    return json.loads(text.splitlines()[0])
 
-def main(a_path, b_path, thresh=25.0):
-    a, b = load(a_path), load(b_path)
-    qa, qb = a["queries"], b["queries"]
-    print(f"total: {a['value']:.1f}s ({len(qa)} queries) -> "
-          f"{b['value']:.1f}s ({len(qb)} queries)")
-    if a.get("errors") or b.get("errors"):
-        print(f"errors: {a.get('errors', [])} -> {b.get('errors', [])}")
-    for q in sorted(set(qa) | set(qb)):
-        if q not in qa:
-            print(f"  NEW  {q:30s}        -> {qb[q]:6.2f}s")
-        elif q not in qb:
-            print(f"  GONE {q:30s} {qa[q]:6.2f}s")
-        elif qa[q] > 0 and abs(qb[q] - qa[q]) / qa[q] * 100 >= thresh:
-            sign = "+" if qb[q] > qa[q] else "-"
-            print(f"  {sign}    {q:30s} {qa[q]:6.2f}s -> {qb[q]:6.2f}s "
-                  f"({(qb[q]-qa[q])/qa[q]*100:+.0f}%)")
-    return 0
+def main() -> None:
+    a = json.load(open(sys.argv[1]))
+    b = json.load(open(sys.argv[2]))
+    thr = float(sys.argv[3]) if len(sys.argv) > 3 else 1.15
+    print(f"cold  {a['value']:8.1f} -> {b['value']:8.1f}")
+    print(f"warm  {a['value_warm']:8.1f} -> {b['value_warm']:8.1f}")
+    wa, wb = a['queries_warm'], b['queries_warm']
+    common = [k for k in wa if k in wb and wa[k] > 0 and wb[k] > 0]
+    rats = [wa[k] / wb[k] for k in common]
+    print(f"common {len(common)}  geomean warm speedup "
+          f"{math.exp(sum(math.log(r) for r in rats) / len(rats)):.3f}")
+    slower = [(k, wa[k], wb[k]) for k in common
+              if wb[k] > wa[k] * thr and wb[k] > 0.5]
+    faster = [(k, wa[k], wb[k]) for k in common
+              if wa[k] > wb[k] * thr and wa[k] > 0.5]
+    print(f"faster >{thr}x ({len(faster)}):")
+    for k, x, y in sorted(faster, key=lambda t: -(t[1] - t[2]))[:20]:
+        print(f"  {k:32s} {x:6.2f} -> {y:6.2f}")
+    print(f"slower >{thr}x ({len(slower)}):")
+    for k, x, y in sorted(slower, key=lambda t: -(t[2] - t[1]))[:20]:
+        print(f"  {k:32s} {x:6.2f} -> {y:6.2f}")
 
-if __name__ == "__main__":
-    t = float(sys.argv[3]) if len(sys.argv) > 3 else 25.0
-    sys.exit(main(sys.argv[1], sys.argv[2], t))
+
+if __name__ == '__main__':
+    main()
