@@ -186,8 +186,15 @@ object Bench {
     // comma-decimal locales would print "1,234" and corrupt the JSON line.
     def fmt(v: Double) =
       if (v < 0) "-1" else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    def toJson(m: Seq[(String, Double)], key: String => String = identity) =
-      m.map { case (k, v) => s"\"" + key(k) + "\":" + fmt(v) }.mkString("{", ",", "}")
+    // Stdout-map values at centisecond precision: the per-query maps ride
+    // a SIZE-LIMITED tail capture (see below), and 169×2 entries at %.3f
+    // is ~400 B fatter for digits below measurement noise. The committed
+    // bench_out file keeps full %.3f values.
+    def fmt2(v: Double) =
+      if (v < 0) "-1" else String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+    def toJson(m: Seq[(String, Double)], key: String => String = identity,
+        f: Double => String = fmt) =
+      m.map { case (k, v) => s"\"" + key(k) + "\":" + f(v) }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val errJson = errors.reverse.distinct.map("\"" + _ + "\"").mkString("[", ",", "]")
     val warmTotal = fmt(warm.map(_._2).filter(_ >= 0).sum)
@@ -210,9 +217,9 @@ object Bench {
     // timing methodology is untouched; this only changes what is printed.
     def short(k: String) = k.split('_').head
     val perQuery =
-      if (warm.isEmpty) s""""queries":${toJson(results, short)},"""
-      else s""""queries":${toJson(results, short)},""" +
-        s""""queries_warm":${toJson(warm, short)},"value_warm":$warmTotal,"""
+      if (warm.isEmpty) s""""queries":${toJson(results, short, fmt2)},"""
+      else s""""queries":${toJson(results, short, fmt2)},""" +
+        s""""queries_warm":${toJson(warm, short, fmt2)},"value_warm":$warmTotal,"""
     val line = s"""{"unit":"sec","sf":"$sfDir",""" + perQuery +
       s""""flags":$flags,"errors":$errJson,"value":${fmt(total)},"metric":"total"}"""
     // Sentinel on its own line directly above the JSON: a parser scanning
